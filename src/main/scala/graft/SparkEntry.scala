@@ -1,13 +1,303 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` is an operator from SURVEY.md §2 expressed as an
+  * idiomatic Spark pipeline; `oracleSql` carries the equivalent ANSI SQL the
+  * driver runs in DuckDB over the same parquet tables (sf0.01). Column names
+  * and types are aligned on both sides; float outputs follow the rounding
+  * policy documented in [[graft.operators.Relational]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * SURVEY §7.3: orders-per-month-of-1995 (scan→filter→time-bucket→count). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.ordersPerMonth(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1/2.2 scans, projections, filters
+    "p1_scan_projection" -> Relational.scanProjection,
+    "p2_derived_column" -> Relational.derivedColumn,
+    "p3_conj_filter" -> Relational.conjFilter,
+    "p5_in_list" -> Relational.inListFilter,
+    "p6_ci_string" -> Relational.ciStringFilter,
+    "p7_year_filter" -> Relational.yearFilter,
+    "p9_row_slice" -> Relational.rowSlice,
+    // §2.3 joins
+    "j1_dim_join" -> Relational.dimJoin,
+    "j2_temporal_join" -> Relational.temporalJoin,
+    "j3_brand_revenue" -> Relational.brandRevenue,
+    "j5_semi_join" -> Relational.semiJoin,
+    "j6_anti_join" -> Relational.antiJoin,
+    // §2.4 aggregations
+    "a1_group_multi_agg" -> Relational.groupMultiAgg,
+    "a2_group_duration" -> Relational.groupDuration,
+    "a3_orders_per_month" -> Relational.ordersPerMonth,
+    "a4_group_mean" -> Relational.groupMean,
+    "a5_global_stats" -> Relational.globalStats,
+    "a6_percentiles" -> Relational.percentiles,
+    "a7_column_profile" -> Relational.columnProfile,
+    "a8_distinct_topk" -> Relational.distinctTopK,
+    "a8_distinct_count" -> Relational.distinctCount,
+    "a9_correlation" -> Relational.correlation,
+    "a10_sum_over_groups" -> Relational.sumOverGroups,
+    "a11_rollup" -> Relational.rollupAgg,
+    "a12_pricing_summary" -> Relational.pricingSummary,
+    // §2.5 windows
+    "w1_moving_avg" -> Relational.movingAvg,
+    "w2_pct_change" -> Relational.pctChange,
+    "w3_cumsum" -> Relational.cumSum,
+    "w4_dense_rerank" -> Relational.denseRerank,
+    "w5_argmax_row" -> Relational.argmaxRow,
+    "w5_top_month" -> Relational.topMonth,
+    "w6_segmentation" -> Relational.segmentation,
+    "w7_time_bucket" -> Relational.timeBucket,
+    "w8_sessionize" -> Relational.sessionize,
+    // §2.6 sorts / top-k
+    "o1_multikey_sort" -> Relational.multiKeySort,
+    "o2_latest_order" -> Relational.latestOrder,
+    "o5_topk_orders" -> Relational.topKOrders,
+    "o6_topk_per_group" -> Relational.topKPerGroup,
+    // §2.7 set / dedup
+    "d1_distinct_values" -> Relational.distinctValues,
+    "d5_set_ops" -> Relational.setOps,
+    // §2.8 scalar functions
+    "f4_scalar_math" -> Relational.scalarMath,
+    "f5_casts_nulls" -> Relational.castsAndNulls,
+    "f6_string_ops" -> Relational.stringOps,
+    "f12_json_extract" -> Relational.jsonExtract,
+    // §2.10 streaming batch-equivalent
+    "s1_hourly_events" -> Relational.hourlyEvents,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "p1_scan_projection" ->
+      """SELECT l_orderkey AS order_key, l_linenumber AS line_no,
+        | l_extendedprice AS price FROM lineitem""".stripMargin,
+    "p2_derived_column" ->
+      """SELECT o_orderkey AS order_key,
+        | round(o_totalprice * 0.92, 6) AS net_price,
+        | round(o_totalprice / 1000.0, 6) AS price_k FROM orders""".stripMargin,
+    "p3_conj_filter" ->
+      """SELECT l_orderkey AS order_key, l_linenumber AS line_no,
+        | l_quantity AS qty, l_extendedprice AS price FROM lineitem
+        | WHERE l_quantity > 25 AND l_returnflag = 'R'
+        | AND l_extendedprice IS NOT NULL""".stripMargin,
+    "p5_in_list" ->
+      """SELECT o_orderkey AS order_key, o_orderpriority AS priority
+        | FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')""".stripMargin,
+    "p6_ci_string" ->
+      """SELECT c_custkey AS cust_key, c_name AS name FROM customer
+        | WHERE lower(c_mktsegment) = 'building'""".stripMargin,
+    "p7_year_filter" ->
+      """SELECT o_orderstatus AS status, count(*) AS n FROM orders
+        | WHERE year(o_orderdate) = 1995 GROUP BY o_orderstatus""".stripMargin,
+    "p9_row_slice" ->
+      """SELECT o_orderkey AS order_key, o_totalprice AS price FROM orders
+        | ORDER BY o_orderkey LIMIT 5 OFFSET 25""".stripMargin,
+    "j1_dim_join" ->
+      """SELECT r_name AS region, count(*) AS n_cust,
+        | round(sum(c_acctbal), 2) AS total_bal
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""".stripMargin,
+    "j2_temporal_join" ->
+      """SELECT o.day, o.n_orders, l.n_ship, l.qty_ship FROM
+        | (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+        |   FROM orders GROUP BY 1) o
+        | JOIN
+        | (SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n_ship,
+        |   sum(l_quantity) AS qty_ship FROM lineitem GROUP BY 1) l
+        | ON o.day = l.day""".stripMargin,
+    "j3_brand_revenue" ->
+      """SELECT p_brand AS brand,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | count(*) AS n_items
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | GROUP BY p_brand""".stripMargin,
+    "j5_semi_join" ->
+      """SELECT c_custkey AS cust_key, c_mktsegment AS segment FROM customer c
+        | WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "j6_anti_join" ->
+      """SELECT c_custkey AS cust_key, c_acctbal AS acctbal FROM customer c
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+    "a1_group_multi_agg" ->
+      """SELECT l_orderkey AS order_key, min(l_shipdate) AS first_ship,
+        | abs(max(l_extendedprice) - min(l_extendedprice)) AS price_spread,
+        | avg(l_quantity) AS avg_qty,
+        | round(sum(l_extendedprice), 2) AS total_price,
+        | max(l_linenumber) AS max_line, count(*) AS n_lines
+        | FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "a2_group_duration" ->
+      """SELECT user_id,
+        | (epoch_us(max(ts)) // 1000000) - (epoch_us(min(ts)) // 1000000) AS duration_s,
+        | count(*) AS n_events FROM events GROUP BY user_id""".stripMargin,
+    "a3_orders_per_month" ->
+      """SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+        | count(*) AS n FROM orders WHERE year(o_orderdate) = 1995
+        | GROUP BY 1 ORDER BY month""".stripMargin,
+    "a4_group_mean" ->
+      """SELECT event_type, round(avg(value), 6) AS avg_value, count(*) AS n
+        | FROM events GROUP BY event_type""".stripMargin,
+    "a5_global_stats" ->
+      """SELECT count(*) AS n, round(avg(o_totalprice), 6) AS mean_price,
+        | round(stddev(o_totalprice), 4) AS sd_price,
+        | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        | round(quantile_cont(o_totalprice, 0.5), 6) AS median_price
+        | FROM orders""".stripMargin,
+    "a6_percentiles" ->
+      """SELECT round(quantile_cont(l_quantity, 0.30), 6) AS p30,
+        | round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+        | round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        | round(quantile_cont(l_quantity, 0.90), 6) AS p90 FROM lineitem""".stripMargin,
+    "a7_column_profile" ->
+      """SELECT count(*) AS n_rows,
+        | min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+        | avg(l_quantity) AS qty_mean,
+        | CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_missing,
+        | min(l_extendedprice) AS price_min, max(l_extendedprice) AS price_max,
+        | round(avg(l_extendedprice), 6) AS price_mean,
+        | CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS price_missing,
+        | min(l_discount) AS disc_min, max(l_discount) AS disc_max,
+        | round(avg(l_discount), 6) AS disc_mean
+        | FROM lineitem""".stripMargin,
+    "a8_distinct_topk" ->
+      """SELECT c_mktsegment AS segment, count(*) AS cnt FROM customer
+        | GROUP BY c_mktsegment ORDER BY cnt DESC, segment LIMIT 3""".stripMargin,
+    "a8_distinct_count" ->
+      """SELECT count(DISTINCT o_custkey) AS n_cust,
+        | count(DISTINCT o_orderpriority) AS n_prio FROM orders""".stripMargin,
+    "a9_correlation" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(corr(l_discount, l_tax), 6) AS corr_disc_tax FROM lineitem""".stripMargin,
+    "a10_sum_over_groups" ->
+      """SELECT CAST(sum(n) AS BIGINT) AS total_1995 FROM (
+        | SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+        |  count(*) AS n FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1)""".stripMargin,
+    "a11_rollup" ->
+      """SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+        | sum(l_quantity) AS sum_qty, count(*) AS n FROM lineitem
+        | GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "a12_pricing_summary" ->
+      """SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+        | sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        | avg(l_quantity) AS avg_qty,
+        | round(avg(l_extendedprice), 6) AS avg_price,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        | GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "w1_moving_avg" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1)
+        |SELECT day, total, round(avg(total) OVER (ORDER BY day
+        | ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7 FROM daily""".stripMargin,
+    "w2_pct_change" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1)
+        |SELECT day, total,
+        | round(total / lag(total) OVER (ORDER BY day) - 1, 6) AS ret FROM daily""".stripMargin,
+    "w3_cumsum" ->
+      """SELECT user_id, event_id, value,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value
+        | FROM events""".stripMargin,
+    "w4_dense_rerank" ->
+      """WITH firsts AS (SELECT user_id, min(ts) AS first_ts FROM events
+        | GROUP BY user_id)
+        |SELECT user_id, first_ts,
+        | CAST(dense_rank() OVER (ORDER BY first_ts, user_id) AS INTEGER) AS new_id
+        | FROM firsts""".stripMargin,
+    "w5_argmax_row" ->
+      """SELECT o_orderkey AS order_key, o_totalprice AS price,
+        | o_orderdate AS odate FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 1""".stripMargin,
+    "w5_top_month" ->
+      """SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+        | count(*) AS n FROM orders WHERE year(o_orderdate) = 1995
+        | GROUP BY 1 ORDER BY n DESC, month LIMIT 1""".stripMargin,
+    "w6_segmentation" ->
+      """WITH segs AS (SELECT user_id, event_id,
+        |  floor(round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) / 500.0) AS seg_raw
+        |  FROM events)
+        |SELECT user_id, event_id,
+        | CAST(CASE WHEN seg_raw = max(seg_raw) OVER (PARTITION BY user_id)
+        |  THEN NULL ELSE seg_raw END AS BIGINT) AS segment_id FROM segs""".stripMargin,
+    "w7_time_bucket" ->
+      """SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+        | strftime(o_orderdate, '%B') AS month_name, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1, 2""".stripMargin,
+    "w8_sessionize" ->
+      """WITH marked AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN (epoch_us(ts) // 1000000) -
+        |   (epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |    // 1000000) > 1800 THEN 1 ELSE 0 END AS new_sess FROM events),
+        | sess AS (SELECT user_id, ts,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | (epoch_us(max(ts)) // 1000000) - (epoch_us(min(ts)) // 1000000) AS duration_s
+        | FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "o1_multikey_sort" ->
+      """SELECT l_returnflag AS rflag, l_quantity AS qty,
+        | l_orderkey AS order_key, l_linenumber AS line_no FROM lineitem
+        | ORDER BY l_returnflag, l_quantity DESC, l_orderkey, l_linenumber
+        | LIMIT 50""".stripMargin,
+    "o2_latest_order" ->
+      """SELECT o_orderkey AS order_key, o_orderdate AS odate FROM orders
+        | ORDER BY o_orderdate DESC, o_orderkey LIMIT 1""".stripMargin,
+    "o5_topk_orders" ->
+      """SELECT o_orderkey AS order_key, o_totalprice AS price FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "o6_topk_per_group" ->
+      """SELECT * FROM (SELECT o_orderstatus AS status, o_orderkey AS order_key,
+        |  o_totalprice AS price,
+        |  CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk FROM orders)
+        | WHERE rk <= 3""".stripMargin,
+    "d1_distinct_values" ->
+      "SELECT DISTINCT o_orderpriority AS priority FROM orders",
+    "d5_set_ops" ->
+      """SELECT k, 'active' AS cls FROM
+        | (SELECT c_custkey AS k FROM customer
+        |  INTERSECT SELECT o_custkey AS k FROM orders)
+        |UNION ALL
+        |SELECT k, 'inactive' AS cls FROM
+        | (SELECT c_custkey AS k FROM customer
+        |  EXCEPT SELECT o_custkey AS k FROM orders)""".stripMargin,
+    "f4_scalar_math" ->
+      """SELECT l_orderkey AS order_key, l_linenumber AS line_no,
+        | CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        | CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+        | round(l_quantity / 7, 3) AS qty_sevenths,
+        | round(l_extendedprice * l_discount, 6) AS disc_amt,
+        | abs(l_quantity - 25) AS qty_dev,
+        | CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket,
+        | round(pow(l_discount, 2), 6) AS disc_sq FROM lineitem""".stripMargin,
+    "f5_casts_nulls" ->
+      """SELECT l_orderkey AS order_key, l_linenumber AS line_no,
+        | CAST(l_quantity AS BIGINT) AS qty_int,
+        | coalesce(l_returnflag, '?') AS rflag,
+        | l_returnflag || '/' || l_linestatus AS flag_status FROM lineitem""".stripMargin,
+    "f6_string_ops" ->
+      """SELECT p_partkey AS part_key, lower(p_name) AS name_lc,
+        | trim(p_name) AS name_trim, substr(p_type, 1, 6) AS type_prefix,
+        | regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+        | regexp_replace(p_brand, '[^0-9]', '', 'g') AS brand_num FROM part""".stripMargin,
+    "f12_json_extract" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events""".stripMargin,
+    "s1_hourly_events" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total_value
+        | FROM events GROUP BY 1, 2""".stripMargin,
+  )
 }

@@ -1,0 +1,443 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator surface of SURVEY.md §2.2-§2.8: projections, filters,
+  * joins, aggregations, windows, sorts, set ops, scalar functions.
+  *
+  * Each query is a declarative DataFrame pipeline — Catalyst handles pushdown,
+  * pruning, join selection (broadcast for dims), and whole-stage codegen. At
+  * 100 TB the same plans hold: dim joins (nation/region/part) broadcast;
+  * fact-side aggregates are partial (map-side combine) before the shuffle;
+  * window queries shuffle once on their partition key.
+  *
+  * Float-output policy (oracle parity): sums of 2-decimal money are rounded
+  * to 2 (the true value is a 0.01 multiple, so rounding is tie-free and
+  * absorbs summation-order noise); means/ratios/moments are rounded to a
+  * scale with margin >> cross-engine float error and no decimal ties.
+  * Integral-valued doubles (l_quantity) aggregate exactly and stay raw.
+  *
+  * Reference semantics citations are per-query (pgalko/BambooAI).
+  */
+object Relational {
+  import graft.Q.{Q, lineitem, orders, customer, events}
+
+  /** Epoch seconds (floor) — stable across engines at any sub-second
+    * precision; the (max-min).total_seconds() building block. */
+  private def epochS(c: Column): Column = unix_timestamp(c.cast("timestamp"))
+
+  /** S4/P1 scan+projection: full parquet read with pruned columns.
+    * Ref: bambooai/web_app/app.py:228 (parquet read), default_prompts.yaml:50-59
+    * (rename/select contract). Column pruning reaches the scan (ReadSchema). */
+  def scanProjection: Q = (s, d) =>
+    lineitem(s, d)
+      .select(col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_no"),
+        col("l_extendedprice").as("price"))
+
+  /** P2 derived column: per-row arithmetic (pace = 1000/(speed*60) analog).
+    * Ref: default_prompts.yaml:74. */
+  def derivedColumn: Q = (s, d) =>
+    orders(s, d).select(
+      col("o_orderkey").as("order_key"),
+      round(col("o_totalprice") * lit(0.92), 6).as("net_price"),
+      round(col("o_totalprice") / lit(1000.0), 6).as("price_k"))
+
+  /** P3/P4 conjunctive + validity filter. Ref: default_prompts.yaml:73-75. */
+  def conjFilter: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_quantity") > 25 && col("l_returnflag") === "R" &&
+        col("l_extendedprice").isNotNull)
+      .select(col("l_orderkey").as("order_key"), col("l_linenumber").as("line_no"),
+        col("l_quantity").as("qty"), col("l_extendedprice").as("price"))
+
+  /** P5 IN-list filter. Ref: default_prompts.yaml:103. */
+  def inListFilter: Q = (s, d) =>
+    orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderkey").as("order_key"),
+        col("o_orderpriority").as("priority"))
+
+  /** P6 case-insensitive string predicate. Ref: default_prompts.yaml:73. */
+  def ciStringFilter: Q = (s, d) =>
+    customer(s, d)
+      .filter(lower(col("c_mktsegment")) === "building")
+      .select(col("c_custkey").as("cust_key"), col("c_name").as("name"))
+
+  /** P7 predicate on derived time part (dt.year == 1995).
+    * Ref: default_prompts.yaml:229. Partition-prunable at scale if the fact
+    * table is date-partitioned. */
+  def yearFilter: Q = (s, d) =>
+    orders(s, d)
+      .filter(year(col("o_orderdate")) === 1995)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"))
+
+  /** P9 row-slice sample (iloc[25:30] analog — deterministic order + offset).
+    * Ref: bambooai/utils.py:107-120. */
+  def rowSlice: Q = (s, d) =>
+    orders(s, d).orderBy(col("o_orderkey"))
+      .select(col("o_orderkey").as("order_key"), col("o_totalprice").as("price"))
+      .offset(25).limit(5)
+
+  /** J1/J3 dim joins customer⋈nation⋈region with group-agg. Both dims are
+    * broadcast by Catalyst (fixed-size at any scale). Ref:
+    * default_prompts.yaml:1329-1335, utils.py:692-709 (ontology merge links). */
+  def dimJoin: Q = (s, d) => {
+    val c = customer(s, d)
+    val n = Tables.load(s, d, "nation")
+    val r = Tables.load(s, d, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+  }
+
+  /** J2 temporal-granularity join: both sides aggregated to day grain, then
+    * equi-joined on the date ("datetime needs aggregation to date",
+    * default_prompts.yaml:1330-1335). */
+  def temporalJoin: Q = (s, d) => {
+    val o = orders(s, d).groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = lineitem(s, d).groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n_ship"), sum("l_quantity").as("qty_ship"))
+    o.join(l, "day").select(col("day"), col("n_orders"), col("n_ship"),
+      col("qty_ship"))
+  }
+
+  /** J1 fact⋈dim revenue rollup (part is broadcast). */
+  def brandRevenue: Q = (s, d) => {
+    val l = lineitem(s, d)
+    val p = Tables.load(s, d, "part")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Semi join: customers that have orders (EXISTS). Declared Spark form per
+    * SURVEY §2.3. */
+  def semiJoin: Q = (s, d) => {
+    val c = customer(s, d)
+    val o = orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey").as("cust_key"), col("c_mktsegment").as("segment"))
+  }
+
+  /** Anti join: customers with no urgent orders (NOT EXISTS) — the dedup set
+    * difference shape used by D2 delete+insert (qa_retrieval.py:188-202). */
+  def antiJoin: Q = (s, d) => {
+    val c = customer(s, d)
+    val o = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("cust_key"), col("c_acctbal").as("acctbal"))
+  }
+
+  /** A1 group-by multi-agg — the reference's "dataframe index" function:
+    * groupby(activity_id).agg(first sport, min datetime, abs(max-min) distance,
+    * mean speed/hr, max lap) (default_prompts.yaml:24-42,1244-1261). Mapped to
+    * lineitem per order. Map-side partial aggregation before the shuffle. */
+  def groupMultiAgg: Q = (s, d) =>
+    lineitem(s, d).groupBy(col("l_orderkey").as("order_key")).agg(
+      min("l_shipdate").as("first_ship"),
+      abs(max("l_extendedprice") - min("l_extendedprice")).as("price_spread"),
+      avg("l_quantity").as("avg_qty"),
+      round(sum("l_extendedprice"), 2).as("total_price"),
+      max("l_linenumber").as("max_line"),
+      count(lit(1)).as("n_lines"))
+
+  /** A2 per-group duration seconds ((max-min).total_seconds(),
+    * default_prompts.yaml:45-47). */
+  def groupDuration: Q = (s, d) =>
+    events(s, d).groupBy(col("user_id")).agg(
+      (epochS(max("ts")) - epochS(min("ts"))).as("duration_s"),
+      count(lit(1)).as("n_events"))
+
+  /** A3/W7 flagship: runs-per-month analog — orders per month of 1995.
+    * Ref: default_prompts.yaml:234 (groupby(month).size()). */
+  def ordersPerMonth: Q = (s, d) =>
+    orders(s, d)
+      .filter(year(col("o_orderdate")) === 1995)
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("month")
+
+  /** W5 argmax over the A3 result: busiest month (idxmax analog,
+    * default_prompts.yaml:238). */
+  def topMonth: Q = (s, d) =>
+    ordersPerMonth(s, d).orderBy(desc("n"), col("month")).limit(1)
+
+  /** A4 single-column group mean. Ref: default_prompts.yaml:112. */
+  def groupMean: Q = (s, d) =>
+    events(s, d).groupBy(col("event_type"))
+      .agg(round(avg("value"), 6).as("avg_value"), count(lit(1)).as("n"))
+
+  /** A5/A6 global scalar stats incl. exact median/percentiles.
+    * Ref: default_prompts.yaml:312-318, README.md:478. At 100 TB these switch
+    * to percentile_approx behind a config (SURVEY §4). */
+  def globalStats: Q = (s, d) =>
+    orders(s, d).agg(
+      count(lit(1)).as("n"),
+      round(avg("o_totalprice"), 6).as("mean_price"),
+      round(stddev("o_totalprice"), 4).as("sd_price"),
+      min("o_totalprice").as("min_price"),
+      max("o_totalprice").as("max_price"),
+      round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"))
+
+  /** A6 percentile ladder 30/50/75/90. Ref: README.md:478. */
+  def percentiles: Q = (s, d) =>
+    lineitem(s, d).agg(
+      round(expr("percentile(l_quantity, 0.30)"), 6).as("p30"),
+      round(expr("percentile(l_quantity, 0.50)"), 6).as("p50"),
+      round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+      round(expr("percentile(l_quantity, 0.90)"), 6).as("p90"))
+
+  /** A7/I1 one-pass column profile: count/min/max/mean/missing per column in a
+    * single agg (not N scans — SURVEY §4 "physical execution notes"). Ref:
+    * bambooai/utils.py:64-74. */
+  def columnProfile: Q = (s, d) =>
+    lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      min("l_quantity").as("qty_min"), max("l_quantity").as("qty_max"),
+      avg("l_quantity").as("qty_mean"),
+      sum(when(col("l_quantity").isNull, 1).otherwise(0)).as("qty_missing"),
+      min("l_extendedprice").as("price_min"), max("l_extendedprice").as("price_max"),
+      round(avg("l_extendedprice"), 6).as("price_mean"),
+      sum(when(col("l_extendedprice").isNull, 1).otherwise(0)).as("price_missing"),
+      min("l_discount").as("disc_min"), max("l_discount").as("disc_max"),
+      round(avg("l_discount"), 6).as("disc_mean"))
+
+  /** A8 distinct count + top-k frequent values (nunique + value_counts.head(3),
+    * utils.py:76-84). Tie-break: count desc then value asc (SURVEY §7.5). */
+  def distinctTopK: Q = (s, d) =>
+    customer(s, d).groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("segment")).limit(3)
+
+  /** A8b distinct counts (exact; approx_count_distinct is the 100TB path). */
+  def distinctCount: Q = (s, d) =>
+    orders(s, d).agg(
+      countDistinct(col("o_custkey")).as("n_cust"),
+      countDistinct(col("o_orderpriority")).as("n_prio"))
+
+  /** A9 correlation between two numeric columns.
+    * Ref: default_prompts.yaml:1338-1344. */
+  def correlation: Q = (s, d) =>
+    lineitem(s, d).agg(
+      round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+      round(corr("l_discount", "l_tax"), 6).as("corr_disc_tax"))
+
+  /** A10 aggregate over a grouped result (monthly_runs.Count.sum(),
+    * default_prompts.yaml:278). */
+  def sumOverGroups: Q = (s, d) =>
+    ordersPerMonth(s, d).agg(sum("n").as("total_1995"))
+
+  /** Rollup (engine extra per SURVEY §2.4 note): subtotals per
+    * returnflag×linestatus. */
+  def rollupAgg: Q = (s, d) =>
+    lineitem(s, d)
+      .rollup(col("l_returnflag").as("rflag"), col("l_linestatus").as("lstatus"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+
+  /** TPC-H Q1-shape pricing summary: the canonical A1/A5 benchmark head. */
+  def pricingSummary: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag").as("rflag"), col("l_linestatus").as("lstatus"))
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        avg("l_quantity").as("avg_qty"),
+        round(avg("l_extendedprice"), 6).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  // ---- Window / ordered computations (§2.5) ----
+
+  private def dailyTotals(s: SparkSession, d: String): DataFrame =
+    orders(s, d).groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("total"))
+
+  /** W1 moving average (rolling(window=7).mean() analog,
+    * default_prompts.yaml:309-310) over daily order totals. */
+  def movingAvg: Q = (s, d) => {
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    dailyTotals(s, d).select(col("day"), col("total"),
+      round(avg("total").over(w), 6).as("ma7"))
+  }
+
+  /** W2 lag-based pct_change daily return. Ref: default_prompts.yaml:308. */
+  def pctChange: Q = (s, d) => {
+    val w = Window.orderBy(col("day"))
+    dailyTotals(s, d).select(col("day"), col("total"),
+      round(col("total") / lag("total", 1).over(w) - 1, 6).as("ret"))
+  }
+
+  /** W3 cumulative sum per group ordered by time.
+    * Ref: web_app/app.py:378-382. One shuffle on user_id. */
+  def cumSum: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d).select(col("user_id"), col("event_id"),
+      col("value"), round(sum("value").over(w), 2).as("cum_value"))
+  }
+
+  /** W4 dense re-ranking of group ids by first timestamp
+    * (activity re-keying, web_app/app.py:352-373). */
+  def denseRerank: Q = (s, d) => {
+    val firsts = events(s, d).groupBy("user_id").agg(min("ts").as("first_ts"))
+    firsts.select(col("user_id"), col("first_ts"),
+      dense_rank().over(Window.orderBy("first_ts", "user_id")).as("new_id"))
+  }
+
+  /** W5 argmax row (loc[idxmax()] analog, default_prompts.yaml:115,238). */
+  def argmaxRow: Q = (s, d) =>
+    orders(s, d)
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .select(col("o_orderkey").as("order_key"), col("o_totalprice").as("price"),
+        col("o_orderdate").as("odate"))
+      .limit(1)
+
+  /** W6 segmentation by cumulative value with incomplete-last-segment nulling
+    * (default_prompts.yaml:78-91: segment_id = distance//1000, drop the
+    * incomplete final segment per group). Grain 500.0 on event value.
+    * round-before-floor recovers the exact 0.01-multiple cumulative value so
+    * the bucket boundary is engine-independent. */
+  def segmentation: Q = (s, d) => {
+    val wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("user_id")
+    val segs = events(s, d).select(col("user_id"), col("event_id"),
+      floor(round(sum("value").over(wc), 2) / 500.0).as("seg_raw"))
+    segs.select(col("user_id"), col("event_id"),
+      when(col("seg_raw") === max("seg_raw").over(wAll), lit(null))
+        .otherwise(col("seg_raw")).as("segment_id"))
+  }
+
+  /** W7/F2 time bucketing + month label (dt.to_period('M'), strftime('%B');
+    * default_prompts.yaml:234-235). */
+  def timeBucket: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month"),
+        date_format(col("o_orderdate"), "MMMM").as("month_name"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+
+  /** O1 multi-key sort with limit. Ref: default_prompts.yaml:79. */
+  def multiKeySort: Q = (s, d) =>
+    lineitem(s, d)
+      .orderBy(col("l_returnflag"), desc("l_quantity"), col("l_orderkey"),
+        col("l_linenumber"))
+      .select(col("l_returnflag").as("rflag"), col("l_quantity").as("qty"),
+        col("l_orderkey").as("order_key"), col("l_linenumber").as("line_no"))
+      .limit(50)
+
+  /** O2 sort desc + latest row. Ref: default_prompts.yaml:69,96-97. */
+  def latestOrder: Q = (s, d) =>
+    orders(s, d).orderBy(desc("o_orderdate"), col("o_orderkey"))
+      .select(col("o_orderkey").as("order_key"), col("o_orderdate").as("odate"))
+      .limit(1)
+
+  /** O5 top-k by measure (TakeOrderedAndProject — no full sort at scale). */
+  def topKOrders: Q = (s, d) =>
+    orders(s, d).orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .select(col("o_orderkey").as("order_key"), col("o_totalprice").as("price"))
+      .limit(10)
+
+  /** Top-k per group (largest orders per status) — window + filter. */
+  def topKPerGroup: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_orderstatus").as("status"), col("o_orderkey").as("order_key"),
+        col("o_totalprice").as("price"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+  }
+
+  /** D1 distinct values. Ref: web_app/app.py:358,367. */
+  def distinctValues: Q = (s, d) =>
+    orders(s, d).select(col("o_orderpriority").as("priority")).distinct()
+
+  /** Set ops (union/except/intersect — D2's delete+insert shape,
+    * SURVEY §2.7 note). Customers partitioned by order activity. */
+  def setOps: Q = (s, d) => {
+    val ck = customer(s, d).select(col("c_custkey").as("k"))
+    val ok = orders(s, d).select(col("o_custkey").as("k")).distinct()
+    val both = ck.intersect(ok).withColumn("cls", lit("active"))
+    val onlyC = ck.except(ok).withColumn("cls", lit("inactive"))
+    both.unionByName(onlyC)
+  }
+
+  /** Sessionization: gap>30min splits sessions per user (batch session-ization
+    * of SURVEY §2.10 — the reference's activity/segment grouping W6). */
+  def sessionize: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = events(s, d).select(col("user_id"), col("event_id"), col("ts"),
+      when(epochS(col("ts")) - epochS(lag("ts", 1).over(byUser)) > 1800, 1)
+        .otherwise(0).as("new_sess"))
+    marked.select(col("user_id"), col("ts"),
+      sum("new_sess").over(cum).as("session_id"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (epochS(max("ts")) - epochS(min("ts"))).as("duration_s"))
+  }
+
+  // ---- Scalar functions (§2.8) ----
+
+  /** F2/F4 date parts + arithmetic/rounding (round(3), abs, floor-div, pow;
+    * default_prompts.yaml:61-63,85,229). */
+  def scalarMath: Q = (s, d) =>
+    lineitem(s, d).select(
+      col("l_orderkey").as("order_key"), col("l_linenumber").as("line_no"),
+      year(col("l_shipdate")).as("ship_year"),
+      month(col("l_shipdate")).as("ship_month"),
+      round(col("l_quantity") / 7, 3).as("qty_sevenths"),
+      round(col("l_extendedprice") * col("l_discount"), 6).as("disc_amt"),
+      abs(col("l_quantity") - 25).as("qty_dev"),
+      floor(col("l_quantity") / 10).as("qty_bucket"),
+      round(pow(col("l_discount"), 2), 6).as("disc_sq"))
+
+  /** F5 casts + null handling (astype(int), fillna(0);
+    * default_prompts.yaml:66-67). */
+  def castsAndNulls: Q = (s, d) =>
+    lineitem(s, d).select(
+      col("l_orderkey").as("order_key"), col("l_linenumber").as("line_no"),
+      col("l_quantity").cast("bigint").as("qty_int"),
+      coalesce(col("l_returnflag"), lit("?")).as("rflag"),
+      concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("flag_status"))
+
+  /** F6 string ops: lower/trim/substring/regexp_extract/regexp_replace
+    * (reg_ex.py:56-231, google_search.py:288-289). regexp_replace is
+    * replace-all in Spark; oracle uses the 'g' flag. */
+  def stringOps: Q = (s, d) =>
+    Tables.load(s, d, "part").select(
+      col("p_partkey").as("part_key"),
+      lower(col("p_name")).as("name_lc"),
+      trim(col("p_name")).as("name_trim"),
+      substring(col("p_type"), 1, 6).as("type_prefix"),
+      regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_head"),
+      regexp_replace(col("p_brand"), "[^0-9]", "").as("brand_num"))
+
+  /** F12 JSON extraction from the props bag (storage payloads,
+    * code_executor.py:174-180). */
+  def jsonExtract: Q = (s, d) =>
+    events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+
+  /** Tumbling-window batch equivalent of the streaming agg (§2.10): hourly
+    * event counts — identical result to the streaming window($"ts","1 hour")
+    * since tumbling windows are epoch-aligned. */
+  def hourlyEvents: Q = (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+}
