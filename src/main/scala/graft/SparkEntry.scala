@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import org.apache.spark.sql.functions.{col, size}
+import graft.operators.{DedupOps, RankDedup, Relational, TextOps, VectorOps}
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -72,6 +74,25 @@ object SparkEntry {
     "f12_json_extract" -> Relational.jsonExtract,
     // §2.10 streaming batch-equivalent
     "s1_hourly_events" -> Relational.hourlyEvents,
+    // vector similarity (O3/O4/F10 + ANN scale path)
+    "v1_cosine_topk" -> VectorOps.cosineTopK,
+    "v2_ivf_topk" -> VectorOps.ivfTopK,
+    "v3_neardup_embeddings" -> VectorOps.nearDupPairs,
+    // text analysis (F6/F9 + pipeline ops)
+    "t1_word_chunks" -> TextOps.wordChunks,
+    "t2_lang_id" -> TextOps.langId,
+    "t3_quality_score" -> TextOps.qualityScore,
+    "t4_fingerprint" -> TextOps.fingerprint,
+    // dedup pipeline (D-ops + MinHash/LSH/SimHash)
+    "dd1_exact_dedup" -> DedupOps.exactDedup,
+    "dd2_minhash_bands" -> DedupOps.minhashBands,
+    "dd3_lsh_jaccard_pairs" -> DedupOps.lshJaccardPairs,
+    "dd4_simhash" -> DedupOps.simhash,
+    "dd5_rank_upsert" -> RankDedup.rankUpsertQuery,
+    // multimodal plumbing (binary payload + typed metadata + stub decode)
+    "mm1_media_features" -> ((s, d) => Multimodal.featureFrame(s, d)
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+        size(col("embedding")).as("feature_dim"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -299,5 +320,51 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         | count(*) AS n, round(sum(value), 2) AS total_value
         | FROM events GROUP BY 1, 2""".stripMargin,
+    "v1_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | p AS (SELECT v AS p FROM e WHERE vec_id = 0)
+        |SELECT vec_id, round(list_dot_product(v, p) /
+        | (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(p, p))), 6) AS sim
+        |FROM e, p WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "v2_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        | p AS (SELECT v AS p FROM e WHERE vec_id = 1),
+        | cent AS (SELECT label, list(cx ORDER BY i) AS c FROM (
+        |   SELECT label, i, avg(v[i]) AS cx FROM e,
+        |    LATERAL generate_series(1, 64) g(i) GROUP BY label, i)
+        |  GROUP BY label),
+        | top2 AS (SELECT cent.label FROM cent, p
+        |  ORDER BY list_dot_product(c, p) /
+        |   (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(p, p))) DESC,
+        |   label LIMIT 2)
+        |SELECT e.vec_id, e.label, round(list_dot_product(e.v, p.p) /
+        | (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.p, p.p))), 6) AS sim
+        |FROM e JOIN top2 ON e.label = top2.label, p WHERE e.vec_id <> 1
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "v3_neardup_embeddings" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+        | round(list_dot_product(a.v, b.v) /
+        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30""".stripMargin,
+    "t1_word_chunks" -> TextOps.oracle("t1_word_chunks"),
+    "t2_lang_id" -> TextOps.oracle("t2_lang_id"),
+    "t3_quality_score" -> TextOps.oracle("t3_quality_score"),
+    "t4_fingerprint" -> TextOps.oracle("t4_fingerprint"),
+    "dd1_exact_dedup" -> DedupOps.exactDedupOracle,
+    "dd2_minhash_bands" -> DedupOps.minhashBandsOracle,
+    "dd3_lsh_jaccard_pairs" -> DedupOps.lshJaccardPairsOracle,
+    "dd4_simhash" -> DedupOps.simhashOracle,
+    "dd5_rank_upsert" -> RankDedup.oracle,
+    "mm1_media_features" ->
+      """SELECT doc_id AS media_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |  ELSE 'video' END AS kind,
+        | CAST(length(text) AS INTEGER) AS n_bytes,
+        | sha256(text) AS checksum,
+        | CAST(16 AS INTEGER) AS feature_dim
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents corpus (SURVEY §2.8 F6/F9 plus
+  * the training-data-pipeline surface: language-ID, quality scoring, token
+  * counting, fingerprinting).
+  *
+  * All are single-pass narrow transforms (no shuffle): at 100 TB they run at
+  * scan speed, and every higher-order function stays inside codegen.
+  *
+  * Reference anchors: 512-word chunking with short-chunk drop
+  * (google_search.py:184-190), string normalization (reg_ex.py:56-231,
+  * utils.py:389), profile-style per-column stats (utils.py:52-86).
+  */
+object TextOps {
+  import graft.Q.{Q, documents}
+
+  /** F9 word-window chunking: 50-word chunks via slice windows (the
+    * reference's 512-word chunker scaled to the fixture's doc length);
+    * google_search.py:185-188. */
+  def wordChunks: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), size(col("words")).as("n_words"),
+        posexplode(expr(
+          """transform(sequence(0, cast(ceil(size(words)/50.0) as int) - 1),
+            | i -> array_join(slice(words, i*50+1, 50), ' '))""".stripMargin))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("n_words"), col("chunk_idx"), col("chunk"),
+        length(col("chunk")).as("chunk_chars"))
+
+  /** Stopword-ratio language ID: per-language stopword hit ratios and an
+    * argmax guess with a fixed tie-break order (en > fr > de > es). */
+  def langId: Q = (s, d) => {
+    val sets = Map(
+      "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+      "fr" -> Seq("le", "la", "les", "de", "et", "un"),
+      "de" -> Seq("der", "die", "und", "das", "ein", "zu"),
+      "es" -> Seq("el", "los", "y", "en", "que", "se"))
+    def ratio(lang: String): String = {
+      val in = sets(lang).map(w => s"'$w'").mkString(", ")
+      s"round(size(filter(words, w -> w IN ($in))) / cast(size(words) as double), 6)"
+    }
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("lang"),
+        expr(ratio("en")).as("r_en"), expr(ratio("fr")).as("r_fr"),
+        expr(ratio("de")).as("r_de"), expr(ratio("es")).as("r_es"))
+      .withColumn("guess", expr(
+        """CASE WHEN r_en >= r_fr AND r_en >= r_de AND r_en >= r_es THEN 'en'
+          | WHEN r_fr >= r_de AND r_fr >= r_es THEN 'fr'
+          | WHEN r_de >= r_es THEN 'de' ELSE 'es' END""".stripMargin))
+  }
+
+  /** Quality scoring: length, word-length, uniqueness, stopword density
+    * composed into a bounded score — the pre-training-filter archetype. */
+  def qualityScore: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"),
+        length(col("text")).as("len_chars"),
+        size(col("words")).as("n_words"),
+        round(length(regexp_replace(col("text"), " ", "")) /
+          size(col("words")).cast("double"), 6).as("avg_word_len"),
+        round(size(array_distinct(col("words"))) /
+          size(col("words")).cast("double"), 6).as("uniq_ratio"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha_tokens"),
+        expr("""round(size(filter(words,
+          | w -> w IN ('the','a','of','and','to','in','is')))
+          | / cast(size(words) as double), 6)""".stripMargin).as("stop_ratio"))
+      // round(8): the score is a sum of products of 6-dec-rounded ratios and
+      // 1-dec weights → the true value has ≤7 decimals, so rounding at 8 can
+      // never hit a decimal tie (rounding at 6 can, and did).
+      .withColumn("quality_score", round(
+        least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
+          col("uniq_ratio") * 0.3 +
+          least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3, 8))
+
+  /** Document fingerprinting: content hash + rolling min-hash over 8-char and
+    * 16-char grams (winnowing-lite), all inside one codegen'd projection. */
+  def fingerprint: Q = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      md5(col("text")).as("content_hash"),
+      expr("""array_min(transform(sequence(1, greatest(length(text)-7, 1)),
+        | i -> md5(substring(text, i, 8))))""".stripMargin).as("min_gram8"),
+      expr("""array_min(transform(sequence(1, greatest(length(text)-15, 1)),
+        | i -> md5(substring(text, i, 16))))""".stripMargin).as("min_gram16"))
+
+  // ---- DuckDB oracle SQL ----
+
+  val oracle: Map[String, String] = Map(
+    "t1_word_chunks" ->
+      """SELECT doc_id, CAST(len(words) AS INTEGER) AS n_words,
+        | CAST(i AS INTEGER) AS chunk_idx,
+        | array_to_string(words[(i*50+1):((i+1)*50)], ' ') AS chunk,
+        | CAST(length(array_to_string(words[(i*50+1):((i+1)*50)], ' ')) AS INTEGER)
+        |  AS chunk_chars
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        | UNNEST(range(0, CAST(ceil(len(words)/50.0) AS INT))) AS g(i)""".stripMargin,
+    "t2_lang_id" ->
+      """SELECT doc_id, lang,
+        | round(len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is'))) / CAST(len(words) AS DOUBLE), 6) AS r_en,
+        | round(len(list_filter(words, w -> w IN ('le','la','les','de','et','un'))) / CAST(len(words) AS DOUBLE), 6) AS r_fr,
+        | round(len(list_filter(words, w -> w IN ('der','die','und','das','ein','zu'))) / CAST(len(words) AS DOUBLE), 6) AS r_de,
+        | round(len(list_filter(words, w -> w IN ('el','los','y','en','que','se'))) / CAST(len(words) AS DOUBLE), 6) AS r_es,
+        | CASE WHEN r_en >= r_fr AND r_en >= r_de AND r_en >= r_es THEN 'en'
+        |  WHEN r_fr >= r_de AND r_fr >= r_es THEN 'fr'
+        |  WHEN r_de >= r_es THEN 'de' ELSE 'es' END AS guess
+        |FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)""".stripMargin,
+    "t3_quality_score" ->
+      """SELECT *, round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 + uniq_ratio * 0.3 +
+        |  least(stop_ratio * 5.0, 1.0) * 0.3, 8) AS quality_score FROM (
+        |SELECT doc_id,
+        | CAST(length(text) AS INTEGER) AS len_chars,
+        | CAST(len(words) AS INTEGER) AS n_words,
+        | round(length(regexp_replace(text, ' ', '', 'g')) / CAST(len(words) AS DOUBLE), 6) AS avg_word_len,
+        | round(len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 6) AS uniq_ratio,
+        | CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_alpha_tokens,
+        | round(len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is'))) / CAST(len(words) AS DOUBLE), 6) AS stop_ratio
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents))""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        | list_min(list_transform(range(1, greatest(length(text)-7, 1) + 1),
+        |  i -> md5(substr(text, i, 8)))) AS min_gram8,
+        | list_min(list_transform(range(1, greatest(length(text)-15, 1) + 1),
+        |  i -> md5(substr(text, i, 16)))) AS min_gram16
+        |FROM documents""".stripMargin,
+  )
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.CosineSimilarity
+
+/** Vector similarity operators (SURVEY §2.6 O3/O4, §2.8 F10) plus the
+  * large-scale ANN path a training-data pipeline needs.
+  *
+  * - [[cosineTopK]] is the reference's episodic-memory retrieval: embed the
+  *   intent, cosine against all stored vectors, top-k (qa_retrieval.py:100-144,
+  *   top_k=5 at :102; rerank form google_search.py:249-259).
+  * - [[ivfTopK]] is the 100 TB scale path: an IVF-style index where vectors
+  *   are bucketed by a coarse quantizer (here the label partition standing in
+  *   for k-means cells), the probe scans only the top-2 nearest cells, and
+  *   only those cells' vectors get exact scoring. At cluster scale the cells
+  *   are parquet partitions → partition pruning turns top-k into a scan of
+  *   ~2/N of the data.
+  * - [[nearDupPairs]] is embedding-cosine near-duplicate detection blocked by
+  *   label (the blocking key bounds the pair blow-up; at scale the block key
+  *   comes from LSH, see DedupOps).
+  *
+  * All cosines run through the codegen'd [[graft.functions.CosineSimilarity]].
+  */
+object VectorOps {
+  import graft.Q.{Q, embeddings}
+
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    CosineSimilarity.register(s)
+    embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+  }
+
+  /** O3/F10: brute-force cosine top-10 against probe vector vec_id=0. */
+  def cosineTopK: Q = (s, d) => {
+    val e = vecs(s, d)
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("p"))
+    e.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(expr("cosine_sim(v, p)"), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF-style ANN: per-cell centroids → probe top-2 cells → exact top-10
+    * within those cells only. Centroid build is one shuffle; probing is a
+    * broadcast of 2 cell ids. */
+  def ivfTopK: Q = (s, d) => {
+    val e = vecs(s, d)
+    val probe = e.filter(col("vec_id") === 1).select(col("v").as("p"))
+    val dims = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+    val cent = dims.groupBy("label", "i").agg(avg("x").as("cx"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, cx))), t -> t.cx)")
+        .as("c"))
+    val top2 = cent.crossJoin(broadcast(probe))
+      .select(col("label"), expr("cosine_sim(c, p)").as("csim"))
+      .orderBy(desc("csim"), col("label")).limit(2)
+    e.join(broadcast(top2.select("label")), Seq("label"))
+      .crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 1)
+      .select(col("vec_id"), col("label"),
+        round(expr("cosine_sim(v, p)"), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** Embedding near-dup pairs: label-blocked self-join, cosine ≥ 0.30
+    * (threshold calibrated so every sf yields pairs; the reference's replace
+    * gate is the same shape at 0.94, qa_retrieval.py:157-164). */
+  def nearDupPairs: Q = (s, d) => {
+    val e = vecs(s, d)
+    val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("label"), col("v").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("label"),
+        round(expr("cosine_sim(va, vb)"), 6).as("sim"))
+      .filter(col("sim") >= 0.30)
+  }
+}

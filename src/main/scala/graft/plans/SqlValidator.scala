@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan}
+
+/** Plan validation — the Spark-native replacement for the reference's
+  * generated-code sanitization (bambooai/messages/reg_ex.py:56-136: module
+  * blacklist, savefig rewrite, main-block inlining).
+  *
+  * Design stance (SURVEY §7.1): the LLM emits Spark SQL, never code, so
+  * "sanitization" becomes Catalyst analysis — parse the statement, reject
+  * anything that is not a read-only query, and enforce allow-lists on the
+  * relations and functions the plan touches. There is no code path to
+  * escape: an allow-listed SELECT cannot write, import, or exec.
+  */
+object SqlValidator {
+
+  final case class Validated(plan: LogicalPlan, relations: Set[String],
+      functions: Set[String])
+
+  /** Parse + statically check a SQL string. Returns Left(reason) on
+    * rejection. `allowedRelations` is the registered view catalog;
+    * `allowedFunctions` extends the Spark builtin registry (builtins are
+    * always allowed — they are all read-only expressions). */
+  def validate(spark: SparkSession, sql: String,
+      allowedRelations: Set[String],
+      extraAllowedFunctions: Set[String] = Set("cosine_sim")): Either[String, Validated] = {
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(sql)
+      catch { case e: Exception =>
+        return Left(s"parse error: ${Lifecycle.condense(e.getMessage)}")
+      }
+    // Command covers DDL; DML statements (INSERT/...) parse to dedicated
+    // statement nodes that only become commands after analysis — match both.
+    val writeShaped = plan.exists {
+      case _: Command => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.ParsedStatement => true
+      case _ => false
+    }
+    if (writeShaped)
+      return Left("rejected: not a read-only query (command/DDL/DML)")
+
+    val rels = plan.collect {
+      case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
+    }.toSet
+    val badRels = rels.diff(allowedRelations.map(_.toLowerCase))
+    if (badRels.nonEmpty)
+      return Left(s"rejected: unknown relations ${badRels.mkString(", ")}")
+
+    var fns = Set.empty[String]
+    def collectFns(e: Expression): Unit = {
+      e.foreach {
+        case f: UnresolvedFunction =>
+          fns += f.nameParts.last.toLowerCase
+        case _ =>
+      }
+    }
+    plan.foreach(node => node.expressions.foreach(collectFns))
+    val builtin = fns.filter(n =>
+      spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
+    val unknown = fns.diff(builtin).diff(extraAllowedFunctions.map(_.toLowerCase))
+    if (unknown.nonEmpty)
+      return Left(s"rejected: non-allow-listed functions ${unknown.mkString(", ")}")
+
+    Right(Validated(plan, rels, fns))
+  }
+}
+
+/** Error-text handling shared by the repair loop. */
+object Lifecycle {
+  /** The reference truncates tracebacks to 1000 chars before feeding the
+    * error-corrector LLM (bambooai/code_executor.py:319-321). */
+  val ErrorCap = 1000
+  def condense(msg: String): String = {
+    val m = Option(msg).getOrElse("")
+    if (m.length <= ErrorCap) m else m.take(ErrorCap)
+  }
+}

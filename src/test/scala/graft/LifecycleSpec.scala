@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.lifecycle.EngineSession
+import graft.plans.{Lifecycle, SqlValidator}
+
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def session(): EngineSession = {
+    val es = new EngineSession(spark)
+    es.bind("df", Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "tag"))
+    es
+  }
+
+  test("validator accepts read-only SELECT over registered views") {
+    val es = session()
+    assert(es.runValidatedSql("SELECT tag, count(*) FROM df GROUP BY tag").isRight)
+  }
+
+  test("validator rejects DDL/DML (reg_ex.py blacklist analog)") {
+    val es = session()
+    assert(es.runValidatedSql("DROP TABLE df").isLeft)
+    assert(es.runValidatedSql("INSERT INTO df VALUES (4, 'x')").isLeft)
+    assert(es.runValidatedSql("CREATE TABLE t AS SELECT 1").isLeft)
+  }
+
+  test("validator rejects unknown relations and unknown functions") {
+    val es = session()
+    val r = es.runValidatedSql("SELECT * FROM secrets")
+    assert(r.isLeft && r.left.exists(_.contains("secrets")))
+    val f = SqlValidator.validate(spark, "SELECT evil_udf(id) FROM df", Set("df"))
+    assert(f.isLeft && f.left.exists(_.contains("evil_udf")))
+  }
+
+  test("allow-listed custom function cosine_sim passes validation") {
+    graft.functions.CosineSimilarity.register(spark)
+    val v = SqlValidator.validate(spark,
+      "SELECT cosine_sim(array(1.0d), array(1.0d))", Set.empty)
+    assert(v.isRight)
+  }
+
+  test("mutable-df semantics: rebind + rollback (original_df restore)") {
+    val es = session()
+    es.bind("df", Seq((9, "z")).toDF("id", "tag"))
+    assert(spark.sql("SELECT count(*) FROM df").collect()(0).getLong(0) == 1)
+    assert(es.rollback("df"))
+    assert(spark.sql("SELECT count(*) FROM df").collect()(0).getLong(0) == 3)
+    assert(!es.rollback("df")) // no more versions
+  }
+
+  test("repair loop: bad query repaired by callback within bound") {
+    val es = session()
+    var calls = 0
+    val res = es.executeWithRepair("SELECT nope FROM df", (_, err) => {
+      calls += 1
+      assert(err.length <= Lifecycle.ErrorCap)
+      Some("SELECT id FROM df")
+    })
+    assert(res.df.nonEmpty && res.attempts == 1 && calls == 1)
+  }
+
+  test("repair loop: bounded at MAX_ERROR_CORRECTIONS=5 (bambooai.py:110)") {
+    val es = session()
+    var calls = 0
+    val res = es.executeWithRepair("SELECT nope FROM df",
+      (_, _) => { calls += 1; Some("SELECT still_nope FROM df") })
+    assert(res.df.isEmpty && calls == 5 && res.errors.nonEmpty)
+  }
+
+  test("error text is condensed to 1000 chars (code_executor.py:319-321)") {
+    assert(Lifecycle.condense("x" * 5000).length == 1000)
+    assert(Lifecycle.condense(null) == "")
+  }
+}

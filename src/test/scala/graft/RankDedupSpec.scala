@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.CosineSimilarity
+import graft.operators.RankDedup
+
+/** D2 upsert matrix (qa_retrieval.py:146-202): sim × rank quadrants. */
+class RankDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Long, Seq[Double], Long)*) =
+    rows.toDF("id", "v", "rank")
+
+  private def run(store: Seq[(Long, Seq[Double], Long)],
+      cand: Seq[(Long, Seq[Double], Long)]): Map[Long, (Long, String)] = {
+    CosineSimilarity.register(spark)
+    RankDedup.upsert(df(store: _*), df(cand: _*))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+  }
+
+  val vA = Seq(1.0, 0.0, 0.0)
+  val vB = Seq(0.0, 1.0, 0.0)
+
+  test("similar + higher rank => replace (delete old, insert new)") {
+    val out = run(store = Seq((1L, vA, 7L)), cand = Seq((100L, vA, 9L)))
+    assert(out == Map(100L -> (9L, "inserted")))
+  }
+
+  test("similar + lower-or-equal rank => discard candidate") {
+    val out = run(store = Seq((1L, vA, 9L)), cand = Seq((100L, vA, 7L)))
+    assert(out == Map(1L -> (9L, "kept")))
+  }
+
+  test("dissimilar + eligible rank => insert alongside") {
+    val out = run(store = Seq((1L, vA, 7L)), cand = Seq((100L, vB, 8L)))
+    assert(out == Map(1L -> (7L, "kept"), 100L -> (8L, "inserted")))
+  }
+
+  test("rank below 6 => dropped regardless of similarity (MIN_USER_RANK)") {
+    val out = run(store = Seq((1L, vA, 2L)), cand = Seq((100L, vA, 5L)))
+    assert(out == Map(1L -> (2L, "kept")))
+  }
+
+  test("empty store => all eligible candidates insert") {
+    val out = run(store = Seq.empty, cand = Seq((100L, vA, 6L), (101L, vB, 3L)))
+    assert(out == Map(100L -> (6L, "inserted")))
+  }
+
+  test("idempotence: equal-rank resubmission against the survivor is discarded") {
+    CosineSimilarity.register(spark)
+    // state after a replace: 100 holds vA at rank 9
+    val store2 = df((100L, vA, 9L), (2L, vB, 8L))
+    val again = RankDedup.upsert(store2, df((200L, vA, 9L)))
+    assert(again.filter(col("status") === "inserted").count() == 0)
+    assert(again.count() == 2)
+  }
+}
