@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints `.explain("formatted")` for the named queries (or a
+  * representative default set) so pushdown/broadcast/shuffle shape can be
+  * reviewed. Usage: runMain graft.PlanAudit [sfDir] [query ...] */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("p3_conj_filter", "j1_dim_join", "j3_brand_revenue",
+        "a12_pricing_summary", "w3_cumsum", "v1_cosine_topk",
+        "dd3_lsh_jaccard_pairs", "a3_orders_per_month")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n================ $n ================")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

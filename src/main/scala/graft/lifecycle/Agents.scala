@@ -1,0 +1,134 @@
+package graft.lifecycle
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.Profile
+
+/** Agent-pipeline adapters (SURVEY §3.1, §7.2 step 6): the reference's
+  * multi-stage conversational flow re-expressed with a constrained artifact —
+  * the model emits YAML routing decisions and Spark SQL, never code.
+  *
+  * Stage map (reference: bambooai/bambooai.py:335-489):
+  *   Expert Selector → Analyst Selector → [Inspector] → [Planner] →
+  *   SQL Generator → execute ⇄ repair → Summarizer.
+  *
+  * All model traffic goes through [[LlmClient]]; [[ScriptedLlm]] replays
+  * recorded fixtures so the whole lifecycle is deterministic under test
+  * (SURVEY §7.5 non-determinism quarantine).
+  */
+object Agents {
+
+  /** One LLM call: stage name + prompt → completion text. The reference's
+    * provider dispatch (models/__init__.py:121-164) sits behind this. */
+  trait LlmClient {
+    def complete(stage: String, prompt: String): String
+  }
+
+  /** Deterministic fixture-backed client for tests/e2e. */
+  final class ScriptedLlm(script: Map[String, Seq[String]]) extends LlmClient {
+    private val cursors = scala.collection.mutable.Map.empty[String, Int]
+    def complete(stage: String, prompt: String): String = {
+      val outs = script.getOrElse(stage,
+        throw new NoSuchElementException(s"no fixture for stage $stage"))
+      val i = cursors.getOrElse(stage, 0)
+      cursors(stage) = math.min(i + 1, outs.length - 1)
+      outs(math.min(i, outs.length - 1))
+    }
+  }
+
+  /** Routing decision of the Expert Selector (YAML
+    * {requires_dataset, expert, confidence}; reg_ex._extract_expert:151-172). */
+  final case class ExpertChoice(requiresDataset: Boolean, expert: String,
+      confidence: Int)
+
+  /** Analyst Selector output (reg_ex._extract_analyst:174-197). */
+  final case class AnalystChoice(analyst: String, intent: String)
+
+  /** Plan IR: the YAML plan header + the SQL body. */
+  final case class Plan(steps: Seq[String], sql: String)
+
+  /** Minimal single-document YAML mapping parser for the fixed agent
+    * contracts (flat `key: value` plus one `steps:` list). The reference
+    * round-trips the same shapes through yaml.safe_load with regex fallback
+    * (reg_ex.py:151-231, utils.py:713-720). */
+  def parseYamlMap(text: String): Map[String, String] = {
+    text.linesIterator
+      .map(_.replaceAll("#.*$", ""))
+      .filter(_.contains(":"))
+      .map { l =>
+        val Array(k, v @ _*) = l.split(":", 2): @unchecked
+        k.trim -> v.mkString(":").trim.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\"")
+      }.toMap
+  }
+
+  def parseExpert(text: String): ExpertChoice = {
+    val m = parseYamlMap(text)
+    ExpertChoice(m.getOrElse("requires_dataset", "false").toBoolean,
+      m.getOrElse("expert", "Data Analyst"),
+      m.getOrElse("confidence", "0").toInt)
+  }
+
+  def parseAnalyst(text: String): AnalystChoice = {
+    val m = parseYamlMap(text)
+    AnalystChoice(m.getOrElse("analyst", "Data Analyst DF"),
+      m.getOrElse("intent", ""))
+  }
+
+  def parsePlan(text: String): Plan = {
+    val lines = text.linesIterator.toSeq
+    val steps = lines.filter(_.trim.startsWith("- ")).map(_.trim.drop(2))
+    val sqlStart = lines.indexWhere(_.trim.toLowerCase.startsWith("sql:"))
+    val sql =
+      if (sqlStart < 0) ""
+      else {
+        val inline = lines(sqlStart).split(":", 2)(1).trim
+        if (inline.nonEmpty && inline != "|") inline
+        else lines.drop(sqlStart + 1).mkString("\n")
+      }
+    Plan(steps, sql)
+  }
+
+  final case class ChainResult(expert: ExpertChoice, analyst: AnalystChoice,
+      plan: Plan, repair: RepairResult, summary: Option[String])
+
+  /** Full chain: profile context → route → plan → validated SQL with
+    * bounded repair → summarize. Prompts carry the same context the
+    * reference assembles (profile string I1, preview I2; bambooai.py:550-565
+    * `_process_question`). */
+  def converse(es: EngineSession, llm: LlmClient, question: String,
+      table: String): ChainResult = {
+    val df = es.current(table).getOrElse(
+      throw new IllegalArgumentException(s"unknown table $table"))
+    val profile = Profile.summaryString(df)
+
+    val expert = parseExpert(llm.complete("expert_selector",
+      s"QUESTION: $question"))
+    val analyst = parseAnalyst(llm.complete("analyst_selector",
+      s"QUESTION: $question\nDATA:\n$profile"))
+    val plan = parsePlan(llm.complete("planner",
+      s"INTENT: ${analyst.intent}\nDATA:\n$profile"))
+
+    val repair = es.executeWithRepair(plan.sql, (bad, err) =>
+      Some(llm.complete("error_corrector", s"SQL: $bad\nERROR: $err")))
+    val summary = repair.df.map { d =>
+      val rendered = Profile.renderTable(d.limit(10))
+      llm.complete("summarizer", s"QUESTION: $question\nRESULT:\n$rendered")
+    }
+    ChainResult(expert, analyst, plan, repair, summary)
+  }
+
+  /** I7: mermaid rendering of a data model (utils.py:400-730 shape):
+    * containers → keys/measurements, plus merge links. */
+  final case class ModelNode(name: String, columns: Seq[String])
+  final case class ModelEdge(from: String, to: String, on: String)
+
+  def mermaid(nodes: Seq[ModelNode], edges: Seq[ModelEdge]): String = {
+    val ns = nodes.map { n =>
+      val cols = n.columns.map(c => s"    $c").mkString("\n")
+      s"  ${n.name}[\"${n.name}\"]\n" +
+        (if (n.columns.nonEmpty) s"  %% columns of ${n.name}:\n$cols\n" else "")
+    }.mkString
+    val esq = edges.map(e => s"  ${e.from} -->|${e.on}| ${e.to}").mkString("\n")
+    s"graph TD\n$ns$esq"
+  }
+}

@@ -26,6 +26,9 @@ import graft.plans.{Lifecycle, SqlValidator}
   * an LLM client; tests wire scripted fixtures (SURVEY §7.5 non-determinism
   * quarantine).
   */
+final case class RepairResult(df: Option[DataFrame], attempts: Int,
+    errors: List[String])
+
 final class EngineSession(val spark: SparkSession) {
 
   val MaxErrorCorrections = 5 // bambooai.py:110
@@ -65,9 +68,6 @@ final class EngineSession(val spark: SparkSession) {
       try Right(spark.sql(sql))
       catch { case e: Exception => Left(Lifecycle.condense(e.getMessage)) }
     }
-
-  final case class RepairResult(df: Option[DataFrame], attempts: Int,
-      errors: List[String])
 
   /** Execute with the bounded repair loop: on failure the condensed error
     * (≤1000 chars) goes to `repair`, which returns a corrected SQL or None

@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.util.Base64
+import java.util.zip.{Deflater, Inflater}
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Scan/source/sink surface of SURVEY §2.1 (S1-S12).
+  *
+  * Readers mirror the reference's three access grains — full read, limited
+  * preview, schema-only — which exist to bound inspection cost
+  * (bambooai/utils.py:135-250). In Spark the same grains are free: `limit`
+  * pushes into the scan, and schema-only reads touch only the CSV header /
+  * parquet footer.
+  */
+object Sources {
+
+  /** S1: full CSV read with header + dtype inference (web_app/app.py:207). */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S2: nrows=N preview read (utils.py:162) — limit short-circuits the scan. */
+  def csvPreview(spark: SparkSession, path: String, n: Int): DataFrame =
+    csv(spark, path).limit(n)
+
+  /** S3: header-only scan — column names without reading data
+    * (utils.py:232-234). inferSchema off → only the header line is touched. */
+  def csvColumns(spark: SparkSession, path: String): Seq[String] =
+    spark.read.option("header", "true").csv(path).columns.toSeq
+
+  /** S4/S5: parquet full + limited (row-group-pruned) read (utils.py:163-172). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+  def parquetPreview(spark: SparkSession, path: String, n: Int): DataFrame =
+    parquet(spark, path).limit(n)
+
+  /** S6: schema from the parquet footer only (utils.py:235-237). */
+  def parquetSchema(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema
+
+  /** S9: CSV sink for generated result datasets
+    * (template_formatting.py:77; collection code_executor.py:188-199).
+    * coalesce(1) matches the reference's single-file contract — result sets
+    * are post-aggregation and small; large extracts should drop coalesce. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S10: table serialization across a process boundary — the reference
+    * ships parquet+zlib+base64 strings (code_executor.py:241-250). Collect
+    * the (small, post-agg) table as CSV text and wrap it the same way. */
+  def serializeTable(df: DataFrame): String = {
+    val header = df.columns.mkString(",")
+    val rows = df.collect().map(_.toSeq.map {
+      case null => ""
+      case v => v.toString
+    }.mkString(","))
+    val raw = (header +: rows).mkString("\n").getBytes("UTF-8")
+    val deflater = new Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](math.max(64, raw.length * 2))
+    val n = deflater.deflate(buf)
+    deflater.end()
+    Base64.getEncoder.encodeToString(buf.take(n))
+  }
+
+  /** Inverse of [[serializeTable]] (code_executor_api.py:604-613). */
+  def deserializeTable(spark: SparkSession, payload: String): DataFrame = {
+    val compressed = Base64.getDecoder.decode(payload)
+    val inflater = new Inflater()
+    inflater.setInput(compressed)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!inflater.finished()) {
+      val n = inflater.inflate(buf)
+      if (n == 0 && inflater.needsInput()) throw new IllegalArgumentException("truncated")
+      out.write(buf, 0, n)
+    }
+    inflater.end()
+    val lines = out.toString("UTF-8").split("\n").toSeq
+    import spark.implicits._
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(lines.toDS())
+  }
+
+  /** S12: HTML preview sink (utils.py:314, code_executor_api.py:555). */
+  def toHtml(df: DataFrame, n: Int = 20): String = {
+    val cols = df.columns
+    val head = cols.map(c => s"<th>$c</th>").mkString
+    val rows = df.limit(n).collect().map { r =>
+      val tds = r.toSeq.map(v => s"<td>${Option(v).getOrElse("")}</td>").mkString
+      s"<tr>$tds</tr>"
+    }.mkString("\n")
+    s"<table border=\"1\"><thead><tr>$head</tr></thead><tbody>\n$rows\n</tbody></table>"
+  }
+}
+
+/** S11: id→table cache with LRU eviction, the reference's DataFrameCache
+  * (web_app/code_executor_api.py:33-65: max_size, move-to-end on access,
+  * popitem(last=False) eviction). Spark twist: insert caches the plan's
+  * blocks, eviction unpersists them.
+  */
+final class TableCache(maxSize: Int = 1) {
+  private val entries = mutable.LinkedHashMap.empty[String, DataFrame]
+
+  def get(id: String): Option[DataFrame] = synchronized {
+    entries.remove(id).map { df => entries.put(id, df); df } // move-to-end
+  }
+
+  def put(id: String, df: DataFrame): Unit = synchronized {
+    entries.remove(id).foreach(_.unpersist())
+    entries.put(id, df.cache())
+    while (entries.size > maxSize) {
+      val (oldest, old) = entries.head
+      old.unpersist()
+      entries.remove(oldest)
+    }
+  }
+
+  def size: Int = synchronized(entries.size)
+  def ids: Seq[String] = synchronized(entries.keys.toSeq)
+}
