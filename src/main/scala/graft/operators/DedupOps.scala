@@ -119,9 +119,12 @@ object DedupOps {
   /** LSH candidate pairs (shared band bucket) verified by exact n-gram
     * Jaccard ≥ 0.4 — the full dedup-pair pipeline. */
   def lshJaccardPairs: Q = (s, d) => {
+    // bands feed a self-join and the shingle set feeds three joins — cache
+    // both so the 12-hash minhash projection runs once, not per branch.
     val bands = minhashBands(s, d)
       .select(col("doc_id"), explode(array(
         (0 until NumBands).map(b => col(s"band_$b")): _*)).as("bk"))
+      .cache()
     val cand = bands.as("a").join(bands.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -130,6 +133,7 @@ object DedupOps {
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), explode(expr(shinglesExprSpark)).as("sh"))
       .distinct()
+      .cache()
     val counts = shingleSet.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(shingleSet.as("x"), col("a_id") === col("x.doc_id"))
