@@ -49,6 +49,7 @@ object SparkEntry {
     "a10_sum_over_groups" -> Relational.sumOverGroups,
     "a11_rollup" -> Relational.rollupAgg,
     "a12_pricing_summary" -> Relational.pricingSummary,
+    "a13_cube" -> Relational.cubeAgg,
     // §2.5 windows
     "w1_moving_avg" -> Relational.movingAvg,
     "w2_pct_change" -> Relational.pctChange,
@@ -72,6 +73,9 @@ object SparkEntry {
     "f5_casts_nulls" -> Relational.castsAndNulls,
     "f6_string_ops" -> Relational.stringOps,
     "f12_json_extract" -> Relational.jsonExtract,
+    "f15_base64" -> Relational.base64Roundtrip,
+    // as-of join (temporal lookup extension of §2.3)
+    "w9_asof_join" -> graft.operators.AsOfJoin.errorsAfterSignup,
     // §2.10 streaming batch-equivalent
     "s1_hourly_events" -> Relational.hourlyEvents,
     // vector similarity (O3/O4/F10 + ANN scale path)
@@ -214,6 +218,14 @@ object SparkEntry {
         | count(*) AS count_order
         | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         | GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "a13_cube" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total FROM orders
+        | GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "f15_base64" ->
+      """SELECT doc_id, to_base64(CAST(text AS BLOB)) AS b64,
+        | text AS roundtrip FROM documents""".stripMargin,
+    "w9_asof_join" -> graft.operators.AsOfJoin.oracle,
     "w1_moving_avg" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |  round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1)

@@ -23,7 +23,7 @@ import graft.Tables
   * Reference semantics citations are per-query (pgalko/BambooAI).
   */
 object Relational {
-  import graft.Q.{Q, lineitem, orders, customer, events}
+  import graft.Q.{Q, lineitem, orders, customer, events, documents}
 
   /** Epoch seconds (floor) — stable across engines at any sub-second
     * precision; the (max-min).total_seconds() building block. */
@@ -242,6 +242,24 @@ object Relational {
     lineitem(s, d)
       .rollup(col("l_returnflag").as("rflag"), col("l_linestatus").as("lstatus"))
       .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Cube (engine extra, SURVEY §2.4 note): all subtotal combinations. */
+  def cubeAgg: Q = (s, d) =>
+    orders(s, d)
+      .cube(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+
+  /** F15 base64 encode/decode roundtrip over text payloads
+    * (code_executor.py:150-151,241-250). */
+  def base64Roundtrip: Q = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      // Spark's base64 MIME-wraps at 76 chars; strip to the canonical form
+      regexp_replace(base64(col("text").cast("binary")), "[\\r\\n]", "")
+        .as("b64"),
+      unbase64(base64(col("text").cast("binary"))).cast("string")
+        .as("roundtrip"))
 
   /** TPC-H Q1-shape pricing summary: the canonical A1/A5 benchmark head. */
   def pricingSummary: Q = (s, d) =>

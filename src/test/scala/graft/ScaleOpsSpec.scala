@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, ScaleOps}
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx percentile and distinct count track the exact forms") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val r = li.agg(
+      ScaleOps.percentileAgg(col("l_extendedprice"), 0.5, approx = false).as("pe"),
+      ScaleOps.percentileAgg(col("l_extendedprice"), 0.5, approx = true).as("pa"),
+      ScaleOps.distinctCountAgg(col("l_partkey"), approx = false).as("de"),
+      ScaleOps.distinctCountAgg(col("l_partkey"), approx = true).as("da"))
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) / r.getDouble(0) < 0.02)
+    assert(math.abs(r.getLong(2) - r.getLong(3)).toDouble / r.getLong(2) < 0.05)
+  }
+
+  test("salted join returns the same rows as the plain join") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val o = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice"))
+    val plain = li.join(o, "k").count()
+    val salted = ScaleOps.saltedJoin(li, o, "k", factor = 8).count()
+    assert(plain == salted && plain > 0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    // the in-memory catalog forgets tables between JVM runs but the
+    // warehouse files persist — clear the locations explicitly
+    Seq("li_b", "ord_b").foreach { t =>
+      new scala.reflect.io.Directory(
+        new java.io.File(s"target/warehouse/$t")).deleteRecursively()
+    }
+    Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_b")
+    Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("ord_b")
+    val joined = spark.table("li_b")
+      .join(spark.table("ord_b"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(joined.count() == Tables.load(spark, sf, "lineitem").count())
+  }
+
+  test("as-of join matches a correlated-subquery reference on sf0.001") {
+    val got = AsOfJoin.errorsAfterSignup(spark, sf)
+    Tables.registerAll(spark, sf)
+    val want = spark.sql(
+      """SELECT e.event_id, e.user_id,
+        | (SELECT max(s.ts) FROM events s
+        |   WHERE s.event_type = 'signup' AND s.user_id = e.user_id
+        |   AND s.ts <= e.ts) AS signup_ts
+        |FROM events e WHERE e.event_type = 'error'""".stripMargin)
+    val g = got.select("event_id", "signup_ts").collect()
+      .map(r => (r.getLong(0), r.get(1))).toMap
+    val w = want.select("event_id", "signup_ts").collect()
+      .map(r => (r.getLong(0), r.get(1))).toMap
+    assert(g == w && g.nonEmpty)
+    // at least one error has a prior signup, and at least one user's first
+    // error precedes any signup (null payload path)
+    assert(g.values.exists(_ != null))
+  }
+
+  test("GraftExtensions registers cosine_sim via injectFunction") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(e) // must not throw
+  }
+}
