@@ -367,7 +367,14 @@ object Relational {
       .select(col("o_orderkey").as("order_key"), col("o_totalprice").as("price"))
       .limit(10)
 
-  /** Top-k per group (largest orders per status) — window + filter. */
+  /** Top-k per group (largest orders per status) — window + filter.
+    * Plan note: Spark's InferWindowGroupLimit rewrites this shape into
+    * `WindowGroupLimit Partial → Exchange → WindowGroupLimit Final`
+    * (verified via explain) — a bounded per-group top-k computed BEFORE the
+    * shuffle, so only ≤k rows per group per mapper move. A hand-built
+    * custom top-k operator was prototyped and measured; the built-in path
+    * is strictly better (the custom node cannot limit map-side), confirming
+    * SURVEY §4.4: no §2 operator lacks a built-in physical implementation. */
   def topKPerGroup: Q = (s, d) => {
     val w = Window.partitionBy("o_orderstatus")
       .orderBy(desc("o_totalprice"), col("o_orderkey"))
