@@ -50,6 +50,8 @@ object SparkEntry {
     "a11_rollup" -> Relational.rollupAgg,
     "a12_pricing_summary" -> Relational.pricingSummary,
     "a13_cube" -> Relational.cubeAgg,
+    "a14_grouping_sets" -> Relational.groupingSets,
+    "w10_range_window" -> Relational.rangeWindow,
     // §2.5 windows
     "w1_moving_avg" -> Relational.movingAvg,
     "w2_pct_change" -> Relational.pctChange,
@@ -225,6 +227,19 @@ object SparkEntry {
     "f15_base64" ->
       """SELECT doc_id, to_base64(CAST(text AS BLOB)) AS b64,
         | text AS roundtrip FROM documents""".stripMargin,
+    "a14_grouping_sets" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "w10_range_window" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INTEGER) AS day_n
+        | FROM orders GROUP BY 1, 3)
+        |SELECT day, total, round(sum(total) OVER (ORDER BY day_n
+        | RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS total_7d
+        |FROM daily""".stripMargin,
     "w9_asof_join" -> graft.operators.AsOfJoin.oracle,
     "w1_moving_avg" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,

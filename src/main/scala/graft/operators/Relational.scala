@@ -250,6 +250,29 @@ object Relational {
         col("o_orderpriority").as("priority"))
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
 
+  /** Grouping sets via the SQL surface (the LLM-emitted-SQL path of
+    * SURVEY §7.1): independent subtotals per status and per priority. */
+  def groupingSets: Q = (s, d) => {
+    orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  /** Range-frame window (engine extra beyond the reference's ROWS frames):
+    * trailing-7-day revenue per day — RANGE over a day-number key covers
+    * calendar gaps that a ROWS frame would silently skip. */
+  def rangeWindow: Q = (s, d) => {
+    val daily = orders(s, d).groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("day_n", datediff(col("day"), lit("1995-01-01")))
+    val w = Window.orderBy("day_n").rangeBetween(-6, 0)
+    daily.select(col("day"), col("total"),
+      round(sum("total").over(w), 2).as("total_7d"))
+  }
+
   /** F15 base64 encode/decode roundtrip over text payloads
     * (code_executor.py:150-151,241-250). */
   def base64Roundtrip: Q = (s, d) =>
