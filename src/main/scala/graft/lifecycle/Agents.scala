@@ -1,7 +1,7 @@
 package graft.lifecycle
 
 import org.apache.spark.sql.DataFrame
-import graft.operators.Profile
+import graft.operators.{Profile, RankDedup}
 
 /** Agent-pipeline adapters (SURVEY §3.1, §7.2 step 6): the reference's
   * multi-stage conversational flow re-expressed with a constrained artifact —
@@ -89,14 +89,18 @@ object Agents {
   }
 
   final case class ChainResult(expert: ExpertChoice, analyst: AnalystChoice,
-      plan: Plan, repair: RepairResult, summary: Option[String])
+      plan: Plan, repair: RepairResult, summary: Option[String],
+      fromMemory: Boolean = false)
 
-  /** Full chain: profile context → route → plan → validated SQL with
-    * bounded repair → summarize. Prompts carry the same context the
-    * reference assembles (profile string I1, preview I2; bambooai.py:550-565
-    * `_process_question`). */
+  /** Full chain: profile context → route → episodic-memory probe → plan →
+    * validated SQL with bounded repair → summarize → learn. Prompts carry
+    * the same context the reference assembles (profile string I1;
+    * bambooai.py:550-565 `_process_question`). A memory hit at sim ≥ 0.80
+    * skips the Planner (bambooai.py:265-291,380-386); a result ranked ≥ 6
+    * is stored back through the rank-dedup gate (:638-684). */
   def converse(es: EngineSession, llm: LlmClient, question: String,
-      table: String): ChainResult = {
+      table: String, memory: Option[EpisodicMemory] = None,
+      storeRank: Long = 0): ChainResult = {
     val df = es.current(table).getOrElse(
       throw new IllegalArgumentException(s"unknown table $table"))
     val profile = Profile.summaryString(df)
@@ -105,8 +109,15 @@ object Agents {
       s"QUESTION: $question"))
     val analyst = parseAnalyst(llm.complete("analyst_selector",
       s"QUESTION: $question\nDATA:\n$profile"))
-    val plan = parsePlan(llm.complete("planner",
-      s"INTENT: ${analyst.intent}\nDATA:\n$profile"))
+
+    val recalled = memory.flatMap(_.retrieve(analyst.intent, profile))
+    val plan = recalled match {
+      case Some(m) => Plan(
+        m.record.plan.linesIterator.filter(_.trim.startsWith("- "))
+          .map(_.trim.drop(2)).toSeq, m.record.sql)
+      case None => parsePlan(llm.complete("planner",
+        s"INTENT: ${analyst.intent}\nDATA:\n$profile"))
+    }
 
     val repair = es.executeWithRepair(plan.sql, (bad, err) =>
       Some(llm.complete("error_corrector", s"SQL: $bad\nERROR: $err")))
@@ -114,7 +125,14 @@ object Agents {
       val rendered = Profile.renderTable(d.limit(10))
       llm.complete("summarizer", s"QUESTION: $question\nRESULT:\n$rendered")
     }
-    ChainResult(expert, analyst, plan, repair, summary)
+    if (repair.df.nonEmpty && storeRank >= RankDedup.MinRank)
+      memory.foreach(_.add(EpisodicMemory.Record(
+        id = java.util.UUID.nameUUIDFromBytes(
+          analyst.intent.getBytes("UTF-8")).toString,
+        intent = analyst.intent, dataDescr = profile,
+        plan = plan.steps.map("- " + _).mkString("\n"), sql = plan.sql,
+        rank = storeRank)))
+    ChainResult(expert, analyst, plan, repair, summary, recalled.nonEmpty)
   }
 
   /** I7: mermaid rendering of a data model (utils.py:400-730 shape):

@@ -1,0 +1,111 @@
+package graft.lifecycle
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.CosineSimilarity
+import graft.operators.RankDedup
+
+/** Episodic memory — the reference's vector store of solved chains
+  * (bambooai/qa_retrieval.py):
+  *
+  *  - retrieve (§3.1 step 5, bambooai.py:265-291): embed the intent, cosine
+  *    top-5 over stored intent vectors, keep matches ≥ 0.80
+  *    (bambooai.py:183), rerank the qualifiers by data-description cosine
+  *    (qa_retrieval.py:100-144), return {plan, sql, rank};
+  *  - store (§3.1 step 11): rank ≥ 6 gate + semantic dedup-by-rank at the
+  *    strong threshold 0.94 (qa_retrieval.py:146-202) via
+  *    [[graft.operators.RankDedup]].
+  *
+  * Embeddings: the reference calls an external model (MiniLM/OpenAI,
+  * qa_retrieval.py:250-261) — non-deterministic and outside t2 per SURVEY
+  * §7.5, so [[HashEmbedder]] provides a deterministic bag-of-words hash
+  * embedding with the same surface. Swap in a real encoder behind the same
+  * trait for deployment; every downstream operator (cosine, top-k, dedup)
+  * is dimension-agnostic.
+  */
+object EpisodicMemory {
+
+  trait Embedder {
+    def dim: Int
+    def embed(text: String): Seq[Double]
+  }
+
+  /** Deterministic stand-in: tokens hash to buckets, L2-normalized. Similar
+    * word bags → similar vectors, which is all the retrieval gates need. */
+  final class HashEmbedder(val dim: Int = 64) extends Embedder {
+    def embed(text: String): Seq[Double] = {
+      val v = new Array[Double](dim)
+      text.toLowerCase.split("\\W+").filter(_.nonEmpty).foreach { w =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(w)
+        v(math.floorMod(h, dim)) += (if ((h >> 16 & 1) == 0) 1.0 else -1.0)
+      }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v.toSeq else v.map(_ / n).toSeq
+    }
+  }
+
+  final case class Record(id: String, intent: String, dataDescr: String,
+      plan: String, sql: String, rank: Long)
+
+  final case class Match(record: Record, similarity: Double)
+}
+
+final class EpisodicMemory(spark: SparkSession,
+    embedder: EpisodicMemory.Embedder = new EpisodicMemory.HashEmbedder()) {
+  import EpisodicMemory._
+
+  val RetrieveThreshold = 0.80 // bambooai.py:183
+  val TopK = 5                 // qa_retrieval.py:102
+
+  private var records = Vector.empty[(Record, Seq[Double])]
+
+  def size: Int = records.size
+
+  private def cos(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length && i < b.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** qa_retrieval.retrieve_matching_record:100-144 — top-k ≥ threshold,
+    * reranked by data-description similarity when provided. */
+  def retrieve(intent: String, dataDescr: String = ""): Option[Match] = {
+    val q = embedder.embed(intent)
+    val qualified = records.map { case (r, v) => Match(r, cos(q, v)) }
+      .filter(_.similarity >= RetrieveThreshold)
+      .sortBy(m => (-m.similarity, m.record.id))
+      .take(TopK)
+    if (qualified.isEmpty) None
+    else if (dataDescr.isEmpty || qualified.length == 1) qualified.headOption
+    else {
+      val qd = embedder.embed(dataDescr)
+      Some(qualified.maxBy(m =>
+        (cos(qd, embedder.embed(m.record.dataDescr)), m.record.id)))
+    }
+  }
+
+  /** add_record:146-202 — rank gate + batch rank-dedup through the same
+    * Spark operator the dd5 oracle query exercises. */
+  def add(record: Record): Unit = {
+    import spark.implicits._
+    if (record.rank < RankDedup.MinRank) return
+    val storeDF = records.zipWithIndex.map { case ((r, v), i) =>
+      (i.toLong, v, r.rank)
+    }.toDF("id", "v", "rank")
+    val candDF = Seq((1000000L, embedder.embed(record.intent), record.rank))
+      .toDF("id", "v", "rank")
+    CosineSimilarity.register(spark)
+    val result = RankDedup.upsert(storeDF, candDF)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val kept = records.zipWithIndex.collect {
+      case ((r, v), i) if result.get(i.toLong).contains("kept") => (r, v)
+    }
+    val inserted =
+      if (result.get(1000000L).contains("inserted"))
+        Vector((record, embedder.embed(record.intent)))
+      else Vector.empty
+    records = kept ++ inserted
+  }
+}
