@@ -21,6 +21,15 @@ object ScaleOps {
   def distinctCountAgg(c: Column, approx: Boolean): Column =
     if (approx) approx_count_distinct(c) else countDistinct(c)
 
+  /** Partition-pruned layout: write a fact table partitioned by a derived
+    * date key so selective time predicates skip whole directories — the
+    * physical layout that turns the 100 TB "year(o_orderdate)=1995" filter
+    * into a read of 1/7 of the data (SURVEY P7 note). */
+  def writePartitionedByYear(df: DataFrame, dateCol: String,
+      path: String): Unit =
+    df.withColumn("part_year", year(col(dateCol)))
+      .write.mode("overwrite").partitionBy("part_year").parquet(path)
+
   /** Skew-safe equi-join: salt the (skewed) left side deterministically and
     * replicate the small right side `factor` ways, so one hot key spreads
     * over `factor` reducers. Result is identical to a plain inner join.

@@ -72,6 +72,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(g.values.exists(_ != null))
   }
 
+  test("partitioned layout prunes partitions for year predicates") {
+    val path = "target/orders_by_year"
+    ScaleOps.writePartitionedByYear(
+      Tables.load(spark, sf, "orders"), "o_orderdate", path)
+    val filtered = spark.read.parquet(path)
+      .filter(col("part_year") === 1995)
+    // the predicate must land in PartitionFilters (directory pruning), not
+    // as a post-scan data filter; inputFiles is pre-pruning so the plan
+    // string is the authoritative probe
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*part_year#\\d+ = 1995".r
+      .findFirstIn(plan).nonEmpty, plan)
+    val want = Tables.load(spark, sf, "orders")
+      .filter(year(col("o_orderdate")) === 1995).count()
+    assert(filtered.count() == want && want > 0)
+  }
+
   test("GraftExtensions registers cosine_sim via injectFunction") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(e) // must not throw
