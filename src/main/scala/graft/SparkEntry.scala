@@ -76,6 +76,8 @@ object SparkEntry {
     "f6_string_ops" -> Relational.stringOps,
     "f12_json_extract" -> Relational.jsonExtract,
     "f15_base64" -> Relational.base64Roundtrip,
+    "f16_array_agg" -> Relational.arrayAgg,
+    "f17_null_ops" -> Relational.nullOps,
     // as-of join (temporal lookup extension of §2.3)
     "w9_asof_join" -> graft.operators.AsOfJoin.errorsAfterSignup,
     // §2.10 streaming batch-equivalent
@@ -227,6 +229,18 @@ object SparkEntry {
     "f15_base64" ->
       """SELECT doc_id, to_base64(CAST(text AS BLOB)) AS b64,
         | text AS roundtrip FROM documents""".stripMargin,
+    "f16_array_agg" ->
+      """SELECT l_orderkey AS order_key,
+        | array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS line_nos,
+        | CAST(count(*) AS INTEGER) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "f17_null_ops" ->
+      """SELECT c_custkey AS cust_key,
+        | nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        | coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_filled,
+        | greatest(c_acctbal, 0.0) AS bal_floor0,
+        | least(c_acctbal, 1000.0) AS bal_cap1k
+        |FROM customer""".stripMargin,
     "a14_grouping_sets" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS priority,
         | count(*) AS n, round(sum(o_totalprice), 2) AS total

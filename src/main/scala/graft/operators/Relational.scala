@@ -284,6 +284,27 @@ object Relational {
       unbase64(base64(col("text").cast("binary"))).cast("string")
         .as("roundtrip"))
 
+  /** Array aggregation (F-array surface the parquet nested types admit,
+    * SURVEY §1.2): per-order sorted line-number list + its size, rendered
+    * as a join-string so the oracle compare stays order-stable. */
+  def arrayAgg: Q = (s, d) =>
+    lineitem(s, d).groupBy(col("l_orderkey").as("order_key"))
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("l_linenumber"))))
+          .as("line_nos"),
+        size(collect_list(col("l_linenumber"))).as("n_lines"))
+
+  /** Null-handling scalars: nullif / coalesce-chain / greatest / least
+    * (fillna-family, default_prompts.yaml:66-67). */
+  def nullOps: Q = (s, d) =>
+    customer(s, d).select(
+      col("c_custkey").as("cust_key"),
+      nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("DEFAULT"))
+        .as("seg_filled"),
+      greatest(col("c_acctbal"), lit(0.0)).as("bal_floor0"),
+      least(col("c_acctbal"), lit(1000.0)).as("bal_cap1k"))
+
   /** TPC-H Q1-shape pricing summary: the canonical A1/A5 benchmark head. */
   def pricingSummary: Q = (s, d) =>
     lineitem(s, d)
