@@ -86,6 +86,7 @@ object SparkEntry {
     "v1_cosine_topk" -> VectorOps.cosineTopK,
     "v2_ivf_topk" -> VectorOps.ivfTopK,
     "v3_neardup_embeddings" -> VectorOps.nearDupPairs,
+    "v4_knn_join" -> VectorOps.knnJoin,
     // text analysis (F6/F9 + pipeline ops)
     "t1_word_chunks" -> TextOps.wordChunks,
     "t2_lang_id" -> TextOps.langId,
@@ -390,6 +391,16 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.v, b.v) /
         |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30""".stripMargin,
+    "v4_knn_join" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        | sims AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_dot_product(a.v, b.v) /
+        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
+        |SELECT * FROM (SELECT a_id, b_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id)
+        |   AS INTEGER) AS rk FROM sims)
+        |WHERE rk <= 3""".stripMargin,
     "t1_word_chunks" -> TextOps.oracle("t1_word_chunks"),
     "t2_lang_id" -> TextOps.oracle("t2_lang_id"),
     "t3_quality_score" -> TextOps.oracle("t3_quality_score"),

@@ -65,6 +65,25 @@ object VectorOps {
       .limit(10)
   }
 
+  /** Batch k-NN join: top-3 neighbors for EVERY vector (label-blocked) —
+    * the all-pairs similarity-search shape a training pipeline runs, vs the
+    * single-probe top-k of [[cosineTopK]]. The block key bounds the pair
+    * count; the per-query top-k plans as partial/final WindowGroupLimit so
+    * only ≤k rows per query vector cross the shuffle. */
+  def knnJoin: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(s, d)
+    val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("label"), col("v").as("vb"))
+    val w = Window.partitionBy("a_id").orderBy(desc("sim"), col("b_id"))
+    a.join(b, Seq("label"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(expr("cosine_sim(va, vb)"), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+  }
+
   /** Embedding near-dup pairs: label-blocked self-join, cosine ≥ 0.30
     * (threshold calibrated so every sf yields pairs; the reference's replace
     * gate is the same shape at 0.94, qa_retrieval.py:157-164). */
