@@ -35,6 +35,8 @@ object SparkEntry {
     "j3_brand_revenue" -> Relational.brandRevenue,
     "j5_semi_join" -> Relational.semiJoin,
     "j6_anti_join" -> Relational.antiJoin,
+    "j7_full_outer" -> Relational.fullOuterJoin,
+    "w11_rank_family" -> Relational.rankFamily,
     // §2.4 aggregations
     "a1_group_multi_agg" -> Relational.groupMultiAgg,
     "a2_group_duration" -> Relational.groupDuration,
@@ -155,6 +157,25 @@ object SparkEntry {
       """SELECT c_custkey AS cust_key, c_acctbal AS acctbal FROM customer c
         | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |  AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+    "j7_full_outer" ->
+      """SELECT coalesce(o.day, l.day) AS day, o.n_orders, l.n_ship,
+        | coalesce(o.n_orders, 0) + coalesce(l.n_ship, 0) AS activity FROM
+        | (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+        |   FROM orders GROUP BY 1) o
+        | FULL OUTER JOIN
+        | (SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n_ship
+        |   FROM lineitem GROUP BY 1) l
+        | ON o.day = l.day""".stripMargin,
+    "w11_rank_family" ->
+      """SELECT o_orderkey AS order_key, o_orderstatus AS status,
+        | CAST(rank() OVER w AS INTEGER) AS rnk,
+        | CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        | round(percent_rank() OVER w, 6) AS prnk,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        | ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "a1_group_multi_agg" ->
       """SELECT l_orderkey AS order_key, min(l_shipdate) AS first_ship,
         | abs(max(l_extendedprice) - min(l_extendedprice)) AS price_spread,

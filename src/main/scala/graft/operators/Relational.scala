@@ -119,6 +119,35 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** Full outer join (completing the join-type surface): order days vs ship
+    * days — each side has dates the other lacks, so both null directions
+    * are exercised. */
+  def fullOuterJoin: Q = (s, d) => {
+    val o = orders(s, d).groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = lineitem(s, d).groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n_ship"))
+    o.join(l, Seq("day"), "full_outer")
+      .select(col("day"), col("n_orders"), col("n_ship"),
+        (coalesce(col("n_orders"), lit(0L)) +
+          coalesce(col("n_ship"), lit(0L))).as("activity"))
+  }
+
+  /** Ranking-function family (engine extras beyond the reference's
+    * dense_rank/row_number): rank, percent_rank, ntile, cume_dist over one
+    * deterministic ordering. */
+  def rankFamily: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d).select(
+      col("o_orderkey").as("order_key"), col("o_orderstatus").as("status"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      round(percent_rank().over(w), 6).as("prnk"),
+      ntile(4).over(w).as("quartile"),
+      round(cume_dist().over(w), 6).as("cdist"))
+  }
+
   /** Semi join: customers that have orders (EXISTS). Declared Spark form per
     * SURVEY §2.3. */
   def semiJoin: Q = (s, d) => {
