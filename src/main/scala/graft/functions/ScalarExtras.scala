@@ -39,15 +39,25 @@ object ScalarExtras {
     if (s.length <= n) s else s.take(n) + "..."
 
   /** F14: the ReAct `calculate:` action (google_search.py:370-377) — the
-    * reference `eval()`s arithmetic; here the expression goes through
-    * Catalyst: parsed, constant-folded, no code execution possible. */
-  def calculate(spark: SparkSession, expression: String): Either[String, Double] =
-    try {
-      val v = spark.sql(s"SELECT CAST(($expression) AS DOUBLE)").collect()(0)
-      if (v.isNullAt(0)) Left("null result") else Right(v.getDouble(0))
-    } catch { case e: Exception =>
-      Left(graft.plans.Lifecycle.condense(e.getMessage))
+    * reference `eval()`s arithmetic; here the expression is validated by
+    * [[graft.plans.SqlValidator]] with an EMPTY relation allow-list before
+    * execution, so a crafted payload cannot smuggle a subquery over a
+    * registered view or call reflect/java_method: only relation-free,
+    * allow-listed scalar expressions reach Catalyst. */
+  def calculate(spark: SparkSession, expression: String): Either[String, Double] = {
+    val sql = s"SELECT CAST(($expression) AS DOUBLE)"
+    graft.plans.SqlValidator.validate(spark, sql,
+        allowedRelations = Set.empty, extraAllowedFunctions = Set.empty) match {
+      case Left(reason) => Left(reason)
+      case Right(_) =>
+        try {
+          val v = spark.sql(sql).collect()(0)
+          if (v.isNullAt(0)) Left("null result") else Right(v.getDouble(0))
+        } catch { case e: Exception =>
+          Left(graft.plans.Lifecycle.condense(e.getMessage))
+        }
     }
+  }
 
   /** F15: base64 column helpers (code_executor.py:150-151) — built-ins. */
   def b64(c: Column): Column = base64(c.cast("binary"))

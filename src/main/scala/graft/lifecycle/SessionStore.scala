@@ -63,9 +63,29 @@ final class SessionStore(root: Path) {
     if (!Files.exists(p)) return 0
     val text = Files.readString(p)
     val msg = """\{"role": "((?:[^"\\]|\\.)*)", "content": "((?:[^"\\]|\\.)*)"\}""".r
-    def unesc(s: String): String = s
-      .replace("\\n", "\n").replace("\\r", "\r").replace("\\t", "\t")
-      .replace("\\\"", "\"").replace("\\\\", "\\")
+    // Single left-to-right pass mirroring how esc() produced the text:
+    // sequential String.replace corrupts content like backslash+'n' (saved
+    // as \\n — the first replace would eat the escaped backslash's second
+    // char and emit backslash+newline). A tokenizer can't mis-pair.
+    def unesc(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => sb += '\n'; i += 2
+            case 'r' => sb += '\r'; i += 2
+            case 't' => sb += '\t'; i += 2
+            case 'u' if i + 5 < s.length =>
+              sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case other => sb += other; i += 2 // covers \" and \\
+          }
+        } else { sb += c; i += 1 }
+      }
+      sb.toString
+    }
     val buf = mutable.ArrayBuffer.empty[Message]
     msg.findAllMatchIn(text).foreach(m =>
       buf += Message(unesc(m.group(1)), unesc(m.group(2))))

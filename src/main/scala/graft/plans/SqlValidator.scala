@@ -20,10 +20,23 @@ object SqlValidator {
   final case class Validated(plan: LogicalPlan, relations: Set[String],
       functions: Set[String])
 
+  /** Builtins that are registry members but NOT read-only in any useful
+    * sense: CallMethodViaReflection invokes arbitrary static Java methods
+    * (`reflect('java.lang.System','getenv',...)` would exfiltrate driver
+    * env into results), so registry membership alone is not a safety proof.
+    * Session/env introspection builtins are denied for the same reason. */
+  val DeniedBuiltins: Set[String] = Set(
+    "reflect", "java_method",
+    "current_user", "session_user", "user", "current_database",
+    "current_catalog", "current_schema", "input_file_name")
+
   /** Parse + statically check a SQL string. Returns Left(reason) on
     * rejection. `allowedRelations` is the registered view catalog;
-    * `allowedFunctions` extends the Spark builtin registry (builtins are
-    * always allowed — they are all read-only expressions). */
+    * `extraAllowedFunctions` extends the Spark builtin registry (builtins
+    * are allowed except [[DeniedBuiltins]]). The walk recurses into
+    * subquery expressions (scalar subqueries, IN/EXISTS) — a relation or
+    * function hidden inside `(SELECT ... FROM t)` is checked exactly like
+    * a top-level one. */
   def validate(spark: SparkSession, sql: String,
       allowedRelations: Set[String],
       extraAllowedFunctions: Set[String] = Set("cosine_sim")): Either[String, Validated] = {
@@ -32,9 +45,14 @@ object SqlValidator {
       catch { case e: Exception =>
         return Left(s"parse error: ${Lifecycle.condense(e.getMessage)}")
       }
+    // Every plan node, including the plans nested inside subquery
+    // expressions at any depth (collectWithSubqueries walks PlanExpression
+    // children, which is where ScalarSubquery/InSubquery/Exists keep them).
+    val allNodes: Seq[LogicalPlan] = plan.collectWithSubqueries { case p => p }
+
     // Command covers DDL; DML statements (INSERT/...) parse to dedicated
     // statement nodes that only become commands after analysis — match both.
-    val writeShaped = plan.exists {
+    val writeShaped = allNodes.exists {
       case _: Command => true
       case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement => true
       case _: org.apache.spark.sql.catalyst.plans.logical.ParsedStatement => true
@@ -43,7 +61,7 @@ object SqlValidator {
     if (writeShaped)
       return Left("rejected: not a read-only query (command/DDL/DML)")
 
-    val rels = plan.collect {
+    val rels = allNodes.collect {
       case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
     }.toSet
     val badRels = rels.diff(allowedRelations.map(_.toLowerCase))
@@ -58,7 +76,10 @@ object SqlValidator {
         case _ =>
       }
     }
-    plan.foreach(node => node.expressions.foreach(collectFns))
+    allNodes.foreach(node => node.expressions.foreach(collectFns))
+    val denied = fns.intersect(DeniedBuiltins)
+    if (denied.nonEmpty)
+      return Left(s"rejected: denied functions ${denied.mkString(", ")}")
     val builtin = fns.filter(n =>
       spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)))

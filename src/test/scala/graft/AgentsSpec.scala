@@ -76,6 +76,21 @@ class AgentsSpec extends SparkSpec {
     assert(store2.messages("t1") == msgs)
   }
 
+  test("session store roundtrip: backslash-adjacent escapes and controls") {
+    val store = new SessionStore(java.nio.file.Paths.get("target/test_sessions"))
+    // literal backslash followed by 'n' — the case sequential replace corrupts
+    val tricky = Seq(
+      "path C:\\new\\table", "ends with backslash \\", "\\n literal",
+      "tab\there\u0001ctl", "quote \" and \\\" pair", "\\\\double\\\\")
+    tricky.zipWithIndex.foreach { case (s, i) =>
+      store.append("esc", s"role$i", s)
+    }
+    store.save("esc")
+    val store2 = new SessionStore(java.nio.file.Paths.get("target/test_sessions"))
+    assert(store2.restore("esc") == tricky.length)
+    assert(store2.messages("esc").map(_.content) == tricky)
+  }
+
   test("F14 calculator evaluates through Catalyst, no code path") {
     assert(ScalarExtras.calculate(spark, "2 * (3 + 4)") == Right(14.0))
     assert(ScalarExtras.calculate(spark, "pow(2, 10)") == Right(1024.0))

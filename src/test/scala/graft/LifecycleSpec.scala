@@ -33,6 +33,47 @@ class LifecycleSpec extends SparkSpec {
     assert(f.isLeft && f.left.exists(_.contains("evil_udf")))
   }
 
+  test("validator recurses into subquery expressions (scalar/IN/EXISTS)") {
+    val es = session()
+    // a forbidden relation hidden in a scalar subquery must be rejected
+    val scalar = es.runValidatedSql("SELECT (SELECT max(x) FROM secrets LIMIT 1)")
+    assert(scalar.isLeft && scalar.left.exists(_.contains("secrets")))
+    val in = es.runValidatedSql("SELECT id FROM df WHERE id IN (SELECT x FROM secrets)")
+    assert(in.isLeft && in.left.exists(_.contains("secrets")))
+    val exists = es.runValidatedSql(
+      "SELECT id FROM df WHERE EXISTS (SELECT 1 FROM secrets)")
+    assert(exists.isLeft && exists.left.exists(_.contains("secrets")))
+    // nested two levels deep
+    val nested = es.runValidatedSql(
+      "SELECT (SELECT (SELECT max(x) FROM secrets) FROM df LIMIT 1)")
+    assert(nested.isLeft && nested.left.exists(_.contains("secrets")))
+    // an allow-listed relation in a subquery still passes
+    assert(es.runValidatedSql(
+      "SELECT id FROM df WHERE id IN (SELECT id FROM df)").isRight)
+  }
+
+  test("validator denies reflect/java_method even though they are builtins") {
+    val top = SqlValidator.validate(spark,
+      "SELECT reflect('java.lang.System','getenv','PATH')", Set.empty)
+    assert(top.isLeft && top.left.exists(_.contains("reflect")))
+    val sub = SqlValidator.validate(spark,
+      "SELECT (SELECT java_method('java.lang.System','getenv','PATH'))", Set.empty)
+    assert(sub.isLeft && sub.left.exists(_.contains("java_method")))
+    val user = SqlValidator.validate(spark, "SELECT current_user()", Set.empty)
+    assert(user.isLeft)
+  }
+
+  test("calculate() routes through the validator (no subquery/reflect escape)") {
+    import graft.functions.ScalarExtras
+    assert(ScalarExtras.calculate(spark, "1 + 2 * 3") == Right(7.0))
+    assert(ScalarExtras.calculate(spark, "round(pow(2, 10) / 3, 2)").isRight)
+    val es = session() // registers view df — calculate must still not see it
+    assert(es != null)
+    assert(ScalarExtras.calculate(spark, "(SELECT max(id) FROM df)").isLeft)
+    assert(ScalarExtras.calculate(spark,
+      "length(reflect('java.lang.System','getenv','PATH'))").isLeft)
+  }
+
   test("allow-listed custom function cosine_sim passes validation") {
     graft.functions.CosineSimilarity.register(spark)
     val v = SqlValidator.validate(spark,
