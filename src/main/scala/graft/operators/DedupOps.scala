@@ -21,9 +21,14 @@ import org.apache.spark.sql.functions._
   * - SimHash is a narrow word-explode + one groupBy(doc) — at scale the
   *   explode stays inside the stage, so cost is O(total tokens).
   *
-  * MinHash uses md5-string minima as the hash family: min over shingles of
-  * md5(seed || '|' || shingle). String minima are engine-portable (the DuckDB
-  * oracle computes the identical signature), deterministic, and seed-indexed.
+  * MinHash hashes each distinct shingle ONCE (48 bits of md5, folded to an
+  * integer with portable hex-digit arithmetic) and derives the k signature
+  * values with a universal-hash family h_j(x) = (a_j·x + b_j) mod p,
+  * p = 2^31−1 — the textbook scheme. One md5 per shingle instead of k, and
+  * the Jaccard verify joins on the same integers instead of shingle
+  * strings, which at 100 TB is the difference between shuffling long text
+  * n-grams and shuffling longs. All arithmetic is engine-portable (the
+  * DuckDB oracle computes the identical signatures).
   *
   * The corpus for the dup-finding queries plants perturbed copies
   * (doc_id+100000, text + ' zz qq vv' for doc_id % 17 == 0) so every scale
@@ -37,6 +42,14 @@ object DedupOps {
   private val BandSize = 3
   private val NumBands = NumHashes / BandSize
   private val SimBits = 24
+
+  /** Mersenne prime modulus for the universal-hash family. */
+  private val P = 2147483647L
+  /** Fixed (a_j, b_j) per signature slot — deterministic, embedded into both
+    * the Spark and the DuckDB SQL so the engines agree exactly. */
+  private val HashAB: Seq[(Long, Long)] = (0 until NumHashes).map { j =>
+    ((1103515245L * (2 * j + 1)) % P, (12345L + 1000003L * j) % P)
+  }
 
   // ---- exact dedup ----
 
@@ -53,22 +66,48 @@ object DedupOps {
 
   // ---- MinHash + LSH ----
 
-  /** Spark-side shingle expression (3-word shingles over `words`). */
-  private val shinglesExprSpark =
-    """transform(sequence(0, greatest(size(words)-3, 0)),
-      | i -> array_join(slice(words, i+1, 3), ' '))""".stripMargin
-  private val shinglesExprDuck =
-    "list_transform(range(0, greatest(len(words)-3, 0) + 1)," +
-      " i -> array_to_string(words[(i+1):(i+3)], ' '))"
+  /** 3-word shingle set (distinct) over `words`, both dialects. */
+  private val shinglesDistinctSpark =
+    """array_distinct(transform(sequence(0, greatest(size(words)-3, 0)),
+      | i -> array_join(slice(words, i+1, 3), ' ')))""".stripMargin
+  private val shinglesDistinctDuck =
+    "list_distinct(list_transform(range(0, greatest(len(words)-3, 0) + 1)," +
+      " i -> array_to_string(words[(i+1):(i+3)], ' ')))"
 
-  private def sigExprDuck(j: Int) =
-    s"list_min(list_transform(shingles, x -> md5(concat('$j|', x))))"
+  private def sigExpr(fn: String, j: Int): String = {
+    val (a, b) = HashAB(j)
+    s"${fn}_min(${fn}_transform(hs, h -> ($a * (h % $P) + $b) % $P))"
+  }
+  private def sigExprSpark(j: Int) = sigExpr("array", j).replace("array_transform", "transform")
+  private def sigExprDuck(j: Int) = sigExpr("list", j)
 
-  private def bandCols(sig: Int => String): Seq[String] =
+  /** Band key = the band's signature triple, separator-joined (no hashing
+    * needed — only equality structure matters for bucketing). */
+  private def bandExprs(sig: Int => String): Seq[String] =
     (0 until NumBands).map { b =>
       val parts = (0 until BandSize).map(k => sig(b * BandSize + k))
-      s"md5(concat(${parts.mkString(", ")}))"
+      s"concat_ws('|', ${parts.mkString(", ")})"
     }
+
+  /** Shared front of the MinHash pipeline: doc_id + distinct shingle-hash
+    * array (48 bits of md5 per shingle, hex→int via codegen'd `conv`).
+    * Pure map-side projection — no shuffle, scales at scan speed. */
+  private def docShingleHashes(s: SparkSession, d: String): DataFrame =
+    plantedCorpus(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), expr(shinglesDistinctSpark).as("shs"))
+      .select(col("doc_id"), expr(
+        "transform(shs, x -> cast(conv(substring(md5(x), 1, 12), 16, 10) as bigint))")
+        .as("hs"))
+
+  /** Same front in DuckDB, as CTEs ending in `docs(doc_id, hs)`. */
+  private lazy val docShingleHashesDuck: String =
+    s"""corpus AS ($corpusSql),
+       | w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+       | shl AS (SELECT doc_id, $shinglesDistinctDuck AS shs FROM w),
+       | docs AS (SELECT doc_id,
+       |   list_transform(shs, x -> ('0x' || substr(md5(x), 1, 12))::BIGINT) AS hs
+       |   FROM shl)""".stripMargin
 
   private def plantedCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
@@ -92,60 +131,57 @@ object DedupOps {
   /** MinHash signatures → LSH band bucket keys per document (the index-build
     * side of LSH dedup).
     *
-    * Shape: per-document array ops (`array_min(transform(shingles, ...))`)
-    * — a pure map-side projection with NO shuffle. The explode +
-    * groupBy(doc).agg(min×k) alternative was measured ~40% slower at sf0.1
-    * and adds a shuffle of |corpus|·|shingles| rows, which at 100 TB is the
-    * difference between a scan-speed pass and a multi-TB exchange. */
+    * Shape: per-document array ops — ONE md5 per distinct shingle, then the
+    * 12 signature minima are pure integer transforms. A map-side projection
+    * with NO shuffle; the explode + groupBy(doc).agg(min×k) alternative was
+    * measured ~40% slower at sf0.1 and adds a shuffle of |corpus|·|shingles|
+    * rows, which at 100 TB is the difference between a scan-speed pass and
+    * a multi-TB exchange. */
   def minhashBands: Q = (s, d) => {
-    val sigs = (0 until NumHashes).map(j =>
-      expr(s"array_min(transform(shingles, x -> md5(concat('$j|', x))))")
-        .as(s"sig$j"))
-    val bands = bandCols(j => s"sig$j").zipWithIndex.map {
+    val sigs = (0 until NumHashes).map(j => expr(sigExprSpark(j)).as(s"sig$j"))
+    val bands = bandExprs(j => s"sig$j").zipWithIndex.map {
       case (e, b) => expr(e).as(s"band_$b")
     }
-    plantedCorpus(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"), expr(shinglesExprSpark).as("shingles"))
+    docShingleHashes(s, d)
       .select(col("doc_id") +: sigs: _*)
       .select(col("doc_id") +: bands: _*)
   }
 
   val minhashBandsOracle: String = {
     val sigs = (0 until NumHashes).map(j => s"${sigExprDuck(j)} AS sig$j")
-    val bands = bandCols(j => s"sig$j").zipWithIndex
+    val bands = bandExprs(j => s"sig$j").zipWithIndex
       .map { case (e, b) => s"$e AS band_$b" }
-    s"""WITH corpus AS ($corpusSql),
-       | w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
-       | sh AS (SELECT doc_id, $shinglesExprDuck AS shingles FROM w),
-       | sigs AS (SELECT doc_id, ${sigs.mkString(", ")} FROM sh)
+    s"""WITH $docShingleHashesDuck,
+       | sigs AS (SELECT doc_id, ${sigs.mkString(", ")} FROM docs)
        |SELECT doc_id, ${bands.mkString(", ")} FROM sigs""".stripMargin
   }
 
   /** LSH candidate pairs (shared band bucket) verified by exact n-gram
-    * Jaccard ≥ 0.4 — the full dedup-pair pipeline. */
+    * Jaccard ≥ 0.4 over the hashed shingle sets — the full dedup-pair
+    * pipeline. The shingle-hash array is computed once and reused for the
+    * band index, the per-doc set size (map-side `size()`, no groupBy), and
+    * the intersection join — which matches longs, never n-gram strings. */
   def lshJaccardPairs: Q = (s, d) => {
-    // bands feed a self-join and the shingle set feeds three joins — cache
-    // both so the 12-hash minhash projection runs once, not per branch.
-    val bands = minhashBands(s, d)
-      .select(col("doc_id"), explode(array(
-        (0 until NumBands).map(b => col(s"band_$b")): _*)).as("bk"))
+    // One cached projection carries the hash set, its size, AND the 12
+    // signature minima — the band self-join below would otherwise evaluate
+    // the signature lambdas twice (once per join side).
+    val sigs = (0 until NumHashes).map(j => expr(sigExprSpark(j)).as(s"sig$j"))
+    val docs = docShingleHashes(s, d)
+      .select(Seq(col("doc_id"), col("hs"), size(col("hs")).as("n")) ++ sigs: _*)
       .cache()
+    val bandArr = array(bandExprs(j => s"sig$j").map(expr): _*)
+    val bands = docs.select(col("doc_id"), explode(bandArr).as("bk"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val shingleSet = plantedCorpus(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"), explode(expr(shinglesExprSpark)).as("sh"))
-      .distinct()
-      .cache()
-    val counts = shingleSet.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sh = docs.select(col("doc_id"), explode(col("hs")).as("h"))
     val inter = cand
-      .join(shingleSet.as("x"), col("a_id") === col("x.doc_id"))
-      .join(shingleSet.as("y"),
-        col("b_id") === col("y.doc_id") && col("x.sh") === col("y.sh"))
+      .join(sh.as("x"), col("a_id") === col("x.doc_id"))
+      .join(sh.as("y"),
+        col("b_id") === col("y.doc_id") && col("x.h") === col("y.h"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("ninter"))
+    val counts = docs.select(col("doc_id"), col("n"))
     inter
       .join(counts.as("ca"), col("a_id") === col("ca.doc_id"))
       .join(counts.as("cb"), col("b_id") === col("cb.doc_id"))
@@ -158,19 +194,17 @@ object DedupOps {
 
   val lshJaccardPairsOracle: String = {
     val sigs = (0 until NumHashes).map(j => s"${sigExprDuck(j)} AS sig$j")
-    val bandList = bandCols(j => s"sig$j").mkString(", ")
-    s"""WITH corpus AS ($corpusSql),
-       | w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
-       | shl AS (SELECT doc_id, $shinglesExprDuck AS shingles FROM w),
-       | sigs AS (SELECT doc_id, ${sigs.mkString(", ")} FROM shl),
+    val bandList = bandExprs(j => s"sig$j").mkString(", ")
+    s"""WITH $docShingleHashesDuck,
+       | cnt AS (SELECT doc_id, len(hs) AS n FROM docs),
+       | sigs AS (SELECT doc_id, ${sigs.mkString(", ")} FROM docs),
        | bands AS (SELECT doc_id, unnest([$bandList]) AS bk FROM sigs),
        | cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |   FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-       | shd AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM shl),
-       | cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       | shd AS (SELECT doc_id, unnest(hs) AS h FROM docs),
        | inter AS (SELECT c.a_id, c.b_id, count(*) AS ninter FROM cand c
        |   JOIN shd x ON x.doc_id = c.a_id
-       |   JOIN shd y ON y.doc_id = c.b_id AND y.sh = x.sh
+       |   JOIN shd y ON y.doc_id = c.b_id AND y.h = x.h
        |   GROUP BY c.a_id, c.b_id)
        |SELECT a_id, b_id,
        | round(ninter / CAST(ca.n + cb.n - ninter AS DOUBLE), 6) AS jaccard
