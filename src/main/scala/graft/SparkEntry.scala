@@ -84,6 +84,7 @@ object SparkEntry {
     "w9_asof_join" -> graft.operators.AsOfJoin.errorsAfterSignup,
     // §2.10 streaming batch-equivalent
     "s1_hourly_events" -> Relational.hourlyEvents,
+    "s2_sliding_events" -> Relational.slidingEvents,
     // vector similarity (O3/O4/F10 + ANN scale path)
     "v1_cosine_topk" -> VectorOps.cosineTopK,
     "v2_ivf_topk" -> VectorOps.ivfTopK,
@@ -94,16 +95,22 @@ object SparkEntry {
     "t2_lang_id" -> TextOps.langId,
     "t3_quality_score" -> TextOps.qualityScore,
     "t4_fingerprint" -> TextOps.fingerprint,
+    "t5_token_count" -> TextOps.tokenCount,
     // dedup pipeline (D-ops + MinHash/LSH/SimHash)
     "dd1_exact_dedup" -> DedupOps.exactDedup,
     "dd2_minhash_bands" -> DedupOps.minhashBands,
     "dd3_lsh_jaccard_pairs" -> DedupOps.lshJaccardPairs,
     "dd4_simhash" -> DedupOps.simhash,
     "dd5_rank_upsert" -> RankDedup.rankUpsertQuery,
+    "dd6_simhash_pairs" -> DedupOps.simhashPairs,
     // multimodal plumbing (binary payload + typed metadata + stub decode)
     "mm1_media_features" -> ((s, d) => Multimodal.featureFrame(s, d)
       .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
         size(col("embedding")).as("feature_dim"))),
+    "mm2_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.mediaTable(s, d)).toDF()
+        .select(col("media_id"), col("frame_idx"),
+          org.apache.spark.sql.functions.md5(col("frame")).as("frame_md5"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -383,6 +390,14 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         | count(*) AS n, round(sum(value), 2) AS total_value
         | FROM events GROUP BY 1, 2""".stripMargin,
+    "s2_sliding_events" ->
+      """SELECT w_start, w_start + INTERVAL '1 hour' AS w_end,
+        | count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM (SELECT value,
+        |  time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+        |   AS w_start
+        | FROM events CROSS JOIN UNNEST(range(0, 4)) AS t(k))
+        |GROUP BY w_start""".stripMargin,
     "v1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         | p AS (SELECT v AS p FROM e WHERE vec_id = 0)
@@ -426,11 +441,13 @@ object SparkEntry {
     "t2_lang_id" -> TextOps.oracle("t2_lang_id"),
     "t3_quality_score" -> TextOps.oracle("t3_quality_score"),
     "t4_fingerprint" -> TextOps.oracle("t4_fingerprint"),
+    "t5_token_count" -> TextOps.oracle("t5_token_count"),
     "dd1_exact_dedup" -> DedupOps.exactDedupOracle,
     "dd2_minhash_bands" -> DedupOps.minhashBandsOracle,
     "dd3_lsh_jaccard_pairs" -> DedupOps.lshJaccardPairsOracle,
     "dd4_simhash" -> DedupOps.simhashOracle,
     "dd5_rank_upsert" -> RankDedup.oracle,
+    "dd6_simhash_pairs" -> DedupOps.simhashPairsOracle,
     "mm1_media_features" ->
       """SELECT doc_id AS media_id,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -439,5 +456,15 @@ object SparkEntry {
         | sha256(text) AS checksum,
         | CAST(16 AS INTEGER) AS feature_dim
         |FROM documents""".stripMargin,
+    // frames = 64-byte stride windows over the payload, kept if >= 32 bytes,
+    // truncated to 32 (Multimodal.sampleFrames defaults); payload is the
+    // ASCII text, so byte windows == substr windows.
+    "mm2_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+        | md5(substr(text, CAST(i*64+1 AS INTEGER), 32)) AS frame_md5
+        |FROM documents
+        | CROSS JOIN UNNEST(range(0, CAST(ceil(length(text)/64.0) AS BIGINT)))
+        |  AS t(i)
+        |WHERE length(text) - i*64 >= 32""".stripMargin,
   )
 }

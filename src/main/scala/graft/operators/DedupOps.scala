@@ -221,31 +221,130 @@ object DedupOps {
 
   private def contribExpr(wh: String, b: Int): String =
     s"CASE WHEN ($wh & ${1L << b}) != 0 THEN 1 ELSE -1 END"
-  private def simhashExpr: String =
-    (0 until SimBits).map(b =>
-      s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
 
-  /** SimHash: 24-bit per-document fingerprint from word-hash bit votes
-    * (weighted by word frequency). Near-dups differ in few bits. */
-  def simhash: Q = (s, d) => {
-    val sums = (0 until SimBits).map(b =>
+  /** SimHash core over any (doc_id, text) frame: `bits`-wide fingerprint
+    * from word-hash bit votes (weighted by word frequency); `whSql` maps the
+    * hex word hash `h` to the integer whose low `bits` are voted on. */
+  private def simhashOf(df: DataFrame, bits: Int, whSql: String): DataFrame = {
+    val sums = (0 until bits).map(b =>
       sum(expr(contribExpr("wh", b))).as(s"s_$b"))
-    documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val fp = (0 until bits).map(b =>
+      s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    df.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .select(col("doc_id"), md5(col("word")).as("h"))
-      .select(col("doc_id"), expr(hexDigitsSpark.mkString(" + ")).as("wh"))
+      .select(col("doc_id"), expr(whSql).as("wh"))
       .groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), expr(simhashExpr).cast("bigint").as("simhash"))
+      .select(col("doc_id"), expr(fp).cast("bigint").as("simhash"))
   }
 
-  val simhashOracle: String = {
-    val sums = (0 until SimBits).map(b =>
+  /** SimHash: per-document fingerprint; near-dups differ in few bits. */
+  def simhash: Q = (s, d) =>
+    simhashOf(documents(s, d).select(col("doc_id"), col("text")),
+      SimBits, hexDigitsSpark.mkString(" + "))
+
+  /** IDF-weighted 48-bit SimHash (the Manku/Charikar form: features carry
+    * weights, not raw counts). Unweighted simhash degenerates on a
+    * distribution-homogeneous corpus — the shared common-word majority sets
+    * every bit the same way (measured: 33 identical 48-bit fingerprints
+    * among 531 fixture docs) — so words are weighted by integer IDF bucket:
+    * df ≤ N/20 → 4, df ≤ N/5 → 2, else 1. Integer weights keep the vote
+    * sums associativity-free, so Spark and DuckDB agree bit-for-bit.
+    * At 100 TB the df table is the corpus vocabulary (small; broadcast) —
+    * or a fixed common-word list, removing the df pass entirely. */
+  private def weightedSimhash48(df: DataFrame): DataFrame = {
+    val bits = 48
+    val sums = (0 until bits).map(b =>
+      sum(expr(s"CASE WHEN (wh & ${1L << b}) != 0 THEN w ELSE -w END"))
+        .as(s"s_$b"))
+    val fp = (0 until bits).map(b =>
+      s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    val words = df
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    // corpus size and document frequency without countDistinct: every doc
+    // has >= 1 word, and df(word) = row count over per-doc-distinct words.
+    val n = df.agg(count(lit(1)).as("nd"))
+    val dfreq = df
+      .select(explode(array_distinct(split(col("text"), " "))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("df_"))
+    words.join(broadcast(dfreq), "word").crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(word), 1, 12), 16, 10) as bigint)")
+          .as("wh"),
+        expr("CASE WHEN df_ * 20 <= nd THEN 4 WHEN df_ * 5 <= nd THEN 2 ELSE 1 END")
+          .as("w"))
+      .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), expr(fp).cast("bigint").as("simhash"))
+  }
+
+  /** SimHash dedup pairs: block on 8-bit chunks of the weighted 48-bit
+    * fingerprint (6 chunks; the pigeonhole guarantees any pair within
+    * Hamming distance 5 shares an intact chunk), then verify
+    * bit_count(xor) ≤ 5 on candidates only — index-then-verify entirely in
+    * integer ops, the same shape as the MinHash/LSH pipeline. */
+  def simhashPairs: Q = (s, d) => {
+    val sh = weightedSimhash48(plantedCorpus(s, d)).cache()
+    // the fingerprint rides along into the chunk self-join, so Hamming is
+    // verified inline on candidates and only the (tiny) survivor set is
+    // deduplicated — no wide candidate distinct, no back-joins.
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 5), c -> shiftright(simhash, c * 8) & 255)"))
+        .as(Seq("c", "ck")))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.ck") === col("b.ck") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+      .filter(col("hamming") <= 5)
+      .distinct()
+  }
+
+  /** DuckDB CTE chain ending in sh(doc_id, simhash) over `source`, matching
+    * [[simhashOf]] with the same `bits`/word-hash parameters. */
+  private def simhashCtes(source: String, bits: Int, whSql: String): String = {
+    val sums = (0 until bits).map(b =>
       s"sum(${contribExpr("wh", b)}) AS s_$b")
-    s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-       |  FROM documents),
+    val fp = (0 until bits).map(b =>
+      s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM $source),
        | hashes AS (SELECT doc_id, md5(word) AS h FROM words),
-       | wh AS (SELECT doc_id, ${hexDigitsDuck.mkString(" + ")} AS wh FROM hashes),
-       | votes AS (SELECT doc_id, ${sums.mkString(", ")} FROM wh GROUP BY doc_id)
-       |SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash FROM votes""".stripMargin
+       | wh AS (SELECT doc_id, $whSql AS wh FROM hashes),
+       | votes AS (SELECT doc_id, ${sums.mkString(", ")} FROM wh GROUP BY doc_id),
+       | sh AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)""".stripMargin
+  }
+
+  val simhashOracle: String =
+    s"""WITH ${simhashCtes("documents", SimBits, hexDigitsDuck.mkString(" + "))}
+       |SELECT doc_id, simhash FROM sh""".stripMargin
+
+  val simhashPairsOracle: String = {
+    val bits = 48
+    val sums = (0 until bits).map(b =>
+      s"sum(CASE WHEN (wh & ${1L << b}) != 0 THEN w ELSE -w END) AS s_$b")
+    val fp = (0 until bits).map(b =>
+      s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH corpus AS ($corpusSql),
+       | words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |   FROM corpus),
+       | n AS (SELECT count(*) AS nd FROM corpus),
+       | dfreq AS (SELECT word, count(*) AS df_ FROM (
+       |   SELECT unnest(list_distinct(string_split(text, ' '))) AS word
+       |   FROM corpus) GROUP BY word),
+       | ww AS (SELECT w.doc_id,
+       |   ('0x' || substr(md5(w.word), 1, 12))::BIGINT AS wh,
+       |   CASE WHEN df_ * 20 <= nd THEN 4 WHEN df_ * 5 <= nd THEN 2
+       |    ELSE 1 END AS w
+       |   FROM words w JOIN dfreq ON w.word = dfreq.word CROSS JOIN n),
+       | votes AS (SELECT doc_id, ${sums.mkString(", ")} FROM ww
+       |   GROUP BY doc_id),
+       | sh AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes),
+       | chunks AS (SELECT doc_id, simhash, c, (simhash >> (c * 8)) & 255 AS ck
+       |   FROM sh CROSS JOIN UNNEST(range(0, 6)) AS t(c))
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       | CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM chunks a JOIN chunks b
+       | ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""".stripMargin
   }
 }

@@ -538,4 +538,15 @@ object Relational {
       .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+
+  /** §2.10 sliding window (1 h window, 15 min slide): each event lands in 4
+    * overlapping windows. Spark's `window()` generator expands in the map
+    * stage, so the only shuffle is the final per-window aggregation — same
+    * plan shape under readStream with a watermark. */
+  def slidingEvents: Q = (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("n"), col("total_value"))
 }

@@ -77,6 +77,25 @@ object TextOps {
           col("uniq_ratio") * 0.3 +
           least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3, 8))
 
+  /** BPE-ish tokenizer regex: a leading-space-attached run of letters, of
+    * digits, or of other symbols — the GPT-2 pretokenizer shape reduced to
+    * the fixture's ASCII alphabet. Identical semantics in Java regex (Spark)
+    * and RE2 (DuckDB): disjoint character classes, leftmost-first. */
+  val BpeTokenRegex = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens + chars per
+    * token — the budget arithmetic every training pipeline runs per doc.
+    * Single narrow projection, no shuffle. */
+  def tokenCount: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(expr(s"regexp_extract_all(text, '$BpeTokenRegex', 0)"))
+          .as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_chars") / col("n_bpe_tokens").cast("double"), 6))
+
   /** Document fingerprinting: content hash + rolling min-hash over 8-char and
     * 16-char grams (winnowing-lite), all inside one codegen'd projection. */
   def fingerprint: Q = (s, d) =>
@@ -120,6 +139,15 @@ object TextOps {
         | CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_alpha_tokens,
         | round(len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is'))) / CAST(len(words) AS DOUBLE), 6) AS stop_ratio
         |FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents))""".stripMargin,
+    "t5_token_count" ->
+      s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+         | CAST(len(regexp_extract_all(text, '$BpeTokenRegex')) AS INTEGER)
+         |  AS n_bpe_tokens,
+         | round(length(text) /
+         |  CAST(len(regexp_extract_all(text, '$BpeTokenRegex')) AS DOUBLE), 6)
+         |  AS chars_per_token
+         |FROM documents""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_hash,
         | list_min(list_transform(range(1, greatest(length(text)-7, 1) + 1),

@@ -35,6 +35,13 @@ class DedupSpec extends SparkSpec {
     assert(plantedPairs.nonEmpty && plantedPairs.forall(_._3 > 0.6))
   }
 
+  test("weighted simhash pairs recover planted near-dups within hamming 5") {
+    val pairs = DedupOps.simhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty && pairs.forall(_._3 <= 5))
+    assert(pairs.exists { case (a, b, _) => b == a + 100000 })
+  }
+
   test("simhash is deterministic and near-uniform across docs") {
     val h1 = DedupOps.simhash(spark, sf).orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
