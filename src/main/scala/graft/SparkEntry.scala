@@ -90,6 +90,7 @@ object SparkEntry {
     "v2_ivf_topk" -> VectorOps.ivfTopK,
     "v3_neardup_embeddings" -> VectorOps.nearDupPairs,
     "v4_knn_join" -> VectorOps.knnJoin,
+    "v5_kmeans_ivf" -> VectorOps.kmeansIvf,
     // text analysis (F6/F9 + pipeline ops)
     "t1_word_chunks" -> TextOps.wordChunks,
     "t2_lang_id" -> TextOps.langId,
@@ -112,6 +113,11 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx"),
           org.apache.spark.sql.functions.md5(col("frame")).as("frame_md5"))),
   )
+
+  /** Queries with no SQL-expressible oracle (iterative / float-summing
+    * training loops): the driver contract records a weaker rows-only check
+    * for these; everything else MUST have an oracleSql entry. */
+  val rowsOnlyQueries: Set[String] = Set("v5_kmeans_ivf")
 
   def oracleSql: Map[String, String] = Map(
     "p1_scan_projection" ->

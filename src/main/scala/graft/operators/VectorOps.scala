@@ -65,6 +65,54 @@ object VectorOps {
       .limit(10)
   }
 
+  /** IVF with LEARNED centroids: k-means (Lloyd's, fixed iterations, cosine
+    * assignment) trained in pure DataFrame ops, then probe the top-2 cells
+    * and score exactly only there — the real ANN index-build shape, vs
+    * [[ivfTopK]]'s label-as-quantizer stand-in.
+    *
+    * Scale: assignment is one broadcast of k centroids against a scan (no
+    * shuffle); the centroid update is one shuffle of (cid, dim) partial
+    * sums. At 100 TB the final assignment is written as a partition column,
+    * so probing top-p cells is partition pruning — the query reads p/k of
+    * the data. Iterative and float-summing, so no DuckDB oracle: the driver
+    * records the rows-only check (see SparkEntry.rowsOnlyQueries). */
+  def kmeansIvf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val K = 8; val Iters = 3; val Probes = 2; val TopK = 10
+    val e = vecs(s, d).cache()
+    // deterministic init: the first K vectors seed the centroids
+    var cent = e.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+    def assign(centroids: org.apache.spark.sql.DataFrame) = e
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("cid"),
+        expr("cosine_sim(v, c)").as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("sim"), col("cid"))))
+      .filter(col("rn") === 1)
+    for (_ <- 1 to Iters) {
+      cent = assign(cent)
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cid", "i").agg(avg("x").as("cx"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(i, cx))), t -> t.cx)")
+          .as("c"))
+        .cache()
+    }
+    val probe = e.filter(col("vec_id") === 1).select(col("v").as("p"))
+    val topCells = cent.crossJoin(broadcast(probe))
+      .select(col("cid"), expr("cosine_sim(c, p)").as("csim"))
+      .orderBy(desc("csim"), col("cid")).limit(Probes)
+    assign(cent)
+      .join(broadcast(topCells.select("cid")), Seq("cid"))
+      .crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 1)
+      .select(col("vec_id"), col("cid"),
+        round(expr("cosine_sim(v, p)"), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(TopK)
+  }
+
   /** Batch k-NN join: top-3 neighbors for EVERY vector (label-blocked) —
     * the all-pairs similarity-search shape a training pipeline runs, vs the
     * single-probe top-k of [[cosineTopK]]. The block key bounds the pair

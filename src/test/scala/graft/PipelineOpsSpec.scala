@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.operators.{Relational, TextOps, VectorOps}
+
+/** Invariants for the round-2 pipeline operators (beyond the DuckDB
+  * hash-match): structural properties that must hold at any scale. */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("sliding windows cover each event exactly 4 times (1h/15min)") {
+    val nEvents = Tables.load(spark, sf, "events").count()
+    val total = Relational.slidingEvents(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(total == 4 * nEvents)
+  }
+
+  test("token counts are positive and bounded by character count") {
+    val r = TextOps.tokenCount(spark, sf).cache()
+    assert(r.filter(col("n_bpe_tokens") <= 0 || col("n_ws_tokens") <= 0)
+      .count() == 0)
+    // every token consumes at least one char, so counts can't exceed chars
+    assert(r.filter(col("n_bpe_tokens") > col("n_chars")).count() == 0)
+    assert(r.filter(col("n_ws_tokens") > col("n_chars")).count() == 0)
+    assert(r.filter(col("chars_per_token") <= 0).count() == 0)
+  }
+
+  test("frame sampling yields fixed 32-byte frames incl. frame 0 per media") {
+    val frames = Multimodal.sampleFrames(Multimodal.mediaTable(spark, sf))
+    assert(frames.filter(_.frame.length != 32).count() == 0)
+    val nMedia = Multimodal.mediaTable(spark, sf)
+      .filter(_.payload.length >= 32).count()
+    assert(frames.filter(_.frame_idx == 0).count() == nMedia)
+  }
+
+  test("kmeans ivf: top-10 from at most 2 probed cells, sims in [-1,1]") {
+    val rows = VectorOps.kmeansIvf(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    assert(rows.map(_.getInt(1)).distinct.length <= 2)
+    assert(!rows.map(_.getLong(0)).contains(1L)) // probe excluded
+  }
+}

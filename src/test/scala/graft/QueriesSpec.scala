@@ -8,10 +8,12 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has a matching oracle entry") {
+  test("every query has a matching oracle entry or is declared rows-only") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert(q == o, s"missing oracles: ${q.diff(o)}; dangling: ${o.diff(q)}")
+    assert(o.subsetOf(q), s"dangling oracles: ${o.diff(q)}")
+    assert(q.diff(o) == SparkEntry.rowsOnlyQueries,
+      s"queries missing an oracle and not declared rows-only: ${q.diff(o).diff(SparkEntry.rowsOnlyQueries)}")
   }
 
   test("all queries execute and return rows at sf0.001") {
