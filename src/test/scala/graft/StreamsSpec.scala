@@ -30,6 +30,23 @@ class StreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming sliding window matches the s2 batch query") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = eventsBatch
+      .as[(Timestamp, Long, String, Double)].collect().toSeq
+    val ms = MemoryStream[(Timestamp, Long, String, Double)]
+    ms.addData(data)
+    val streamDf = ms.toDF().toDF("ts", "user_id", "event_type", "value")
+    Streams.runToMemory(spark, Streams.slidingCounts(streamDf), "slide_out")
+    val got = spark.sql(
+      "SELECT wstart, CAST(sum(n) AS BIGINT) FROM slide_out GROUP BY wstart")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    val want = graft.operators.Relational.slidingEvents(spark, sf)
+      .select(col("w_start").cast("timestamp"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("session_window streaming agg partitions all events") {
     implicit val sqlCtx = spark.sqlContext
     val data = eventsBatch
