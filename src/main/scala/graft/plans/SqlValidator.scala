@@ -61,9 +61,17 @@ object SqlValidator {
     if (writeShaped)
       return Left("rejected: not a read-only query (command/DDL/DML)")
 
+    // CTE aliases are relations the query itself defines — WITH t AS (...)
+    // SELECT FROM t must not be rejected for referencing `t`; the CTE BODY
+    // is still walked (its nodes are children), so a forbidden relation
+    // inside the definition is caught regardless.
+    val cteDefined = allNodes.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
     val rels = allNodes.collect {
       case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
-    }.toSet
+    }.toSet.diff(cteDefined)
     val badRels = rels.diff(allowedRelations.map(_.toLowerCase))
     if (badRels.nonEmpty)
       return Left(s"rejected: unknown relations ${badRels.mkString(", ")}")

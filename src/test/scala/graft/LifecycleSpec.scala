@@ -52,6 +52,20 @@ class LifecycleSpec extends SparkSpec {
       "SELECT id FROM df WHERE id IN (SELECT id FROM df)").isRight)
   }
 
+  test("validator accepts CTE aliases but still checks CTE bodies") {
+    val es = session()
+    assert(es.runValidatedSql(
+      "WITH t AS (SELECT id FROM df) SELECT * FROM t").isRight)
+    // nested: CTE referencing an earlier CTE
+    assert(es.runValidatedSql(
+      "WITH a AS (SELECT id FROM df), b AS (SELECT * FROM a) SELECT * FROM b")
+      .isRight)
+    // a forbidden relation inside the CTE body is still rejected
+    val bad = es.runValidatedSql(
+      "WITH t AS (SELECT x FROM secrets) SELECT * FROM t")
+    assert(bad.isLeft && bad.left.exists(_.contains("secrets")))
+  }
+
   test("validator denies reflect/java_method even though they are builtins") {
     val top = SqlValidator.validate(spark,
       "SELECT reflect('java.lang.System','getenv','PATH')", Set.empty)
