@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up probe: synthesizes a 10x copy of the sf0.1 fixtures (keys
+  * offset per copy so group/join/session cardinalities scale with the data,
+  * matching how a larger TPC-H SF behaves), then times headline queries at
+  * 1x and 10x and prints per-query scaling ratios as one JSON line.
+  *
+  * Purpose: turn the "would this plan survive a scale-up?" review question
+  * into a measurement. A query whose ratio tracks the 10x data growth is
+  * scan/shuffle-linear; a super-linear ratio exposes a fixed-cardinality
+  * blocking key or a driver-side bottleneck. Writes only under target/.
+  *
+  * Usage: runMain graft.ScaleProbe [baseSfDir] [outDir]
+  */
+object ScaleProbe {
+
+  private val Copies = 10
+
+  private def synth(spark: SparkSession, base: String, out: String): Unit = {
+    val copies = spark.range(Copies).select(col("id").as("cp"))
+    def widen(name: String, keyShifts: Map[String, Long]): Unit = {
+      val t = Tables.load(spark, base, name)
+      val shifted = keyShifts.foldLeft(t.crossJoin(copies)) {
+        case (df, (c, stride)) => df.withColumn(c, col(c) + col("cp") * stride)
+      }.drop("cp")
+      shifted.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    // strides exceed each key's sf0.1 range so copies never collide
+    widen("lineitem", Map("l_orderkey" -> 10000000L))
+    widen("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+    widen("customer", Map("c_custkey" -> 1000000L))
+    widen("events", Map("event_id" -> 100000000L, "user_id" -> 100000L))
+    widen("documents", Map("doc_id" -> 1000000L))
+    // small dims are shared, copied as-is
+    Seq("part", "supplier", "nation", "region", "embeddings").foreach { n =>
+      Tables.load(spark, base, n).write.mode("overwrite")
+        .parquet(s"$out/$n.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "target/sfx10"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    synth(spark, base, out)
+
+    val probes = Seq("a1_group_multi_agg", "a12_pricing_summary",
+      "j3_brand_revenue", "o6_topk_per_group", "w8_sessionize",
+      "dd1_exact_dedup", "dd3_lsh_jaccard_pairs", "t3_quality_score",
+      "s1_hourly_events")
+    def time(fn: (SparkSession, String) => DataFrame, d: String): Double = {
+      fn(spark, d).count() // warm: codegen/JIT for this plan shape
+      val t0 = System.nanoTime()
+      fn(spark, d).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = probes.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t1 = time(fn, base)
+      val t10 = time(fn, out)
+      (name, t1, t10, t10 / t1)
+    }
+    val qs = rows.map { case (n, t1, t10, r) =>
+      f""""$n":{"t1x":$t1%.3f,"t10x":$t10%.3f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","copies":$Copies,"queries":$qs}""")
+    spark.stop()
+  }
+}

@@ -31,9 +31,14 @@ object Tables {
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path(sfDir, name))
-        .withColumn("ts",
+      val raw = spark.read.parquet(path(sfDir, name))
+      // driver fixtures carry ns timestamps read as raw longs; re-written
+      // copies (e.g. ScaleProbe's synthesized dirs) are already NTZ
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => raw.withColumn("ts",
           expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+        case _ => raw
+      }
     } else spark.read.parquet(path(sfDir, name))
   }
 
