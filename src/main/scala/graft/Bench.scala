@@ -7,9 +7,10 @@ import org.apache.spark.sql.SparkSession
   * the first pass absorbs one-time driver costs (Janino whole-stage-codegen
   * compilation, JIT, parquet footer reads) that are constant per query text,
   * so the timed pass measures steady-state execution — which is what a
-  * 100 TB projection scales from. The timed run re-does all data work: each
-  * invocation builds a fresh DataFrame, so internal .cache() calls do not
-  * carry results across passes (verified: dd3 re-runs its full pipeline). */
+  * 100 TB projection scales from. The timed run re-does all data work:
+  * operator-internal materializations use localCheckpoint (never matched
+  * across invocations), and the plan cache is cleared before each timed
+  * query so no warmup-pass cache() result can be silently reused. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,10 +28,16 @@ object Bench {
     named.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // pass 2: timed. A query that throws reports -1 (never a plausible
-    // wall-clock) and is listed in "errors", so a broken query cannot hide
-    // in a healthy JSON.
+    // pass 2: timed. clearCache() before every timed query: Spark's
+    // CacheManager matches by canonicalized plan, so without it a query
+    // whose pipeline calls .cache() would silently reuse the warmup pass's
+    // materialization and under-report its cost (operator internals use
+    // localCheckpoint, which cannot be plan-matched, but this guards any
+    // future cache() too). A query that throws reports -1 (never a
+    // plausible wall-clock) and is listed in "errors", so a broken query
+    // cannot hide in a healthy JSON.
     val results = named.map { case (name, fn) =>
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }

@@ -60,6 +60,8 @@ object ScaleProbe {
       "s1_hourly_events")
     def time(fn: (SparkSession, String) => DataFrame, d: String): Double = {
       fn(spark, d).count() // warm: codegen/JIT for this plan shape
+      // the timed run must not reuse the warmup's materializations
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       fn(spark, d).count()
       (System.nanoTime() - t0) / 1e9

@@ -82,11 +82,15 @@ object DedupOps {
   private def sigExprDuck(j: Int) = sigExpr("list", j)
 
   /** Band key = the band's signature triple, separator-joined (no hashing
-    * needed — only equality structure matters for bucketing). */
+    * needed — only equality structure matters for bucketing). `||` rather
+    * than concat_ws: both engines' `||` PROPAGATES null, so a null-text
+    * document gets null band keys and is null-filtered out of the equi
+    * self-join instead of colliding every null doc into one '' bucket
+    * (concat_ws skips nulls — an O(nulls²) blow-up at corpus scale). */
   private def bandExprs(sig: Int => String): Seq[String] =
     (0 until NumBands).map { b =>
       val parts = (0 until BandSize).map(k => sig(b * BandSize + k))
-      s"concat_ws('|', ${parts.mkString(", ")})"
+      "(" + parts.mkString(" || '|' || ") + ")"
     }
 
   /** Shared front of the MinHash pipeline: doc_id + distinct shingle-hash
@@ -162,13 +166,17 @@ object DedupOps {
     * band index, the per-doc set size (map-side `size()`, no groupBy), and
     * the intersection join — which matches longs, never n-gram strings. */
   def lshJaccardPairs: Q = (s, d) => {
-    // One cached projection carries the hash set, its size, AND the 12
-    // signature minima — the band self-join below would otherwise evaluate
-    // the signature lambdas twice (once per join side).
+    // One materialized-once projection carries the hash set, its size, AND
+    // the 12 signature minima — the band self-join below would otherwise
+    // evaluate the signature lambdas twice (once per join side).
+    // localCheckpoint, not cache(): blocks are released when the plan is
+    // GC'd (no CacheManager entry leaked per invocation) and a later
+    // invocation can never silently reuse an earlier one's materialization
+    // through plan-equality matching.
     val sigs = (0 until NumHashes).map(j => expr(sigExprSpark(j)).as(s"sig$j"))
     val docs = docShingleHashes(s, d)
       .select(Seq(col("doc_id"), col("hs"), size(col("hs")).as("n")) ++ sigs: _*)
-      .cache()
+      .localCheckpoint(eager = false)
     val bandArr = array(bandExprs(j => s"sig$j").map(expr): _*)
     val bands = docs.select(col("doc_id"), explode(bandArr).as("bk"))
     val cand = bands.as("a").join(bands.as("b"),
@@ -282,7 +290,8 @@ object DedupOps {
     * bit_count(xor) ≤ 5 on candidates only — index-then-verify entirely in
     * integer ops, the same shape as the MinHash/LSH pipeline. */
   def simhashPairs: Q = (s, d) => {
-    val sh = weightedSimhash48(plantedCorpus(s, d)).cache()
+    val sh = weightedSimhash48(plantedCorpus(s, d))
+      .localCheckpoint(eager = false)
     // the fingerprint rides along into the chunk self-join, so Hamming is
     // verified inline on candidates and only the (tiny) survivor set is
     // deduplicated — no wide candidate distinct, no back-joins.

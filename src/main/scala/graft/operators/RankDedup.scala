@@ -41,14 +41,18 @@ object RankDedup {
       .join(store.select(col("id").as("sid"), col("v").as("sv"),
         col("rank").as("srank")), sim >= StrongThreshold)
       .withColumn("msim", sim)
-    // best feeds both the accept and the replace branch — cache it so the
-    // similarity nested-loop join (the expensive part) runs once, not twice.
+    // best feeds both the accept and the replace branch — materialize it
+    // once so the similarity nested-loop join (the expensive part) doesn't
+    // run twice. localCheckpoint rather than cache(): upsert runs once per
+    // conversation turn (EpisodicMemory.store), and a cache() entry per
+    // call would accumulate in the CacheManager for the session's lifetime;
+    // checkpoint blocks are released when the plan is GC'd.
     val best = matches
       .withColumn("rn", row_number().over(
         Window.partitionBy("cid").orderBy(desc("msim"), col("sid"))))
       .filter(col("rn") === 1)
       .select(col("cid"), col("crank"), col("sid"), col("srank"))
-      .cache()
+      .localCheckpoint(eager = false)
     val eligible = cand.filter(col("rank") >= MinRank)
     val accepted = eligible.join(best, eligible("id") === best("cid"), "left")
       .filter(col("cid").isNull || col("rank") > col("srank"))

@@ -79,7 +79,10 @@ object VectorOps {
   def kmeansIvf: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val K = 8; val Iters = 3; val Probes = 2; val TopK = 10
-    val e = vecs(s, d).cache()
+    // localCheckpoint: compute-once without leaking CacheManager entries
+    // per invocation; for `cent` it also truncates the per-iteration
+    // lineage, the standard iterative-algorithm pattern.
+    val e = vecs(s, d).localCheckpoint(eager = false)
     // deterministic init: the first K vectors seed the centroids
     var cent = e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
@@ -97,7 +100,7 @@ object VectorOps {
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(i, cx))), t -> t.cx)")
           .as("c"))
-        .cache()
+        .localCheckpoint(eager = false)
     }
     val probe = e.filter(col("vec_id") === 1).select(col("v").as("p"))
     val topCells = cent.crossJoin(broadcast(probe))

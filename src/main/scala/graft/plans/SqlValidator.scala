@@ -26,7 +26,7 @@ object SqlValidator {
     * env into results), so registry membership alone is not a safety proof.
     * Session/env introspection builtins are denied for the same reason. */
   val DeniedBuiltins: Set[String] = Set(
-    "reflect", "java_method",
+    "reflect", "java_method", "try_reflect",
     "current_user", "session_user", "user", "current_database",
     "current_catalog", "current_schema", "input_file_name")
 
@@ -61,18 +61,38 @@ object SqlValidator {
     if (writeShaped)
       return Left("rejected: not a read-only query (command/DDL/DML)")
 
-    // CTE aliases are relations the query itself defines — WITH t AS (...)
-    // SELECT FROM t must not be rejected for referencing `t`; the CTE BODY
-    // is still walked (its nodes are children), so a forbidden relation
-    // inside the definition is caught regardless.
-    val cteDefined = allNodes.collect {
+    // Relations are gathered with a SCOPED walk: a CTE alias (WITH t AS ...)
+    // exempts references to `t` only inside that WITH's subtree — and each
+    // CTE definition only sees aliases defined before it. A global exemption
+    // would let a CTE named like a real view in one subquery scope excuse a
+    // reference to the actual view in a sibling scope. Only single-part
+    // references can resolve to a CTE; qualified names are always checked.
+    val rels = scala.collection.mutable.Set.empty[String]
+    def walkPlan(p: LogicalPlan, scope: Set[String]): Unit = p match {
       case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-        w.cteRelations.map(_._1.toLowerCase)
-    }.flatten.toSet
-    val rels = allNodes.collect {
-      case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
-    }.toSet.diff(cteDefined)
-    val badRels = rels.diff(allowedRelations.map(_.toLowerCase))
+        var s = scope
+        w.cteRelations.foreach { case (name, defn, _) =>
+          walkPlan(defn, s)
+          s += name.toLowerCase
+        }
+        walkPlan(w.child, s)
+      case r: UnresolvedRelation =>
+        val parts = r.multipartIdentifier
+        if (!(parts.length == 1 && scope.contains(parts.head.toLowerCase)))
+          rels += parts.last.toLowerCase
+      case other =>
+        other.children.foreach(walkPlan(_, scope))
+        other.expressions.foreach(_.foreach {
+          case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+            pe.plan match {
+              case lp: LogicalPlan => walkPlan(lp, scope)
+              case _ =>
+            }
+          case _ =>
+        })
+    }
+    walkPlan(plan, Set.empty)
+    val badRels = rels.toSet.diff(allowedRelations.map(_.toLowerCase))
     if (badRels.nonEmpty)
       return Left(s"rejected: unknown relations ${badRels.mkString(", ")}")
 
@@ -95,7 +115,7 @@ object SqlValidator {
     if (unknown.nonEmpty)
       return Left(s"rejected: non-allow-listed functions ${unknown.mkString(", ")}")
 
-    Right(Validated(plan, rels, fns))
+    Right(Validated(plan, rels.toSet, fns))
   }
 }
 

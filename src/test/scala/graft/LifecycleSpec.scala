@@ -66,6 +66,26 @@ class LifecycleSpec extends SparkSpec {
     assert(bad.isLeft && bad.left.exists(_.contains("secrets")))
   }
 
+  test("CTE exemption is scoped: sibling-scope references are still checked") {
+    val es = session()
+    // a CTE named like a real view inside ONE subquery must not excuse a
+    // reference to the actual view in a SIBLING scope
+    val r = graft.plans.SqlValidator.validate(spark,
+      "SELECT (WITH df AS (SELECT 1 AS id) SELECT max(id) FROM df) + " +
+        "(SELECT max(id) FROM df)",
+      allowedRelations = Set.empty)
+    assert(r.isLeft && r.left.exists(_.contains("df")))
+    // and calculate() stays closed to the same trick
+    import graft.functions.ScalarExtras
+    assert(ScalarExtras.calculate(spark,
+      "(WITH df AS (SELECT 1 AS id) SELECT max(id) FROM df) + (SELECT max(id) FROM df)").isLeft)
+    // try_reflect is denied like reflect
+    val tr = graft.plans.SqlValidator.validate(spark,
+      "SELECT try_reflect('java.lang.System','getenv','PATH')", Set.empty)
+    assert(tr.isLeft)
+    assert(es != null)
+  }
+
   test("validator denies reflect/java_method even though they are builtins") {
     val top = SqlValidator.validate(spark,
       "SELECT reflect('java.lang.System','getenv','PATH')", Set.empty)
