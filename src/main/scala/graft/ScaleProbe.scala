@@ -55,9 +55,9 @@ object ScaleProbe {
     synth(spark, base, out)
 
     val probes = Seq("a1_group_multi_agg", "a12_pricing_summary",
-      "j3_brand_revenue", "o6_topk_per_group", "w8_sessionize",
-      "dd1_exact_dedup", "dd3_lsh_jaccard_pairs", "t3_quality_score",
-      "s1_hourly_events")
+      "j2_temporal_join", "j3_brand_revenue", "o6_topk_per_group",
+      "w1_moving_avg", "w8_sessionize", "dd1_exact_dedup",
+      "dd3_lsh_jaccard_pairs", "t3_quality_score", "s1_hourly_events")
     def time(fn: (SparkSession, String) => DataFrame, d: String): Double = {
       fn(spark, d).count() // warm: codegen/JIT for this plan shape
       // the timed run must not reuse the warmup's materializations
