@@ -74,12 +74,19 @@ object DedupOps {
     "list_distinct(list_transform(range(0, greatest(len(words)-3, 0) + 1)," +
       " i -> array_to_string(words[(i+1):(i+3)], ' ')))"
 
-  private def sigExpr(fn: String, j: Int): String = {
+  private def sigExprDuck(j: Int): String = {
     val (a, b) = HashAB(j)
-    s"${fn}_min(${fn}_transform(hs, h -> ($a * (h % $P) + $b) % $P))"
+    s"list_min(list_transform(hs, h -> ($a * (h % $P) + $b) % $P))"
   }
-  private def sigExprSpark(j: Int) = sigExpr("array", j).replace("array_transform", "transform")
-  private def sigExprDuck(j: Int) = sigExpr("list", j)
+
+  /** Spark side computes ALL signature slots with the fused codegen'd
+    * [[graft.functions.MinHashSignatures]] expression (one primitive loop;
+    * the k-separate `array_min(transform(...))` form evaluates interpreted
+    * lambdas and dominated the 10x-scale LSH probe). Values are identical
+    * to the DuckDB per-slot form. */
+  private def registerSigs(s: SparkSession): Unit =
+    graft.functions.MinHashSignatures.register(
+      s, HashAB.map(_._1), HashAB.map(_._2), P)
 
   /** Band key = the band's signature triple, separator-joined (no hashing
     * needed — only equality structure matters for bucketing). `||` rather
@@ -142,12 +149,11 @@ object DedupOps {
     * rows, which at 100 TB is the difference between a scan-speed pass and
     * a multi-TB exchange. */
   def minhashBands: Q = (s, d) => {
-    val sigs = (0 until NumHashes).map(j => expr(sigExprSpark(j)).as(s"sig$j"))
-    val bands = bandExprs(j => s"sig$j").zipWithIndex.map {
-      case (e, b) => expr(e).as(s"band_$b")
-    }
+    registerSigs(s)
+    val bands = bandExprs(j => s"element_at(sigv, ${j + 1})").zipWithIndex
+      .map { case (e, b) => expr(e).as(s"band_$b") }
     docShingleHashes(s, d)
-      .select(col("doc_id") +: sigs: _*)
+      .select(col("doc_id"), expr("minhash_sigs(hs)").as("sigv"))
       .select(col("doc_id") +: bands: _*)
   }
 
@@ -173,11 +179,12 @@ object DedupOps {
     // GC'd (no CacheManager entry leaked per invocation) and a later
     // invocation can never silently reuse an earlier one's materialization
     // through plan-equality matching.
-    val sigs = (0 until NumHashes).map(j => expr(sigExprSpark(j)).as(s"sig$j"))
+    registerSigs(s)
     val docs = docShingleHashes(s, d)
-      .select(Seq(col("doc_id"), col("hs"), size(col("hs")).as("n")) ++ sigs: _*)
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"),
+        expr("minhash_sigs(hs)").as("sigv"))
       .localCheckpoint(eager = false)
-    val bandArr = array(bandExprs(j => s"sig$j").map(expr): _*)
+    val bandArr = array(bandExprs(j => s"element_at(sigv, ${j + 1})").map(expr): _*)
     val bands = docs.select(col("doc_id"), explode(bandArr).as("bk"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
