@@ -266,13 +266,12 @@ object DedupOps {
     * sums associativity-free, so Spark and DuckDB agree bit-for-bit.
     * At 100 TB the df table is the corpus vocabulary (small; broadcast) —
     * or a fixed common-word list, removing the df pass entirely. */
-  private def weightedSimhash48(df: DataFrame): DataFrame = {
-    val bits = 48
-    val sums = (0 until bits).map(b =>
-      sum(expr(s"CASE WHEN (wh & ${1L << b}) != 0 THEN w ELSE -w END"))
-        .as(s"s_$b"))
-    val fp = (0 until bits).map(b =>
-      s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+  private def weightedSimhash48(s: SparkSession, df: DataFrame): DataFrame = {
+    // the whole vote pass is ONE custom aggregate (48-long buffer, tight
+    // update loop, order-free integer merges) instead of 48 sum(CASE...)
+    // columns — see graft.functions.SimHashAgg. Values are identical to
+    // the DuckDB oracle's per-bit sums + fold.
+    graft.functions.SimHashAgg.register(s, 48)
     val words = df
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     // corpus size and document frequency without countDistinct: every doc
@@ -287,8 +286,7 @@ object DedupOps {
           .as("wh"),
         expr("CASE WHEN df_ * 20 <= nd THEN 4 WHEN df_ * 5 <= nd THEN 2 ELSE 1 END")
           .as("w"))
-      .groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), expr(fp).cast("bigint").as("simhash"))
+      .groupBy("doc_id").agg(expr("simhash_agg(wh, w)").as("simhash"))
   }
 
   /** SimHash dedup pairs: block on 8-bit chunks of the weighted 48-bit
@@ -297,7 +295,7 @@ object DedupOps {
     * bit_count(xor) ≤ 5 on candidates only — index-then-verify entirely in
     * integer ops, the same shape as the MinHash/LSH pipeline. */
   def simhashPairs: Q = (s, d) => {
-    val sh = weightedSimhash48(plantedCorpus(s, d))
+    val sh = weightedSimhash48(s, plantedCorpus(s, d))
       .localCheckpoint(eager = false)
     // the fingerprint rides along into the chunk self-join, so Hamming is
     // verified inline on candidates and only the (tiny) survivor set is
