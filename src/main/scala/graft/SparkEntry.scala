@@ -91,6 +91,7 @@ object SparkEntry {
     "v3_neardup_embeddings" -> VectorOps.nearDupPairs,
     "v4_knn_join" -> VectorOps.knnJoin,
     "v5_kmeans_ivf" -> VectorOps.kmeansIvf,
+    "v6_rp_lsh_neardup" -> VectorOps.rpLshNearDup,
     // text analysis (F6/F9 + pipeline ops)
     "t1_word_chunks" -> TextOps.wordChunks,
     "t2_lang_id" -> TextOps.langId,
@@ -454,6 +455,7 @@ object SparkEntry {
     "dd4_simhash" -> DedupOps.simhashOracle,
     "dd5_rank_upsert" -> RankDedup.oracle,
     "dd6_simhash_pairs" -> DedupOps.simhashPairsOracle,
+    "v6_rp_lsh_neardup" -> VectorOps.rpLshNearDupOracle,
     "mm1_media_features" ->
       """SELECT doc_id AS media_id,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
