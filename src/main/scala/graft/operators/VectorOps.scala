@@ -169,10 +169,18 @@ object VectorOps {
     * candidate reduction vs all-pairs at sf0.1. */
   def rpLshNearDup: Q = (s, d) => {
     val e = vecs(s, d)
-    val keys = (0 until RpBands)
-      .map(b => expr(rpBandKey(b, k => s"element_at(v, $k)")))
+    // the 8 sign-dots run in graft.functions.RpBandKeys — the textual
+    // 512-term form exceeds Janino's 64 KB method limit and falls back to
+    // interpreted eval; the fused expression is one codegen'd loop. The
+    // banded table is materialized once so the self-join's two sides share
+    // the key computation.
+    val signs = Array.tabulate(RpBands * RpPlanesPerBand, Dim) {
+      (j, k0) => if (rpSign(j, k0 + 1) == "+") 1.0 else -1.0
+    }
+    graft.functions.RpBandKeys.register(s, signs, RpPlanesPerBand)
     val bk = e.select(col("vec_id"), col("v"),
-      posexplode(array(keys: _*)).as(Seq("b", "key")))
+      posexplode(expr("rp_band_keys(v)")).as(Seq("b", "key")))
+      .localCheckpoint(eager = false)
     bk.as("a").join(bk.as("x"),
         col("a.b") === col("x.b") && col("a.key") === col("x.key") &&
           col("a.vec_id") < col("x.vec_id"))

@@ -33,6 +33,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(frames.filter(_.frame_idx == 0).count() == nMedia)
   }
 
+  test("rp-lsh near-dup: non-empty, unique pairs, all sims >= threshold") {
+    val rows = VectorOps.rpLshNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (a, b, s2) => a < b && s2 >= 0.30 })
+    assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length)
+  }
+
   test("kmeans ivf: top-10 from at most 2 probed cells, sims in [-1,1]") {
     val rows = VectorOps.kmeansIvf(spark, sf).collect()
     assert(rows.length == 10)
