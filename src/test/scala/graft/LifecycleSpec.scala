@@ -108,6 +108,30 @@ class LifecycleSpec extends SparkSpec {
       "length(reflect('java.lang.System','getenv','PATH'))").isLeft)
   }
 
+  test("validator covers every clause position (union/having/lateral/order)") {
+    val es = session()
+    // forbidden relation in a UNION branch
+    val u = es.runValidatedSql(
+      "SELECT id FROM df UNION ALL SELECT x FROM secrets")
+    assert(u.isLeft && u.left.exists(_.contains("secrets")))
+    // forbidden relation in a HAVING subquery
+    val h = es.runValidatedSql(
+      "SELECT tag, count(*) FROM df GROUP BY tag " +
+        "HAVING count(*) > (SELECT max(x) FROM secrets)")
+    assert(h.isLeft && h.left.exists(_.contains("secrets")))
+    // forbidden relation in a joined position
+    val j = es.runValidatedSql(
+      "SELECT * FROM df JOIN secrets ON df.id = secrets.x")
+    assert(j.isLeft && j.left.exists(_.contains("secrets")))
+    // denied function inside an ORDER BY subquery
+    val o = es.runValidatedSql(
+      "SELECT id FROM df ORDER BY (SELECT reflect('a','b'))")
+    assert(o.isLeft)
+    // lateral view over an allowed relation still passes
+    assert(es.runValidatedSql(
+      "SELECT id, t.w FROM df LATERAL VIEW explode(array(tag)) t AS w").isRight)
+  }
+
   test("allow-listed custom function cosine_sim passes validation") {
     graft.functions.CosineSimilarity.register(spark)
     val v = SqlValidator.validate(spark,
