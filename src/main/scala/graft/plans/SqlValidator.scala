@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedInlineTable, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan, OneRowRelation}
 
 /** Plan validation — the Spark-native replacement for the reference's
   * generated-code sanitization (bambooai/messages/reg_ex.py:56-136: module
@@ -61,6 +61,21 @@ object SqlValidator {
     if (writeShaped)
       return Left("rejected: not a read-only query (command/DDL/DML)")
 
+    // Default-deny on plan LEAVES: a read-only parsed query sources rows only
+    // from relations, VALUES lists, or the implicit one-row relation. Anything
+    // else — UnresolvedExecuteImmediate (whose inner SQL is an opaque string
+    // the walk below cannot see), UnresolvedTableValuedFunction (a function
+    // namespace the relation/function checks don't cover), future parser
+    // additions — is rejected by name rather than silently passed through.
+    val badLeaves = allNodes.filter(_.children.isEmpty).collect {
+      case p if !p.isInstanceOf[UnresolvedRelation] &&
+        !p.isInstanceOf[UnresolvedInlineTable] &&
+        !p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation] &&
+        !p.isInstanceOf[OneRowRelation] => p.nodeName
+    }
+    if (badLeaves.nonEmpty)
+      return Left(s"rejected: disallowed plan nodes ${badLeaves.distinct.mkString(", ")}")
+
     // Relations are gathered with a SCOPED walk: a CTE alias (WITH t AS ...)
     // exempts references to `t` only inside that WITH's subtree — and each
     // CTE definition only sees aliases defined before it. A global exemption
@@ -97,14 +112,27 @@ object SqlValidator {
       return Left(s"rejected: unknown relations ${badRels.mkString(", ")}")
 
     var fns = Set.empty[String]
+    // Paren-less forms of session-introspection builtins (SELECT current_user,
+    // user, session_user, current_database) parse as single-part
+    // UnresolvedAttribute and are resolved post-validation by the analyzer's
+    // literal-function rule — screen those names too. Qualified references
+    // (t.user) can only resolve to columns, so only single-part names are
+    // checked; a bare column genuinely named `user` is a rejected false
+    // positive we accept (alias it, or qualify it with the table name).
+    var barewordDenied = Set.empty[String]
     def collectFns(e: Expression): Unit = {
       e.foreach {
         case f: UnresolvedFunction =>
           fns += f.nameParts.last.toLowerCase
+        case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+            DeniedBuiltins.contains(a.nameParts.head.toLowerCase) =>
+          barewordDenied += a.nameParts.head.toLowerCase
         case _ =>
       }
     }
     allNodes.foreach(node => node.expressions.foreach(collectFns))
+    if (barewordDenied.nonEmpty)
+      return Left(s"rejected: denied functions ${barewordDenied.mkString(", ")}")
     val denied = fns.intersect(DeniedBuiltins)
     if (denied.nonEmpty)
       return Left(s"rejected: denied functions ${denied.mkString(", ")}")

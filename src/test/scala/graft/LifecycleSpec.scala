@@ -132,6 +132,35 @@ class LifecycleSpec extends SparkSpec {
       "SELECT id, t.w FROM df LATERAL VIEW explode(array(tag)) t AS w").isRight)
   }
 
+  test("validator rejects EXECUTE IMMEDIATE and other opaque plan leaves") {
+    // EXECUTE IMMEDIATE parses to UnresolvedExecuteImmediate whose inner SQL
+    // is an opaque string literal — the relation/function walks see nothing,
+    // so it must be stopped by the default-deny leaf check.
+    val ei = SqlValidator.validate(spark,
+      "EXECUTE IMMEDIATE 'SELECT reflect(\"java.lang.System\", \"getProperty\", \"user.dir\")'",
+      Set.empty)
+    assert(ei.isLeft && ei.left.exists(_.contains("disallowed plan nodes")))
+    // table-valued functions are an unchecked function namespace — denied
+    val tvf = SqlValidator.validate(spark, "SELECT * FROM range(10)", Set.empty)
+    assert(tvf.isLeft && tvf.left.exists(_.contains("disallowed plan nodes")))
+    // ...while the legitimate read-only leaves still pass
+    assert(SqlValidator.validate(spark, "SELECT 1", Set.empty).isRight)
+    assert(SqlValidator.validate(spark,
+      "SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, tag)", Set.empty).isRight)
+  }
+
+  test("validator denies paren-less session-introspection barewords") {
+    // SELECT current_user (no parens) parses as UnresolvedAttribute and is
+    // resolved post-validation by the analyzer's literal-function rule
+    for (bare <- Seq("current_user", "session_user", "user", "current_database")) {
+      val r = SqlValidator.validate(spark, s"SELECT $bare", Set.empty)
+      assert(r.isLeft && r.left.exists(_.contains(bare)), s"bareword $bare passed")
+    }
+    // qualified references can only resolve to columns — still allowed
+    val es = session()
+    assert(es.runValidatedSql("SELECT df.id FROM df").isRight)
+  }
+
   test("allow-listed custom function cosine_sim passes validation") {
     graft.functions.CosineSimilarity.register(spark)
     val v = SqlValidator.validate(spark,
