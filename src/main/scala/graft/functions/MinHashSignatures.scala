@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -23,9 +23,15 @@ import org.apache.spark.sql.types._
   * null, like list_min of an empty list.
   */
 case class MinHashSignatures(child: Expression, a: Array[Long],
-    b: Array[Long], p: Long) extends UnaryExpression {
+    b: Array[Long], p: Long) extends UnaryExpression
+  with ImplicitCastInputTypes {
 
   require(a.length == b.length && a.nonEmpty)
+
+  // ArrayData.getLong on an array<int> silently misreads (element width
+  // mismatch) — demand array<bigint>, letting the analyzer insert the
+  // cast for array<int> inputs and reject non-array types outright.
+  override def inputTypes = Seq(ArrayType(LongType))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sigs"

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -20,17 +20,27 @@ import org.apache.spark.sql.types._
   * the keys — match the oracle bit-for-bit.
   */
 case class RpBandKeys(child: Expression, signs: Array[Array[Double]],
-    planesPerBand: Int) extends UnaryExpression {
+    planesPerBand: Int) extends UnaryExpression
+  with ImplicitCastInputTypes {
 
   require(signs.nonEmpty && signs.length % planesPerBand == 0)
   private def numBands: Int = signs.length / planesPerBand
+
+  // analysis-time: demand array<double> (array<float> gets an implicit cast)
+  override def inputTypes = Seq(ArrayType(DoubleType))
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "rp_band_keys"
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), signs(0).length)
+    // A vector shorter/longer than the sign matrix would hash a PARTIAL dot
+    // while the oracle's textual form always indexes v[1..dim] — fail loudly
+    // instead of silently diverging if the embedding dimension ever changes.
+    if (v.numElements() != signs(0).length)
+      throw new IllegalArgumentException(
+        s"rp_band_keys: vector length ${v.numElements()} != plane dimension ${signs(0).length}")
+    val n = signs(0).length
     val keys = new Array[Int](numBands)
     var j = 0
     while (j < signs.length) {
@@ -51,7 +61,11 @@ case class RpBandKeys(child: Expression, signs: Array[Array[Double]],
       val j = ctx.freshName("j"); val k = ctx.freshName("k")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($c.numElements(), $sRef[0].length);
+         |if ($c.numElements() != $sRef[0].length) {
+         |  throw new IllegalArgumentException("rp_band_keys: vector length " +
+         |    $c.numElements() + " != plane dimension " + $sRef[0].length);
+         |}
+         |int $n = $sRef[0].length;
          |int[] $keys = new int[${numBands}];
          |for (int $j = 0; $j < ${signs.length}; $j++) {
          |  double $dot = 0.0;
@@ -70,10 +84,13 @@ case class RpBandKeys(child: Expression, signs: Array[Array[Double]],
 }
 
 object RpBandKeys {
-  /** Register `rp_band_keys(v)` with the given sign matrix. */
+  /** Register `<name>(v)` with the given sign matrix. Distinct band configs
+    * must register under distinct names: resolution happens at DataFrame
+    * construction, so a later register would not affect already-built plans,
+    * but two configs alive in one session would race on a shared name. */
   def register(spark: SparkSession, signs: Array[Array[Double]],
-      planesPerBand: Int): Unit =
+      planesPerBand: Int, name: String = "rp_band_keys"): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rp_band_keys", exprs => RpBandKeys(exprs.head, signs, planesPerBand),
+      name, exprs => RpBandKeys(exprs.head, signs, planesPerBand),
       "scala_udf")
 }

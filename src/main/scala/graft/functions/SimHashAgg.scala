@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.types._
@@ -28,9 +28,18 @@ import org.apache.spark.sql.types._
   */
 case class SimHashAgg(left: Expression, right: Expression, bits: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Long]] with BinaryLike[Expression]
+  with ImplicitCastInputTypes {
 
   require(bits > 0 && bits <= 63)
+
+  // Input contract: without it, an INT first argument reaches the
+  // asInstanceOf[Long] below and fails at EXECUTION with a
+  // ClassCastException; this turns that into an analysis-time implicit
+  // cast (or a clear analysis error for non-numeric types). Registered
+  // functions are reachable from validator-passed LLM SQL, so the
+  // analysis-time contract is load-bearing, not cosmetic.
+  override def inputTypes = Seq(LongType, LongType)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
@@ -42,12 +51,9 @@ case class SimHashAgg(left: Expression, right: Expression, bits: Int,
     val whAny = left.eval(input)
     val wAny = right.eval(input)
     if (whAny != null && wAny != null) {
+      // both children are LongType after the inputTypes implicit casts
       val wh = whAny.asInstanceOf[Long]
-      val w = wAny match {
-        case i: java.lang.Integer => i.longValue()
-        case l: java.lang.Long => l.longValue()
-        case s: java.lang.Short => s.longValue()
-      }
+      val w = wAny.asInstanceOf[Long]
       var b = 0
       while (b < bits) {
         buf(b) += (if (((wh >> b) & 1L) != 0L) w else -w)

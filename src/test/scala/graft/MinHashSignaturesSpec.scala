@@ -38,6 +38,17 @@ class MinHashSignaturesSpec extends SparkSpec {
     assert(nullIn(0).isNullAt(2))
   }
 
+  test("array<int> input is implicitly cast, not misread via getLong") {
+    MinHashSignatures.register(spark, Seq(3L, 5L), Seq(7L, 11L), 97L)
+    val df = Seq(Seq(10, 20)).toDF("hs")
+      .select(expr("minhash_sigs(hs)").as("s"))
+    assert(df.collect()(0).getSeq[Long](0) == Seq(37L, 14L))
+    // non-array input is an analysis error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("hs").select(expr("minhash_sigs(hs)")).collect()
+    }
+  }
+
   test("interpreted eval agrees with codegen path") {
     // force interpreted evaluation via the expression's eval directly
     val e = MinHashSignatures(

@@ -23,6 +23,19 @@ class SimHashAggSpec extends SparkSpec {
     assert(r2(0).getLong(1) == 10L)
   }
 
+  test("int inputs are implicitly cast to long (no runtime ClassCastException)") {
+    SimHashAgg.register(spark, 8)
+    val df = Seq((1, 10, 3), (1, 5, 2)).toDF("id", "wh", "w") // all INT
+    val r = df.groupBy("id").agg(expr("simhash_agg(wh, w)").as("fp")).collect()
+    // votes: bit0 = -3+2 <= 0, bit1 = +3-2 > 0, bit2 = -3+2 <= 0, bit3 = 3-2 > 0
+    assert(r(0).getLong(1) == 10L)
+    // a non-castable input type is an analysis error (string would get the
+    // standard implicit string->long cast, so probe with an array instead)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Seq(1), 2)).toDF("wh", "w").groupBy().agg(expr("simhash_agg(wh, w)")).collect()
+    }
+  }
+
   test("matches the composed 48-column sum/fold across partition merges") {
     SimHashAgg.register(spark, 48)
     val tokens = Tables.load(spark, sf, "documents")
