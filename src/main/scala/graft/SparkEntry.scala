@@ -117,7 +117,9 @@ object SparkEntry {
 
   /** Queries with no SQL-expressible oracle (iterative / float-summing
     * training loops): the driver contract records a weaker rows-only check
-    * for these; everything else MUST have an oracleSql entry. */
+    * for these; everything else MUST have an oracleSql entry. The rows-only
+    * check is NOT the only gate: VectorGateSpec holds v5 to recall@10 ≥ 0.5
+    * vs the brute-force ground truth plus Lloyd's-convergence invariants. */
   val rowsOnlyQueries: Set[String] = Set("v5_kmeans_ivf")
 
   def oracleSql: Map[String, String] = Map(
@@ -426,24 +428,8 @@ object SparkEntry {
         | (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.p, p.p))), 6) AS sim
         |FROM e JOIN top2 ON e.label = top2.label, p WHERE e.vec_id <> 1
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
-    "v3_neardup_embeddings" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
-        | round(list_dot_product(a.v, b.v) /
-        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.v, b.v) /
-        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30""".stripMargin,
-    "v4_knn_join" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-        | sims AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |  round(list_dot_product(a.v, b.v) /
-        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
-        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
-        |SELECT * FROM (SELECT a_id, b_id, sim,
-        |  CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id)
-        |   AS INTEGER) AS rk FROM sims)
-        |WHERE rk <= 3""".stripMargin,
+    "v3_neardup_embeddings" -> VectorOps.nearDupPairsOracle,
+    "v4_knn_join" -> VectorOps.knnJoinOracle,
     "t1_word_chunks" -> TextOps.oracle("t1_word_chunks"),
     "t2_lang_id" -> TextOps.oracle("t2_lang_id"),
     "t3_quality_score" -> TextOps.oracle("t3_quality_score"),

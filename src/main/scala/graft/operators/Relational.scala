@@ -380,11 +380,34 @@ object Relational {
   }
 
   /** W4 dense re-ranking of group ids by first timestamp
-    * (activity re-keying, web_app/app.py:352-373). */
+    * (activity re-keying, web_app/app.py:352-373).
+    *
+    * Distributed two-pass rank instead of a global-window `dense_rank`
+    * (which plans an `Exchange SinglePartition` — one task ranks every
+    * group, a straggler at 100× the fixture's user count): range-partition
+    * on the sort key, rank within each range partition, then add each
+    * partition's broadcast row-count offset. The sort key (first_ts,
+    * user_id) is unique per row, so dense_rank = row_number and the
+    * per-partition ranks + offsets compose to the exact global rank. The
+    * offset table is one row per shuffle partition — bounded by config, not
+    * data — and its prefix sum runs as a tiny triangular self-join, so NO
+    * stage of the plan funnels the data itself into a single partition
+    * (asserted in PipelineOpsSpec). */
   def denseRerank: Q = (s, d) => {
     val firsts = events(s, d).groupBy("user_id").agg(min("ts").as("first_ts"))
-    firsts.select(col("user_id"), col("first_ts"),
-      dense_rank().over(Window.orderBy("first_ts", "user_id")).as("new_id"))
+    // pin spark_partition_id before branching (checkpoint materializes once)
+    val parts = firsts.repartitionByRange(col("first_ts"), col("user_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    val counts = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val offs = counts.as("l")
+      .join(counts.as("r"), col("r.pid") < col("l.pid"), "left")
+      .groupBy(col("l.pid").as("pid"))
+      .agg(coalesce(sum(col("r.cnt")), lit(0L)).as("off"))
+    val wp = Window.partitionBy("pid").orderBy("first_ts", "user_id")
+    parts.join(broadcast(offs), Seq("pid"))
+      .select(col("user_id"), col("first_ts"),
+        (col("off") + row_number().over(wp)).cast("int").as("new_id"))
   }
 
   /** W5 argmax row (loc[idxmax()] analog, default_prompts.yaml:115,238). */

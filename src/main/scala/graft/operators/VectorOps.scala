@@ -16,9 +16,9 @@ import graft.functions.CosineSimilarity
   *   only those cells' vectors get exact scoring. At cluster scale the cells
   *   are parquet partitions → partition pruning turns top-k into a scan of
   *   ~2/N of the data.
-  * - [[nearDupPairs]] is embedding-cosine near-duplicate detection blocked by
-  *   label (the blocking key bounds the pair blow-up; at scale the block key
-  *   comes from LSH, see DedupOps).
+  * - [[nearDupPairs]] is embedding-cosine near-duplicate detection blocked on
+  *   RP-LSH band buckets (data-independent, corpus-size-tunable — the
+  *   blocking key bounds the pair blow-up at any scale).
   *
   * All cosines run through the codegen'd [[graft.functions.CosineSimilarity]].
   */
@@ -76,25 +76,29 @@ object VectorOps {
     * so probing top-p cells is partition pruning — the query reads p/k of
     * the data. Iterative and float-summing, so no DuckDB oracle: the driver
     * records the rows-only check (see SparkEntry.rowsOnlyQueries). */
-  def kmeansIvf: Q = (s, d) => {
+  private val KmK = 8; private val KmIters = 3
+
+  /** One cosine-argmax assignment pass: every vector joined to its single
+    * best centroid (broadcast of K centroids, no shuffle of the corpus). */
+  private[graft] def kmeansAssign(e: DataFrame,
+      centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val K = 8; val Iters = 3; val Probes = 2; val TopK = 10
-    // localCheckpoint: compute-once without leaking CacheManager entries
-    // per invocation; for `cent` it also truncates the per-iteration
-    // lineage, the standard iterative-algorithm pattern.
-    val e = vecs(s, d).localCheckpoint(eager = false)
-    // deterministic init: the first K vectors seed the centroids
-    var cent = e.filter(col("vec_id") < K)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
-    def assign(centroids: org.apache.spark.sql.DataFrame) = e
-      .crossJoin(broadcast(centroids))
+    e.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("cid"),
         expr("cosine_sim(v, c)").as("sim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("sim"), col("cid"))))
       .filter(col("rn") === 1)
-    for (_ <- 1 to Iters) {
-      cent = assign(cent)
+  }
+
+  /** Lloyd's centroids after `iters` update steps from the deterministic
+    * first-K seed (iters = 0 returns the seed itself). Exposed for the
+    * recall/convergence gate in VectorGateSpec. */
+  private[graft] def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
+    var cent = e.filter(col("vec_id") < KmK)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+    for (_ <- 1 to iters) {
+      cent = kmeansAssign(e, cent)
         .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("cid", "i").agg(avg("x").as("cx"))
         .groupBy("cid")
@@ -102,6 +106,20 @@ object VectorOps {
           .as("c"))
         .localCheckpoint(eager = false)
     }
+    cent
+  }
+
+  private[graft] def vecsCheckpointed(s: SparkSession, d: String): DataFrame =
+    vecs(s, d).localCheckpoint(eager = false)
+
+  def kmeansIvf: Q = (s, d) => {
+    val Probes = 2; val TopK = 10
+    // localCheckpoint: compute-once without leaking CacheManager entries
+    // per invocation; inside kmeansCentroids it also truncates the
+    // per-iteration lineage, the standard iterative-algorithm pattern.
+    val e = vecsCheckpointed(s, d)
+    val cent = kmeansCentroids(e, KmIters)
+    def assign(centroids: DataFrame) = kmeansAssign(e, centroids)
     val probe = e.filter(col("vec_id") === 1).select(col("v").as("p"))
     val topCells = cent.crossJoin(broadcast(probe))
       .select(col("cid"), expr("cosine_sim(c, p)").as("csim"))
@@ -116,23 +134,68 @@ object VectorOps {
       .limit(TopK)
   }
 
-  /** Batch k-NN join: top-3 neighbors for EVERY vector (label-blocked) —
-    * the all-pairs similarity-search shape a training pipeline runs, vs the
-    * single-probe top-k of [[cosineTopK]]. The block key bounds the pair
-    * count; the per-query top-k plans as partial/final WindowGroupLimit so
-    * only ≤k rows per query vector cross the shuffle. */
+  /** Batch k-NN join via IVF per-cell probing (the scale path of [[ivfTopK]]
+    * applied to EVERY query vector, not one probe): the first K vectors act
+    * as fixed coarse-quantizer centroids; every vector is a *member* of its
+    * single nearest cell and *probes* its top-2 cells; candidates are the
+    * members of the probed cells; the exact top-3 is computed over candidates
+    * only.
+    *
+    * Scale: cell assignment is a broadcast of K centroids against a scan (no
+    * shuffle); the candidate join shuffles on the cell id, so evaluated
+    * cosines are Σ_cells |probes(cell)|·|members(cell)| ≈ 2n²/K — K grows
+    * with the corpus (K ≈ √n rule), unlike the fixture's fixed `label`
+    * blocking where pair count was O(n²) with no tuning knob. The per-query
+    * top-3 plans as partial/final WindowGroupLimit so ≤3 rows per query
+    * cross the final shuffle. ANN semantics: a true neighbor outside the
+    * probed cells is missed — recall is tuned by the probe count. */
   def knnJoin: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val e = vecs(s, d)
-    val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("label"), col("v").as("vb"))
+    val K = 16
+    val e = vecs(s, d).localCheckpoint(eager = false) // feeds centroids+scan
+    val cent = e.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+    // round(·,6) before the argmax so the cell choice is engine-independent
+    val ranked = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("cid"),
+        round(expr("cosine_sim(v, c)"), 6).as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("csim"), col("cid"))))
+      .localCheckpoint(eager = false) // feeds both members and probes
+    val members = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("b_id"), col("cid"), col("v").as("vb"))
+    val probes = ranked.filter(col("rn") <= 2)
+      .select(col("vec_id").as("a_id"), col("cid"), col("v").as("va"))
     val w = Window.partitionBy("a_id").orderBy(desc("sim"), col("b_id"))
-    a.join(b, Seq("label"))
+    probes.join(members, Seq("cid"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"),
         round(expr("cosine_sim(va, vb)"), 6).as("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
+  }
+
+  /** DuckDB oracle for [[knnJoin]] — the identical fixed-centroid IVF
+    * assignment and probing, so the ANN result (not just the exact k-NN)
+    * is hash-checked. */
+  val knnJoinOracle: String = {
+    val cos = (a: String, b: String) =>
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+        s"sqrt(list_dot_product($b, $b))), 6)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       | cent AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS c FROM e
+       |  WHERE vec_id < 16),
+       | ranked AS (SELECT vec_id, v, cid, CAST(row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY ${cos("e.v", "cent.c")} DESC, cid)
+       |   AS INTEGER) AS rn FROM e CROSS JOIN cent),
+       | members AS (SELECT vec_id AS b_id, cid, v AS vb FROM ranked WHERE rn = 1),
+       | probes AS (SELECT vec_id AS a_id, cid, v AS va FROM ranked WHERE rn <= 2),
+       | cand AS (SELECT a_id, b_id, ${cos("va", "vb")} AS sim
+       |  FROM probes JOIN members USING (cid) WHERE a_id <> b_id)
+       |SELECT a_id, b_id, sim, rk FROM (SELECT a_id, b_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id)
+       |   AS INTEGER) AS rk FROM cand)
+       |WHERE rk <= 3""".stripMargin
   }
 
   // ---- random-hyperplane LSH (the data-independent ANN/blocking path) ----
@@ -145,6 +208,7 @@ object VectorOps {
     if (((x >>> 33) & 1L) == 0L) "+" else "-"
   }
   private val RpBands = 2
+  private val V3Bands = 4 // v3's higher-recall config (more bands = more candidates)
   private val RpPlanesPerBand = 4
   private val Dim = 64
 
@@ -167,19 +231,24 @@ object VectorOps {
     * this is the variant that works on a cold 100 TB corpus in one pass,
     * with recall tuned by bands × bits. Measured on the fixture: ~6x
     * candidate reduction vs all-pairs at sf0.1. */
-  def rpLshNearDup: Q = (s, d) => {
+  def rpLshNearDup: Q = (s, d) => rpBandedNearDup(s, d, RpBands, "rp_band_keys")
+
+  /** Shared RP-LSH banded near-dup: band keys via the fused
+    * [[graft.functions.RpBandKeys]] expression — the textual bands·planes·dim
+    * ±v[k] form exceeds Janino's 64 KB method limit and falls back to
+    * interpreted eval; the fused expression is one codegen'd loop. The banded
+    * table is materialized once so the self-join's two sides share the key
+    * computation. Each band config registers under its own function name so
+    * v3 and v6 never clobber each other's resolved expressions. */
+  private def rpBandedNearDup(s: SparkSession, d: String, bands: Int,
+      fname: String): DataFrame = {
     val e = vecs(s, d)
-    // the 8 sign-dots run in graft.functions.RpBandKeys — the textual
-    // 512-term form exceeds Janino's 64 KB method limit and falls back to
-    // interpreted eval; the fused expression is one codegen'd loop. The
-    // banded table is materialized once so the self-join's two sides share
-    // the key computation.
-    val signs = Array.tabulate(RpBands * RpPlanesPerBand, Dim) {
+    val signs = Array.tabulate(bands * RpPlanesPerBand, Dim) {
       (j, k0) => if (rpSign(j, k0 + 1) == "+") 1.0 else -1.0
     }
-    graft.functions.RpBandKeys.register(s, signs, RpPlanesPerBand)
+    graft.functions.RpBandKeys.register(s, signs, RpPlanesPerBand, fname)
     val bk = e.select(col("vec_id"), col("v"),
-      posexplode(expr("rp_band_keys(v)")).as(Seq("b", "key")))
+      posexplode(expr(s"$fname(v)")).as(Seq("b", "key")))
       .localCheckpoint(eager = false)
     bk.as("a").join(bk.as("x"),
         col("a.b") === col("x.b") && col("a.key") === col("x.key") &&
@@ -190,9 +259,9 @@ object VectorOps {
       .distinct()
   }
 
-  val rpLshNearDupOracle: String = {
-    val keys = (0 until RpBands).map(b => rpBandKey(b, k => s"v[$k]"))
-    val bIdx = (0 until RpBands).mkString(", ")
+  private def rpBandedNearDupOracle(bands: Int): String = {
+    val keys = (0 until bands).map(b => rpBandKey(b, k => s"v[$k]"))
+    val bIdx = (0 until bands).mkString(", ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        | bk AS (SELECT vec_id, v, b, key FROM (
        |   SELECT vec_id, v, unnest([${keys.mkString(", ")}]) AS key,
@@ -208,17 +277,22 @@ object VectorOps {
        |  >= 0.30""".stripMargin
   }
 
-  /** Embedding near-dup pairs: label-blocked self-join, cosine ≥ 0.30
-    * (threshold calibrated so every sf yields pairs; the reference's replace
-    * gate is the same shape at 0.94, qa_retrieval.py:157-164). */
-  def nearDupPairs: Q = (s, d) => {
-    val e = vecs(s, d)
-    val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("label"), col("v").as("vb"))
-    a.join(b, Seq("label"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("label"),
-        round(expr("cosine_sim(va, vb)"), 6).as("sim"))
-      .filter(col("sim") >= 0.30)
-  }
+  val rpLshNearDupOracle: String = rpBandedNearDupOracle(RpBands)
+
+  /** Embedding near-dup pairs, production config: RP-LSH banding with
+    * [[V3Bands]] bands (double [[rpLshNearDup]]'s recall — P(detect) =
+    * 1-(1-p^4)^bands rises with bands), exact cosine ≥ 0.30 verify on bucket
+    * candidates only (threshold calibrated so every sf yields pairs; the
+    * reference's replace gate is the same shape at 0.94,
+    * qa_retrieval.py:157-164).
+    *
+    * Scale: replaces the former fixed-`label` blocking, whose block count
+    * never grew with the corpus (pairs ∝ n²). Band buckets are 2^planes per
+    * band and the collision probability for near-orthogonal vectors is
+    * ~2^-planes per band, so candidate pairs shrink exponentially in the
+    * planes-per-band knob — at 100 TB you raise planes (16-32 bits) and
+    * bands together to hold recall while keeping buckets sparse. */
+  def nearDupPairs: Q = (s, d) => rpBandedNearDup(s, d, V3Bands, "rp_band_keys_w")
+
+  val nearDupPairsOracle: String = rpBandedNearDupOracle(V3Bands)
 }

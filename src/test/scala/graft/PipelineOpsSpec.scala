@@ -41,6 +41,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length)
   }
 
+  test("w4 two-pass rank: no SinglePartition exchange, equals global dense_rank") {
+    val df = Relational.denseRerank(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    // the distributed two-pass result must equal the naive global window
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    val firsts = Tables.load(spark, sf, "events")
+      .groupBy("user_id").agg(min("ts").as("first_ts"))
+    val want = firsts.select(col("user_id"),
+        dense_rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy("first_ts", "user_id")).as("new_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == want)
+  }
+
+  test("v4 knn join: top-3 per query crosses shuffle via WindowGroupLimit") {
+    val df = VectorOps.knnJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    val rows = df.collect()
+    // every query vector has <= 3 neighbors, ranks contiguous from 1
+    val byA = rows.groupBy(_.getLong(0))
+    assert(byA.values.forall(g => g.length <= 3 &&
+      g.map(_.getInt(3)).sorted.sameElements(1 to g.length)))
+    // neighbors never include the query itself
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
   test("kmeans ivf: top-10 from at most 2 probed cells, sims in [-1,1]") {
     val rows = VectorOps.kmeansIvf(spark, sf).collect()
     assert(rows.length == 10)
