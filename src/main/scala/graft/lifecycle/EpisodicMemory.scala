@@ -97,7 +97,7 @@ final class EpisodicMemory(spark: SparkSession,
     val candDF = Seq((1000000L, embedder.embed(record.intent), record.rank))
       .toDF("id", "v", "rank")
     CosineSimilarity.register(spark)
-    val result = RankDedup.upsert(storeDF, candDF)
+    val result = RankDedup.upsert(storeDF, candDF, embedder.dim)
       .collect().map(r => (r.getLong(0), r.getString(2))).toMap
     val kept = records.zipWithIndex.collect {
       case ((r, v), i) if result.get(i.toLong).contains("kept") => (r, v)

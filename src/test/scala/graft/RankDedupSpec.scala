@@ -14,7 +14,7 @@ class RankDedupSpec extends SparkSpec {
   private def run(store: Seq[(Long, Seq[Double], Long)],
       cand: Seq[(Long, Seq[Double], Long)]): Map[Long, (Long, String)] = {
     CosineSimilarity.register(spark)
-    RankDedup.upsert(df(store: _*), df(cand: _*))
+    RankDedup.upsert(df(store: _*), df(cand: _*), dim = 3)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
   }
 
@@ -50,8 +50,16 @@ class RankDedupSpec extends SparkSpec {
     CosineSimilarity.register(spark)
     // state after a replace: 100 holds vA at rank 9
     val store2 = df((100L, vA, 9L), (2L, vB, 8L))
-    val again = RankDedup.upsert(store2, df((200L, vA, 9L)))
+    val again = RankDedup.upsert(store2, df((200L, vA, 9L)), dim = 3)
     assert(again.filter(col("status") === "inserted").count() == 0)
     assert(again.count() == 2)
+  }
+
+  test("sim-join is band-blocked: equi hash join, no nested-loop/cartesian") {
+    CosineSimilarity.register(spark)
+    val plan = RankDedup.upsert(df((1L, vA, 7L)), df((100L, vA, 9L)), dim = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 }
