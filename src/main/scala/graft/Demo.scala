@@ -25,8 +25,10 @@ object Demo {
     Tables.all.foreach(n => es.bind(n, Tables.load(spark, sfDir, n)))
 
     // scripted agent transcript: first SQL is wrong on purpose to show the
-    // bounded repair loop (bambooai.py:760-816) doing its job
-    val llm = new Agents.ScriptedLlm(Map(
+    // bounded repair loop (bambooai.py:760-816) doing its job. With
+    // GRAFT_LLM_API_KEY set, the live OpenAI-compatible adapter replaces it
+    // and the chain runs against the real provider.
+    val scripted = new Agents.ScriptedLlm(Map(
       "expert_selector" -> Seq(
         "requires_dataset: true\nexpert: Data Analyst\nconfidence: 9"),
       "analyst_selector" -> Seq(
@@ -39,6 +41,10 @@ object Demo {
           "FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1 ORDER BY 1"),
       "summarizer" -> Seq(
         "1995 orders are spread across all 12 months; the busiest month tops ~120 orders.")))
+    val llm = graft.lifecycle.HttpLlm.fromEnv() match {
+      case Some(live) => println("llm      : live (OpenAI-compatible)"); live
+      case None => scripted
+    }
 
     val question = "How many orders per month were placed in 1995?"
     val r = Agents.converse(es, llm, question, "orders")

@@ -1,0 +1,110 @@
+package graft.lifecycle
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+/** Live LLM provider adapter: an OpenAI-compatible chat-completions client
+  * behind [[Agents.LlmClient]] — the reference's provider dispatch surface
+  * (bambooai/models/__init__.py:121-164; request/response shape
+  * models/openai_models.py:126-152). JDK-only HTTP (no added deps),
+  * non-streaming, env-keyed:
+  *
+  *   GRAFT_LLM_API_KEY   bearer key (adapter is inert without it)
+  *   GRAFT_LLM_BASE_URL  default https://api.openai.com/v1
+  *   GRAFT_LLM_MODEL     default gpt-4o-mini
+  *
+  * The `stage` name rides along as the system message so one client serves
+  * every agent stage, mirroring how the reference binds a prompt template
+  * per stage (default_prompts.yaml). AgentsSpec stays fixture-driven via
+  * [[Agents.ScriptedLlm]]; HttpLlmSpec exercises this adapter against a
+  * local wire-shape stub, so tests never need egress.
+  */
+final class HttpLlmClient(baseUrl: String, apiKey: String, model: String,
+    timeoutMs: Int = 60000) extends Agents.LlmClient {
+
+  override def complete(stage: String, prompt: String): String = {
+    val body =
+      s"""{"model":${HttpLlm.jsonStr(model)},"messages":[
+         |{"role":"system","content":${HttpLlm.jsonStr(s"You are the $stage stage of a data-analysis agent. Respond with exactly the artifact the stage contract requires.")}},
+         |{"role":"user","content":${HttpLlm.jsonStr(prompt)}}]}""".stripMargin
+    val conn = URI.create(s"$baseUrl/chat/completions").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", "application/json")
+    conn.setRequestProperty("Authorization", s"Bearer $apiKey")
+    conn.setDoOutput(true)
+    try {
+      conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+      val code = conn.getResponseCode
+      val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
+      val text = scala.io.Source.fromInputStream(stream, "UTF-8").mkString
+      if (code >= 400)
+        throw new RuntimeException(
+          s"LLM HTTP $code: ${graft.plans.Lifecycle.condense(text)}")
+      HttpLlm.extractContent(text).getOrElse(
+        throw new RuntimeException(
+          s"no message content in response: ${graft.plans.Lifecycle.condense(text)}"))
+    } finally conn.disconnect()
+  }
+}
+
+object HttpLlm {
+
+  /** Build the client from the environment; None when no key is present, so
+    * callers (Demo) fall back to the scripted fixture client. */
+  def fromEnv(env: String => Option[String] = sys.env.get): Option[HttpLlmClient] =
+    env("GRAFT_LLM_API_KEY").filter(_.nonEmpty).map { key =>
+      new HttpLlmClient(
+        env("GRAFT_LLM_BASE_URL").getOrElse("https://api.openai.com/v1"),
+        key,
+        env("GRAFT_LLM_MODEL").getOrElse("gpt-4o-mini"))
+    }
+
+  /** JSON string literal with full escaping. */
+  def jsonStr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
+
+  /** Extract choices[0].message.content from a chat-completions response:
+    * scan to the "content" key and decode the JSON string that follows. A
+    * purpose-built scanner instead of a JSON dependency (build rules allow
+    * none); the response shape is fixed by the public API contract. */
+  def extractContent(json: String): Option[String] = {
+    val key = "\"content\""
+    val at = json.indexOf(key)
+    if (at < 0) return None
+    var i = at + key.length
+    while (i < json.length && (json(i) == ':' || json(i).isWhitespace)) i += 1
+    if (i >= json.length || json(i) != '"') return None
+    i += 1
+    val b = new StringBuilder
+    while (i < json.length && json(i) != '"') {
+      json(i) match {
+        case '\\' if i + 1 < json.length =>
+          json(i + 1) match {
+            case 'n' => b.append('\n'); i += 2
+            case 'r' => b.append('\r'); i += 2
+            case 't' => b.append('\t'); i += 2
+            case 'u' if i + 5 < json.length =>
+              b.append(Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case c => b.append(c); i += 2
+          }
+        case c => b.append(c); i += 1
+      }
+    }
+    if (i >= json.length) None else Some(b.toString)
+  }
+}

@@ -39,6 +39,44 @@ object Sources {
   def parquetSchema(spark: SparkSession, path: String): StructType =
     spark.read.parquet(path).schema
 
+  /** S8: remote-API source — fetch a CSV payload over HTTP on the driver
+    * and land it as a DataFrame (the reference has generated code download
+    * data ad hoc: default_prompts.yaml:288-304, 2157). Driver-side fetch is
+    * the right shape for this source: the reference's remote payloads are
+    * pre-analysis API results, small by contract; bulk remote data belongs
+    * to a distributed connector (S4) instead. JDK-only HTTP, no added deps. */
+  def fromUrl(spark: SparkSession, url: String,
+      timeoutMs: Int = 15000): DataFrame = {
+    val conn = java.net.URI.create(url).toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
+    try {
+      val code = conn.getResponseCode
+      if (code >= 400) throw new RuntimeException(s"remote source HTTP $code: $url")
+      val text = scala.io.Source
+        .fromInputStream(conn.getInputStream, "UTF-8").mkString
+      import spark.implicits._
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(spark.createDataset(text.linesIterator.toSeq))
+    } finally conn.disconnect()
+  }
+
+  /** S8 + S11 + S7: fetch once, register as a queryable view, keep the
+    * materialized table in the LRU cache so a re-request is a cache hit
+    * (mirrors DataFrameCache fronting the executor API,
+    * web_app/code_executor_api.py:33-65). */
+  def loadRemote(spark: SparkSession, name: String, url: String,
+      cache: TableCache): DataFrame = {
+    val df = cache.get(name).getOrElse {
+      val fetched = fromUrl(spark, url)
+      cache.put(name, fetched)
+      fetched
+    }
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** S9: CSV sink for generated result datasets
     * (template_formatting.py:77; collection code_executor.py:188-199).
     * coalesce(1) matches the reference's single-file contract — result sets

@@ -1,0 +1,100 @@
+package graft
+
+import java.net.InetSocketAddress
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.lifecycle.{Agents, HttpLlm, HttpLlmClient}
+import graft.sources.{Sources, TableCache}
+
+/** S8 remote source + live LLM adapter against a local wire-shape stub —
+  * the HTTP layer is exercised for real (JDK HttpServer on an ephemeral
+  * port), no egress needed. */
+class HttpAdaptersSpec extends SparkSpec {
+
+  private def withServer(routes: Map[String, HttpExchange => (Int, String)])(
+      body: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    routes.foreach { case (path, handler) =>
+      server.createContext(path, (ex: HttpExchange) => {
+        val (code, payload) = handler(ex)
+        val bytes = payload.getBytes("UTF-8")
+        ex.sendResponseHeaders(code, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    }
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("S8: remote CSV lands as a typed DataFrame and registers a view") {
+    var hits = 0
+    val csv = "id,name,score\n1,ada,9.5\n2,bob,7.25\n3,eve,8.0"
+    withServer(Map("/data.csv" -> (_ => { hits += 1; (200, csv) }))) { base =>
+      val cache = new TableCache(maxSize = 2)
+      val df = Sources.loadRemote(spark, "remote_scores", s"$base/data.csv", cache)
+      assert(df.count() == 3)
+      assert(df.schema("id").dataType.typeName == "integer")
+      assert(df.schema("score").dataType.typeName == "double")
+      // registered as a queryable view (S7 injection surface)
+      assert(spark.sql("SELECT sum(score) FROM remote_scores")
+        .collect()(0).getDouble(0) == 24.75)
+      // second load is a cache hit: no new fetch
+      Sources.loadRemote(spark, "remote_scores", s"$base/data.csv", cache)
+      assert(hits == 1)
+    }
+  }
+
+  test("S8: HTTP errors surface as exceptions, not empty tables") {
+    withServer(Map("/gone" -> (_ => (404, "nope")))) { base =>
+      val e = intercept[RuntimeException] {
+        Sources.fromUrl(spark, s"$base/gone")
+      }
+      assert(e.getMessage.contains("404"))
+    }
+  }
+
+  test("LLM adapter: request carries stage+prompt, response content extracted") {
+    var seenBody = ""
+    var seenAuth = ""
+    val response =
+      """{"id":"cc-1","choices":[{"index":0,"message":{"role":"assistant",
+        |"content":"analyst: Data Analyst DF\nintent: count \"big\" orders"},
+        |"finish_reason":"stop"}],"usage":{"total_tokens":42}}""".stripMargin
+    withServer(Map("/v1/chat/completions" -> (ex => {
+      seenAuth = ex.getRequestHeaders.getFirst("Authorization")
+      seenBody = scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+      (200, response)
+    }))) { base =>
+      val client = new HttpLlmClient(s"$base/v1", "sk-test", "test-model")
+      val out = client.complete("analyst_selector", "pick the analyst: \"df\" flavor")
+      assert(out == "analyst: Data Analyst DF\nintent: count \"big\" orders")
+      assert(seenAuth == "Bearer sk-test")
+      assert(seenBody.contains("\"model\":\"test-model\""))
+      assert(seenBody.contains("analyst_selector"))
+      assert(seenBody.contains("pick the analyst: \\\"df\\\" flavor"))
+      // the adapter satisfies the LlmClient seam the agent chain consumes
+      assert((client: Agents.LlmClient).complete("analyst_selector", "x").nonEmpty)
+    }
+  }
+
+  test("LLM adapter: HTTP errors and malformed bodies fail loudly") {
+    withServer(Map("/v1/chat/completions" -> (_ =>
+        (429, """{"error":{"message":"rate limited"}}""")))) { base =>
+      val client = new HttpLlmClient(s"$base/v1", "sk-test", "m")
+      val e = intercept[RuntimeException] { client.complete("planner", "p") }
+      assert(e.getMessage.contains("429"))
+    }
+    assert(HttpLlm.extractContent("""{"nope":1}""").isEmpty)
+    assert(HttpLlm.extractContent(
+      """{"choices":[{"message":{"content":"aA\nb"}}]}""").contains("aA\nb"))
+  }
+
+  test("fromEnv: inert without a key, configured with one") {
+    assert(HttpLlm.fromEnv(_ => None).isEmpty)
+    val c = HttpLlm.fromEnv(Map(
+      "GRAFT_LLM_API_KEY" -> "k",
+      "GRAFT_LLM_BASE_URL" -> "http://localhost:1/v1").get)
+    assert(c.nonEmpty)
+  }
+}
