@@ -25,7 +25,9 @@ import graft.operators.RankDedup
   */
 object EpisodicMemory {
 
-  trait Embedder {
+  // Serializable: embedders ship inside executor-side closures (Retriever's
+  // embed UDF); implementations must stay free of SparkSession references.
+  trait Embedder extends Serializable {
     def dim: Int
     def embed(text: String): Seq[Double]
   }

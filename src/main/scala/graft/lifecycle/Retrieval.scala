@@ -1,0 +1,84 @@
+package graft.lifecycle
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.CosineSimilarity
+
+/** Document-retrieval tool: chunk → embed → top-k rerank composed into the
+  * agent surface — the reference's search/QA pipeline over a local corpus
+  * (bambooai/google_search.py:184-259: 512-word chunks :185-188, chunk
+  * embeddings :239-246, top-k cosine rerank :249-259).
+  *
+  * Spark-first: chunking is the same narrow slice-window transform as t1
+  * (TextOps.wordChunks), embedding runs as a deterministic UDF over the
+  * [[EpisodicMemory.Embedder]] seam (HashEmbedder here; a real encoder
+  * drops in behind the same trait, batched via mapPartitions at scale), and
+  * the rerank is the v1 shape: the question vector rides along as a
+  * broadcast literal → codegen'd cosine_sim → TakeOrderedAndProject top-k.
+  * The chunk index is built once (checkpoint) and probed per question — at
+  * 100 TB the index is a parquet table with the embedding column and the
+  * probe is a scan, no shuffle.
+  */
+final class Retriever(spark: SparkSession,
+    embedder: EpisodicMemory.Embedder = new EpisodicMemory.HashEmbedder(),
+    chunkWords: Int = 50) {
+
+  import Retriever.Retrieved
+
+  CosineSimilarity.register(spark)
+  // capture the embedder through a local so the UDF closure does not drag
+  // in `this` (which holds the SparkSession and is not serializable)
+  private val embedUdf = {
+    val e = embedder
+    udf((text: String) => e.embed(Option(text).getOrElse("")).toArray)
+  }
+
+  private var index: Option[DataFrame] = None
+
+  /** Build the chunk index from a (doc_id, text) corpus. */
+  def indexCorpus(corpus: DataFrame): Unit = {
+    val chunks = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(words)/$chunkWords.0) as int) - 1),
+           | i -> array_join(slice(words, i*$chunkWords+1, $chunkWords), ' '))""".stripMargin))
+        .as(Seq("chunk_idx", "chunk")))
+      .withColumn("emb", embedUdf(col("chunk")))
+    index = Some(chunks.localCheckpoint(eager = false))
+  }
+
+  /** Top-k chunk rerank as a DataFrame (v1 plan shape). */
+  def retrieveDF(question: String, k: Int = 6): DataFrame = {
+    val idx = index.getOrElse(
+      throw new IllegalStateException("indexCorpus must run before retrieve"))
+    val qv = typedLit(embedder.embed(question))
+    idx.select(col("doc_id"), col("chunk_idx"), col("chunk"),
+        round(call_function("cosine_sim", col("emb"), qv), 6).as("sim"))
+      .orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))
+      .limit(k)
+  }
+
+  def retrieve(question: String, k: Int = 6): Seq[Retrieved] =
+    retrieveDF(question, k).collect().toSeq.map(r =>
+      Retrieved(r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+
+  /** The composed agent tool: retrieve top-k chunks, hand them to the
+    * search-summarizer stage as numbered context, return both (the
+    * reference formats retrieved chunks into the QA prompt the same way,
+    * google_search.py:249-269). */
+  def answer(llm: Agents.LlmClient, question: String,
+      k: Int = 6): (Seq[Retrieved], String) = {
+    val hits = retrieve(question, k)
+    val ctx = hits.zipWithIndex.map { case (h, i) =>
+      s"[${i + 1}] (doc ${h.docId} chunk ${h.chunkIdx}, sim ${h.sim}) ${h.chunk}"
+    }.mkString("\n")
+    val ans = llm.complete("search_summarizer",
+      s"QUESTION: $question\nCONTEXT:\n$ctx")
+    (hits, ans)
+  }
+}
+
+object Retriever {
+  final case class Retrieved(docId: Long, chunkIdx: Int, chunk: String,
+      sim: Double)
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.lifecycle.{Agents, FunctionCatalog, Ontology, Retriever}
+
+/** Round-3 agent-surface additions: the chunk→embed→rerank retrieval tool
+  * (google_search.py:184-259 shape) and I6 ontology ingestion. */
+class RetrievalOntologySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("retrieval e2e: answers come from the retrieved chunks") {
+    // each doc repeats its own topical vocabulary so the bag-of-words hash
+    // embedding has a clean dominant direction per doc
+    val corpus = Seq(
+      (1L, "quarterly revenue growth from parquet sales " * 12),
+      (2L, "llamas camelids south america steppe grass " * 12),
+      (3L, "spark shuffle partition executor cluster node " * 12)
+    ).toDF("doc_id", "text")
+    val r = new Retriever(spark)
+    r.indexCorpus(corpus)
+    val hits = r.retrieve("what is the quarterly revenue growth", k = 3)
+    assert(hits.nonEmpty)
+    assert(hits.head.docId == 1L, s"expected doc 1 first, got ${hits.head}")
+    assert(hits.head.sim > 0.0)
+    assert(hits.head.chunk.contains("revenue"))
+    // sims are sorted descending and bounded
+    assert(hits.map(_.sim) == hits.map(_.sim).sorted.reverse)
+    assert(hits.forall(h => math.abs(h.sim) <= 1.0 + 1e-9))
+
+    // composed tool: the summarizer stage sees the retrieved context
+    var seenPrompt = ""
+    val llm = new Agents.LlmClient {
+      def complete(stage: String, prompt: String): String = {
+        assert(stage == "search_summarizer"); seenPrompt = prompt
+        "Revenue grew 12% on parquet sales."
+      }
+    }
+    val (used, answer) = r.answer(llm, "what is the quarterly revenue growth", k = 2)
+    assert(answer.contains("12%"))
+    assert(used.head.docId == 1L)
+    assert(seenPrompt.contains("CONTEXT"))
+    assert(seenPrompt.contains(used.head.chunk.take(40)))
+  }
+
+  test("retrieval rerank plans as broadcast-free top-k (v1 shape)") {
+    val r = new Retriever(spark)
+    r.indexCorpus(Seq((1L, "alpha beta gamma " * 30)).toDF("doc_id", "text"))
+    val plan = r.retrieveDF("alpha", 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("ontology YAML round-trips into nodes/edges/helpers and mermaid") {
+    val yaml =
+      """# distilled data model (utils.py:323-367 output shape)
+        |containers:
+        |  - name: activity
+        |    columns: [activity_id, user_id, ts, value]
+        |  - name: events
+        |    columns: [event_id, user_id, ts]
+        |links:
+        |  - from: events
+        |    to: activity
+        |    on: user_id
+        |functions:
+        |  - pace_min_per_km
+        |  - compute_dataframe_index
+        |""".stripMargin
+    val model = Ontology.parseYaml(yaml).toOption.get
+    assert(model.nodes.map(_.name) == Seq("activity", "events"))
+    assert(model.nodes.head.columns == Seq("activity_id", "user_id", "ts", "value"))
+    assert(model.edges == Seq(Agents.ModelEdge("events", "activity", "user_id")))
+    // helpers resolve through the catalog (scalar + table tier)
+    assert(FunctionCatalog.resolveScalar(model.helpers.head).isRight)
+    assert(FunctionCatalog.resolveTable(model.helpers(1)).isRight)
+    val mm = Ontology.toMermaid(model)
+    assert(mm.startsWith("graph TD"))
+    assert(mm.contains("activity") && mm.contains("events -->|user_id| activity"))
+  }
+
+  test("ontology rejects invented functions and structureless input") {
+    val bad = Ontology.parseYaml(
+      """containers:
+        |  - name: t
+        |    columns: [a]
+        |functions:
+        |  - totally_made_up
+        |""".stripMargin)
+    assert(bad.isLeft && bad.left.exists(_.contains("totally_made_up")))
+    assert(Ontology.parseYaml("functions:\n  - pace_min_per_km\n").isLeft) // no containers
+    val noName = Ontology.parseYaml("containers:\n  - columns: [a]\n")
+    assert(noName.isLeft)
+  }
+}
