@@ -60,6 +60,68 @@ class StreamsSpec extends SparkSpec {
     assert(total == eventsBatch.count())
   }
 
+  test("session_window streaming sessions match w8 sessionize per-session") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = eventsBatch
+      .as[(Timestamp, Long, String, Double)].collect().toSeq
+    val ms = MemoryStream[(Timestamp, Long, String, Double)]
+    ms.addData(data)
+    val streamDf = ms.toDF().toDF("ts", "user_id", "event_type", "value")
+    Streams.runToMemory(spark, Streams.sessionWindows(streamDf), "sess_parity")
+    val got = spark.sql(
+      "SELECT user_id, session_start, n_events FROM sess_parity")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // batch w8 sessions rebuilt with their start timestamp (sessionize emits
+    // user_id/session_id/n_events/duration; same gap split, same grain)
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byUser.rowsBetween(Long.MinValue, 0)
+    val want = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts").cast("timestamp").as("ts"))
+      .withColumn("new_sess",
+        when(unix_timestamp(col("ts")) -
+          unix_timestamp(lag("ts", 1).over(byUser)) > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("stateful sessions = w8 sessions minus each user's open tail session") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = eventsBatch.as[Streams.Event]
+    val msEv = MemoryStream[Streams.Event]
+    msEv.addData(ev.collect().toSeq)
+    val q = Streams.statefulSessions(msEv.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("stateful_parity").start()
+    q.processAllAvailable(); q.stop()
+    val closed = spark.sql(
+      "SELECT user_id, start_s, n_events FROM stateful_parity")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byUser.rowsBetween(Long.MinValue, 0)
+    val batch = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts").cast("timestamp").as("ts"))
+      .withColumn("new_sess",
+        when(unix_timestamp(col("ts")) -
+          unix_timestamp(lag("ts", 1).over(byUser)) > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(min(unix_timestamp(col("ts"))).as("start_s"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(1))).toList
+    // every user's final (max session_id) session is still open in state;
+    // everything else must have been emitted as closed, value-for-value
+    val open = batch.groupBy(_._1).view.mapValues(_.maxBy(_._4)).values.toSet
+    val wantClosed = batch.map(t => (t._1, t._2, t._3)).toSet --
+      open.map(t => (t._1, t._2, t._3))
+    assert(closed == wantClosed)
+  }
+
   test("flatMapGroupsWithState sessionization matches window-based batch count") {
     val ev = eventsBatch.as[Streams.Event]
     // closed sessions + one open session per user == batch session count
