@@ -26,10 +26,14 @@ import graft.operators.RankDedup
 object EpisodicMemory {
 
   // Serializable: embedders ship inside executor-side closures (Retriever's
-  // embed UDF); implementations must stay free of SparkSession references.
+  // embed UDF, EmbedOps.embedColumn); implementations must stay free of
+  // SparkSession references.
   trait Embedder extends Serializable {
     def dim: Int
     def embed(text: String): Seq[Double]
+    /** Batch hook: a real encoder overrides this with one model call per
+      * batch (qa_retrieval.py:250-261 embeds lists); default maps. */
+    def embedBatch(texts: Seq[String]): Seq[Seq[Double]] = texts.map(embed)
   }
 
   /** Deterministic stand-in: tokens hash to buckets, L2-normalized. Similar

@@ -26,25 +26,24 @@ final class Retriever(spark: SparkSession,
   import Retriever.Retrieved
 
   CosineSimilarity.register(spark)
-  // capture the embedder through a local so the UDF closure does not drag
-  // in `this` (which holds the SparkSession and is not serializable)
-  private val embedUdf = {
-    val e = embedder
-    udf((text: String) => e.embed(Option(text).getOrElse("")).toArray)
-  }
 
   private var index: Option[DataFrame] = None
 
-  /** Build the chunk index from a (doc_id, text) corpus. */
+  /** Build the chunk index from a (doc_id, text) corpus. Embedding runs
+    * through the F11 batched-mapPartitions seam (EmbedOps) — model
+    * constructed per partition, texts embedded in batches. The factory
+    * captures only the embedder (Serializable), never `this`. */
   def indexCorpus(corpus: DataFrame): Unit = {
+    val e = embedder
     val chunks = corpus
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, cast(ceil(size(words)/$chunkWords.0) as int) - 1),
            | i -> array_join(slice(words, i*$chunkWords+1, $chunkWords), ' '))""".stripMargin))
         .as(Seq("chunk_idx", "chunk")))
-      .withColumn("emb", embedUdf(col("chunk")))
-    index = Some(chunks.localCheckpoint(eager = false))
+    val embedded = graft.operators.EmbedOps.embedColumn(
+      chunks, "chunk", "emb", () => e)
+    index = Some(embedded.localCheckpoint(eager = false))
   }
 
   /** Top-k chunk rerank as a DataFrame (v1 plan shape). */
