@@ -34,8 +34,19 @@ object ScaleProbe {
     widen("customer", Map("c_custkey" -> 1000000L))
     widen("events", Map("event_id" -> 100000000L, "user_id" -> 100000L))
     widen("documents", Map("doc_id" -> 1000000L))
+    // embeddings: shift ids AND rotate each copy's vector by cp positions —
+    // an un-rotated copy would be an exact near-dup of every other copy, so
+    // pair counts would grow c² by construction and the probe would measure
+    // the synthetic corpus, not the plan. Rotation keeps per-copy geometry
+    // identical while decorrelating copies (fixture cross-cosines ≤ 0.51).
+    Tables.load(spark, base, "embeddings").crossJoin(copies)
+      .withColumn("vec_id", col("vec_id") + col("cp") * 1000000L)
+      .withColumn("embedding",
+        expr("concat(slice(embedding, cp + 1, 64 - cp), slice(embedding, 1, cp))"))
+      .drop("cp")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     // small dims are shared, copied as-is
-    Seq("part", "supplier", "nation", "region", "embeddings").foreach { n =>
+    Seq("part", "supplier", "nation", "region").foreach { n =>
       Tables.load(spark, base, n).write.mode("overwrite")
         .parquet(s"$out/$n.parquet")
     }
@@ -54,10 +65,33 @@ object ScaleProbe {
 
     synth(spark, base, out)
 
-    val probes = Seq("a1_group_multi_agg", "a12_pricing_summary",
+    // (name, plan at 1x, plan at 10x). For LSH/IVF operators the 10x plan
+    // uses the SCALED operating point — more sign bits / more cells — because
+    // that is how the operator is run on a larger corpus: the bucket count is
+    // the knob that holds per-bucket occupancy (and so candidate-pair work)
+    // near-linear. The fixed-config variants are probed too, to expose what
+    // happens when the knob is NOT turned.
+    val std = Seq("a1_group_multi_agg", "a12_pricing_summary",
       "j2_temporal_join", "j3_brand_revenue", "o6_topk_per_group",
       "w1_moving_avg", "w8_sessionize", "dd1_exact_dedup",
-      "dd3_lsh_jaccard_pairs", "t3_quality_score", "s1_hourly_events")
+      "dd3_lsh_jaccard_pairs", "t3_quality_score", "s1_hourly_events",
+      "v3_neardup_embeddings", "v4_knn_join", "v6_rp_lsh_neardup",
+      "dd5_rank_upsert", "dd6_simhash_pairs")
+      .map(n => (n, SparkEntry.queries(n), SparkEntry.queries(n)))
+    import graft.operators.{RankDedup, VectorOps}
+    val scaled: Seq[(String, (SparkSession, String) => DataFrame,
+        (SparkSession, String) => DataFrame)] = Seq(
+      // 10x corpus → +log2(10) ≈ 3.3 extra sign bits holds pair work
+      // (∝ n²/2^planes) linear; probe the next integer point, 4→8
+      ("v6_rp_lsh_neardup_scaledbits",
+        (s: SparkSession, d: String) =>
+          VectorOps.rpBandedNearDup(s, d, 2, "rp_band_keys_p4", 4),
+        (s: SparkSession, d: String) =>
+          VectorOps.rpBandedNearDup(s, d, 2, "rp_band_keys_p8", 8)),
+      ("v4_knn_join_scaledK",
+        VectorOps.knnJoinK(16), VectorOps.knnJoinK(50)),
+      ("dd5_rank_upsert_scaledbits",
+        RankDedup.rankUpsertQueryPlanes(4), RankDedup.rankUpsertQueryPlanes(7)))
     def time(fn: (SparkSession, String) => DataFrame, d: String): Double = {
       fn(spark, d).count() // warm: codegen/JIT for this plan shape
       // the timed run must not reuse the warmup's materializations
@@ -66,10 +100,9 @@ object ScaleProbe {
       fn(spark, d).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val rows = probes.map { name =>
-      val fn = SparkEntry.queries(name)
-      val t1 = time(fn, base)
-      val t10 = time(fn, out)
+    val rows = (std ++ scaled).map { case (name, fn1, fn10) =>
+      val t1 = time(fn1, base)
+      val t10 = time(fn10, out)
       (name, t1, t10, t10 / t1)
     }
     val qs = rows.map { case (n, t1, t10, r) =>

@@ -149,9 +149,13 @@ object VectorOps {
     * top-3 plans as partial/final WindowGroupLimit so ≤3 rows per query
     * cross the final shuffle. ANN semantics: a true neighbor outside the
     * probed cells is missed — recall is tuned by the probe count. */
-  def knnJoin: Q = (s, d) => {
+  def knnJoin: Q = knnJoinK(16)
+
+  /** [[knnJoin]] with the cell count as a knob — at larger corpora K grows
+    * (K ≈ √n keeps assignment n·K and candidate work n²/K balanced at
+    * n^1.5, the standard IVF operating point ScaleProbe measures). */
+  private[graft] def knnJoinK(K: Int): Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val K = 16
     val e = vecs(s, d).localCheckpoint(eager = false) // feeds centroids+scan
     val cent = e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
@@ -240,13 +244,13 @@ object VectorOps {
     * table is materialized once so the self-join's two sides share the key
     * computation. Each band config registers under its own function name so
     * v3 and v6 never clobber each other's resolved expressions. */
-  private def rpBandedNearDup(s: SparkSession, d: String, bands: Int,
-      fname: String): DataFrame = {
+  private[graft] def rpBandedNearDup(s: SparkSession, d: String, bands: Int,
+      fname: String, planes: Int = RpPlanesPerBand): DataFrame = {
     val e = vecs(s, d)
-    val signs = Array.tabulate(bands * RpPlanesPerBand, Dim) {
+    val signs = Array.tabulate(bands * planes, Dim) {
       (j, k0) => if (rpSign(j, k0 + 1) == "+") 1.0 else -1.0
     }
-    graft.functions.RpBandKeys.register(s, signs, RpPlanesPerBand, fname)
+    graft.functions.RpBandKeys.register(s, signs, planes, fname)
     val bk = e.select(col("vec_id"), col("v"),
       posexplode(expr(s"$fname(v)")).as(Seq("b", "key")))
       .localCheckpoint(eager = false)
