@@ -91,7 +91,10 @@ object ScaleProbe {
       ("v4_knn_join_scaledK",
         VectorOps.knnJoinK(16), VectorOps.knnJoinK(50)),
       ("dd5_rank_upsert_scaledbits",
-        RankDedup.rankUpsertQueryPlanes(4), RankDedup.rankUpsertQueryPlanes(7)))
+        RankDedup.rankUpsertQueryPlanes(4), RankDedup.rankUpsertQueryPlanes(7)),
+      ("dd6_simhash_pairs_scaledbits",
+        graft.operators.DedupOps.simhashPairsAt(8),
+        graft.operators.DedupOps.simhashPairsAt(10)))
     def time(fn: (SparkSession, String) => DataFrame, d: String): Double = {
       fn(spark, d).count() // warm: codegen/JIT for this plan shape
       // the timed run must not reuse the warmup's materializations

@@ -266,12 +266,13 @@ object DedupOps {
     * sums associativity-free, so Spark and DuckDB agree bit-for-bit.
     * At 100 TB the df table is the corpus vocabulary (small; broadcast) —
     * or a fixed common-word list, removing the df pass entirely. */
-  private def weightedSimhash48(s: SparkSession, df: DataFrame): DataFrame = {
+  private def weightedSimhash48(s: SparkSession, df: DataFrame,
+      bits: Int = 48): DataFrame = {
     // the whole vote pass is ONE custom aggregate (48-long buffer, tight
     // update loop, order-free integer merges) instead of 48 sum(CASE...)
     // columns — see graft.functions.SimHashAgg. Values are identical to
     // the DuckDB oracle's per-bit sums + fold.
-    graft.functions.SimHashAgg.register(s, 48)
+    graft.functions.SimHashAgg.register(s, bits)
     val words = df
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     // corpus size and document frequency without countDistinct: every doc
@@ -294,15 +295,24 @@ object DedupOps {
     * Hamming distance 5 shares an intact chunk), then verify
     * bit_count(xor) ≤ 5 on candidates only — index-then-verify entirely in
     * integer ops, the same shape as the MinHash/LSH pipeline. */
-  def simhashPairs: Q = (s, d) => {
-    val sh = weightedSimhash48(s, plantedCorpus(s, d))
+  def simhashPairs: Q = simhashPairsAt(8)
+
+  /** [[simhashPairs]] with the chunk width as the bucket-sparsity knob:
+    * 6 chunks of `chunkBits` bits over a 6·chunkBits fingerprint. The
+    * 6-chunk pigeonhole (any Hamming ≤ 5 pair shares an intact chunk) is
+    * width-independent, so a larger corpus widens the fingerprint —
+    * buckets per chunk = 2^chunkBits — without losing the guarantee.
+    * ScaleProbe measures the 8→10-bit operating points. */
+  private[graft] def simhashPairsAt(chunkBits: Int): Q = (s, d) => {
+    val mask = (1 << chunkBits) - 1
+    val sh = weightedSimhash48(s, plantedCorpus(s, d), bits = 6 * chunkBits)
       .localCheckpoint(eager = false)
     // the fingerprint rides along into the chunk self-join, so Hamming is
     // verified inline on candidates and only the (tiny) survivor set is
     // deduplicated — no wide candidate distinct, no back-joins.
     val chunks = sh.select(col("doc_id"), col("simhash"),
       posexplode(expr(
-        "transform(sequence(0, 5), c -> shiftright(simhash, c * 8) & 255)"))
+        s"transform(sequence(0, 5), c -> shiftright(simhash, c * $chunkBits) & $mask)"))
         .as(Seq("c", "ck")))
     chunks.as("a").join(chunks.as("b"),
         col("a.c") === col("b.c") && col("a.ck") === col("b.ck") &&

@@ -52,6 +52,33 @@ object Profile {
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     def g(n: String): Any = row.get(row.fieldIndex(n))
 
+    // ONE job computes every categorical column's top-3 values: explode each
+    // row into (column, value) pairs, count, rank per column with the
+    // WindowGroupLimit shape. Previously this launched one groupBy job per
+    // low-cardinality column and one limit job per high-cardinality column —
+    // fine at notebook scale, a planner stall with wide schemas on a
+    // cluster. High-cardinality samples are the top-2 by frequency (the
+    // earlier arbitrary limit(2) rows were order-undefined anyway).
+    val catFields = fields.filterNot(f => isNumeric(f.dataType))
+    val catTops: Map[String, Seq[String]] =
+      if (catFields.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("cname").orderBy(desc("cnt"), col("value"))
+        df.select(explode(array(catFields.map(f =>
+            struct(lit(f.name).as("cname"),
+              col(f.name).cast("string").as("value"))).toIndexedSeq: _*)).as("p"))
+          .select(col("p.cname"), col("p.value"))
+          .filter(col("value").isNotNull)
+          .groupBy("cname", "value").agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .collect()
+          .groupBy(_.getString(0))
+          .view.mapValues(_.sortBy(_.getInt(3)).map(_.getString(1)).toSeq)
+          .toMap
+      }
+
     fields.map { f =>
       val n = g(s"${f.name}__n").asInstanceOf[Long]
       val missing = g(s"${f.name}__missing").asInstanceOf[Long]
@@ -66,18 +93,10 @@ object Profile {
         }
       } else {
         val unique = g(s"${f.name}__unique").asInstanceOf[Long]
+        val tops = catTops.getOrElse(f.name, Seq.empty)
         val samples =
-          if (unique <= 10) {
-            val top = df.filter(col(f.name).isNotNull)
-              .groupBy(col(f.name)).count()
-              .orderBy(desc("count"), col(f.name)).limit(3)
-              .collect().map(_.get(0).toString)
-            s" values=[${top.mkString(", ")}]"
-          } else {
-            val two = df.filter(col(f.name).isNotNull).select(col(f.name))
-              .limit(2).collect().map(_.get(0).toString)
-            s" samples=[${two.mkString(", ")}...]"
-          }
+          if (unique <= 10) s" values=[${tops.mkString(", ")}]"
+          else s" samples=[${tops.take(2).mkString(", ")}...]"
         s"${f.name}: categorical(n=$n) unique=$unique$samples$missingInfo"
       }
     }.mkString("\n")
