@@ -94,7 +94,19 @@ object ScaleProbe {
         RankDedup.rankUpsertQueryPlanes(4), RankDedup.rankUpsertQueryPlanes(7)),
       ("dd6_simhash_pairs_scaledbits",
         graft.operators.DedupOps.simhashPairsAt(8),
-        graft.operators.DedupOps.simhashPairsAt(10)))
+        graft.operators.DedupOps.simhashPairsAt(10)),
+      // AUTO rows: the same fn on both sides — the operating point is
+      // derived from the corpus count inside the operator, so the 10x run
+      // must pick the scaled config by itself. Done = the auto row's ratio
+      // tracks the manual scaled row's, not the fixed-config row's.
+      ("v6_rp_lsh_neardup_auto",
+        VectorOps.nearDupPairsAutoQ(2), VectorOps.nearDupPairsAutoQ(2)),
+      ("v4_knn_join_auto", VectorOps.knnJoinAutoQ, VectorOps.knnJoinAutoQ),
+      ("dd5_rank_upsert_auto",
+        RankDedup.rankUpsertQueryPlanes(0), RankDedup.rankUpsertQueryPlanes(0)),
+      ("dd6_simhash_pairs_auto",
+        graft.operators.DedupOps.simhashPairsAutoQ,
+        graft.operators.DedupOps.simhashPairsAutoQ))
     def time(fn: (SparkSession, String) => DataFrame, d: String): Double = {
       fn(spark, d).count() // warm: codegen/JIT for this plan shape
       // the timed run must not reuse the warmup's materializations
@@ -103,7 +115,13 @@ object ScaleProbe {
       fn(spark, d).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val rows = (std ++ scaled).map { case (name, fn1, fn10) =>
+    // optional arg 3: comma-separated name filter (substring match) so a
+    // single family can be probed without the full ~13 min sweep
+    val nameFilter = if (args.length > 2) args(2).split(",").toSeq else Seq.empty
+    val selected = (std ++ scaled).filter { case (n, _, _) =>
+      nameFilter.isEmpty || nameFilter.exists(n.contains)
+    }
+    val rows = selected.map { case (name, fn1, fn10) =>
       val t1 = time(fn1, base)
       val t10 = time(fn10, out)
       (name, t1, t10, t10 / t1)

@@ -273,6 +273,10 @@ object DedupOps {
     // columns — see graft.functions.SimHashAgg. Values are identical to
     // the DuckDB oracle's per-bit sums + fold.
     graft.functions.SimHashAgg.register(s, bits)
+    // word-hash width follows the fingerprint: ceil(bits/4) hex digits of
+    // md5, capped at 15 (60 bits — the BIGINT-safe fold); the pinned 48-bit
+    // oracle query keeps its 12 digits exactly.
+    val digits = math.min(15, (bits + 3) / 4)
     val words = df
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     // corpus size and document frequency without countDistinct: every doc
@@ -283,7 +287,7 @@ object DedupOps {
       .groupBy("word").agg(count(lit(1)).as("df_"))
     words.join(broadcast(dfreq), "word").crossJoin(broadcast(n))
       .select(col("doc_id"),
-        expr("cast(conv(substring(md5(word), 1, 12), 16, 10) as bigint)")
+        expr(s"cast(conv(substring(md5(word), 1, $digits), 16, 10) as bigint)")
           .as("wh"),
         expr("CASE WHEN df_ * 20 <= nd THEN 4 WHEN df_ * 5 <= nd THEN 2 ELSE 1 END")
           .as("w"))
@@ -303,9 +307,32 @@ object DedupOps {
     * width-independent, so a larger corpus widens the fingerprint —
     * buckets per chunk = 2^chunkBits — without losing the guarantee.
     * ScaleProbe measures the 8→10-bit operating points. */
-  private[graft] def simhashPairsAt(chunkBits: Int): Q = (s, d) => {
+  private[graft] def simhashPairsAt(chunkBits: Int): Q = (s, d) =>
+    simhashPairsOver(plantedCorpus(s, d), chunkBits)
+
+  /** Library entrypoint: SimHash near-dup pairs over any (doc_id, text)
+    * frame with the chunk width derived from corpus size
+    * ([[OperatingPoint.simhashChunkBits]]: +1 bit per doubling over the
+    * sf0.1 anchor, capped at the 60-bit fingerprint the BIGINT word-hash
+    * fold supports). Pass `countEstimate` to skip the cheap count(). The
+    * oracle-gated [[simhashPairs]] pins 8-bit chunks for the static
+    * DuckDB oracle. */
+  def simhashPairsAuto(df: DataFrame,
+      countEstimate: Option[Long] = None): DataFrame = {
+    val n = countEstimate.getOrElse(df.count())
+    simhashPairsOver(df, OperatingPoint.simhashChunkBits(n))
+  }
+
+  /** ScaleProbe harness form of [[simhashPairsAuto]]. */
+  private[graft] val simhashPairsAutoQ: Q =
+    (s, d) => simhashPairsAuto(plantedCorpus(s, d))
+
+  /** Core of the chunk-blocked SimHash pair search over (doc_id, text). */
+  private[graft] def simhashPairsOver(df: DataFrame,
+      chunkBits: Int): DataFrame = {
+    val s = df.sparkSession
     val mask = (1 << chunkBits) - 1
-    val sh = weightedSimhash48(s, plantedCorpus(s, d), bits = 6 * chunkBits)
+    val sh = weightedSimhash48(s, df, bits = 6 * chunkBits)
       .localCheckpoint(eager = false)
     // the fingerprint rides along into the chunk self-join, so Hamming is
     // verified inline on candidates and only the (tiny) survivor set is

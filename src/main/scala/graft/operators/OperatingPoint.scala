@@ -1,0 +1,65 @@
+package graft.operators
+
+/** Corpus-size-derived operating points for the LSH / IVF family.
+  *
+  * Every bucketed index-then-verify operator in this library has one knob
+  * that must grow with the corpus or candidate work goes quadratic:
+  *
+  *  - RP-LSH banding (v3/v6 near-dup, dd5 rank-upsert): candidate pairs per
+  *    band ∝ n²/2^planes, so holding per-bucket occupancy constant needs
+  *    `planes += log2(corpus growth)` — measured in ScaleProbe (fixed 4-bit
+  *    config: 63-71× work at 10× data; scaled config: ~linear).
+  *  - IVF cell count (v4 batch k-NN): assignment costs n·K and candidate
+  *    verify costs ~2n²/K, balanced at K ≈ √n (both terms n^1.5) — the
+  *    standard IVF operating point; probed sub-linear in time at 10×.
+  *  - SimHash chunk width (dd6): buckets per chunk = 2^chunkBits, same
+  *    `+= log2(growth)` rule; the 6-chunk pigeonhole guarantee (any pair
+  *    within Hamming 5 shares an intact chunk) is width-independent.
+  *
+  * These rules previously lived only in BASELINE.md prose and had to be
+  * applied by hand; this object is the executable form. Anchors are the
+  * measured sf0.1 fixture points (n≈2000 embeddings / n≈5300 planted docs)
+  * where the pinned configs are known-good; derived points were validated
+  * against the hand-scaled 10× ScaleProbe rows.
+  *
+  * The oracle-gated queries in SparkEntry deliberately do NOT use these —
+  * they pin fixture constants so the DuckDB oracle (static SQL text) can
+  * mirror the exact blocking structure. The library entrypoints
+  * ([[VectorOps.nearDupPairsAuto]], [[VectorOps.knnJoinAuto]],
+  * [[RankDedup.upsert]] default, [[DedupOps.simhashPairsAuto]]) derive from
+  * a passed-in estimate or a cheap `count()`.
+  */
+object OperatingPoint {
+
+  /** Extra sign/chunk bits over the anchor so 2^bits tracks n: one bit per
+    * doubling, rounded. Never negative — below the anchor the base config
+    * is already sparse enough. */
+  private[graft] def extraBits(n: Long, anchorN: Long): Int = {
+    require(n > 0, s"corpus count must be positive, got $n")
+    math.max(0, math.round(math.log(n.toDouble / anchorN) / math.log(2.0)).toInt)
+  }
+
+  private def clamp(v: Int, lo: Int, hi: Int): Int = math.min(hi, math.max(lo, v))
+
+  /** RP-LSH sign planes per band for embedding near-dup blocking.
+    * Anchor: 4 planes at n=2000 (the sf0.1 fixture; ~6× candidate
+    * reduction there). Ceiling 24: 16M buckets per band is past any
+    * realistic per-band occupancy need and keys stay cheap ints. */
+  def rpPlanesPerBand(n: Long): Int = clamp(4 + extraBits(n, 2000L), 4, 24)
+
+  /** IVF coarse-quantizer cell count: K ≈ √n, anchored at the measured
+    * K=16 @ n=2000 point (16·√(n/2000)). Floor 8 keeps the probe-2-of-K
+    * semantics meaningful on tiny inputs; ceiling 1<<20 bounds the
+    * broadcast centroid table (~256 MB of 64-dim doubles). */
+  def ivfCells(n: Long): Int = {
+    require(n > 0, s"corpus count must be positive, got $n")
+    clamp(math.round(16.0 * math.sqrt(n / 2000.0)).toInt, 8, 1 << 20)
+  }
+
+  /** SimHash chunk width (fingerprint = 6·chunkBits wide).
+    * Anchor: 8 bits at n≈5300 (sf0.1 planted corpus). Ceiling 10: the
+    * 60-bit fingerprint is the widest a single BIGINT md5-fold word hash
+    * supports (15 hex digits); past that the word hash itself must widen
+    * (e.g. xxhash64 pairs), which is a different operator variant. */
+  def simhashChunkBits(n: Long): Int = clamp(8 + extraBits(n, 5300L), 8, 10)
+}

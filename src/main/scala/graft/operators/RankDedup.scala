@@ -52,15 +52,25 @@ object RankDedup {
     * the embedding dimension (the band planes are generated for it; vectors
     * of any other length fail loudly in rp_band_keys). `planesPerBand` is
     * the bucket-sparsity knob: buckets per band = 2^planes, raised with
-    * corpus size (ScaleProbe measures the scaled operating point). */
+    * corpus size (ScaleProbe measures the scaled operating point). The
+    * default 0 means AUTO: derive it from the store's size via
+    * [[OperatingPoint.rpPlanesPerBand]] (one cheap count(); pass
+    * `storeCountEstimate` to skip it when the cardinality is known). The
+    * oracle-gated [[rankUpsertQuery]] pins planes=4 explicitly so the
+    * static DuckDB oracle stays exact. */
   def upsert(store: DataFrame, cand: DataFrame, dim: Int = 64,
-      planesPerBand: Int = PlanesPerBand): DataFrame = {
+      planesPerBand: Int = 0,
+      storeCountEstimate: Option[Long] = None): DataFrame = {
+    val planes =
+      if (planesPerBand > 0) planesPerBand
+      else OperatingPoint.rpPlanesPerBand(
+        storeCountEstimate.getOrElse(math.max(1L, store.count())))
     val spark = store.sparkSession
     graft.functions.RpBandKeys.register(spark,
-      bandSigns(dim, planesPerBand), planesPerBand, "rp_band_keys_dd")
+      bandSigns(dim, planes), planes, s"rp_band_keys_dd_$planes")
     def banded(df: DataFrame, p: String) = df.select(col("id").as(p + "id"),
         col("v").as(p + "v"), col("rank").as(p + "rank"),
-        posexplode(expr("rp_band_keys_dd(v)")).as(Seq("b", "key")))
+        posexplode(expr(s"rp_band_keys_dd_$planes(v)")).as(Seq("b", "key")))
     // a pair meeting in several bands appears once: pair columns are
     // distinct-ed after the verify, before the best-match window
     val matches = banded(cand, "c").join(banded(store, "s"), Seq("b", "key"))

@@ -154,9 +154,13 @@ object VectorOps {
   /** [[knnJoin]] with the cell count as a knob — at larger corpora K grows
     * (K ≈ √n keeps assignment n·K and candidate work n²/K balanced at
     * n^1.5, the standard IVF operating point ScaleProbe measures). */
-  private[graft] def knnJoinK(K: Int): Q = (s, d) => {
+  private[graft] def knnJoinK(K: Int): Q = (s, d) => knnJoinOver(vecs(s, d), K)
+
+  /** Core of the IVF batch k-NN join over any (vec_id, v) frame. */
+  private[graft] def knnJoinOver(e0: DataFrame, K: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = vecs(s, d).localCheckpoint(eager = false) // feeds centroids+scan
+    CosineSimilarity.register(e0.sparkSession)
+    val e = e0.localCheckpoint(eager = false) // feeds centroids+scan
     val cent = e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
     // round(·,6) before the argmax so the cell choice is engine-independent
@@ -245,9 +249,16 @@ object VectorOps {
     * computation. Each band config registers under its own function name so
     * v3 and v6 never clobber each other's resolved expressions. */
   private[graft] def rpBandedNearDup(s: SparkSession, d: String, bands: Int,
-      fname: String, planes: Int = RpPlanesPerBand): DataFrame = {
-    val e = vecs(s, d)
-    val signs = Array.tabulate(bands * planes, Dim) {
+      fname: String, planes: Int = RpPlanesPerBand): DataFrame =
+    rpBandedNearDupOver(vecs(s, d), bands, fname, planes)
+
+  /** Core of the RP-LSH banded near-dup over any (vec_id, v) frame. */
+  private[graft] def rpBandedNearDupOver(e: DataFrame, bands: Int,
+      fname: String, planes: Int, threshold: Double = 0.30,
+      dim: Int = Dim): DataFrame = {
+    val s = e.sparkSession
+    CosineSimilarity.register(s)
+    val signs = Array.tabulate(bands * planes, dim) {
       (j, k0) => if (rpSign(j, k0 + 1) == "+") 1.0 else -1.0
     }
     graft.functions.RpBandKeys.register(s, signs, planes, fname)
@@ -259,7 +270,7 @@ object VectorOps {
           col("a.vec_id") < col("x.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("x.vec_id").as("b_id"),
         round(expr("cosine_sim(a.v, x.v)"), 6).as("sim"))
-      .filter(col("sim") >= 0.30)
+      .filter(col("sim") >= threshold)
       .distinct()
   }
 
@@ -299,4 +310,41 @@ object VectorOps {
   def nearDupPairs: Q = (s, d) => rpBandedNearDup(s, d, V3Bands, "rp_band_keys_w")
 
   val nearDupPairsOracle: String = rpBandedNearDupOracle(V3Bands)
+
+  // ---- corpus-size-derived (AUTO) library entrypoints ----
+
+  /** Library entrypoint: embedding near-dup pairs over any
+    * (vec_id, v: array&lt;double&gt;) frame with the RP-LSH operating point
+    * derived from corpus size ([[OperatingPoint.rpPlanesPerBand]]:
+    * planes += log2(growth) over the measured sf0.1 anchor, so candidate
+    * pairs stay ~linear in n). Pass `countEstimate` when the cardinality is
+    * already known (catalog statistic, prior stage); otherwise one cheap
+    * count() job runs first. The oracle-gated [[nearDupPairs]] keeps its
+    * pinned 4-plane config so the static DuckDB oracle SQL can mirror the
+    * exact blocking structure. */
+  def nearDupPairsAuto(e: DataFrame, threshold: Double = 0.30,
+      countEstimate: Option[Long] = None, bands: Int = V3Bands,
+      dim: Int = Dim): DataFrame = {
+    val n = countEstimate.getOrElse(e.count())
+    val planes = OperatingPoint.rpPlanesPerBand(n)
+    rpBandedNearDupOver(e, bands, s"rp_band_keys_auto_${bands}_$planes",
+      planes, threshold, dim)
+  }
+
+  /** Library entrypoint: IVF batch k-NN join with the cell count derived
+    * from corpus size (K ≈ √n, [[OperatingPoint.ivfCells]] — balances
+    * n·K assignment against n²/K candidate work). The oracle-gated
+    * [[knnJoin]] keeps K=16 pinned for the static oracle. */
+  def knnJoinAuto(e: DataFrame,
+      countEstimate: Option[Long] = None): DataFrame = {
+    val n = countEstimate.getOrElse(e.count())
+    knnJoinOver(e, OperatingPoint.ivfCells(n))
+  }
+
+  /** ScaleProbe harness forms of the auto entrypoints: the probe times
+    * these on 1x and 10x fixture dirs and checks the auto-derived config
+    * tracks the hand-scaled operating point. */
+  private[graft] def nearDupPairsAutoQ(bands: Int): Q =
+    (s, d) => nearDupPairsAuto(vecs(s, d), bands = bands)
+  private[graft] val knnJoinAutoQ: Q = (s, d) => knnJoinAuto(vecs(s, d))
 }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{DedupOps, OperatingPoint, VectorOps}
+
+/** Pins the corpus-size → operating-point derivation (the executable form
+  * of BASELINE.md's scale rule) and proves the AUTO library entrypoints
+  * reduce to the pinned oracle configs at the fixture anchor sizes — so the
+  * auto path is hash-equivalent to the oracle-gated queries exactly where
+  * the oracle can check it. */
+class OperatingPointSpec extends SparkSpec {
+
+  test("rp planes: +1 bit per corpus doubling over the 4@2000 anchor") {
+    assert(OperatingPoint.rpPlanesPerBand(500) == 4)   // below anchor: base
+    assert(OperatingPoint.rpPlanesPerBand(2000) == 4)  // anchor
+    assert(OperatingPoint.rpPlanesPerBand(4000) == 5)
+    assert(OperatingPoint.rpPlanesPerBand(20000) == 7) // 10x: round(log2 10)=3
+    assert(OperatingPoint.rpPlanesPerBand(200000) == 11)
+    assert(OperatingPoint.rpPlanesPerBand(2000L << 40) == 24) // ceiling
+  }
+
+  test("ivf cells: K ~ 16*sqrt(n/2000), floored and capped") {
+    assert(OperatingPoint.ivfCells(100) == 8)      // floor
+    assert(OperatingPoint.ivfCells(2000) == 16)    // anchor
+    assert(OperatingPoint.ivfCells(20000) == 51)   // 10x ~ the probed K=50
+    assert(OperatingPoint.ivfCells(200000) == 160)
+    assert(OperatingPoint.ivfCells(2000L << 40) == (1 << 20)) // ceiling
+  }
+
+  test("simhash chunk bits: 8@5300 anchor, 60-bit fingerprint ceiling") {
+    assert(OperatingPoint.simhashChunkBits(530) == 8)
+    assert(OperatingPoint.simhashChunkBits(5300) == 8)
+    assert(OperatingPoint.simhashChunkBits(53000) == 10) // clamped from 11
+    assert(OperatingPoint.simhashChunkBits(5300L << 20) == 10)
+  }
+
+  test("derivations are monotonic in corpus size") {
+    val ns = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L, 100000000L)
+    def mono(f: Long => Int) =
+      ns.zip(ns.tail).foreach { case (a, b) => assert(f(a) <= f(b)) }
+    mono(OperatingPoint.rpPlanesPerBand)
+    mono(OperatingPoint.ivfCells)
+    mono(OperatingPoint.simhashChunkBits)
+  }
+
+  test("auto near-dup == pinned oracle query at the anchor-regime fixture") {
+    // sf0.001 embeddings: n=500 -> auto picks planes=4, the pinned config,
+    // so the result sets must be identical row-for-row.
+    val pinned = SparkEntry.queries("v3_neardup_embeddings")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val e = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val auto = VectorOps.nearDupPairsAuto(e).collect().map(_.toSeq).toSet
+    assert(auto == pinned)
+    assert(auto.nonEmpty)
+  }
+
+  test("auto simhash pairs == pinned oracle query at the anchor regime") {
+    val pinned = SparkEntry.queries("dd6_simhash_pairs")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val auto = DedupOps.simhashPairsAutoQ(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(auto == pinned)
+    assert(auto.nonEmpty)
+  }
+
+  test("auto knn join returns full k-NN shape at derived K") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val out = VectorOps.knnJoinAuto(e, countEstimate = Some(500L))
+    // every query vector gets up to 3 neighbors; rk bounded
+    assert(out.groupBy("a_id").count().filter(col("count") > 3).count() == 0)
+    assert(out.count() > 0)
+  }
+}
