@@ -46,7 +46,7 @@ object Sources {
     * pre-analysis API results, small by contract; bulk remote data belongs
     * to a distributed connector (S4) instead. JDK-only HTTP, no added deps. */
   def fromUrl(spark: SparkSession, url: String,
-      timeoutMs: Int = 15000): DataFrame = {
+      timeoutMs: Int = 15000, maxBytes: Long = 64L * 1024 * 1024): DataFrame = {
     val conn = java.net.URI.create(url).toURL
       .openConnection().asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(timeoutMs)
@@ -54,8 +54,27 @@ object Sources {
     try {
       val code = conn.getResponseCode
       if (code >= 400) throw new RuntimeException(s"remote source HTTP $code: $url")
-      val text = scala.io.Source
-        .fromInputStream(conn.getInputStream, "UTF-8").mkString
+      // The whole payload lands on the driver by design (small-by-contract
+      // API results); enforce that contract so an unexpectedly large URL
+      // fails loudly instead of OOMing the driver. Content-Length is
+      // advisory (absent on chunked responses), so the stream read is
+      // capped too.
+      val declared = conn.getContentLengthLong
+      if (declared > maxBytes) throw new IllegalArgumentException(
+        s"remote source payload $declared bytes exceeds maxBytes=$maxBytes: $url " +
+          "(driver-side source is for small API results; use a distributed scan for bulk data)")
+      val out = new java.io.ByteArrayOutputStream()
+      val in = conn.getInputStream
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size() > maxBytes) throw new IllegalArgumentException(
+          s"remote source payload exceeds maxBytes=$maxBytes: $url " +
+            "(driver-side source is for small API results; use a distributed scan for bulk data)")
+        n = in.read(buf)
+      }
+      val text = out.toString("UTF-8")
       import spark.implicits._
       spark.read.option("header", "true").option("inferSchema", "true")
         .csv(spark.createDataset(text.linesIterator.toSeq))

@@ -54,6 +54,18 @@ class HttpAdaptersSpec extends SparkSpec {
     }
   }
 
+  test("S8: payloads over maxBytes fail loudly instead of OOMing the driver") {
+    val big = "id,v\n" + (1 to 2000).map(i => s"$i,x").mkString("\n")
+    withServer(Map("/big.csv" -> (_ => (200, big)))) { base =>
+      val e = intercept[IllegalArgumentException] {
+        Sources.fromUrl(spark, s"$base/big.csv", maxBytes = 1024)
+      }
+      assert(e.getMessage.contains("maxBytes"))
+      // under the cap the same payload loads fine
+      assert(Sources.fromUrl(spark, s"$base/big.csv").count() == 2000)
+    }
+  }
+
   test("LLM adapter: request carries stage+prompt, response content extracted") {
     var seenBody = ""
     var seenAuth = ""
