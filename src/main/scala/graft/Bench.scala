@@ -3,15 +3,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: runs every declared query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. Every query runs twice and the SECOND run is timed:
-  * the first pass absorbs one-time driver costs (Janino whole-stage-codegen
-  * compilation, JIT, parquet footer reads) that are constant per query text,
-  * so the timed pass measures steady-state execution — which is what a
-  * 100 TB projection scales from. The timed run re-does all data work:
-  * operator-internal materializations use localCheckpoint (never matched
-  * across invocations), and the plan cache is cleared before each timed
-  * query so no warmup-pass cache() result can be silently reused. */
+  * prints ONE JSON line. One warmup pass absorbs one-time driver costs
+  * (Janino whole-stage-codegen compilation, JIT, parquet footer reads) that
+  * are constant per query text; then THREE timed round-robin passes run and
+  * the per-query MEDIAN is reported — single steady-state runs drift ±20%
+  * on this box (BASELINE.md §4) and medians keep a regression analysis from
+  * chasing noise. "spread" records per-query max-min across the timed runs
+  * so the reader can see which medians are tight. Each timed run re-does
+  * all data work: operator-internal materializations use localCheckpoint
+  * (never matched across invocations), and the plan cache is cleared before
+  * each timed query so no earlier run's cache() result can be silently
+  * reused. */
 object Bench {
+  private val TimedRuns = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,30 +29,43 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    // pass 1: warmup (codegen/JIT; failures surface in the timed pass)
+    // warmup pass (codegen/JIT; failures surface in the timed passes)
     named.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // pass 2: timed. clearCache() before every timed query: Spark's
-    // CacheManager matches by canonicalized plan, so without it a query
-    // whose pipeline calls .cache() would silently reuse the warmup pass's
-    // materialization and under-report its cost (operator internals use
-    // localCheckpoint, which cannot be plan-matched, but this guards any
-    // future cache() too). A query that throws reports -1 (never a
-    // plausible wall-clock) and is listed in "errors", so a broken query
-    // cannot hide in a healthy JSON.
-    val results = named.map { case (name, fn) =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+    // timed passes, round-robin over the query list so the runs of one
+    // query are separated in time (closer to independent samples than
+    // back-to-back repeats). clearCache() before every timed query:
+    // Spark's CacheManager matches by canonicalized plan, so without it a
+    // query whose pipeline calls .cache() would silently reuse an earlier
+    // materialization and under-report its cost. A query that throws in
+    // any run reports -1 (never a plausible wall-clock) and is listed in
+    // "errors", so a broken query cannot hide in a healthy JSON.
+    val samples: Seq[Seq[(String, Double, Boolean)]] = (1 to TimedRuns).map { _ =>
+      named.map { case (name, fn) =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val results = named.map { case (name, _) =>
+      val runs = samples.map(_.find(_._1 == name).get)
+      val ok = runs.forall(_._3)
+      val times = runs.map(_._2).sorted
+      val median = if (ok) times(times.length / 2) else -1.0
+      val spread = if (ok) times.last - times.head else -1.0
+      (name, median, spread, ok)
+    }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    val spreads = results.map { case (k, _, sp, _) =>
+      "\"" + k + "\":" + BigDecimal(sp).setScale(4, BigDecimal.RoundingMode.HALF_UP) }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
+    val total = results.collect { case (_, v, _, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$TimedRuns,"errors":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

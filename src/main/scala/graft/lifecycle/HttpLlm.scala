@@ -22,9 +22,10 @@ import java.nio.charset.StandardCharsets
 final class HttpLlmClient(baseUrl: String, apiKey: String, model: String,
     timeoutMs: Int = 60000) extends Agents.LlmClient {
 
-  override def complete(stage: String, prompt: String): String = {
+  private def open(stage: String, prompt: String,
+      stream: Boolean): HttpURLConnection = {
     val body =
-      s"""{"model":${HttpLlm.jsonStr(model)},"messages":[
+      s"""{"model":${HttpLlm.jsonStr(model)},${if (stream) "\"stream\":true," else ""}"messages":[
          |{"role":"system","content":${HttpLlm.jsonStr(s"You are the $stage stage of a data-analysis agent. Respond with exactly the artifact the stage contract requires.")}},
          |{"role":"user","content":${HttpLlm.jsonStr(prompt)}}]}""".stripMargin
     val conn = URI.create(s"$baseUrl/chat/completions").toURL
@@ -35,22 +36,78 @@ final class HttpLlmClient(baseUrl: String, apiKey: String, model: String,
     conn.setRequestProperty("Content-Type", "application/json")
     conn.setRequestProperty("Authorization", s"Bearer $apiKey")
     conn.setDoOutput(true)
+    conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+    conn
+  }
+
+  private def failIfError(conn: HttpURLConnection): Unit = {
+    val code = conn.getResponseCode
+    if (code >= 400) {
+      val text = scala.io.Source
+        .fromInputStream(conn.getErrorStream, "UTF-8").mkString
+      throw new RuntimeException(
+        s"LLM HTTP $code: ${graft.plans.Lifecycle.condense(text)}")
+    }
+  }
+
+  override def complete(stage: String, prompt: String): String = {
+    val conn = open(stage, prompt, stream = false)
     try {
-      conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
-      val code = conn.getResponseCode
-      val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
-      val text = scala.io.Source.fromInputStream(stream, "UTF-8").mkString
-      if (code >= 400)
-        throw new RuntimeException(
-          s"LLM HTTP $code: ${graft.plans.Lifecycle.condense(text)}")
+      failIfError(conn)
+      val text = scala.io.Source
+        .fromInputStream(conn.getInputStream, "UTF-8").mkString
       HttpLlm.extractContent(text).getOrElse(
         throw new RuntimeException(
           s"no message content in response: ${graft.plans.Lifecycle.condense(text)}"))
     } finally conn.disconnect()
   }
+
+  /** Streaming completion over the chat-completions SSE wire shape
+    * (`"stream":true` → `data: {"choices":[{"delta":{"content":...}}]}`
+    * events terminated by `data: [DONE]`) — the reference streams every
+    * completion and reports tokens/sec telemetry
+    * (bambooai/models/openai_models.py:126-152 delta loop, :241-244 rate).
+    * `onDelta` fires per content chunk as it arrives (the UI seam); the
+    * returned [[HttpLlm.StreamResult]] carries the assembled text and the
+    * measured rate. */
+  def completeStreaming(stage: String, prompt: String,
+      onDelta: String => Unit = _ => ()): HttpLlm.StreamResult = {
+    val t0 = System.nanoTime()
+    val conn = open(stage, prompt, stream = true)
+    try {
+      failIfError(conn)
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(conn.getInputStream, StandardCharsets.UTF_8))
+      val text = new StringBuilder
+      var chunks = 0
+      var line = reader.readLine()
+      while (line != null) {
+        val payload = line.stripPrefix("data:").trim
+        if (line.startsWith("data:") && payload == "[DONE]") line = null
+        else {
+          if (line.startsWith("data:") && payload.nonEmpty)
+            HttpLlm.extractContent(payload).foreach { d =>
+              text.append(d); chunks += 1; onDelta(d)
+            }
+          line = reader.readLine()
+        }
+      }
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
+      HttpLlm.StreamResult(text.toString, chunks, elapsedSec,
+        if (elapsedSec > 0) chunks / elapsedSec else 0.0)
+    } finally conn.disconnect()
+  }
 }
 
 object HttpLlm {
+
+  /** Assembled streaming completion: full text, delta-event count, wall
+    * time, and the chunks/sec rate the reference logs as tokens-per-second
+    * (openai_models.py:241-244 — the reference counts completion tokens;
+    * without a tokenizer dependency the delta count is the same telemetry
+    * at chunk granularity). */
+  final case class StreamResult(text: String, chunks: Int,
+      elapsedSec: Double, chunksPerSec: Double)
 
   /** Build the client from the environment; None when no key is present, so
     * callers (Demo) fall back to the scripted fixture client. */

@@ -1,9 +1,29 @@
 package graft
 
-import graft.lifecycle.{Agents, EngineSession, SessionStore}
+import graft.lifecycle.{Agents, EngineSession, LlmConfig, ReAct, Retriever, SessionStore}
 import graft.functions.ScalarExtras
 
 class AgentsSpec extends SparkSpec {
+
+  /** Wraps a client to record every (stage, prompt) so observation
+    * threading through the ReAct transcript is assertable. */
+  private final class Recording(inner: Agents.LlmClient) extends Agents.LlmClient {
+    val calls = scala.collection.mutable.Buffer.empty[(String, String)]
+    def complete(stage: String, prompt: String): String = {
+      calls += ((stage, prompt)); inner.complete(stage, prompt)
+    }
+  }
+
+  private def corpusRetriever(): Retriever = {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "Mount Everest rises 8849 metres above sea level in the Himalaya"),
+      (2L, "The Mariana Trench descends nearly 11000 metres below the ocean"))
+      .toDF("doc_id", "text")
+    val r = new Retriever(spark)
+    r.indexCorpus(corpus)
+    r
+  }
 
   private def fixtures(badFirst: Boolean) = Map(
     "expert_selector" -> Seq(
@@ -89,6 +109,80 @@ class AgentsSpec extends SparkSpec {
     val store2 = new SessionStore(java.nio.file.Paths.get("target/test_sessions"))
     assert(store2.restore("esc") == tricky.length)
     assert(store2.messages("esc").map(_.content) == tricky)
+  }
+
+  test("ReAct e2e: search then calculate then final answer, observations threaded") {
+    val llm = new Recording(new Agents.ScriptedLlm(Map(
+      "search_executor" -> Seq(
+        "Thought: I should look up the height.\nAction: search: 'height of everest'",
+        "Thought: double it for the fixture question.\nAction: calculate: 8849 * 2",
+        "Answer: 17698 metres"),
+      "search_summarizer" -> Seq("Mount Everest is 8849 metres tall."))))
+    val r = ReAct.run(llm, "What is twice the height of Everest?",
+      ReAct.searchActions(spark, corpusRetriever(), llm))
+    assert(!r.truncated && r.answer == "Answer: 17698 metres")
+    assert(r.steps.map(s => (s.action, s.input)) == Seq(
+      "search" -> "'height of everest'", "calculate" -> "8849 * 2"))
+    assert(r.steps(0).observation == "Mount Everest is 8849 metres tall.")
+    assert(r.steps(1).observation == "17698.0")
+    // the final prompt carries the question, both responses, both observations
+    val lastPrompt = llm.calls.reverse.collectFirst {
+      case ("search_executor", p) => p
+    }.get
+    assert(lastPrompt.startsWith("Question: What is twice the height of Everest?"))
+    assert(lastPrompt.contains("Observation: Mount Everest is 8849 metres tall."))
+    assert(lastPrompt.contains("Observation: 17698.0"))
+    // the summarizer saw the retrieved chunk as numbered context
+    val sumPrompt = llm.calls.collectFirst { case ("search_summarizer", p) => p }.get
+    assert(sumPrompt.contains("Everest") && sumPrompt.contains("[1]"))
+  }
+
+  test("ReAct: calculator failures come back as observations, not exceptions") {
+    val llm = new Agents.ScriptedLlm(Map("search_executor" -> Seq(
+      "Action: calculate: drop table x",
+      "Answer: that was not arithmetic")))
+    val r = ReAct.run(llm, "q", ReAct.searchActions(spark, corpusRetriever(), llm))
+    assert(r.steps.length == 1 && r.steps(0).observation.nonEmpty)
+    assert(r.answer == "Answer: that was not arithmetic" && !r.truncated)
+  }
+
+  test("ReAct: unknown actions raise; turn budget truncates") {
+    val bad = new Agents.ScriptedLlm(Map("search_executor" -> Seq(
+      "Action: rm_rf: /")))
+    intercept[NoSuchElementException] {
+      ReAct.run(bad, "q", Map("calculate" -> (_ => "")))
+    }
+    // ScriptedLlm repeats its last line, so the model never stops acting
+    val loop = new Agents.ScriptedLlm(Map("search_executor" -> Seq(
+      "Action: calculate: 1 + 1")))
+    val r = ReAct.run(loop, "q",
+      Map("calculate" -> (e => ScalarExtras.calculate(spark, e)
+        .fold(identity, _.toString))))
+    assert(r.truncated && r.steps.length == ReAct.MaxTurns)
+    assert(r.steps.forall(_.observation == "2.0"))
+  }
+
+  test("per-stage dispatch: bound stages hit their own model, rest the default") {
+    val cfg = LlmConfig.parse(
+      """{"agent_configs": [
+        |  {"agent": "planner", "details": {"model": "model-a", "provider":"openai", "max_tokens": 2000}},
+        |  {"agent": "summarizer", "details": {"model": "model-b", "base_url": "http://alt/v1"}},
+        |  {"agent": "broken", "details": {"provider": "openai"}}
+        |]}""".stripMargin)
+    assert(cfg == Map(
+      "planner" -> LlmConfig.Binding("model-a"),
+      "summarizer" -> LlmConfig.Binding("model-b", baseUrl = Some("http://alt/v1"))))
+    val seen = scala.collection.mutable.Buffer.empty[(String, String)]
+    def scripted(tag: String): Agents.LlmClient = (stage, _) => {
+      seen += ((tag, stage)); s"$tag answer"
+    }
+    val d = LlmConfig.dispatch(scripted("default"), cfg,
+      b => scripted(b.model))
+    assert(d.complete("planner", "p") == "model-a answer")
+    assert(d.complete("summarizer", "p") == "model-b answer")
+    assert(d.complete("expert_selector", "p") == "default answer")
+    assert(seen.toSeq == Seq("model-a" -> "planner",
+      "model-b" -> "summarizer", "default" -> "expert_selector"))
   }
 
   test("F14 calculator evaluates through Catalyst, no code path") {

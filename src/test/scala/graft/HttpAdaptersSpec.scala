@@ -102,6 +102,30 @@ class HttpAdaptersSpec extends SparkSpec {
       """{"choices":[{"message":{"content":"aA\nb"}}]}""").contains("aA\nb"))
   }
 
+  test("LLM adapter: SSE streaming assembles deltas and reports a rate") {
+    var seenBody = ""
+    val sse = Seq(
+      """data: {"choices":[{"delta":{"role":"assistant"}}]}""",
+      """data: {"choices":[{"delta":{"content":"Hel"}}]}""",
+      "",
+      """data: {"choices":[{"delta":{"content":"lo "}}]}""",
+      """data: {"choices":[{"delta":{"content":"world"}}]}""",
+      """data: [DONE]""",
+      """data: {"choices":[{"delta":{"content":"IGNORED"}}]}""").mkString("\n")
+    withServer(Map("/v1/chat/completions" -> (ex => {
+      seenBody = scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+      (200, sse)
+    }))) { base =>
+      val client = new HttpLlmClient(s"$base/v1", "sk-test", "m")
+      val deltas = scala.collection.mutable.Buffer.empty[String]
+      val r = client.completeStreaming("summarizer", "say hello", deltas += _)
+      assert(seenBody.contains("\"stream\":true"))
+      assert(r.text == "Hello world" && r.chunks == 3)
+      assert(deltas.toSeq == Seq("Hel", "lo ", "world"))
+      assert(r.elapsedSec > 0 && r.chunksPerSec > 0)
+    }
+  }
+
   test("fromEnv: inert without a key, configured with one") {
     assert(HttpLlm.fromEnv(_ => None).isEmpty)
     val c = HttpLlm.fromEnv(Map(
