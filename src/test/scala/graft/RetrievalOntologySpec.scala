@@ -78,6 +78,104 @@ class RetrievalOntologySpec extends SparkSpec {
     assert(mm.contains("activity") && mm.contains("events -->|user_id| activity"))
   }
 
+  private val fixtureTtl =
+    """@prefix ex: <http://example.org/fitness#> .
+      |@prefix owl: <http://www.w3.org/2002/07/owl#> .
+      |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+      |
+      |# a small fitness ontology, the reference's README example domain
+      |ex:Activity a owl:Class ;
+      |  rdfs:label "Recorded activity session" .
+      |ex:Event a owl:Class ;
+      |  rdfs:label "Telemetry event" .
+      |ex:hasEvent a owl:ObjectProperty ;
+      |  rdfs:label "activity to its events" ;
+      |  rdfs:domain ex:Activity ;
+      |  rdfs:range ex:Event .
+      |ex:speedMs a owl:DatatypeProperty ;
+      |  rdfs:domain ex:Event ;
+      |  rdfs:range <http://www.w3.org/2001/XMLSchema#double> .
+      |""".stripMargin
+
+  test("TTL parse: classes, properties, labels, domain/range from the subset") {
+    val onto = Ontology.parseTtl(fixtureTtl).toOption.get
+    assert(onto.classes.map(_.name) == Seq("Activity", "Event"))
+    assert(onto.classes.head.label.contains("Recorded activity session"))
+    val hasEvent = onto.properties.find(_.name == "hasEvent").get
+    assert(hasEvent.objectProperty &&
+      hasEvent.domain.contains("Activity") && hasEvent.range.contains("Event"))
+    val speed = onto.properties.find(_.name == "speedMs").get
+    assert(!speed.objectProperty && speed.range.contains("double"))
+  }
+
+  test("TTL parse: unsupported constructs are loud rejections") {
+    def left(ttl: String): String = Ontology.parseTtl(ttl) match {
+      case Left(e) => e
+      case Right(r) => fail(s"expected rejection, parsed $r")
+    }
+    assert(left("ex:A a owl:Class ; rdfs:label [ a ex:Weird ] .")
+      .contains("unsupported TTL construct"))
+    assert(left("ex:A rdfs:label \"\"\"multi\nline\"\"\" .")
+      .contains("unsupported TTL construct"))
+    assert(left("ex:A a owl:Class ; rdfs:label \"unterminated")
+      .contains("unsupported TTL construct"))
+    assert(left("ex:A a owl:Class ; rdfs:label \"x\"").contains("not terminated"))
+    assert(left("@prefix ex: <http://example.org/> .").contains("no classes"))
+  }
+
+  test("TTL e2e: distill through the LLM stage into catalog + mermaid") {
+    var seenPrompt = ""
+    val llm = new Agents.LlmClient {
+      def complete(stage: String, prompt: String): String = {
+        assert(stage == "dataframe_inspector"); seenPrompt = prompt
+        """Here is the distilled model.
+          |```yaml
+          |containers:
+          |  - name: activity
+          |    columns: [activity_id, user_id, ts]
+          |  - name: events
+          |    columns: [event_id, user_id, ts, value]
+          |links:
+          |  - from: events
+          |    to: activity
+          |    on: user_id
+          |functions:
+          |  - pace_min_per_km
+          |```
+          |""".stripMargin
+      }
+    }
+    val model = Ontology.distillTtl(llm, fixtureTtl,
+      profile = "activity: numeric(n=3) ...", task = "pace per activity") match {
+      case Right(m) => m
+      case Left(e) => fail(e)
+    }
+    // the distiller saw the normalized ontology, the preview, and the task
+    assert(seenPrompt.contains("TASK: pace per activity"))
+    assert(seenPrompt.contains("Activity (Recorded activity session)"))
+    assert(seenPrompt.contains("hasEvent") && seenPrompt.contains("Activity -> Event"))
+    assert(seenPrompt.contains("DATAFRAME PREVIEW"))
+    assert(seenPrompt.contains("no invented functions"))
+    // and the output lands in the catalog + mermaid surfaces
+    assert(model.nodes.map(_.name) == Seq("activity", "events"))
+    assert(FunctionCatalog.resolveScalar(model.helpers.head).isRight)
+    assert(Ontology.toMermaid(model).contains("events -->|user_id| activity"))
+  }
+
+  test("TTL e2e: invented helpers from the distiller are rejected") {
+    val inventing = new Agents.LlmClient {
+      def complete(stage: String, prompt: String): String =
+        "```yaml\ncontainers:\n  - name: t\n    columns: [a]\nfunctions:\n  - invented_fn\n```"
+    }
+    val out = Ontology.distillTtl(inventing, fixtureTtl, "p", "t")
+    assert(out.isLeft && out.left.exists(_.contains("invented_fn")))
+    val unfenced = new Agents.LlmClient {
+      def complete(stage: String, prompt: String): String = "containers:\n  - name: t"
+    }
+    assert(Ontology.distillTtl(unfenced, fixtureTtl, "p", "t")
+      .left.exists(_.contains("```yaml")))
+  }
+
   test("ontology rejects invented functions and structureless input") {
     val bad = Ontology.parseYaml(
       """containers:
