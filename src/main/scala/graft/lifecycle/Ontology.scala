@@ -34,9 +34,13 @@ object Ontology {
     s.trim.stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\"")
 
   /** Parse the YAML subset; Left(reason) on structural problems or unknown
-    * helper functions. */
+    * helper functions. Constructs outside the flat distillation contract —
+    * nested lists, nested mappings (a key with no inline value), flow
+    * mappings — are loud "unsupported YAML construct" rejections rather
+    * than silent flattening. */
   def parseYaml(text: String): Either[String, DataModel] = {
     var section = ""
+    var itemIndent = -1 // leading spaces of the current section's items
     val nodes = scala.collection.mutable.ArrayBuffer.empty[Agents.ModelNode]
     val edges = scala.collection.mutable.ArrayBuffer.empty[Agents.ModelEdge]
     val helpers = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -68,20 +72,38 @@ object Ontology {
       val line = raw.replaceAll("#.*$", "")
       if (line.trim.nonEmpty) {
         val trimmed = line.trim
+        val indent = line.takeWhile(_ == ' ').length
         if (!line.startsWith(" ") && trimmed.endsWith(":")) {
           flush() match { case Left(e) => return Left(e); case _ => }
           section = trimmed.dropRight(1)
+          itemIndent = -1
         } else if (trimmed.startsWith("- ") || trimmed == "-") {
+          if (itemIndent < 0) itemIndent = indent
+          else if (indent != itemIndent)
+            return Left("unsupported YAML construct: nested list " +
+              s"(item at indent $indent under a list at indent $itemIndent)")
           flush() match { case Left(e) => return Left(e); case _ => }
           val rest = trimmed.stripPrefix("-").trim
+          if (rest.startsWith("{"))
+            return Left(s"unsupported YAML construct: flow mapping: $rest")
           if (section == "functions") { if (rest.nonEmpty) helpers += stripQuotes(rest) }
           else if (rest.contains(":")) {
+            if (rest.endsWith(":"))
+              return Left("unsupported YAML construct: nested mapping under " +
+                s"'${rest.dropRight(1)}' (keys need inline values)")
             val Array(k, v @ _*) = rest.split(":", 2): @unchecked
             cur += (k.trim -> stripQuotes(v.mkString(":")))
           }
-        } else if (trimmed.contains(":") && cur.nonEmpty || trimmed.contains(":") && section.nonEmpty) {
+        } else if (trimmed.contains(":") && (cur.nonEmpty || section.nonEmpty)) {
+          if (trimmed.endsWith(":"))
+            return Left("unsupported YAML construct: nested mapping under " +
+              s"'${trimmed.dropRight(1)}' (keys need inline values)")
+          if (trimmed.split(":", 2)(1).trim.startsWith("{"))
+            return Left(s"unsupported YAML construct: flow mapping: $trimmed")
           val Array(k, v @ _*) = trimmed.split(":", 2): @unchecked
           cur += (k.trim -> stripQuotes(v.mkString(":")))
+        } else {
+          return Left(s"unsupported YAML construct: unrecognized line '$trimmed'")
         }
       }
     }

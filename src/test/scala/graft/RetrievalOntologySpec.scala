@@ -189,4 +189,40 @@ class RetrievalOntologySpec extends SparkSpec {
     val noName = Ontology.parseYaml("containers:\n  - columns: [a]\n")
     assert(noName.isLeft)
   }
+
+  test("ontology YAML: out-of-contract constructs are loud, not mis-parsed") {
+    def left(yaml: String): String = Ontology.parseYaml(yaml) match {
+      case Left(e) => e
+      case Right(r) => fail(s"expected rejection, parsed $r")
+    }
+    // block list under an item key: the key-with-no-value line is the
+    // nested-mapping signature, caught before the sub-list flattens
+    assert(left(
+      """containers:
+        |  - name: t
+        |    columns:
+        |      - a
+        |""".stripMargin).contains("nested mapping"))
+    // list item indented deeper than its list's items
+    assert(left(
+      """functions:
+        |  - pace_min_per_km
+        |      - nested
+        |""".stripMargin).contains("nested list"))
+    // nested mapping (key with no inline value inside an item)
+    assert(left(
+      """containers:
+        |  - name: t
+        |    meta:
+        |""".stripMargin).contains("nested mapping"))
+    // flow mapping
+    assert(left(
+      """containers:
+        |  - name: t
+        |    columns: {a: 1}
+        |""".stripMargin).contains("flow mapping"))
+    // stray prose outside the contract
+    assert(left("containers:\n  - name: t\n    columns: [a]\nhello world\n")
+      .contains("unrecognized line"))
+  }
 }
