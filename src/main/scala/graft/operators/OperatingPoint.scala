@@ -62,4 +62,17 @@ object OperatingPoint {
     * supports (15 hex digits); past that the word hash itself must widen
     * (e.g. xxhash64 pairs), which is a different operator variant. */
   def simhashChunkBits(n: Long): Int = clamp(8 + extraBits(n, 5300L), 8, 10)
+
+  /** Join-strategy knob for the banded self-joins: once the banded side
+    * (n·bands rows carrying the dim-double vector) outgrows a
+    * broadcast-friendly size, the self-join must be a shuffle join — both
+    * because the build side stops fitting, and because a broadcast plan
+    * serializes the probe work into the scan's few input partitions while
+    * a shuffle spreads buckets over all reducers AND lets AQE skew-join
+    * split the hot ones. SkewProbe measured the inversion at 10x sf0.1:
+    * broadcast 20.4s vs sort-merge 3.6s, and 2.2s with AQE skew splitting
+    * (BASELINE.md §skew). 8 MB threshold: conservatively under Spark's
+    * 10 MB default autoBroadcastJoinThreshold, ~40 bytes/row overhead. */
+  def preferShuffleJoin(n: Long, bands: Int, dim: Int): Boolean =
+    n.toDouble * bands * (8.0 * dim + 40.0) > 8.0 * 1024 * 1024
 }

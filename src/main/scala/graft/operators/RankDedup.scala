@@ -61,10 +61,10 @@ object RankDedup {
   def upsert(store: DataFrame, cand: DataFrame, dim: Int = 64,
       planesPerBand: Int = 0,
       storeCountEstimate: Option[Long] = None): DataFrame = {
-    val planes =
-      if (planesPerBand > 0) planesPerBand
-      else OperatingPoint.rpPlanesPerBand(
-        storeCountEstimate.getOrElse(math.max(1L, store.count())))
+    val auto = planesPerBand <= 0
+    val n = if (auto) storeCountEstimate.getOrElse(math.max(1L, store.count()))
+            else 0L
+    val planes = if (auto) OperatingPoint.rpPlanesPerBand(n) else planesPerBand
     val spark = store.sparkSession
     graft.functions.RpBandKeys.register(spark,
       bandSigns(dim, planes), planes, s"rp_band_keys_dd_$planes")
@@ -72,8 +72,18 @@ object RankDedup {
         col("v").as(p + "v"), col("rank").as(p + "rank"),
         posexplode(expr(s"rp_band_keys_dd_$planes(v)")).as(Seq("b", "key")))
     // a pair meeting in several bands appears once: pair columns are
-    // distinct-ed after the verify, before the best-match window
-    val matches = banded(cand, "c").join(banded(store, "s"), Seq("b", "key"))
+    // distinct-ed after the verify, before the best-match window.
+    // Auto mode also pins the sim-join to sort-merge once the banded store
+    // outgrows a broadcast build side (OperatingPoint.preferShuffleJoin —
+    // the SkewProbe-measured 100 TB join shape, where AQE skew-join can
+    // split hot buckets); the oracle-gated pinned-planes path keeps the
+    // planner's choice so toy-scale plans stay toy-optimal.
+    val bandedStore0 = banded(store, "s")
+    val bandedStore =
+      if (auto && OperatingPoint.preferShuffleJoin(n, Bands, dim))
+        bandedStore0.hint("merge")
+      else bandedStore0
+    val matches = banded(cand, "c").join(bandedStore, Seq("b", "key"))
       .withColumn("msim", expr("cosine_sim(cv, sv)"))
       .filter(col("msim") >= StrongThreshold)
       .select(col("cid"), col("crank"), col("sid"), col("srank"), col("msim"))

@@ -252,19 +252,26 @@ object VectorOps {
       fname: String, planes: Int = RpPlanesPerBand): DataFrame =
     rpBandedNearDupOver(vecs(s, d), bands, fname, planes)
 
-  /** Core of the RP-LSH banded near-dup over any (vec_id, v) frame. */
+  /** Core of the RP-LSH banded near-dup over any (vec_id, v) frame.
+    * `forceShuffle` pins the self-join to sort-merge (`merge` hint) — the
+    * shape the join has at cluster scale, where it spreads buckets over
+    * all reducers and AQE skew-join can split hot buckets; the auto
+    * entrypoint derives it from corpus size
+    * ([[OperatingPoint.preferShuffleJoin]], measured in SkewProbe:
+    * broadcast 20.4s vs sort-merge 2.2-3.6s at 10x). */
   private[graft] def rpBandedNearDupOver(e: DataFrame, bands: Int,
       fname: String, planes: Int, threshold: Double = 0.30,
-      dim: Int = Dim): DataFrame = {
+      dim: Int = Dim, forceShuffle: Boolean = false): DataFrame = {
     val s = e.sparkSession
     CosineSimilarity.register(s)
     val signs = Array.tabulate(bands * planes, dim) {
       (j, k0) => if (rpSign(j, k0 + 1) == "+") 1.0 else -1.0
     }
     graft.functions.RpBandKeys.register(s, signs, planes, fname)
-    val bk = e.select(col("vec_id"), col("v"),
+    val bk0 = e.select(col("vec_id"), col("v"),
       posexplode(expr(s"$fname(v)")).as(Seq("b", "key")))
       .localCheckpoint(eager = false)
+    val bk = if (forceShuffle) bk0.hint("merge") else bk0
     bk.as("a").join(bk.as("x"),
         col("a.b") === col("x.b") && col("a.key") === col("x.key") &&
           col("a.vec_id") < col("x.vec_id"))
@@ -328,7 +335,8 @@ object VectorOps {
     val n = countEstimate.getOrElse(e.count())
     val planes = OperatingPoint.rpPlanesPerBand(n)
     rpBandedNearDupOver(e, bands, s"rp_band_keys_auto_${bands}_$planes",
-      planes, threshold, dim)
+      planes, threshold, dim,
+      forceShuffle = OperatingPoint.preferShuffleJoin(n, bands, dim))
   }
 
   /** Library entrypoint: IVF batch k-NN join with the cell count derived

@@ -63,6 +63,24 @@ class OperatingPointSpec extends SparkSpec {
     assert(auto.nonEmpty)
   }
 
+  test("auto near-dup pins sort-merge above the broadcast-size threshold") {
+    // below threshold (the anchor fixture): planner's choice, no hint
+    assert(!OperatingPoint.preferShuffleJoin(500, 4, 64))
+    // above: the banded side outgrows a broadcast build (SkewProbe measured
+    // broadcast 20.4s vs sort-merge 2.2-3.6s at 10x — BASELINE.md §skew)
+    assert(OperatingPoint.preferShuffleJoin(20000, 2, 64))
+    val e = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    // the countEstimate, not the actual fixture size, drives the strategy —
+    // so the at-scale plan shape is assertable on the small fixture
+    val big = VectorOps.nearDupPairsAuto(e, countEstimate = Some(100000L))
+    val plan = big.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    val small = VectorOps.nearDupPairsAuto(e, countEstimate = Some(500L))
+    assert(!small.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+  }
+
   test("auto knn join returns full k-NN shape at derived K") {
     import org.apache.spark.sql.functions.col
     val e = Tables.load(spark, sf, "embeddings")
