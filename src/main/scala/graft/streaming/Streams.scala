@@ -85,14 +85,29 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup — the streaming form of dd1 (DedupOps.exactDedup):
+    * keep the FIRST event per key, with dedup state bounded by the watermark
+    * horizon (`dropDuplicatesWithinWatermark`). This is the only dedup form
+    * that runs unbounded: plain dropDuplicates on a stream accumulates one
+    * state row per distinct key forever, while the watermark variant evicts
+    * keys older than the horizon — at 100 TB/day the state is a sliding
+    * window of the horizon, not the corpus. Two events with the same key
+    * farther apart than the horizon are both kept, by contract. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(keyCols.toArray)
+
   /** Drive any of the above against a bounded parquet dir through a real
     * streaming query into a memory sink; returns the sink table name. Used by
     * tests and the streaming demo — `processAllAvailable` makes it
-    * deterministic. */
+    * deterministic. Stateful aggregations use Complete mode; row-emitting
+    * operators (dedup) use Append. */
   def runToMemory(spark: SparkSession, transformed: DataFrame,
-      name: String): Unit = {
+      name: String, mode: OutputMode = OutputMode.Complete()): Unit = {
     val q = transformed.writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .format("memory").queryName(name)
       .start()
     q.processAllAvailable()

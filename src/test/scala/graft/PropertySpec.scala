@@ -62,6 +62,48 @@ class PropertySpec extends SparkSpec {
     }, n = 30)
   }
 
+  test("TTL roundtrip: generated ontologies parse back structure-identical") {
+    val name = for {
+      h <- Gen.alphaUpperChar
+      t <- Gen.listOfN(5, Gen.alphaLowerChar)
+    } yield (h :: t).mkString
+    val label = Gen.option(
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
+    val klass = Gen.zip(name, label)
+    val prop = for {
+      n <- name.map(_.toLowerCase)
+      l <- label
+      d <- name; r <- name
+      obj <- Gen.oneOf(true, false)
+    } yield (n, l, d, r, obj)
+    val onto = for {
+      cs <- Gen.listOfN(3, klass)
+      ps <- Gen.listOfN(3, prop)
+      // distinct subject names — TTL statements about one subject merge
+      if (cs.map(_._1) ++ ps.map(_._1)).distinct.size == 6
+    } yield (cs, ps)
+    holds(Prop.forAll(onto) { case (cs, ps) =>
+      val ttl = "@prefix ex: <http://example.org/x#> .\n" +
+        cs.map { case (n, l) =>
+          s"ex:$n a owl:Class" +
+            l.map(s => s" ;\n  rdfs:label \"$s\"").getOrElse("") + " ."
+        }.mkString("\n") + "\n" +
+        ps.map { case (n, l, d, r, obj) =>
+          val kind = if (obj) "ObjectProperty" else "DatatypeProperty"
+          s"ex:$n a owl:$kind" +
+            l.map(s => s" ;\n  rdfs:label \"$s\"").getOrElse("") +
+            s" ;\n  rdfs:domain ex:$d ;\n  rdfs:range ex:$r ."
+        }.mkString("\n")
+      graft.lifecycle.Ontology.parseTtl(ttl) match {
+        case Right(parsed) =>
+          parsed.classes.map(c => (c.name, c.label)) == cs &&
+            parsed.properties.map(p =>
+              (p.name, p.label, p.domain.get, p.range.get, p.objectProperty)) == ps
+        case Left(_) => false
+      }
+    }, n = 50)
+  }
+
   test("cosine similarity bounded in [-1,1] and 1 on self for random vectors") {
     graft.functions.CosineSimilarity.register(spark)
     import spark.implicits._

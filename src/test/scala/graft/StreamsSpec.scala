@@ -47,6 +47,27 @@ class StreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming dedup keeps one row per key within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = eventsBatch
+      .as[(Timestamp, Long, String, Double)].collect().toSeq
+    val ms = MemoryStream[(Timestamp, Long, String, Double)]
+    ms.addData(data) // one batch: every duplicate arrives inside the horizon
+    val streamDf = ms.toDF().toDF("ts", "user_id", "event_type", "value")
+    Streams.runToMemory(spark,
+      Streams.dedupStream(streamDf, Seq("user_id", "event_type")),
+      "dedup_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("dedup_out")
+    // exactly one survivor per (user_id, event_type): matches batch
+    // dropDuplicates cardinality because all rows share the single batch
+    val want = eventsBatch.dropDuplicates("user_id", "event_type").count()
+    assert(got.count() == want && want > 0)
+    assert(got.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() == 0)
+    // survivors carry the full row (dedup selects rows, not keys)
+    assert(got.columns.toSeq == Seq("ts", "user_id", "event_type", "value"))
+  }
+
   test("session_window streaming agg partitions all events") {
     implicit val sqlCtx = spark.sqlContext
     val data = eventsBatch
