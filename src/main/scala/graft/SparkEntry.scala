@@ -92,6 +92,7 @@ object SparkEntry {
     "v4_knn_join" -> VectorOps.knnJoin,
     "v5_kmeans_ivf" -> VectorOps.kmeansIvf,
     "v6_rp_lsh_neardup" -> VectorOps.rpLshNearDup,
+    "v7_ivf_at_rest" -> VectorOps.ivfAtRest,
     // text analysis (F6/F9 + pipeline ops)
     "t1_word_chunks" -> TextOps.wordChunks,
     "t2_lang_id" -> TextOps.langId,
@@ -442,6 +443,7 @@ object SparkEntry {
     "dd5_rank_upsert" -> RankDedup.oracle,
     "dd6_simhash_pairs" -> DedupOps.simhashPairsOracle,
     "v6_rp_lsh_neardup" -> VectorOps.rpLshNearDupOracle,
+    "v7_ivf_at_rest" -> VectorOps.ivfAtRestOracle,
     "mm1_media_features" ->
       """SELECT doc_id AS media_id,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

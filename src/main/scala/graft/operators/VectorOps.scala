@@ -408,8 +408,10 @@ object VectorOps {
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    // round(·,6) before ranking so the cell choice is engine-independent
+    // (same policy as the in-plan cosines — the v7 oracle mirrors it)
     val topCells = s.read.parquet(s"$path/centroids").collect()
-      .map(r => (r.getInt(0), cos(r.getSeq[Double](1), probe)))
+      .map(r => (r.getInt(0), math.rint(cos(r.getSeq[Double](1), probe) * 1e6) / 1e6))
       .sortBy { case (cid, c) => (-c, cid) }
       .take(probes).map(_._1).toSeq
     s.read.parquet(s"$path/index")
@@ -419,5 +421,41 @@ object VectorOps {
           typedLit(probe.toArray)), 6).as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
+  }
+
+  /** Oracle-gated at-rest IVF query (v7): build the cell-partitioned index
+    * for this sf dir under target/, probe with vector 1, exact top-10
+    * within the 2 probed cells only. The DuckDB oracle recomputes the
+    * identical fixed-centroid assignment, cell choice, and scoring from the
+    * raw embeddings table, so the whole write → prune → score pipeline is
+    * hash-checked end-to-end (the plan-shape side — PartitionFilters on the
+    * probe scan — is asserted in ScaleOpsSpec). */
+  def ivfAtRest: Q = (s, d) => {
+    val path = "target/ivf_at_rest/" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val e = vecsCheckpointed(s, d)
+    writeIvfIndex(e, K = 8, path)
+    val probe = e.filter(col("vec_id") === 1)
+      .select(col("v")).collect()(0).getSeq[Double](0)
+    ivfProbe(s, path, probe, probes = 2, k = 10)
+  }
+
+  val ivfAtRestOracle: String = {
+    val cos = (a: String, b: String) =>
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+        s"sqrt(list_dot_product($b, $b))), 6)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       | cent AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS c FROM e
+       |  WHERE vec_id < 8),
+       | ranked AS (SELECT vec_id, v, cid, CAST(row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY ${cos("e.v", "cent.c")} DESC, cid)
+       |   AS INTEGER) AS rn FROM e CROSS JOIN cent),
+       | assigned AS (SELECT vec_id, v, cid FROM ranked WHERE rn = 1),
+       | probe AS (SELECT v AS p FROM e WHERE vec_id = 1),
+       | topcells AS (SELECT cid FROM cent CROSS JOIN probe
+       |  ORDER BY ${cos("c", "p")} DESC, cid LIMIT 2)
+       |SELECT a.vec_id, a.cid, ${cos("a.v", "p")} AS sim
+       |FROM assigned a JOIN topcells USING (cid) CROSS JOIN probe
+       |ORDER BY sim DESC, a.vec_id
+       |LIMIT 10""".stripMargin
   }
 }
