@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.lifecycle.{Agents, EngineSession, SessionStore}
+import graft.lifecycle.{Agents, EngineSession, Ontology, ReAct, Retriever, SessionStore}
 import graft.operators.Profile
 
 /** Runnable end-to-end conversational chain (SURVEY §3.1 in Spark shape):
@@ -64,6 +64,48 @@ object Demo {
     store.append("demo", "user", question)
     r.summary.foreach(s => store.append("demo", "assistant", s))
     println(s"persisted: ${store.save("demo")}")
+
+    // --- ReAct search agent (round 4): bounded action loop over the local
+    // documents corpus + the validator-gated calculator ---
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(50)
+    val retriever = new Retriever(spark)
+    retriever.indexCorpus(corpus)
+    val reactLlm = new Agents.ScriptedLlm(Map(
+      "search_executor" -> Seq(
+        "Thought: look at the corpus first.\nAction: search: what do the documents describe",
+        "Thought: quantify it.\nAction: calculate: 52 * 7",
+        "Answer: the corpus summary plus 364 as the computed figure"),
+      "search_summarizer" -> Seq(
+        "The documents are synthetic prose about orders, parts, and regions.")))
+    val ra = ReAct.run(reactLlm, "Summarize the corpus and compute 52*7",
+      ReAct.searchActions(spark, retriever, reactLlm))
+    println(s"react    : ${ra.steps.map(s => s"${s.action}(${s.input})").mkString(" -> ")}")
+    ra.steps.foreach(s => println(s"  obs    : ${s.observation.take(70)}"))
+    println(s"react ans: ${ra.answer}")
+
+    // --- OWL/TTL ontology front-end (round 4): raw Turtle distilled
+    // through the inspector stage into the catalog + mermaid ---
+    val ttl =
+      """@prefix ex: <http://example.org/shop#> .
+        |ex:Order a owl:Class ; rdfs:label "Customer order" .
+        |ex:LineItem a owl:Class ; rdfs:label "Order line" .
+        |ex:hasLine a owl:ObjectProperty ;
+        |  rdfs:domain ex:Order ; rdfs:range ex:LineItem .
+        |""".stripMargin
+    val distiller = new Agents.ScriptedLlm(Map("dataframe_inspector" -> Seq(
+      "```yaml\ncontainers:\n  - name: orders\n    columns: [o_orderkey, o_orderdate]\n" +
+        "  - name: lineitem\n    columns: [l_orderkey, l_quantity]\n" +
+        "links:\n  - from: lineitem\n    to: orders\n    on: l_orderkey=o_orderkey\n```")))
+    Ontology.distillTtl(distiller, ttl, Profile.summaryString(
+      es.current("orders").get.limit(100)), "orders per month") match {
+      case Right(model) =>
+        println(s"ontology : ${model.nodes.map(_.name).mkString(", ")} " +
+          s"(${model.edges.size} link)")
+        println(Ontology.toMermaid(model).linesIterator.take(3).mkString("\n"))
+      case Left(e) => println(s"ontology : rejected — $e")
+    }
     spark.stop()
   }
 }
