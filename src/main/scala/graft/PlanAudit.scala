@@ -12,7 +12,10 @@ object PlanAudit {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("p3_conj_filter", "j1_dim_join", "j3_brand_revenue",
         "a12_pricing_summary", "w3_cumsum", "v1_cosine_topk",
-        "dd3_lsh_jaccard_pairs", "a3_orders_per_month")
+        "dd3_lsh_jaccard_pairs", "a3_orders_per_month",
+        // v7: the at-rest IVF probe — PartitionFilters on the index scan
+        // is the line to look for
+        "v7_ivf_at_rest")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
