@@ -97,16 +97,31 @@ object Agents {
     * the same context the reference assembles (profile string I1;
     * bambooai.py:550-565 `_process_question`). A memory hit at sim ≥ 0.80
     * skips the Planner (bambooai.py:265-291,380-386); a result ranked ≥ 6
-    * is stored back through the rank-dedup gate (:638-684). */
+    * is stored back through the rank-dedup gate (:638-684).
+    *
+    * Research routing (bambooai.py:456-473): when the Expert Selector picks
+    * the Research Specialist — or the question does not require the
+    * dataset — the chain hands the question to the theorist/search path
+    * instead of the SQL planner; here that path is the bounded [[ReAct]]
+    * loop over `research` actions (search + calculate). With no actions
+    * provided the chain falls through to the analyst path, mirroring the
+    * reference's search-disabled degradation (bambooai.py:64-75). */
   def converse(es: EngineSession, llm: LlmClient, question: String,
       table: String, memory: Option[EpisodicMemory] = None,
-      storeRank: Long = 0): ChainResult = {
+      storeRank: Long = 0,
+      research: Map[String, String => String] = Map.empty): ChainResult = {
     val df = es.current(table).getOrElse(
       throw new IllegalArgumentException(s"unknown table $table"))
     val profile = Profile.summaryString(df)
 
     val expert = parseExpert(llm.complete("expert_selector",
       s"QUESTION: $question"))
+    if (research.nonEmpty &&
+        (!expert.requiresDataset || expert.expert == "Research Specialist")) {
+      val r = ReAct.run(llm, question, research, stage = "theorist")
+      return ChainResult(expert, AnalystChoice(expert.expert, question),
+        Plan(Nil, ""), RepairResult(None, 0, Nil), Some(r.answer))
+    }
     val analyst = parseAnalyst(llm.complete("analyst_selector",
       s"QUESTION: $question\nDATA:\n$profile"))
 

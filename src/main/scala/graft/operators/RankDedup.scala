@@ -65,29 +65,8 @@ object RankDedup {
     val n = if (auto) storeCountEstimate.getOrElse(math.max(1L, store.count()))
             else 0L
     val planes = if (auto) OperatingPoint.rpPlanesPerBand(n) else planesPerBand
-    val spark = store.sparkSession
-    graft.functions.RpBandKeys.register(spark,
-      bandSigns(dim, planes), planes, s"rp_band_keys_dd_$planes")
-    def banded(df: DataFrame, p: String) = df.select(col("id").as(p + "id"),
-        col("v").as(p + "v"), col("rank").as(p + "rank"),
-        posexplode(expr(s"rp_band_keys_dd_$planes(v)")).as(Seq("b", "key")))
-    // a pair meeting in several bands appears once: pair columns are
-    // distinct-ed after the verify, before the best-match window.
-    // Auto mode also pins the sim-join to sort-merge once the banded store
-    // outgrows a broadcast build side (OperatingPoint.preferShuffleJoin —
-    // the SkewProbe-measured 100 TB join shape, where AQE skew-join can
-    // split hot buckets); the oracle-gated pinned-planes path keeps the
-    // planner's choice so toy-scale plans stay toy-optimal.
-    val bandedStore0 = banded(store, "s")
-    val bandedStore =
-      if (auto && OperatingPoint.preferShuffleJoin(n, Bands, dim))
-        bandedStore0.hint("merge")
-      else bandedStore0
-    val matches = banded(cand, "c").join(bandedStore, Seq("b", "key"))
-      .withColumn("msim", expr("cosine_sim(cv, sv)"))
-      .filter(col("msim") >= StrongThreshold)
-      .select(col("cid"), col("crank"), col("sid"), col("srank"), col("msim"))
-      .distinct()
+    val matches = bandedMatches(store, cand, dim, planes,
+      forceShuffle = auto && OperatingPoint.preferShuffleJoin(n, Bands, dim))
     // best feeds both the accept and the replace branch — materialize it
     // once so the banded similarity join (the expensive part) doesn't
     // run twice. localCheckpoint rather than cache(): upsert runs once per
@@ -111,6 +90,35 @@ object RankDedup {
     val kept = store.join(replaced, store("id") === replaced("sid"), "left_anti")
       .select(col("id"), col("rank"), lit("kept").as("status"))
     kept.unionByName(accepted)
+  }
+
+  /** The banded ≥-threshold similarity join of [[upsert]], pre-checkpoint —
+    * factored out so its plan shape is assertable (the checkpoint boundary
+    * hides it from the final frame's executedPlan). A pair meeting in
+    * several bands appears once: pair columns are distinct-ed after the
+    * verify, before the best-match window. `forceShuffle` pins sort-merge —
+    * auto mode sets it once the banded store outgrows a broadcast build
+    * side (OperatingPoint.preferShuffleJoin, the SkewProbe-measured 100 TB
+    * join shape where AQE skew-join can split hot buckets); the
+    * oracle-gated pinned-planes path keeps the planner's choice so
+    * toy-scale plans stay toy-optimal. */
+  private[graft] def bandedMatches(store: DataFrame, cand: DataFrame,
+      dim: Int, planes: Int, forceShuffle: Boolean): DataFrame = {
+    val spark = store.sparkSession
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.RpBandKeys.register(spark,
+      bandSigns(dim, planes), planes, s"rp_band_keys_dd_$planes")
+    def banded(df: DataFrame, p: String) = df.select(col("id").as(p + "id"),
+        col("v").as(p + "v"), col("rank").as(p + "rank"),
+        posexplode(expr(s"rp_band_keys_dd_$planes(v)")).as(Seq("b", "key")))
+    val bandedStore0 = banded(store, "s")
+    val bandedStore =
+      if (forceShuffle) bandedStore0.hint("merge") else bandedStore0
+    banded(cand, "c").join(bandedStore, Seq("b", "key"))
+      .withColumn("msim", expr("cosine_sim(cv, sv)"))
+      .filter(col("msim") >= StrongThreshold)
+      .select(col("cid"), col("crank"), col("sid"), col("srank"), col("msim"))
+      .distinct()
   }
 
   /** Oracle-gated query: store = embeddings with rank = vec_id % 11;

@@ -111,6 +111,31 @@ class AgentsSpec extends SparkSpec {
     assert(store2.messages("esc").map(_.content) == tricky)
   }
 
+  test("research routing: non-dataset questions go to the ReAct path, not the planner") {
+    // no planner/analyst fixtures: reaching either stage would throw,
+    // proving the SQL path is skipped entirely (bambooai.py:456-473)
+    val llm = new Agents.ScriptedLlm(Map(
+      "expert_selector" -> Seq(
+        "requires_dataset: false\nexpert: Research Specialist\nconfidence: 8"),
+      "theorist" -> Seq(
+        "Thought: search the corpus.\nAction: search: highest mountain",
+        "Answer: Everest, per the retrieved chunk."),
+      "search_summarizer" -> Seq("Mount Everest is the highest mountain.")))
+    val r = Agents.converse(session(), llm, "What is the highest mountain?",
+      "orders", research = ReAct.searchActions(spark, corpusRetriever(), llm))
+    assert(r.expert.expert == "Research Specialist" && !r.expert.requiresDataset)
+    assert(r.summary.contains("Answer: Everest, per the retrieved chunk."))
+    assert(r.repair.df.isEmpty && r.plan.sql.isEmpty)
+    // with no research actions configured, the same routing falls through
+    // to the analyst path (search-disabled degradation, bambooai.py:64-75)
+    val full = new Agents.ScriptedLlm(fixtures(false) +
+      ("expert_selector" -> Seq(
+        "requires_dataset: false\nexpert: Research Specialist\nconfidence: 8")))
+    val fallback = Agents.converse(session(), full,
+      "How many orders per month in 1995?", "orders")
+    assert(fallback.repair.df.nonEmpty)
+  }
+
   test("ReAct e2e: search then calculate then final answer, observations threaded") {
     val llm = new Recording(new Agents.ScriptedLlm(Map(
       "search_executor" -> Seq(

@@ -133,4 +133,20 @@ class HttpAdaptersSpec extends SparkSpec {
       "GRAFT_LLM_BASE_URL" -> "http://localhost:1/v1").get)
     assert(c.nonEmpty)
   }
+
+  test("LlmConfig.fromEnv: stage bindings resolve against the live adapter") {
+    import graft.lifecycle.LlmConfig
+    assert(LlmConfig.fromEnv(_ => None).isEmpty)
+    val cfg = """{"agent_configs": [
+                |  {"agent": "planner", "details": {"model": "m-plan"}}
+                |]}""".stripMargin
+    val d = LlmConfig.fromEnv(Map(
+      "GRAFT_LLM_API_KEY" -> "k",
+      "GRAFT_LLM_BASE_URL" -> "http://127.0.0.1:1/v1",
+      "GRAFT_LLM_CONFIG" -> cfg).get).get
+    assert(d.boundStages == Set("planner"))
+    // the bound client is a real HttpLlmClient aimed at the (dead) base
+    // url — the connection refusal proves dispatch reached the HTTP layer
+    intercept[Exception] { d.complete("planner", "p") }
+  }
 }

@@ -81,6 +81,30 @@ class OperatingPointSpec extends SparkSpec {
     assert(!small.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
   }
 
+  test("auto rank-upsert pins sort-merge on the sim-join at scale estimates") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val store = e.select(col("vec_id").as("id"), col("v"),
+      (col("vec_id") % 11).as("rank"))
+    val cand = store.limit(20).select((col("id") + 10000).as("id"),
+      col("v"), col("rank"))
+    // assert on the pre-checkpoint sim-join itself — the final upsert
+    // frame's executedPlan hides it behind the localCheckpoint boundary
+    val big = graft.operators.RankDedup.bandedMatches(store, cand,
+      dim = 64, planes = 7, forceShuffle = true)
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("SortMergeJoin"), bigPlan)
+    assert(!bigPlan.contains("BroadcastHashJoin"), bigPlan)
+    val small = graft.operators.RankDedup.bandedMatches(store, cand,
+      dim = 64, planes = 4, forceShuffle = false)
+    assert(!small.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    // and the upsert-level derivation picks the strategy from the estimate
+    assert(OperatingPoint.preferShuffleJoin(100000L, 8, 64))
+    assert(graft.operators.RankDedup.upsert(store, cand,
+      storeCountEstimate = Some(100000L)).count() >= 0) // executes end-to-end
+  }
+
   test("auto knn join returns full k-NN shape at derived K") {
     import org.apache.spark.sql.functions.col
     val e = Tables.load(spark, sf, "embeddings")
