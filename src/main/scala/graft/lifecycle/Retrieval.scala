@@ -46,6 +46,19 @@ final class Retriever(spark: SparkSession,
     index = Some(embedded.localCheckpoint(eager = false))
   }
 
+  /** Persist the chunk index as a parquet table — the at-scale form the
+    * class doc describes: the index outlives the session and a reader
+    * probes it with a scan, no re-embedding. */
+  def saveIndex(path: String): Unit =
+    index.getOrElse(throw new IllegalStateException(
+      "indexCorpus must run before saveIndex"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Attach a previously saved index; retrieval then runs without any
+    * embedding pass over the corpus. */
+  def loadIndex(path: String): Unit =
+    index = Some(spark.read.parquet(path))
+
   /** Top-k chunk rerank as a DataFrame (v1 plan shape). */
   def retrieveDF(question: String, k: Int = 6): DataFrame = {
     val idx = index.getOrElse(

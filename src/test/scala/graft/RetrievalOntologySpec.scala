@@ -42,6 +42,21 @@ class RetrievalOntologySpec extends SparkSpec {
     assert(seenPrompt.contains(used.head.chunk.take(40)))
   }
 
+  test("retrieval index persists to parquet and reloads bit-identical") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta " * 20),
+      (2L, "epsilon zeta eta theta " * 20)).toDF("doc_id", "text")
+    val r = new Retriever(spark)
+    r.indexCorpus(corpus)
+    val before = r.retrieve("alpha beta", k = 4)
+    r.saveIndex("target/retr_index")
+    // a FRESH retriever attaches the saved index — no re-embedding pass
+    val r2 = new Retriever(spark)
+    r2.loadIndex("target/retr_index")
+    assert(r2.retrieve("alpha beta", k = 4) == before)
+    intercept[IllegalStateException] { new Retriever(spark).saveIndex("x") }
+  }
+
   test("retrieval rerank plans as broadcast-free top-k (v1 shape)") {
     val r = new Retriever(spark)
     r.indexCorpus(Seq((1L, "alpha beta gamma " * 30)).toDF("doc_id", "text"))
