@@ -91,6 +91,7 @@ object SparkEntry {
     "v3_neardup_embeddings" -> VectorOps.nearDupPairs,
     "v4_knn_join" -> VectorOps.knnJoin,
     "v5_kmeans_ivf" -> VectorOps.kmeansIvf,
+    "v5_ivf_assign" -> VectorOps.kmeansIvfAssign,
     "v6_rp_lsh_neardup" -> VectorOps.rpLshNearDup,
     "v7_ivf_at_rest" -> VectorOps.ivfAtRest,
     // text analysis (F6/F9 + pipeline ops)
@@ -120,7 +121,9 @@ object SparkEntry {
     * training loops): the driver contract records a weaker rows-only check
     * for these; everything else MUST have an oracleSql entry. The rows-only
     * check is NOT the only gate: VectorGateSpec holds v5 to recall@10 ≥ 0.5
-    * vs the brute-force ground truth plus Lloyd's-convergence invariants. */
+    * vs the brute-force ground truth plus Lloyd's-convergence invariants,
+    * and `v5_ivf_assign` hash-checks the shared non-iterative machinery
+    * (fixed-centroid assignment + probe) against DuckDB. */
   val rowsOnlyQueries: Set[String] = Set("v5_kmeans_ivf")
 
   def oracleSql: Map[String, String] = Map(
@@ -442,6 +445,7 @@ object SparkEntry {
     "dd4_simhash" -> DedupOps.simhashOracle,
     "dd5_rank_upsert" -> RankDedup.oracle,
     "dd6_simhash_pairs" -> DedupOps.simhashPairsOracle,
+    "v5_ivf_assign" -> VectorOps.kmeansIvfAssignOracle,
     "v6_rp_lsh_neardup" -> VectorOps.rpLshNearDupOracle,
     "v7_ivf_at_rest" -> VectorOps.ivfAtRestOracle,
     "mm1_media_features" ->

@@ -43,8 +43,11 @@ final class HttpLlmClient(baseUrl: String, apiKey: String, model: String,
   private def failIfError(conn: HttpURLConnection): Unit = {
     val code = conn.getResponseCode
     if (code >= 400) {
-      val text = scala.io.Source
-        .fromInputStream(conn.getErrorStream, "UTF-8").mkString
+      // getErrorStream is null when the error response has no body — guard
+      // so the status code is reported rather than masked by an NPE
+      val text = Option(conn.getErrorStream)
+        .map(scala.io.Source.fromInputStream(_, "UTF-8").mkString)
+        .getOrElse("(no response body)")
       throw new RuntimeException(
         s"LLM HTTP $code: ${graft.plans.Lifecycle.condense(text)}")
     }

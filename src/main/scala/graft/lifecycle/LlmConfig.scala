@@ -28,22 +28,53 @@ object LlmConfig {
 
   /** Parse the `agent_configs` JSON shape into stage → Binding. A scanner
     * for the fixed public config contract (same policy as
-    * [[HttpLlm.extractContent]]: the build admits no JSON dependency, and
-    * the shape is flat objects with string/number fields). Unknown fields
-    * are ignored, as the reference ignores fields it doesn't read; an
-    * object without "agent" and "model" is skipped. */
+    * [[HttpLlm.extractContent]]: the build admits no JSON dependency).
+    * Key order inside an entry does NOT matter and `details` may contain
+    * nested objects — entries are found by balanced-brace scanning, not by
+    * a fixed key sequence (JSON key order carries no meaning). Unknown
+    * fields are ignored, as the reference ignores fields it doesn't read;
+    * an entry naming an agent but no model is skipped (the reference falls
+    * back to that provider's default model, models/__init__.py:34-60);
+    * structurally broken JSON (unbalanced braces) is rejected loudly. */
   def parse(json: String): Map[String, Binding] = {
-    val entry = """(?s)\{\s*"agent"\s*:\s*"([^"]+)"\s*,\s*"details"\s*:\s*\{(.*?)\}""".r
-    def field(details: String, name: String): Option[String] =
-      ("\"" + name + """"\s*:\s*"([^"]*)"""").r
-        .findFirstMatchIn(details).map(_.group(1))
-    entry.findAllMatchIn(json).flatMap { m =>
-      val details = m.group(2)
-      field(details, "model").map { model =>
-        m.group(1) -> Binding(model,
-          baseUrl = field(details, "base_url"),
-          apiKey = field(details, "api_key"))
+    // balanced {...} slice starting at the '{' at `open` (string-aware)
+    def slice(open: Int): String = {
+      var depth = 0; var i = open; var inStr = false
+      while (i < json.length) {
+        json(i) match {
+          case '\\' if inStr => i += 1
+          case '"' => inStr = !inStr
+          case '{' if !inStr => depth += 1
+          case '}' if !inStr =>
+            depth -= 1
+            if (depth == 0) return json.substring(open, i + 1)
+          case _ =>
+        }
+        i += 1
       }
+      throw new IllegalArgumentException(
+        "agent_configs: unbalanced braces from offset " + open)
+    }
+    def strField(obj: String, name: String): Option[String] =
+      ("\"" + name + """"\s*:\s*"([^"]*)"""").r
+        .findFirstMatchIn(obj).map(_.group(1))
+    // every "agent" key marks one entry; its enclosing object is the
+    // balanced slice at the nearest '{' before the key
+    val agentKey = """"agent"\s*:""".r
+    agentKey.findAllMatchIn(json).flatMap { m =>
+      val open = json.lastIndexOf('{', m.start)
+      if (open < 0)
+        throw new IllegalArgumentException(
+          "agent_configs: \"agent\" key outside any object at offset " + m.start)
+      val entry = slice(open)
+      val details = ("""(?s)"details"\s*:\s*\{""").r.findFirstMatchIn(entry)
+        .map(d => slice(open + d.end - 1)).getOrElse("")
+      for {
+        agent <- strField(entry, "agent")
+        model <- strField(details, "model")
+      } yield agent -> Binding(model,
+        baseUrl = strField(details, "base_url"),
+        apiKey = strField(details, "api_key"))
     }.toMap
   }
 

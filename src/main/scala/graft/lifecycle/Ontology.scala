@@ -161,9 +161,11 @@ object Ontology {
     * `@prefix` directives, and `subject pred obj (; pred obj)* .`
     * statements declaring owl:Class / owl:DatatypeProperty /
     * owl:ObjectProperty subjects with rdfs:label / rdfs:domain /
-    * rdfs:range. Anything outside the subset — blank nodes, collections,
-    * triple-quoted or multi-line strings — is a loud
-    * "unsupported TTL construct" rejection, never a silent mis-parse. */
+    * rdfs:range. Statement terminators are '.' before whitespace/EOF only,
+    * so decimal literals and dotted names never split a statement. Anything
+    * outside the subset — blank nodes, collections, triple-quoted or
+    * multi-line strings, bare numeric literals at a statement boundary — is
+    * a loud "unsupported TTL construct" rejection, never a silent mis-parse. */
   def parseTtl(text: String): Either[String, TtlOntology] = {
     // one scan: strip comments, honor quotes/IRIs, split on '.' terminators
     val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -188,7 +190,18 @@ object Ontology {
         case '[' | ']' | '(' | ')' =>
           return Left(s"unsupported TTL construct: '$c' " +
             "(blank nodes/collections are outside the distillation subset)")
-        case '.' => stmts += cur.toString; cur.clear(); i += 1
+        case '.' if i + 1 >= text.length || text(i + 1).isWhitespace =>
+          // a '.' mid-token (decimal literal, dotted prefixed name) is NOT a
+          // terminator — only '.' before whitespace/EOF ends a statement.
+          // `1 .`-style bare integers before the terminator are ambiguous
+          // with a decimal literal's longest-match parse; reject loudly
+          // rather than guess (the subset's literals are quoted strings).
+          val lastTok = cur.toString.split("\\s+").lastOption.getOrElse("")
+          if (lastTok.matches("[+-]?[0-9]+"))
+            return Left("unsupported TTL construct: bare numeric literal " +
+              s"'$lastTok.' at a statement boundary (quote the value)")
+          stmts += cur.toString; cur.clear(); i += 1
+        case '.' => cur += c; i += 1 // part of the current token
         case ch => cur += ch; i += 1
       }
     }

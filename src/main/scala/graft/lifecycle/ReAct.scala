@@ -83,4 +83,15 @@ object ReAct {
         case Left(err) => err
       }
     })
+
+  /** [[searchActions]] plus the LIVE web path: `google_search` runs the
+    * provider → fetch → chunk → rerank → summarize pipeline
+    * ([[WebSearchTool]]), exactly the reference's known_actions set
+    * (google_search.py:54-56: google_search + calculate). The local-corpus
+    * `search` stays available — it is the offline/bulk variant of the same
+    * rerank. */
+  def webActions(spark: SparkSession, web: WebSearchTool,
+      retriever: Retriever, llm: Agents.LlmClient): Map[String, String => String] =
+    searchActions(spark, retriever, llm) +
+      ("google_search" -> { raw: String => web.search(raw).answer })
 }

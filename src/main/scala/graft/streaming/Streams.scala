@@ -92,11 +92,13 @@ object Streams {
     * state row per distinct key forever, while the watermark variant evicts
     * keys older than the horizon — at 100 TB/day the state is a sliding
     * window of the horizon, not the corpus. Two events with the same key
-    * farther apart than the horizon are both kept, by contract. */
+    * farther apart than the horizon are both kept, by contract.
+    * `tsCol` names the event-time column the watermark rides on (default
+    * "ts", the fixture schema). */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
-      horizon: String = "1 hour"): DataFrame =
+      horizon: String = "1 hour", tsCol: String = "ts"): DataFrame =
     events
-      .withWatermark("ts", horizon)
+      .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols.toArray)
 
   /** Drive any of the above against a bounded parquet dir through a real
