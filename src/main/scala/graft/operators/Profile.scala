@@ -34,11 +34,16 @@ object Profile {
 
   private def f1(v: Double): String = f"$v%.1f"
 
-  /** I1: dataframe_summary_to_string (utils.py:52-86). */
-  def summaryString(df: DataFrame): String = {
-    val fields = df.schema.fields
-    // single pass: count/min/max/mean/missing for every column
-    val aggs = fields.flatMap { f =>
+  /** The I1 single-pass stats aggregate: count/min/max/mean/missing for every
+    * column, plus a distinct count per categorical column. `approx=true`
+    * routes the distinct counts through [[ScaleOps.distinctCountAgg]]
+    * (HyperLogLog++ sketches) so the plan carries NO exact-distinct Expand
+    * rewrite — with 2+ categorical columns the exact form multiplies every
+    * input row per distinct group before the shuffle, which is the first
+    * thing that stalls on a wide 100 TB table. Package-visible so the scale
+    * gate can assert the plan shape directly. */
+  private[graft] def summaryAgg(df: DataFrame, approx: Boolean): DataFrame = {
+    val aggs = df.schema.fields.flatMap { f =>
       val c = col(f.name)
       val base = Seq(
         count(c).as(s"${f.name}__n"),
@@ -47,9 +52,19 @@ object Profile {
         base ++ Seq(min(c).cast("double").as(s"${f.name}__min"),
           max(c).cast("double").as(s"${f.name}__max"),
           avg(c.cast("double")).as(s"${f.name}__mean"))
-      else base :+ countDistinct(c).as(s"${f.name}__unique")
+      else base :+ ScaleOps.distinctCountAgg(c, approx).as(s"${f.name}__unique")
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** I1: dataframe_summary_to_string (utils.py:52-86). `approx=true` is the
+    * 100 TB mode: identical text format, sketch-based distinct counts
+    * (HLL++ is exact below its sparse-mode threshold, so small tables render
+    * byte-identically; huge cardinalities show the ±2% estimate — acceptable
+    * for a planner prompt that only branches on `unique <= 10`). */
+  def summaryString(df: DataFrame, approx: Boolean = false): String = {
+    val fields = df.schema.fields
+    val row = summaryAgg(df, approx).collect()(0)
     def g(n: String): Any = row.get(row.fieldIndex(n))
 
     // ONE job computes every categorical column's top-3 values: explode each
@@ -124,12 +139,12 @@ object Profile {
     * fallback to row 1, plus the I1 summary. Spark tables are unordered, so
     * the caller supplies the ordering that defines "row 25". */
   def dataframeToString(df: DataFrame, orderCols: Seq[String],
-      numRows: Int = 5): String = {
+      numRows: Int = 5, approx: Boolean = false): String = {
     val total = df.count()
     val firstRow = if (25 + numRows * 2 > total) 1 else 25
     val slice = df.orderBy(orderCols.map(col): _*)
       .offset(firstRow).limit(numRows)
-    s"DF Head:\n${renderTable(slice)}\n\nDF Summary:\n${summaryString(df)}"
+    s"DF Head:\n${renderTable(slice)}\n\nDF Summary:\n${summaryString(df, approx)}"
   }
 
   /** I3: get_dataframe_columns (utils.py:190-203). */

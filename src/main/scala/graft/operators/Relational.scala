@@ -206,8 +206,9 @@ object Relational {
       .agg(round(avg("value"), 6).as("avg_value"), count(lit(1)).as("n"))
 
   /** A5/A6 global scalar stats incl. exact median/percentiles.
-    * Ref: default_prompts.yaml:312-318, README.md:478. At 100 TB these switch
-    * to percentile_approx behind a config (SURVEY §4). */
+    * Ref: default_prompts.yaml:312-318, README.md:478. Percentiles route
+    * through [[ScaleOps.percentileAgg]] — the oracle-gated default is exact,
+    * a 100 TB deployment flips the same switch to percentile_approx. */
   def globalStats: Q = (s, d) =>
     orders(s, d).agg(
       count(lit(1)).as("n"),
@@ -215,15 +216,16 @@ object Relational {
       round(stddev("o_totalprice"), 4).as("sd_price"),
       min("o_totalprice").as("min_price"),
       max("o_totalprice").as("max_price"),
-      round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"))
+      round(ScaleOps.percentileAgg(col("o_totalprice"), 0.5, approx = false),
+        6).as("median_price"))
 
   /** A6 percentile ladder 30/50/75/90. Ref: README.md:478. */
-  def percentiles: Q = (s, d) =>
-    lineitem(s, d).agg(
-      round(expr("percentile(l_quantity, 0.30)"), 6).as("p30"),
-      round(expr("percentile(l_quantity, 0.50)"), 6).as("p50"),
-      round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
-      round(expr("percentile(l_quantity, 0.90)"), 6).as("p90"))
+  def percentiles: Q = (s, d) => {
+    val ladder = Seq(30, 50, 75, 90).map(p =>
+      round(ScaleOps.percentileAgg(col("l_quantity"), p / 100.0,
+        approx = false), 6).as(s"p$p"))
+    lineitem(s, d).agg(ladder.head, ladder.tail: _*)
+  }
 
   /** A7/I1 one-pass column profile: count/min/max/mean/missing per column in a
     * single agg (not N scans — SURVEY §4 "physical execution notes"). Ref:

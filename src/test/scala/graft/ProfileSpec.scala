@@ -56,6 +56,28 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("I1 approx mode: same text, no exact-distinct Expand in the plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.Expand
+    // two categorical columns force the exact path through Spark's
+    // RewriteDistinctAggregates Expand (row multiplication per distinct
+    // group); the approx path must plan as a single partial-aggregate pass.
+    val df = Seq(
+      (1.0, "run", "am"), (2.0, "run", "pm"), (3.0, "ride", "am")
+    ).toDF("speed", "sport", "period")
+    val exactPlan = Profile.summaryAgg(df, approx = false)
+      .queryExecution.optimizedPlan
+    val approxPlan = Profile.summaryAgg(df, approx = true)
+      .queryExecution.optimizedPlan
+    assert(exactPlan.collect { case e: Expand => e }.nonEmpty,
+      "fixture should trigger the exact-distinct Expand rewrite")
+    assert(approxPlan.collect { case e: Expand => e }.isEmpty,
+      "approx profile must not carry the Expand rewrite")
+    assert(!approxPlan.toString.toLowerCase.contains("count(distinct"))
+    // HLL++ is exact at these cardinalities -> byte-identical text.
+    assert(Profile.summaryString(df, approx = true) ==
+      Profile.summaryString(df))
+  }
+
   test("F3 ordinal suffixes incl. 11-13 special case (utils.py:23-24)") {
     assert(Profile.ordinal(1) == "1st" && Profile.ordinal(2) == "2nd" &&
       Profile.ordinal(3) == "3rd" && Profile.ordinal(4) == "4th" &&
