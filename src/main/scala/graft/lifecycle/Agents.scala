@@ -105,11 +105,19 @@ object Agents {
     * instead of the SQL planner; here that path is the bounded [[ReAct]]
     * loop over `research` actions (search + calculate). With no actions
     * provided the chain falls through to the analyst path, mirroring the
-    * reference's search-disabled degradation (bambooai.py:64-75). */
+    * reference's search-disabled degradation (bambooai.py:64-75).
+    *
+    * User-context feedback (bambooai.py:251, tools_definition.py:155-178):
+    * when `feedback` is provided, the Analyst Selector runs inside the
+    * [[UserContext.completeWithContext]] tool loop — it may emit a
+    * `request_user_context` call, block (bounded) on the channel's answer,
+    * and re-route with the clarification appended. `feedback = None` is the
+    * reference's `feedback_enabled=False` filter: the tool never surfaces. */
   def converse(es: EngineSession, llm: LlmClient, question: String,
       table: String, memory: Option[EpisodicMemory] = None,
       storeRank: Long = 0,
-      research: Map[String, String => String] = Map.empty): ChainResult = {
+      research: Map[String, String => String] = Map.empty,
+      feedback: Option[UserContext.FeedbackChannel] = None): ChainResult = {
     val df = es.current(table).getOrElse(
       throw new IllegalArgumentException(s"unknown table $table"))
     val profile = Profile.summaryString(df)
@@ -122,8 +130,9 @@ object Agents {
       return ChainResult(expert, AnalystChoice(expert.expert, question),
         Plan(Nil, ""), RepairResult(None, 0, Nil), Some(r.answer))
     }
-    val analyst = parseAnalyst(llm.complete("analyst_selector",
-      s"QUESTION: $question\nDATA:\n$profile"))
+    val analyst = parseAnalyst(UserContext.completeWithContext(
+      llm, "analyst_selector", s"QUESTION: $question\nDATA:\n$profile",
+      feedback))
 
     val recalled = memory.flatMap(_.retrieve(analyst.intent, profile))
     val plan = recalled match {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.lifecycle.{Agents, EngineSession, LlmConfig, ReAct, Retriever, SessionStore}
+import graft.lifecycle.{Agents, EngineSession, LlmConfig, ReAct, Retriever, SessionStore, UserContext}
 import graft.functions.ScalarExtras
 
 class AgentsSpec extends SparkSpec {
@@ -208,6 +208,85 @@ class AgentsSpec extends SparkSpec {
     assert(d.complete("expert_selector", "p") == "default answer")
     assert(seen.toSeq == Seq("model-a" -> "planner",
       "model-b" -> "summarizer", "default" -> "expert_selector"))
+  }
+
+  test("request_user_context: analyst selector asks, consumes the answer, re-routes") {
+    // first analyst response is the tool call; after the channel answers,
+    // the second response routes normally (anthropic_models.py:171-228 loop)
+    val llm = new Recording(new Agents.ScriptedLlm(fixtures(false) +
+      ("analyst_selector" -> Seq(
+        "tool: request_user_context\n" +
+          "query_clarification: Which year do you mean?\n" +
+          "context_needed: missing_details",
+        "analyst: Data Analyst DF\nintent: count orders per month of 1995"))))
+    val asked = scala.collection.mutable.Buffer.empty[UserContext.Request]
+    val channel = new UserContext.DirectChannel(r => {
+      asked += r; Some("The year 1995.")
+    })
+    val r = Agents.converse(session(), llm,
+      "How many orders per month?", "orders", feedback = Some(channel))
+    assert(asked.toSeq ==
+      Seq(UserContext.Request("Which year do you mean?", "missing_details")))
+    // the re-call carried the tool result as a USER_CONTEXT line
+    val analystPrompts = llm.calls.collect { case ("analyst_selector", p) => p }
+    assert(analystPrompts.length == 2)
+    assert(!analystPrompts(0).contains("USER_CONTEXT"))
+    assert(analystPrompts(1).contains(
+      "USER_CONTEXT (missing_details): The year 1995."))
+    // and the chain completed end-to-end on the clarified intent
+    assert(r.analyst.intent == "count orders per month of 1995")
+    assert(r.repair.df.get.count() == 12)
+  }
+
+  test("request_user_context: no channel answer yields the reference timeout text") {
+    val llm = new Recording(new Agents.ScriptedLlm(fixtures(false) +
+      ("analyst_selector" -> Seq(
+        "tool: request_user_context\nquery_clarification: Which table?\n" +
+          "context_needed: not_a_known_kind", // coerces to "other"
+        "analyst: Data Analyst DF\nintent: count orders per month of 1995"))))
+    val r = Agents.converse(session(), llm, "How many orders?", "orders",
+      feedback = Some(new UserContext.DirectChannel(_ => None)))
+    val second = llm.calls.collect { case ("analyst_selector", p) => p }(1)
+    assert(second.contains(s"USER_CONTEXT (other): ${UserContext.TimeoutMessage}"))
+    assert(r.repair.df.nonEmpty)
+    // feedback disabled (reference filter_tools feedback_enabled=False):
+    // the same tool-shaped output is treated as plain text, never resolved
+    val plain = Agents.converse(session(),
+      new Agents.ScriptedLlm(fixtures(false) + ("analyst_selector" -> Seq(
+        "tool: request_user_context\nquery_clarification: Which table?\n" +
+          "context_needed: other"))),
+      "How many orders?", "orders")
+    assert(plain.analyst.analyst == "Data Analyst DF") // parse default
+  }
+
+  test("request_user_context: polled file channel matches, consumes, deletes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_feedback")
+    val chain = "c42"
+    val file = dir.resolve(s"feedback_$chain.json")
+    var sleeps = 0
+    // the user's answer "arrives" during the second poll sleep; the first
+    // file version answers a DIFFERENT question and must not match
+    val channel = new UserContext.PolledFileChannel(dir, chain,
+      timeoutMs = 60000, sleeper = _ => {
+        sleeps += 1
+        if (sleeps == 1)
+          java.nio.file.Files.write(file,
+            """[{"query_clarification": "Other q?", "feedback": "no"}]"""
+              .getBytes("UTF-8"))
+        if (sleeps == 2)
+          java.nio.file.Files.write(file,
+            ("""[{"query_clarification": "Other q?", "feedback": "no"},""" +
+              """ {"query_clarification": "Which year?", "feedback": "In 1995 \"only\"."}]""")
+              .getBytes("UTF-8"))
+      })
+    val got = channel.request(UserContext.Request("Which year?", "other"))
+    assert(got.contains("In 1995 \"only\"."))
+    assert(!java.nio.file.Files.exists(file), "file deleted after the hit")
+    // timeout path: nothing ever arrives -> None -> TimeoutMessage
+    val empty = new UserContext.PolledFileChannel(dir, "c43",
+      timeoutMs = 1, sleeper = _ => ())
+    assert(UserContext.resolve(empty,
+      UserContext.Request("q", "other")) == UserContext.TimeoutMessage)
   }
 
   test("F14 calculator evaluates through Catalyst, no code path") {
