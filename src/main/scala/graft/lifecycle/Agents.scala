@@ -139,8 +139,16 @@ object Agents {
       case Some(m) => Plan(
         m.record.plan.linesIterator.filter(_.trim.startsWith("- "))
           .map(_.trim.drop(2)).toSeq, m.record.sql)
-      case None => parsePlan(llm.complete("planner",
-        s"INTENT: ${analyst.intent}\nDATA:\n$profile"))
+      case None =>
+        // planner prompt assembled by the template layer (the reference's
+        // no-plan code-gen shape: question as Context, profile as the
+        // DataFrame preview, intent as the Task — template_formatting.py)
+        val promptGen = new PromptTemplates.CodeGenPromptGenerator(
+          PromptTemplates.SparkDefaults)
+        parsePlan(llm.complete("planner", promptGen.generatePrompt(
+          PromptTemplates.Params(analyst = analyst.analyst, planning = false,
+            model = "default", planOrContext = question,
+            dataframeHead = profile, task = analyst.intent))))
     }
 
     val repair = es.executeWithRepair(plan.sql, (bad, err) =>
