@@ -13,23 +13,39 @@ import org.apache.spark.sql.SparkSession
   * all data work: operator-internal materializations use localCheckpoint
   * (never matched across invocations), and the plan cache is cleared before
   * each timed query so no earlier run's cache() result can be silently
-  * reused. */
+  * reused.
+  *
+  * Two configs are timed, and both rows ride in the one JSON line:
+  *  - the local[32] defaults (shuffle.partitions = cores, broadcast on) —
+  *    "queries"/"spread"/"errors"/"value" keep their historical meaning;
+  *  - a CLUSTER-SHAPE config under "cluster_queries"/"cluster_spread"/
+  *    "cluster_errors": autoBroadcastJoinThreshold=-1 and
+  *    shuffle.partitions=200. SkewProbe showed toy-scale plans can invert
+  *    under real-cluster settings (BASELINE.md §5); this row makes plan
+  *    inversion a tracked number instead of a one-off probe. A query whose
+  *    cluster-shape median exceeds 2x its default median is a
+  *    broadcast-dependence smell worth reading the plan for. */
 object Bench {
   private val TimedRuns = 3
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+  private def session(cpus: String, shufflePartitions: String,
+      broadcastThreshold: Option[String]): SparkSession = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val s = broadcastThreshold
+      .fold(b)(t => b.config("spark.sql.autoBroadcastJoinThreshold", t))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
 
-    val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    // warmup pass (codegen/JIT; failures surface in the timed passes)
+  /** Warmup + TimedRuns round-robin passes; per-query (median, spread, ok). */
+  private def timeAll(spark: SparkSession, sfDir: String,
+      named: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+      : Seq[(String, Double, Double, Boolean)] = {
     named.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
@@ -40,7 +56,7 @@ object Bench {
     // query whose pipeline calls .cache() would silently reuse an earlier
     // materialization and under-report its cost. A query that throws in
     // any run reports -1 (never a plausible wall-clock) and is listed in
-    // "errors", so a broken query cannot hide in a healthy JSON.
+    // its errors array, so a broken query cannot hide in a healthy JSON.
     val samples: Seq[Seq[(String, Double, Boolean)]] = (1 to TimedRuns).map { _ =>
       named.map { case (name, fn) =>
         spark.catalog.clearCache()
@@ -50,7 +66,7 @@ object Bench {
         (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
       }
     }
-    val results = named.map { case (name, _) =>
+    named.map { case (name, _) =>
       val runs = samples.map(_.find(_._1 == name).get)
       val ok = runs.forall(_._3)
       val times = runs.map(_._2).sorted
@@ -58,14 +74,40 @@ object Bench {
       val spread = if (ok) times.last - times.head else -1.0
       (name, median, spread, ok)
     }
+  }
+
+  private def jsonRow(results: Seq[(String, Double, Double, Boolean)])
+      : (String, String, String, Double) = {
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, sp, _) =>
       "\"" + k + "\":" + BigDecimal(sp).setScale(4, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$TimedRuns,"errors":[${failed.mkString(",")}],"sf":"$sfDir"}""")
-    spark.stop()
+    (qs, spreads, failed, total)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    val defSpark = session(cpus, shufflePartitions = cpus,
+      broadcastThreshold = None)
+    val defResults = timeAll(defSpark, sfDir, named)
+    defSpark.stop()
+    val (qs, spreads, failed, total) = jsonRow(defResults)
+
+    val cluSpark = session(cpus, shufflePartitions = "200",
+      broadcastThreshold = Some("-1"))
+    val cluResults = timeAll(cluSpark, sfDir, named)
+    cluSpark.stop()
+    val (cqs, cspreads, cfailed, ctotal) = jsonRow(cluResults)
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$TimedRuns,"errors":$failed,""" +
+      s""""cluster_config":{"autoBroadcastJoinThreshold":-1,"shuffle_partitions":200},""" +
+      s""""cluster_total":$ctotal,"cluster_queries":$cqs,"cluster_spread":$cspreads,"cluster_errors":$cfailed,"sf":"$sfDir"}""")
   }
 }

@@ -12,10 +12,14 @@ import org.apache.spark.sql.functions._
   * arrays) — this is the 100 TB layout where payloads live in parquet binary
   * columns co-partitioned with their metadata.
   *
-  * The actual media decoding is STUBBED: this container ships no
-  * image/audio codecs, so [[StubCodec]] derives deterministic fake features
-  * from the bytes. Swap `StubCodec` for a JNI/FFmpeg/ImageIO-backed codec in
-  * production — every signature stays the same.
+  * Image decoding is REAL: [[ImageIoCodec]] decodes PNG/JPEG payloads with
+  * the JDK's javax.imageio and derives pixel features (per-quadrant RGB +
+  * luma means). Audio/video decoding is STUBBED — this container ships no
+  * media codecs, so [[StubCodec]] derives deterministic fake features from
+  * the bytes; swap it for an FFmpeg/JNI-backed codec in production — every
+  * signature stays the same. [[DefaultCodec]] routes by kind and falls back
+  * to the stub when bytes don't decode as an image, so non-media fixtures
+  * flow through unchanged.
   */
 object Multimodal {
 
@@ -27,9 +31,15 @@ object Multimodal {
       checksum: String, features: Array[Float])
   final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** ??? in spirit: a clearly-marked deterministic fake decoder. Real
-    * implementation decodes pixels/samples; this hashes byte windows so the
-    * pipeline (schema, partitioning, batch shape) is exercised end-to-end. */
+  /** The per-kind decode seam executors run inside mapPartitions. */
+  trait Codec extends Serializable {
+    def decodeFeatures(kind: String, payload: Array[Byte]): Array[Float]
+  }
+
+  /** ??? in spirit for audio/video: a clearly-marked deterministic fake
+    * decoder. A real implementation decodes samples/frames; this hashes byte
+    * windows so the pipeline (schema, partitioning, batch shape) is
+    * exercised end-to-end. */
   object StubCodec {
     val FeatureDim = 16
     def decodeFeatures(payload: Array[Byte]): Array[Float] = {
@@ -44,6 +54,59 @@ object Multimodal {
     def sha256(payload: Array[Byte]): String =
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(payload).map("%02x".format(_)).mkString
+  }
+
+  /** Real image decode on the JDK's built-in codecs (PNG/JPEG/GIF/BMP):
+    * 16 features = mean R, G, B, luma over each 2×2 spatial quadrant,
+    * normalized to [0,1]. Deterministic, no external libraries, and cheap
+    * enough to run inline in the partition iterator. */
+  object ImageIoCodec {
+    val FeatureDim = 16
+
+    /** None when the bytes are not a decodable image — the router falls
+      * back to the stub, so text-standing-in-for-media fixtures keep their
+      * historical features. */
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+    def features(img: java.awt.image.BufferedImage): Array[Float] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Double](FeatureDim)
+      val counts = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+          sums(q * 4) += r; sums(q * 4 + 1) += g; sums(q * 4 + 2) += b
+          sums(q * 4 + 3) += 0.299 * r + 0.587 * g + 0.114 * b
+          counts(q) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(FeatureDim) { i =>
+        val n = counts(i / 4)
+        if (n == 0) 0f else (sums(i) / (n * 255.0)).toFloat
+      }
+    }
+  }
+
+  /** Kind-routing codec: images decode for real via ImageIO (stub fallback
+    * for undecodable bytes); audio/video remain stubbed. */
+  object DefaultCodec extends Codec {
+    def decodeFeatures(kind: String, payload: Array[Byte]): Array[Float] =
+      kind match {
+        case "image" => ImageIoCodec.decode(payload)
+          .map(ImageIoCodec.features)
+          .getOrElse(StubCodec.decodeFeatures(payload))
+        case _ => StubCodec.decodeFeatures(payload)
+      }
   }
 
   /** Build a media table from the documents fixture: payload = UTF-8 bytes
@@ -62,13 +125,15 @@ object Multimodal {
 
   /** Decode + feature-extract, batched per partition (the mapInPandas batch
     * shape: one iterator pass per partition, no per-row task overhead). */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow],
+      codec: Codec = DefaultCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition setup would initialize the codec once here
+      // per-partition setup (a heavier codec would initialize once here)
       it.map { m =>
         MediaFeatures(m.media_id, m.meta.kind, m.payload.length,
-          StubCodec.sha256(m.payload), StubCodec.decodeFeatures(m.payload))
+          StubCodec.sha256(m.payload),
+          codec.decodeFeatures(m.meta.kind, m.payload))
       }
     }
   }

@@ -32,6 +32,50 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == 0 && frames.count() > 0)
   }
 
+  test("real PNG payloads decode to pixel features through the Spark pipeline") {
+    import spark.implicits._
+    // 8x8 PNG with a distinct solid color per quadrant:
+    // TL red, TR green, BL blue, BR white
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val c = (y >= 4, x >= 4) match {
+        case (false, false) => 0xff0000
+        case (false, true) => 0x00ff00
+        case (true, false) => 0x0000ff
+        case (true, true) => 0xffffff
+      }
+      img.setRGB(x, y, c)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+
+    val media = Seq(
+      Multimodal.MediaRow(1L, Multimodal.MediaMeta("image", 8, 8, 0), png),
+      // image-kind bytes that are NOT an image fall back to the stub
+      Multimodal.MediaRow(2L, Multimodal.MediaMeta("image", 0, 0, 0),
+        "not a png".getBytes("UTF-8")),
+      // audio stays stubbed even with decodable bytes
+      Multimodal.MediaRow(3L, Multimodal.MediaMeta("audio", 0, 0, 16000), png)
+    ).toDS()
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.features).toMap
+
+    val real = feats(1L)
+    // quadrant layout: [meanR, meanG, meanB, meanLuma] x [TL, TR, BL, BR]
+    assert(real(0) > 0.99f && real(1) < 0.01f && real(2) < 0.01f) // TL pure red
+    assert(real(4) < 0.01f && real(5) > 0.99f && real(6) < 0.01f) // TR pure green
+    assert(real(8) < 0.01f && real(9) < 0.01f && real(10) > 0.99f) // BL pure blue
+    assert(real(12) > 0.99f && real(13) > 0.99f && real(14) > 0.99f) // BR white
+    assert(math.abs(real(15) - 1.0f) < 0.01f) // white luma = 1
+    assert(math.abs(real(3) - 0.299f) < 0.01f) // red luma = 0.299
+
+    assert(feats(2L).sameElements(
+      Multimodal.StubCodec.decodeFeatures("not a png".getBytes("UTF-8"))))
+    assert(feats(3L).sameElements(Multimodal.StubCodec.decodeFeatures(png)))
+  }
+
   test("features feed VectorOps-compatible embedding column") {
     graft.functions.CosineSimilarity.register(spark)
     val f = Multimodal.featureFrame(spark, sf).limit(10)
