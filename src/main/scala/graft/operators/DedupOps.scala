@@ -170,7 +170,14 @@ object DedupOps {
     * Jaccard ≥ 0.4 over the hashed shingle sets — the full dedup-pair
     * pipeline. The shingle-hash array is computed once and reused for the
     * band index, the per-doc set size (map-side `size()`, no groupBy), and
-    * the intersection join — which matches longs, never n-gram strings. */
+    * the verify — which runs as a MAP-SIDE `array_intersect` on the two
+    * fetched hash arrays (hs is a distinct set, so intersect size = the
+    * oracle's matched-pair count). Earlier this verify exploded the shingle
+    * table and re-aggregated: three extra shuffles of |corpus|·|shingles|
+    * rows plus two dimension joins; under the cluster-shape config
+    * (broadcast off, 200 shuffle partitions) that plan measured 3.2x its
+    * default-config time, while pair-wise fetch+intersect keeps the verify
+    * in the candidate-pair cardinality — the LSH point — in BOTH configs. */
   def lshJaccardPairs: Q = (s, d) => {
     // One materialized-once projection carries the hash set, its size, AND
     // the 12 signature minima — the band self-join below would otherwise
@@ -190,19 +197,15 @@ object DedupOps {
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val sh = docs.select(col("doc_id"), explode(col("hs")).as("h"))
-    val inter = cand
-      .join(sh.as("x"), col("a_id") === col("x.doc_id"))
-      .join(sh.as("y"),
-        col("b_id") === col("y.doc_id") && col("x.h") === col("y.h"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("ninter"))
-    val counts = docs.select(col("doc_id"), col("n"))
-    inter
-      .join(counts.as("ca"), col("a_id") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("b_id") === col("cb.doc_id"))
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("hs").as("ha"),
+        col("n").as("na")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("hs").as("hb"),
+        col("n").as("nb")), Seq("b_id"))
+      .withColumn("ninter", size(array_intersect(col("ha"), col("hb"))))
       .select(col("a_id"), col("b_id"),
         round(col("ninter") /
-          (col("ca.n") + col("cb.n") - col("ninter")).cast("double"), 6)
+          (col("na") + col("nb") - col("ninter")).cast("double"), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= 0.4)
   }

@@ -104,10 +104,15 @@ object RankDedup {
     * toy-scale plans stay toy-optimal. */
   private[graft] def bandedMatches(store: DataFrame, cand: DataFrame,
       dim: Int, planes: Int, forceShuffle: Boolean): DataFrame = {
-    val spark = store.sparkSession
-    graft.functions.CosineSimilarity.register(spark)
-    graft.functions.RpBandKeys.register(spark,
-      bandSigns(dim, planes), planes, s"rp_band_keys_dd_$planes")
+    // candidates may live in a DIFFERENT session than the store (streaming
+    // foreachBatch hands batches a cloned session); each side's expressions
+    // resolve against its own registry, so register on both when they differ
+    val signs = bandSigns(dim, planes)
+    Seq(store.sparkSession, cand.sparkSession).distinct.foreach { s =>
+      graft.functions.CosineSimilarity.register(s)
+      graft.functions.RpBandKeys.register(s, signs, planes,
+        s"rp_band_keys_dd_$planes")
+    }
     def banded(df: DataFrame, p: String) = df.select(col("id").as(p + "id"),
         col("v").as(p + "v"), col("rank").as(p + "rank"),
         posexplode(expr(s"rp_band_keys_dd_$planes(v)")).as(Seq("b", "key")))

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming surface (SURVEY §2.10).
   *
@@ -100,6 +100,52 @@ object Streams {
     events
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols.toArray)
+
+  /** Streaming D2: the rank-gated semantic upsert as a `foreachBatch` sink.
+    * Each microbatch of candidate records `(id, v, rank)` is applied to the
+    * running store through the SAME batch operator the dd5 oracle gates
+    * ([[graft.operators.RankDedup.upsert]]), so streaming and batch
+    * semantics cannot drift. The store keeps its vectors by joining the
+    * upsert verdict (id, rank, status) back to the prior store ∪ batch
+    * vectors on id — candidate ids must therefore be globally unique across
+    * the stream (the reference's UUID ids are; qa_retrieval.py:173).
+    *
+    * Scale shape: state is re-materialized with an EAGER localCheckpoint
+    * after every batch, so the store's plan stays one scan deep instead of
+    * growing by one join per microbatch (the self-referential foreachBatch
+    * state pattern); the banded sim-join inside upsert keeps each batch a
+    * hash join, never store × batch. */
+  final class RankUpsertSink(initialStore: DataFrame, dim: Int = 64,
+      planesPerBand: Int = 0) {
+    @volatile private var storeDf: DataFrame =
+      initialStore.select(col("id"), col("v"), col("rank"))
+        .localCheckpoint(eager = true)
+
+    /** The current store (id, v, rank) — safe to read between batches. */
+    def store: DataFrame = storeDf
+
+    /** One microbatch application; also the direct entry for parity tests. */
+    def processBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (!batch.isEmpty) {
+        val verdict = graft.operators.RankDedup.upsert(storeDf, batch, dim,
+          planesPerBand)
+        val vectors = storeDf.select(col("id"), col("v"))
+          .unionByName(batch.select(col("id"), col("v")))
+        storeDf = verdict.join(vectors, Seq("id"))
+          .select(col("id"), col("v"), col("rank"))
+          .localCheckpoint(eager = true)
+      }
+    }
+
+    /** Attach to a candidate stream; processAllAvailable + [[store]] reads
+      * the result deterministically on bounded sources. */
+    def attach(candidates: DataFrame): StreamingQuery =
+      candidates.writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          processBatch(b.toDF(), id))
+        .start()
+  }
 
   /** Drive any of the above against a bounded parquet dir through a real
     * streaming query into a memory sink; returns the sink table name. Used by

@@ -143,6 +143,48 @@ class StreamsSpec extends SparkSpec {
     assert(closed == wantClosed)
   }
 
+  test("streaming rank-upsert foreachBatch sink matches batch RankDedup.upsert") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val store = e.select(col("vec_id").as("id"), col("v"),
+      (col("vec_id") % 11).as("rank"))
+    // two candidate waves from disjoint vector classes (%3==0 then %3==1):
+    // identical-vector matches hit disjoint store rows, so sequential
+    // micro-batches must equal one combined batch application
+    def wave(cls: Int, offset: Int, rankShift: Int) =
+      e.filter(col("vec_id") % 3 === cls)
+        .select((col("vec_id") + offset).as("id"), col("v"),
+          ((col("vec_id") + rankShift) % 11).as("rank"))
+        .as[(Long, Seq[Double], Long)].collect().toSeq
+    val (b1, b2) = (wave(0, 10000, 5), wave(1, 20000, 7))
+
+    val sink = new Streams.RankUpsertSink(store, dim = 64)
+    val ms = MemoryStream[(Long, Seq[Double], Long)]
+    val q = sink.attach(ms.toDF().toDF("id", "v", "rank"))
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+
+    val got = sink.store.select("id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = (b1 ++ b2).toDF("id", "v", "rank")
+    val want = graft.operators.RankDedup.upsert(store, cand, 64)
+      .select("id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // the sink's store keeps usable vectors for the next batch
+    val vdim = sink.store.select(size(col("v")).as("d")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(vdim == Seq(64))
+    // at least one replacement and one rank-gated discard actually happened
+    val statuses = graft.operators.RankDedup.upsert(store, cand, 64)
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses.getOrElse("inserted", 0L) > 0)
+    assert(got.size < store.count() + cand.count(), "some candidates dropped or replaced")
+  }
+
   test("flatMapGroupsWithState sessionization matches window-based batch count") {
     val ev = eventsBatch.as[Streams.Event]
     // closed sessions + one open session per user == batch session count
