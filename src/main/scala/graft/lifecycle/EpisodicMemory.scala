@@ -25,6 +25,13 @@ import graft.operators.RankDedup
   */
 object EpisodicMemory {
 
+  /** Store size at which [[EpisodicMemory.add]] switches from the
+    * driver-side exact scan to the Spark RankDedup operator. A 64-dim
+    * double scan over 10k vectors is ~5 MB / sub-millisecond on the
+    * driver — far below any Spark job's scheduling floor — while past it
+    * the banded operator's distributed shape starts to pay. */
+  val SparkPathCutoff = 10000
+
   // Serializable: embedders ship inside executor-side closures (Retriever's
   // embed UDF, EmbedOps.embedColumn); implementations must stay free of
   // SparkSession references.
@@ -92,26 +99,54 @@ final class EpisodicMemory(spark: SparkSession,
     }
   }
 
-  /** add_record:146-202 — rank gate + batch rank-dedup through the same
-    * Spark operator the dd5 oracle query exercises. */
+  /** add_record:146-202 — rank gate + semantic dedup-by-rank. The decision
+    * logic is RankDedup's, but a per-turn conversational insert into a store
+    * of a few hundred vectors must not pay a Spark job's scheduling latency:
+    * below [[EpisodicMemory.SparkPathCutoff]] the decision runs driver-side
+    * (exact cosine scan, same tie-break as the operator's window — sim desc,
+    * then store id asc); at or above it, the batch-shaped
+    * [[graft.operators.RankDedup.upsert]] takes over. EpisodicSpec asserts
+    * both paths produce identical replace/discard/insert decisions. */
   def add(record: Record): Unit = {
-    import spark.implicits._
     if (record.rank < RankDedup.MinRank) return
-    val storeDF = records.zipWithIndex.map { case ((r, v), i) =>
-      (i.toLong, v, r.rank)
+    val v = embedder.embed(record.intent)
+    val (replaced, inserted) =
+      if (records.size < SparkPathCutoff) decideLocal(record.rank, v)
+      else decideSpark(record.rank, v)
+    val kept = records.zipWithIndex.collect {
+      case ((r, w), i) if !replaced(i) => (r, w)
+    }
+    records = kept ++ (if (inserted) Vector((record, v)) else Vector.empty)
+  }
+
+  /** Driver-side single-candidate decision: best store match ≥ 0.94 by
+    * (similarity desc, index asc) — the identical ordering to RankDedup's
+    * row_number window (desc(msim), sid asc), so the two paths can't pick
+    * different best matches. Returns (replaced store indices, inserted). */
+  private[graft] def decideLocal(rank: Long, v: Seq[Double]): (Set[Int], Boolean) = {
+    var bestI = -1; var bestSim = RankDedup.StrongThreshold
+    records.iterator.zipWithIndex.foreach { case ((_, w), i) =>
+      val s = cos(v, w)
+      if (s > bestSim || (s == bestSim && bestI < 0)) { bestSim = s; bestI = i }
+    }
+    if (bestI < 0) (Set.empty, true) // no qualifying match → insert (:200-202)
+    else if (rank > records(bestI)._1.rank) (Set(bestI), true) // replace (:196-198)
+    else (Set.empty, false) // discard
+  }
+
+  /** Bulk-path decision through the oracle-gated Spark operator (dd5). */
+  private[graft] def decideSpark(rank: Long, v: Seq[Double]): (Set[Int], Boolean) = {
+    import spark.implicits._
+    val candId = records.size.toLong // any id outside 0..size-1
+    val storeDF = records.zipWithIndex.map { case ((r, w), i) =>
+      (i.toLong, w, r.rank)
     }.toDF("id", "v", "rank")
-    val candDF = Seq((1000000L, embedder.embed(record.intent), record.rank))
-      .toDF("id", "v", "rank")
+    val candDF = Seq((candId, v, rank)).toDF("id", "v", "rank")
     CosineSimilarity.register(spark)
     val result = RankDedup.upsert(storeDF, candDF, embedder.dim)
       .collect().map(r => (r.getLong(0), r.getString(2))).toMap
-    val kept = records.zipWithIndex.collect {
-      case ((r, v), i) if result.get(i.toLong).contains("kept") => (r, v)
-    }
-    val inserted =
-      if (result.get(1000000L).contains("inserted"))
-        Vector((record, embedder.embed(record.intent)))
-      else Vector.empty
-    records = kept ++ inserted
+    val replaced = records.indices.filter(i =>
+      !result.get(i.toLong).contains("kept")).toSet
+    (replaced, result.get(candId).contains("inserted"))
   }
 }

@@ -39,6 +39,34 @@ class EpisodicSpec extends SparkSpec {
     assert(m.retrieve("count orders per month").get.record.rank == 9)
   }
 
+  test("fast path parity: local and Spark decisions agree on every branch") {
+    val m = mem()
+    // seed a store exercising near-dup and distinct regions
+    Seq("count orders per month", "revenue by brand per quarter",
+      "top suppliers by volume", "average discount per segment",
+      "customer churn by nation").zipWithIndex.foreach { case (t, i) =>
+      m.add(Record(s"s$i", t, "", "- p", s"SELECT $i", 7))
+    }
+    assert(m.size == 5)
+    val emb = new HashEmbedder()
+    // candidates covering: exact dup lower rank (discard), exact dup higher
+    // rank (replace), and an unmatched intent (insert)
+    val cases = Seq(
+      ("count orders per month", 6L),   // sim 1.0, rank 6 < 7 → discard
+      ("count orders per month", 9L),   // sim 1.0, rank 9 > 7 → replace
+      ("lineitem shipping delays", 8L)) // no ≥0.94 match → insert
+    cases.foreach { case (intent, rank) =>
+      val v = emb.embed(intent)
+      assert(m.decideLocal(rank, v) == m.decideSpark(rank, v),
+        s"paths diverge for ($intent, $rank)")
+    }
+    // and the public API (driver path at this size) lands the same state
+    m.add(Record("c1", "count orders per month", "", "- p", "SELECT 'hi'", 9))
+    assert(m.size == 5 && m.retrieve("count orders per month").get.record.rank == 9)
+    m.add(Record("c2", "lineitem shipping delays", "", "- p", "SELECT 'n'", 8))
+    assert(m.size == 6)
+  }
+
   test("chain integration: memory hit skips the planner entirely") {
     val es = new EngineSession(spark)
     es.bind("orders", Tables.load(spark, sf, "orders"))
