@@ -58,23 +58,45 @@ object LlmConfig {
     def strField(obj: String, name: String): Option[String] =
       ("\"" + name + """"\s*:\s*"([^"]*)"""").r
         .findFirstMatchIn(obj).map(_.group(1))
+    // string-aware anchor for an offset: scan up to `pos` tracking the
+    // stack of open-'{' offsets and in-string state. A bare lastIndexOf
+    // would mis-anchor on a '{' inside a string value that precedes the
+    // key (e.g. {"comment":"use {x}","agent":...}); and a match found
+    // while inside a string is value text, not a key. Configs are tiny,
+    // so the per-match rescan is irrelevant.
+    def anchor(pos: Int): (Boolean, Option[Int]) = {
+      var i = 0; var inStr = false; var stack = List.empty[Int]
+      while (i < pos) {
+        json(i) match {
+          case '\\' if inStr => i += 1
+          case '"' => inStr = !inStr
+          case '{' if !inStr => stack ::= i
+          case '}' if !inStr => if (stack.nonEmpty) stack = stack.tail
+          case _ =>
+        }
+        i += 1
+      }
+      (inStr, stack.headOption)
+    }
     // every "agent" key marks one entry; its enclosing object is the
-    // balanced slice at the nearest '{' before the key
+    // innermost open '{' at the key's offset
     val agentKey = """"agent"\s*:""".r
     agentKey.findAllMatchIn(json).flatMap { m =>
-      val open = json.lastIndexOf('{', m.start)
-      if (open < 0)
-        throw new IllegalArgumentException(
-          "agent_configs: \"agent\" key outside any object at offset " + m.start)
-      val entry = slice(open)
-      val details = ("""(?s)"details"\s*:\s*\{""").r.findFirstMatchIn(entry)
-        .map(d => slice(open + d.end - 1)).getOrElse("")
-      for {
-        agent <- strField(entry, "agent")
-        model <- strField(details, "model")
-      } yield agent -> Binding(model,
-        baseUrl = strField(details, "base_url"),
-        apiKey = strField(details, "api_key"))
+      val (inStr, top) = anchor(m.start)
+      if (inStr) None // "agent" text inside a string value, not a key
+      else {
+        val open = top.getOrElse(throw new IllegalArgumentException(
+          "agent_configs: \"agent\" key outside any object at offset " + m.start))
+        val entry = slice(open)
+        val details = ("""(?s)"details"\s*:\s*\{""").r.findFirstMatchIn(entry)
+          .map(d => slice(open + d.end - 1)).getOrElse("")
+        for {
+          agent <- strField(entry, "agent")
+          model <- strField(details, "model")
+        } yield agent -> Binding(model,
+          baseUrl = strField(details, "base_url"),
+          apiKey = strField(details, "api_key"))
+      }
     }.toMap
   }
 

@@ -190,9 +190,11 @@ object Ontology {
         case '[' | ']' | '(' | ')' =>
           return Left(s"unsupported TTL construct: '$c' " +
             "(blank nodes/collections are outside the distillation subset)")
-        case '.' if i + 1 >= text.length || text(i + 1).isWhitespace =>
+        case '.' if i + 1 >= text.length || text(i + 1).isWhitespace ||
+            text(i + 1) == '#' =>
           // a '.' mid-token (decimal literal, dotted prefixed name) is NOT a
-          // terminator — only '.' before whitespace/EOF ends a statement.
+          // terminator — only '.' before whitespace/EOF/a comment ends a
+          // statement ("ex:a ex:b ex:c.# note" is legal Turtle).
           // `1 .`-style bare integers before the terminator are ambiguous
           // with a decimal literal's longest-match parse; reject loudly
           // rather than guess (the subset's literals are quoted strings).

@@ -109,10 +109,12 @@ object WebSearch {
       knowledgeGraph = objField(json, "knowledgeGraph", '{'))
   }
 
-  /** First string value containing an https:// URL inside a raw box object
-    * (the reference walks answerBox values looking for one, :203-206). */
-  private[lifecycle] def firstUrl(boxJson: String): Option[String] =
-    """"(https://[^"]*)"""".r.findFirstMatchIn(boxJson).map(_.group(1))
+  /** First string value containing an https:// URL inside a raw box object.
+    * The reference walks answerBox values with a substring test — `if
+    * "https://" in value` — and uses the WHOLE value as the URL (:203-206),
+    * so a prose value embedding a link counts; mirror that exactly. */
+  private[graft] def firstUrl(boxJson: String): Option[String] =
+    """"([^"]*https://[^"]*)"""".r.findFirstMatchIn(boxJson).map(_.group(1))
 
   /** 512-word chunking of one page into "documents", dropping chunks of
     * ≤100 chars — google_search.py:184-190 verbatim semantics (split on
@@ -154,18 +156,33 @@ object WebSearch {
     * stand-in for the reference's newspaper Article.parse (:172-180): drop
     * script/style subtrees, strip tags, decode the common entities. Payload
     * capped like [[graft.sources.Sources.fromUrl]] (driver-side fetch is
-    * small-by-contract). */
+    * small-by-contract). HttpURLConnection refuses to auto-follow
+    * cross-protocol (http→https) redirects, which the reference's fetcher
+    * does follow — so auto-follow is off and ALL 3xx responses are chased
+    * manually via the Location header (relative ones resolved against the
+    * page), bounded to [[HttpPageFetcher.MaxRedirectHops]] hops. One code
+    * path for both same- and cross-protocol hops keeps the behavior
+    * uniform and stub-testable. */
   final class HttpPageFetcher(timeoutMs: Int = 15000,
       maxBytes: Long = 8L * 1024 * 1024) extends PageFetcher {
     def fetch(url: String): Option[String] =
+      fetchHops(url, HttpPageFetcher.MaxRedirectHops)
+
+    private def fetchHops(url: String, hops: Int): Option[String] =
       try {
         val conn = URI.create(url).toURL
           .openConnection().asInstanceOf[HttpURLConnection]
         conn.setConnectTimeout(timeoutMs)
         conn.setReadTimeout(timeoutMs)
+        conn.setInstanceFollowRedirects(false)
         conn.setRequestProperty("User-Agent", "Mozilla/5.0")
         try {
-          if (conn.getResponseCode >= 400) None
+          val code = conn.getResponseCode
+          if (code >= 300 && code < 400) {
+            Option(conn.getHeaderField("Location")).filter(_ => hops > 0)
+              .flatMap(loc => fetchHops(URI.create(url).resolve(loc).toString,
+                hops - 1))
+          } else if (code >= 400) None
           else {
             val out = new java.io.ByteArrayOutputStream()
             val in = conn.getInputStream
@@ -178,6 +195,8 @@ object WebSearch {
         } finally conn.disconnect()
       } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  object HttpPageFetcher { val MaxRedirectHops = 5 }
 
   def extractText(html: String): String =
     html

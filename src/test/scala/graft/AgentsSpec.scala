@@ -197,6 +197,16 @@ class AgentsSpec extends SparkSpec {
     assert(cfg == Map(
       "planner" -> LlmConfig.Binding("model-a"),
       "summarizer" -> LlmConfig.Binding("model-b", baseUrl = Some("http://alt/v1"))))
+    // braces inside string values must not mis-anchor an entry, and
+    // "agent" text inside a string value is not a key (round-5 advice)
+    val tricky = LlmConfig.parse(
+      """{"agent_configs": [
+        |  {"comment": "use {x} or { \"agent\": never }", "agent": "planner",
+        |   "details": {"model": "m-a"}},
+        |  {"agent": "coder", "note": "stray { brace", "details": {"model": "m-b"}}
+        |]}""".stripMargin)
+    assert(tricky == Map("planner" -> LlmConfig.Binding("m-a"),
+      "coder" -> LlmConfig.Binding("m-b")))
     val seen = scala.collection.mutable.Buffer.empty[(String, String)]
     def scripted(tag: String): Agents.LlmClient = (stage, _) => {
       seen += ((tag, stage)); s"$tag answer"

@@ -138,6 +138,15 @@ class RetrievalOntologySpec extends SparkSpec {
     assert(left("@prefix ex: <http://example.org/> .").contains("no classes"))
   }
 
+  test("TTL parse: '.' immediately before a comment terminates the statement") {
+    // "ex:a ex:b ex:c.# note" is legal Turtle — '#' bounds the terminator
+    val ttl = fixtureTtl.replace("rdfs:label \"Recorded activity session\" .",
+      "rdfs:label \"Recorded activity session\".# inline note")
+    val onto = Ontology.parseTtl(ttl).toOption.get
+    assert(onto.classes.map(_.name) == Seq("Activity", "Event"))
+    assert(onto.classes.head.label.contains("Recorded activity session"))
+  }
+
   test("TTL e2e: distill through the LLM stage into catalog + mermaid") {
     var seenPrompt = ""
     val llm = new Agents.LlmClient {

@@ -54,6 +54,30 @@ class WebSearchSpec extends SparkSpec {
     assert(rb.answerBox.exists(b => b.contains("\"answer\"") && b.contains("nested")))
   }
 
+  test("firstUrl containment; fetcher follows redirects with a hop bound") {
+    // the reference takes any answerBox string value CONTAINING https://
+    // and uses the whole value as the URL (google_search.py:203-206)
+    assert(WebSearch.firstUrl("""{"answer":"see https://x.example/p for details"}""")
+      .contains("see https://x.example/p for details"))
+    assert(WebSearch.firstUrl("""{"link":"https://y.example/q"}""")
+      .contains("https://y.example/q"))
+    assert(WebSearch.firstUrl("""{"answer":"42"}""").isEmpty)
+
+    val target = page("redirect landed content words", 120)
+    withServer(Map(
+      "/hop" -> (ex => { ex.getResponseHeaders.add("Location", "/hop2"); (302, "") }),
+      "/hop2" -> (ex => { ex.getResponseHeaders.add("Location", "/end"); (301, "") }),
+      "/end" -> (_ => (200, target)),
+      "/loop" -> (ex => { ex.getResponseHeaders.add("Location", "/loop"); (302, "") })
+    )) { base =>
+      val f = new WebSearch.HttpPageFetcher()
+      assert(f.fetch(s"$base/hop")
+        .exists(_.contains("redirect landed content words")))
+      // a redirect cycle gives up after MaxRedirectHops instead of hanging
+      assert(f.fetch(s"$base/loop").isEmpty)
+    }
+  }
+
   test("chunkPage: 512-word windows, short chunks dropped") {
     val w350 = Seq.fill(350)("word").mkString(" ")
     val chunks = WebSearch.chunkPage(w350 + " " + w350) // 700 words
