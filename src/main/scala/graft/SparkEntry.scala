@@ -107,6 +107,7 @@ object SparkEntry {
     "dd4_simhash" -> DedupOps.simhash,
     "dd5_rank_upsert" -> RankDedup.rankUpsertQuery,
     "dd6_simhash_pairs" -> DedupOps.simhashPairs,
+    "dd7_dup_clusters" -> DedupOps.dupClusters,
     // multimodal plumbing (binary payload + typed metadata + stub decode)
     "mm1_media_features" -> ((s, d) => Multimodal.featureFrame(s, d)
       .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
@@ -445,6 +446,7 @@ object SparkEntry {
     "dd4_simhash" -> DedupOps.simhashOracle,
     "dd5_rank_upsert" -> RankDedup.oracle,
     "dd6_simhash_pairs" -> DedupOps.simhashPairsOracle,
+    "dd7_dup_clusters" -> DedupOps.dupClustersOracle,
     "v5_ivf_assign" -> VectorOps.kmeansIvfAssignOracle,
     "v6_rp_lsh_neardup" -> VectorOps.rpLshNearDupOracle,
     "v7_ivf_at_rest" -> VectorOps.ivfAtRestOracle,

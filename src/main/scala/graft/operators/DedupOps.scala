@@ -103,22 +103,28 @@ object DedupOps {
   /** Shared front of the MinHash pipeline: doc_id + distinct shingle-hash
     * array (48 bits of md5 per shingle, hex→int via codegen'd `conv`).
     * Pure map-side projection — no shuffle, scales at scan speed. */
-  private def docShingleHashes(s: SparkSession, d: String): DataFrame =
-    plantedCorpus(s, d)
+  private def docShingleHashesOf(corpus: DataFrame): DataFrame =
+    corpus
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), expr(shinglesDistinctSpark).as("shs"))
       .select(col("doc_id"), expr(
         "transform(shs, x -> cast(conv(substring(md5(x), 1, 12), 16, 10) as bigint))")
         .as("hs"))
 
+  private def docShingleHashes(s: SparkSession, d: String): DataFrame =
+    docShingleHashesOf(plantedCorpus(s, d))
+
   /** Same front in DuckDB, as CTEs ending in `docs(doc_id, hs)`. */
-  private lazy val docShingleHashesDuck: String =
-    s"""corpus AS ($corpusSql),
+  private def docShingleHashesDuckOf(corpus: String): String =
+    s"""corpus AS ($corpus),
        | w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
        | shl AS (SELECT doc_id, $shinglesDistinctDuck AS shs FROM w),
        | docs AS (SELECT doc_id,
        |   list_transform(shs, x -> ('0x' || substr(md5(x), 1, 12))::BIGINT) AS hs
        |   FROM shl)""".stripMargin
+
+  private lazy val docShingleHashesDuck: String =
+    docShingleHashesDuckOf(corpusSql)
 
   private def plantedCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
@@ -178,7 +184,12 @@ object DedupOps {
     * (broadcast off, 200 shuffle partitions) that plan measured 3.2x its
     * default-config time, while pair-wise fetch+intersect keeps the verify
     * in the candidate-pair cardinality — the LSH point — in BOTH configs. */
-  def lshJaccardPairs: Q = (s, d) => {
+  def lshJaccardPairs: Q = (s, d) =>
+    lshPairsOf(s, plantedCorpus(s, d))
+
+  /** [[lshJaccardPairs]] over an arbitrary (doc_id, text) corpus — the
+    * pair-producing front the cluster-resolution query (dd7) composes on. */
+  private[graft] def lshPairsOf(s: SparkSession, corpus: DataFrame): DataFrame = {
     // One materialized-once projection carries the hash set, its size, AND
     // the 12 signature minima — the band self-join below would otherwise
     // evaluate the signature lambdas twice (once per join side).
@@ -187,7 +198,7 @@ object DedupOps {
     // invocation can never silently reuse an earlier one's materialization
     // through plan-equality matching.
     registerSigs(s)
-    val docs = docShingleHashes(s, d)
+    val docs = docShingleHashesOf(corpus)
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"),
         expr("minhash_sigs(hs)").as("sigv"))
       .localCheckpoint(eager = false)
@@ -210,10 +221,12 @@ object DedupOps {
       .filter(col("jaccard") >= 0.4)
   }
 
-  val lshJaccardPairsOracle: String = {
+  /** The full LSH-pair pipeline in DuckDB as a CTE chain ending in
+    * `pairs(a_id, b_id, jaccard)` — shared by the dd3 and dd7 oracles. */
+  private def lshPairsCtesOf(corpus: String): String = {
     val sigs = (0 until NumHashes).map(j => s"${sigExprDuck(j)} AS sig$j")
     val bandList = bandExprs(j => s"sig$j").mkString(", ")
-    s"""WITH $docShingleHashesDuck,
+    s"""${docShingleHashesDuckOf(corpus)},
        | cnt AS (SELECT doc_id, len(hs) AS n FROM docs),
        | sigs AS (SELECT doc_id, ${sigs.mkString(", ")} FROM docs),
        | bands AS (SELECT doc_id, unnest([$bandList]) AS bk FROM sigs),
@@ -223,12 +236,69 @@ object DedupOps {
        | inter AS (SELECT c.a_id, c.b_id, count(*) AS ninter FROM cand c
        |   JOIN shd x ON x.doc_id = c.a_id
        |   JOIN shd y ON y.doc_id = c.b_id AND y.h = x.h
-       |   GROUP BY c.a_id, c.b_id)
-       |SELECT a_id, b_id,
-       | round(ninter / CAST(ca.n + cb.n - ninter AS DOUBLE), 6) AS jaccard
-       |FROM inter JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
-       |WHERE round(ninter / CAST(ca.n + cb.n - ninter AS DOUBLE), 6) >= 0.4""".stripMargin
+       |   GROUP BY c.a_id, c.b_id),
+       | pairs AS (SELECT a_id, b_id,
+       |   round(ninter / CAST(ca.n + cb.n - ninter AS DOUBLE), 6) AS jaccard
+       |  FROM inter JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+       |  WHERE round(ninter / CAST(ca.n + cb.n - ninter AS DOUBLE), 6) >= 0.4)""".stripMargin
   }
+
+  val lshJaccardPairsOracle: String =
+    s"WITH ${lshPairsCtesOf(corpusSql)}\nSELECT a_id, b_id, jaccard FROM pairs"
+
+  // ---- duplicate-cluster resolution (dd7) ----
+
+  /** Corpus with a planted CHAIN of near-duplicates per selected doc:
+    * A (original), B = A + 3 words, C = A + 5 words. */
+  private def plantedCorpus3(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val sel = docs.filter(col("doc_id") % 17 === 0)
+    docs
+      .unionByName(sel.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz qq vv")).as("text")))
+      .unionByName(sel.select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" zz qq vv ww yy")).as("text")))
+  }
+  private val corpus3Sql =
+    """SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' zz qq vv' AS text
+      |   FROM documents WHERE doc_id % 17 = 0
+      | UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zz qq vv ww yy' AS text
+      |   FROM documents WHERE doc_id % 17 = 0""".stripMargin
+
+  /** dd7: transitive duplicate-cluster resolution — LSH pairs →
+    * [[GraphOps.connectedComponents]] → (doc_id, component-min). The
+    * direct original↔second-copy edges are dropped from the pair set
+    * before clustering, simulating the band misses that make LSH edge
+    * discovery probabilistic: C's membership in A's cluster is then only
+    * derivable transitively through B, which is exactly the case that
+    * forces cluster resolution to be a graph computation rather than a
+    * per-pair min. */
+  def dupClusters: Q = (s, d) => {
+    val corpus = plantedCorpus3(s, d)
+    GraphOps.connectedComponents(corpus.select(col("doc_id").as("id")),
+        dupClusterEdges(s, d))
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
+  /** The dd7 edge set (canonical a < b) — exposed for the spec's
+    * independent union-find cross-check. */
+  private[graft] def dupClusterEdges(s: SparkSession, d: String): DataFrame =
+    lshPairsOf(s, plantedCorpus3(s, d))
+      .filter(!(col("a_id") < 100000 && col("b_id") >= 200000))
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+
+  val dupClustersOracle: String =
+    s"""WITH RECURSIVE ${lshPairsCtesOf(corpus3Sql)},
+       | kept AS (SELECT a_id, b_id FROM pairs
+       |   WHERE NOT (a_id < 100000 AND b_id >= 200000)),
+       | edges AS (SELECT a_id AS u, b_id AS v FROM kept
+       |   UNION ALL SELECT b_id AS u, a_id AS v FROM kept),
+       | reach(id, comp) AS (
+       |   SELECT doc_id, doc_id FROM corpus
+       |   UNION
+       |   SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id)
+       |SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id""".stripMargin
 
   // ---- SimHash ----
 

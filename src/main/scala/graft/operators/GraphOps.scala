@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the missing last step of every
+  * pair-producing dedup pipeline: LSH/SimHash/embedding near-dup emit PAIRS,
+  * but retention decisions need duplicate GROUPS, and pair discovery is
+  * probabilistic (a band can miss an edge of a true cluster), so group
+  * membership is inherently transitive. The reference's dedup surface stops
+  * at the pairwise episodic-memory gate (qa_retrieval.py:146-202); this
+  * generalizes it to corpus-scale cluster resolution.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al. 2014,
+  * "Connected Components in MapReduce and Beyond"), expressed as DataFrame
+  * algebra. Each round is two groupBy-min + equi-join passes over the edge
+  * list — every shuffle keys on a node id, so Catalyst plans plain hash
+  * aggregates/joins (no cartesian anywhere, asserted in GraphOpsSpec) and
+  * AQE can split a hot root's bucket. Convergence is O(log n) rounds, and
+  * the per-round edge list never grows beyond the input edge count — this
+  * is the 100 TB-safe formulation (naive label propagation needs
+  * diameter-many rounds and a full node-label shuffle per round; collecting
+  * neighborhoods to the driver is not an option at all).
+  *
+  * Iteration state is `localCheckpoint`ed each round to cut lineage (the
+  * standard iterative-DataFrame requirement); convergence is detected by an
+  * (edge-count, xxhash64-sum) signature — one cheap aggregate per round on
+  * the already-materialized checkpoint.
+  */
+object GraphOps {
+
+  /** Connected components of the undirected graph (`nodes`, `edges`).
+    *
+    * @param nodes single-column frame `id` — must cover every edge endpoint
+    *              (isolated ids allowed; they become their own component)
+    * @param edges two-column frame `a`, `b` (orientation/duplicates/self
+    *              loops are normalized away)
+    * @return frame `(id, component)` where `component` is the minimum id in
+    *         the node's component
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    var e = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var sig: (Long, String) = signature(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      e = next; sig = nextSig; iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(bound is ~log2 of the largest component; raise maxIter)")
+    // fixpoint edges form per-component stars rooted at the min id
+    val members = e.select(col("b").as("id"), col("a").as("component"))
+    val selfOnly = nodes.select(col("id"))
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    members.unionByName(selfOnly)
+  }
+
+  /** Large-star: every node connects its strictly-larger neighbors to the
+    * minimum of its closed neighborhood. Input/output edges are canonical
+    * (a < b). */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val mins = sym.groupBy("a").agg(min("b").as("mn"))
+      .select(col("a"), least(col("mn"), col("a")).as("m"))
+    sym.join(mins, "a").filter(col("b") > col("a"))
+      .select(col("m").as("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct()
+  }
+
+  /** Small-star: every node connects its smaller neighbors (and itself) to
+    * the minimum of that set. Input must be canonical (a < b); output is. */
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("b").agg(min("a").as("m"))
+    e.join(mins, "b")
+      .select(col("m").as("a"), col("a").as("b"))
+      .unionByName(mins.select(col("m").as("a"), col("b")))
+      .filter(col("a") =!= col("b")).distinct()
+  }
+
+  private def signature(e: DataFrame): (Long, String) = {
+    // decimal sum: a Long sum of 2^63-range hashes overflows under ANSI
+    val r = e.agg(count(lit(1)),
+      sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) "" else r.getDecimal(1).toString)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.{DedupOps, GraphOps}
+
+/** Connected components (large-star/small-star) — correctness against a
+  * driver-side union-find reference, transitivity through missing edges,
+  * plan shape (hash joins only), and the dd7 pipeline end-to-end. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.connectedComponents(nodes.toDF("id"), edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Driver-side union-find, the independent reference implementation. */
+  private def unionFind(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def root(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (root(a), root(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    nodes.map(n => n -> root(n)).toMap
+  }
+
+  test("chain: component only reachable transitively resolves to the min") {
+    // 3's only edge is to 2; reaching 1 requires transitivity
+    assert(cc(Seq(1L, 2L, 3L, 9L), Seq((2L, 3L), (1L, 2L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
+  test("long path, two components, duplicate/reversed/self edges") {
+    val path = (1L to 40L).sliding(2).map(w => (w(1), w(0))).toSeq // reversed
+    val other = Seq((100L, 101L), (101L, 102L), (100L, 102L), (102L, 102L))
+    val got = cc((1L to 40L) ++ Seq(100L, 101L, 102L, 200L),
+      path ++ other ++ path.map(_.swap))
+    assert((1L to 40L).forall(got(_) == 1L))
+    assert(Seq(100L, 101L, 102L).forall(got(_) == 100L))
+    assert(got(200L) == 200L)
+  }
+
+  test("random graphs match driver-side union-find") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 80
+      val nodes = (0L until n).map(i => i * 13 + trial) // non-contiguous ids
+      val edges = Seq.fill(70)((nodes(rnd.nextInt(n)), nodes(rnd.nextInt(n))))
+      assert(cc(nodes, edges) == unionFind(nodes, edges), s"trial $trial")
+    }
+  }
+
+  test("star rounds plan hash joins, never a cartesian/nested-loop") {
+    val e = (1L to 200L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("a", "b")
+    Seq(GraphOps.largeStar(e), GraphOps.smallStar(e)).foreach { out =>
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+
+  test("non-convergence inside maxIter fails loudly") {
+    val e = (1L to 600L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val ex = intercept[IllegalStateException] {
+      GraphOps.connectedComponents((1L to 600L).toDF("id"), e.toDF("a", "b"),
+        maxIter = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("dd7 pipeline: matches union-find over its own kept edges; chains resolve transitively") {
+    val comp = DedupOps.dupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: union-find over the pipeline's own edge set
+    val edges = DedupOps.dupClusterEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(comp == unionFind(comp.keys.toSeq, edges))
+    // the planted A-B-C chains where LSH found both hops must resolve C to
+    // A's component purely transitively (the A-C edge is dropped by design)
+    val es = edges.toSet
+    val chains = comp.keys.filter(id => id < 100000 && id % 17 == 0).filter {
+      id => es((id, id + 100000)) && es((id + 100000, id + 200000)) &&
+        !es((id, id + 200000))
+    }
+    assert(chains.nonEmpty, "no fully-found planted chain at this sf")
+    chains.foreach { id =>
+      assert(comp(id + 100000) == comp(id) && comp(id + 200000) == comp(id),
+        s"chain rooted at $id")
+    }
+  }
+}
