@@ -100,6 +100,7 @@ object SparkEntry {
     "t3_quality_score" -> TextOps.qualityScore,
     "t4_fingerprint" -> TextOps.fingerprint,
     "t5_token_count" -> TextOps.tokenCount,
+    "t6_stratified_sample" -> TextOps.stratifiedSample,
     // dedup pipeline (D-ops + MinHash/LSH/SimHash)
     "dd1_exact_dedup" -> DedupOps.exactDedup,
     "dd2_minhash_bands" -> DedupOps.minhashBands,
@@ -108,6 +109,7 @@ object SparkEntry {
     "dd5_rank_upsert" -> RankDedup.rankUpsertQuery,
     "dd6_simhash_pairs" -> DedupOps.simhashPairs,
     "dd7_dup_clusters" -> DedupOps.dupClusters,
+    "dd8_cluster_retention" -> DedupOps.clusterRetention,
     // multimodal plumbing (binary payload + typed metadata + stub decode)
     "mm1_media_features" -> ((s, d) => Multimodal.featureFrame(s, d)
       .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
@@ -440,6 +442,7 @@ object SparkEntry {
     "t3_quality_score" -> TextOps.oracle("t3_quality_score"),
     "t4_fingerprint" -> TextOps.oracle("t4_fingerprint"),
     "t5_token_count" -> TextOps.oracle("t5_token_count"),
+    "t6_stratified_sample" -> TextOps.oracle("t6_stratified_sample"),
     "dd1_exact_dedup" -> DedupOps.exactDedupOracle,
     "dd2_minhash_bands" -> DedupOps.minhashBandsOracle,
     "dd3_lsh_jaccard_pairs" -> DedupOps.lshJaccardPairsOracle,
@@ -447,6 +450,7 @@ object SparkEntry {
     "dd5_rank_upsert" -> RankDedup.oracle,
     "dd6_simhash_pairs" -> DedupOps.simhashPairsOracle,
     "dd7_dup_clusters" -> DedupOps.dupClustersOracle,
+    "dd8_cluster_retention" -> DedupOps.clusterRetentionOracle,
     "v5_ivf_assign" -> VectorOps.kmeansIvfAssignOracle,
     "v6_rp_lsh_neardup" -> VectorOps.rpLshNearDupOracle,
     "v7_ivf_at_rest" -> VectorOps.ivfAtRestOracle,

@@ -288,8 +288,10 @@ object DedupOps {
       .filter(!(col("a_id") < 100000 && col("b_id") >= 200000))
       .select(col("a_id").as("a"), col("b_id").as("b"))
 
-  val dupClustersOracle: String =
-    s"""WITH RECURSIVE ${lshPairsCtesOf(corpus3Sql)},
+  /** dd7's full CTE chain (recursive min-id propagation), ending in
+    * `comps(doc_id, component)` — shared with the dd8 retention oracle. */
+  private lazy val compsCtes: String =
+    s"""${lshPairsCtesOf(corpus3Sql)},
        | kept AS (SELECT a_id, b_id FROM pairs
        |   WHERE NOT (a_id < 100000 AND b_id >= 200000)),
        | edges AS (SELECT a_id AS u, b_id AS v FROM kept
@@ -297,8 +299,46 @@ object DedupOps {
        | reach(id, comp) AS (
        |   SELECT doc_id, doc_id FROM corpus
        |   UNION
-       |   SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id)
-       |SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id""".stripMargin
+       |   SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+       | comps AS (SELECT id AS doc_id, min(comp) AS component
+       |   FROM reach GROUP BY id)""".stripMargin
+
+  val dupClustersOracle: String =
+    s"WITH RECURSIVE $compsCtes\nSELECT doc_id, component FROM comps"
+
+  /** dd8: cluster retention — the decision step a production dedup actually
+    * ships: keep exactly ONE document per duplicate cluster, by the
+    * keep-the-most-complete policy (max word count, doc_id tie-break), and
+    * label every other member with its canonical survivor. One window over
+    * the component key; cluster sizes are near-dup groups (small by
+    * nature), so the partition-by carries no skew risk at scale. */
+  def clusterRetention: Q = (s, d) => {
+    val words = plantedCorpus3(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_words"))
+    val w = Window.partitionBy("component")
+      .orderBy(desc("n_words"), col("doc_id"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dupClusters(s, d).join(words, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .withColumn("canonical", first("doc_id").over(wFull))
+      .select(col("doc_id"), col("component"), col("n_words"),
+        col("keep"), col("canonical"))
+  }
+
+  val clusterRetentionOracle: String =
+    s"""WITH RECURSIVE $compsCtes,
+       | wd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER)
+       |   AS n_words FROM corpus),
+       | ranked AS (SELECT c.doc_id, c.component, wd.n_words,
+       |   row_number() OVER (PARTITION BY c.component
+       |     ORDER BY wd.n_words DESC, c.doc_id) AS rn,
+       |   first_value(c.doc_id) OVER (PARTITION BY c.component
+       |     ORDER BY wd.n_words DESC, c.doc_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |    AS canonical
+       |  FROM comps c JOIN wd ON wd.doc_id = c.doc_id)
+       |SELECT doc_id, component, n_words, rn = 1 AS keep, canonical
+       |FROM ranked""".stripMargin
 
   // ---- SimHash ----
 

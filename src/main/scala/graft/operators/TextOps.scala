@@ -107,6 +107,23 @@ object TextOps {
       expr("""array_min(transform(sequence(1, greatest(length(text)-15, 1)),
         | i -> md5(substring(text, i, 16))))""".stripMargin).as("min_gram16"))
 
+  /** t6: deterministic stratified sampling — the reproducible-curation
+    * idiom for mixture building. A portable content-independent hash of the
+    * key (the same 48-bit md5 fold the MinHash pipeline uses) buckets every
+    * row into 0..99; per-stratum quotas (here a language mixture: en 60%,
+    * fr 30%, rest 10%) are then a pure map-side filter. No shuffle and no
+    * RNG state: the identical subset falls out on every engine, every
+    * re-run, and every cluster size — which is what makes 100 TB mixture
+    * re-builds and data-ablation A/Bs auditable, where `TABLESAMPLE`/
+    * `rand()` sampling is neither reproducible nor stratifiable. */
+  def stratifiedSample: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint) % 100"))
+      .filter(expr(
+        "bucket < CASE lang WHEN 'en' THEN 60 WHEN 'fr' THEN 30 ELSE 10 END"))
+
   // ---- DuckDB oracle SQL ----
 
   val oracle: Map[String, String] = Map(
@@ -148,6 +165,13 @@ object TextOps {
          |  CAST(len(regexp_extract_all(text, '$BpeTokenRegex')) AS DOUBLE), 6)
          |  AS chars_per_token
          |FROM documents""".stripMargin,
+    "t6_stratified_sample" ->
+      """SELECT doc_id, lang,
+        | ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+        |  AS bucket
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+        | < CASE lang WHEN 'en' THEN 60 WHEN 'fr' THEN 30 ELSE 10 END""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_hash,
         | list_min(list_transform(range(1, greatest(length(text)-7, 1) + 1),

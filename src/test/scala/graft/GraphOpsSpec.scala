@@ -72,6 +72,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("dd8 retention: exactly one keeper per component — the most complete member") {
+    val rows = DedupOps.clusterRetention(spark, sf).collect()
+    val byComp = rows.groupBy(_.getLong(1))
+    byComp.foreach { case (c, rs) =>
+      val keepers = rs.filter(_.getBoolean(3))
+      assert(keepers.length == 1, s"component $c")
+      val k = keepers.head
+      assert(rs.forall(_.getLong(4) == k.getLong(0)), s"canonical of $c")
+      // the keeper maximizes (n_words, then min doc_id)
+      val best = rs.maxBy(r => (r.getInt(2), -r.getLong(0)))
+      assert(k.getLong(0) == best.getLong(0), s"keep policy of $c")
+    }
+    assert(byComp.exists(_._2.length >= 2), "no multi-member cluster at this sf")
+  }
+
   test("dd7 pipeline: matches union-find over its own kept edges; chains resolve transitively") {
     val comp = DedupOps.dupClusters(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
