@@ -26,10 +26,27 @@ import org.apache.spark.sql.functions._
   * standard iterative-DataFrame requirement); convergence is detected by an
   * (edge-count, xxhash64-sum) signature — one cheap aggregate per round on
   * the already-materialized checkpoint.
+  *
+  * Node ids are BIGINT (the engine's doc_id type); both paths key on them.
   */
 object GraphOps {
 
+  /** Edge-count cutoff for the driver-side path: 1M canonical edges is a
+    * few tens of MB collected and a sub-millisecond union-find — far below
+    * the cost of even ONE distributed round (each round is 2 shuffling
+    * joins + a checkpoint), while staying well inside driver memory. The
+    * same AUTO philosophy as OperatingPoint and the EpisodicMemory insert
+    * path: derive the execution shape from the data size, pin nothing. */
+  val DriverPathCutoff = 1000000L
+
   /** Connected components of the undirected graph (`nodes`, `edges`).
+    *
+    * Below [[DriverPathCutoff]] canonical edges the component labels are
+    * computed by driver-side union-find (near-dup graphs are pair-sparse:
+    * even a 100 TB corpus with a healthy dup rate yields edge counts
+    * orders below node counts — but the distributed path engages
+    * automatically whenever that assumption breaks). Both paths produce
+    * identical labels (GraphOpsSpec asserts it on random graphs).
     *
     * @param nodes single-column frame `id` — must cover every edge endpoint
     *              (isolated ids allowed; they become their own component)
@@ -40,12 +57,46 @@ object GraphOps {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    var e = edges
+    val e = canonical(edges).localCheckpoint()
+    if (e.count() <= DriverPathCutoff) componentsLocal(nodes, e)
+    else componentsDistributed(nodes, e, maxIter)
+  }
+
+  private def canonical(edges: DataFrame): DataFrame =
+    edges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
       .distinct()
-      .localCheckpoint()
+
+  /** Small-graph path: collect the (bounded) edge list, union-find on the
+    * driver, broadcast the labels back as a join. */
+  private[graft] def componentsLocal(nodes: DataFrame, canonicalEdges: DataFrame): DataFrame = {
+    val pairs = canonicalEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def root(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      if (r != x) parent(x) = r // path compression
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (root(a), root(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val touched = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
+    val session = nodes.sparkSession
+    import session.implicits._
+    val labels = touched.map(n => (n, root(n))).toDF("id", "lab")
+    nodes.select(col("id")).join(broadcast(labels), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lab"), col("id")).as("component"))
+  }
+
+  /** Bulk path: the alternating-star loop. `canonicalEdges` must already be
+    * canonical (a < b, no self loops, distinct) and checkpointed. */
+  private[graft] def componentsDistributed(nodes: DataFrame,
+      canonicalEdges: DataFrame, maxIter: Int = 25): DataFrame = {
+    var e = canonicalEdges
     var sig: (Long, String) = signature(e)
     var converged = false
     var iter = 0

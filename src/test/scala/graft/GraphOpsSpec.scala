@@ -44,15 +44,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(200L) == 200L)
   }
 
-  test("random graphs match driver-side union-find") {
+  test("random graphs: local and distributed paths both match union-find") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 3) {
       val n = 80
       val nodes = (0L until n).map(i => i * 13 + trial) // non-contiguous ids
       val edges = Seq.fill(70)((nodes(rnd.nextInt(n)), nodes(rnd.nextInt(n))))
-      assert(cc(nodes, edges) == unionFind(nodes, edges), s"trial $trial")
+      val expected = unionFind(nodes, edges)
+      assert(cc(nodes, edges) == expected, s"trial $trial (local)")
+      val dist = GraphOps.componentsDistributed(nodes.toDF("id"),
+          canonicalize(edges))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == expected, s"trial $trial (distributed)")
     }
   }
+
+  private def canonicalize(edges: Seq[(Long, Long)]) =
+    edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(p => p._1 != p._2).distinct.toDF("a", "b")
 
   test("star rounds plan hash joins, never a cartesian/nested-loop") {
     val e = (1L to 200L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("a", "b")
@@ -63,11 +72,11 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
-  test("non-convergence inside maxIter fails loudly") {
+  test("non-convergence inside maxIter fails loudly (distributed path)") {
     val e = (1L to 600L).sliding(2).map(w => (w(0), w(1))).toSeq
     val ex = intercept[IllegalStateException] {
-      GraphOps.connectedComponents((1L to 600L).toDF("id"), e.toDF("a", "b"),
-        maxIter = 1)
+      GraphOps.componentsDistributed((1L to 600L).toDF("id"),
+        canonicalize(e), maxIter = 1)
     }
     assert(ex.getMessage.contains("did not converge"))
   }
