@@ -110,6 +110,7 @@ object SparkEntry {
     "dd6_simhash_pairs" -> DedupOps.simhashPairs,
     "dd7_dup_clusters" -> DedupOps.dupClusters,
     "dd8_cluster_retention" -> DedupOps.clusterRetention,
+    "c1_curation_funnel" -> DedupOps.curationFunnel,
     // multimodal plumbing (binary payload + typed metadata + stub decode)
     "mm1_media_features" -> ((s, d) => Multimodal.featureFrame(s, d)
       .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
@@ -451,6 +452,7 @@ object SparkEntry {
     "dd6_simhash_pairs" -> DedupOps.simhashPairsOracle,
     "dd7_dup_clusters" -> DedupOps.dupClustersOracle,
     "dd8_cluster_retention" -> DedupOps.clusterRetentionOracle,
+    "c1_curation_funnel" -> DedupOps.curationFunnelOracle,
     "v5_ivf_assign" -> VectorOps.kmeansIvfAssignOracle,
     "v6_rp_lsh_neardup" -> VectorOps.rpLshNearDupOracle,
     "v7_ivf_at_rest" -> VectorOps.ivfAtRestOracle,

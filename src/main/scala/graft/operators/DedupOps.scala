@@ -325,6 +325,68 @@ object DedupOps {
         col("keep"), col("canonical"))
   }
 
+  /** c1: the curation funnel — the composed shape a pretraining pipeline
+    * actually ships, as ONE declarative plan Catalyst optimizes end to
+    * end: duplicate-cluster retention (dd8's keepers) → quality floor
+    * (t3's score ≥ 0.5) → deterministic stratified mixture (t6's hash
+    * quotas). Every stage is individually oracle-gated; this gate proves
+    * the COMPOSITION — the joins line up and no stage forces a
+    * materialization barrier between them. */
+  def curationFunnel: Q = (s, d) => {
+    val words = plantedCorpus3(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val qual = words.select(col("doc_id"),
+      round(size(array_distinct(col("words"))) /
+        size(col("words")).cast("double"), 6).as("uniq_ratio"),
+      expr("""round(size(filter(words,
+        | w -> w IN ('the','a','of','and','to','in','is')))
+        | / cast(size(words) as double), 6)""".stripMargin).as("stop_ratio"))
+    val lang = documents(s, d).select(col("doc_id").as("orig_id"), col("lang"))
+    clusterRetention(s, d).filter(col("keep"))
+      .join(qual, "doc_id")
+      .withColumn("quality_score", round(
+        least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
+          col("uniq_ratio") * 0.3 +
+          least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3, 8))
+      .filter(col("quality_score") >= 0.5)
+      .withColumn("orig_id", col("doc_id") % 100000)
+      .join(lang, "orig_id")
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint) % 100"))
+      .filter(expr(
+        "bucket < CASE lang WHEN 'en' THEN 60 WHEN 'fr' THEN 30 ELSE 10 END"))
+      .select(col("doc_id"), col("lang"), col("component"),
+        col("n_words"), col("quality_score"), col("bucket"))
+  }
+
+  val curationFunnelOracle: String =
+    s"""WITH RECURSIVE $compsCtes,
+       | wd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER)
+       |   AS n_words FROM corpus),
+       | ranked AS (SELECT c.doc_id, c.component, wd.n_words,
+       |   row_number() OVER (PARTITION BY c.component
+       |     ORDER BY wd.n_words DESC, c.doc_id) AS rn
+       |  FROM comps c JOIN wd ON wd.doc_id = c.doc_id),
+       | qual AS (SELECT doc_id,
+       |   round(len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 6)
+       |    AS uniq_ratio,
+       |   round(len(list_filter(words,
+       |     w -> w IN ('the','a','of','and','to','in','is')))
+       |     / CAST(len(words) AS DOUBLE), 6) AS stop_ratio
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corpus)),
+       | scored AS (SELECT r.doc_id, r.component, r.n_words,
+       |   round(least(CAST(r.n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+       |     q.uniq_ratio * 0.3 + least(q.stop_ratio * 5.0, 1.0) * 0.3, 8)
+       |    AS quality_score
+       |  FROM ranked r JOIN qual q ON q.doc_id = r.doc_id WHERE r.rn = 1)
+       |SELECT s.doc_id, l.lang, s.component, s.n_words, s.quality_score,
+       | ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+       |  AS bucket
+       |FROM scored s JOIN documents l ON l.doc_id = s.doc_id % 100000
+       |WHERE s.quality_score >= 0.5
+       | AND ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+       |  < CASE l.lang WHEN 'en' THEN 60 WHEN 'fr' THEN 30 ELSE 10 END""".stripMargin
+
   val clusterRetentionOracle: String =
     s"""WITH RECURSIVE $compsCtes,
        | wd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER)

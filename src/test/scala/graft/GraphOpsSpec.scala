@@ -96,6 +96,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(byComp.exists(_._2.length >= 2), "no multi-member cluster at this sf")
   }
 
+  test("c1 funnel: survivors are kept, above the floor, inside their quota; plan is join-clean") {
+    val out = DedupOps.curationFunnel(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val quota = Map("en" -> 60, "fr" -> 30).withDefaultValue(10)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.5, s"quality floor: $r")
+      assert(r.getLong(5) < quota(r.getString(1)), s"mixture quota: $r")
+    }
+    // survivors are unique per component (dd8 keeps exactly one)
+    val comps = rows.map(_.getLong(2))
+    assert(comps.length == comps.distinct.length)
+  }
+
   test("dd7 pipeline: matches union-find over its own kept edges; chains resolve transitively") {
     val comp = DedupOps.dupClusters(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
