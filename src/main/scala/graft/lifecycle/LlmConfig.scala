@@ -88,7 +88,10 @@ object LlmConfig {
         val open = top.getOrElse(throw new IllegalArgumentException(
           "agent_configs: \"agent\" key outside any object at offset " + m.start))
         val entry = slice(open)
-        val details = ("""(?s)"details"\s*:\s*\{""").r.findFirstMatchIn(entry)
+        // same in-string guard for the details key: a value like
+        // "note": "\"details\": {" must not anchor the nested slice
+        val details = ("""(?s)"details"\s*:\s*\{""").r.findAllMatchIn(entry)
+          .find(d => !anchor(open + d.start)._1)
           .map(d => slice(open + d.end - 1)).getOrElse("")
         for {
           agent <- strField(entry, "agent")

@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   *
   * Image decoding is REAL: [[ImageIoCodec]] decodes PNG/JPEG payloads with
   * the JDK's javax.imageio and derives pixel features (per-quadrant RGB +
-  * luma means). Audio/video decoding is STUBBED — this container ships no
-  * media codecs, so [[StubCodec]] derives deterministic fake features from
-  * the bytes; swap it for an FFmpeg/JNI-backed codec in production — every
-  * signature stays the same. [[DefaultCodec]] routes by kind and falls back
-  * to the stub when bytes don't decode as an image, so non-media fixtures
-  * flow through unchanged.
+  * luma means). Audio decoding is REAL for 16-bit PCM WAV/AIFF/AU:
+  * [[WavCodec]] decodes via javax.sound.sampled and derives per-octant
+  * RMS + zero-crossing features. Video decoding is STUBBED — the JDK
+  * ships no video codec, so [[StubCodec]] derives deterministic fake
+  * features from the bytes; swap it for an FFmpeg/JNI-backed codec in
+  * production — every signature stays the same. [[DefaultCodec]] routes
+  * by kind and falls back to the stub when bytes don't decode, so
+  * non-media fixtures flow through unchanged.
   */
 object Multimodal {
 
@@ -97,13 +99,88 @@ object Multimodal {
     }
   }
 
-  /** Kind-routing codec: images decode for real via ImageIO (stub fallback
-    * for undecodable bytes); audio/video remain stubbed. */
+  /** Real audio decode on the JDK's javax.sound.sampled (WAV/AIFF/AU,
+    * 16-bit signed PCM): 16 features = per-octant RMS (8) + per-octant
+    * zero-crossing rate (8) over the mono-mixed sample stream — the
+    * energy/frequency profile a real audio featurizer starts from.
+    * Deterministic, no external libraries. */
+  object WavCodec {
+    val FeatureDim = 16
+
+    /** Mono samples in [-1,1]; None when the bytes are not 16-bit PCM
+      * audio — the router falls back to the stub. */
+    def decode(payload: Array[Byte]): Option[Array[Float]] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16) None
+          else {
+            val bytes = in.readAllBytes()
+            val ch = fmt.getChannels
+            val big = fmt.isBigEndian
+            val n = bytes.length / 2 / ch
+            val out = new Array[Float](n)
+            var i = 0
+            while (i < n) {
+              var acc = 0.0f
+              var c = 0
+              while (c < ch) {
+                val off = (i * ch + c) * 2
+                val lo = bytes(off + (if (big) 1 else 0)) & 0xff
+                val hi = bytes(off + (if (big) 0 else 1)).toInt
+                acc += ((hi << 8) | lo).toShort / 32768.0f
+                c += 1
+              }
+              out(i) = acc / ch
+              i += 1
+            }
+            Some(out)
+          }
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+
+    def features(samples: Array[Float]): Array[Float] = {
+      val out = new Array[Float](FeatureDim)
+      if (samples.isEmpty) return out
+      val seg = math.max(1, samples.length / 8)
+      var s = 0
+      while (s < 8) {
+        val from = s * seg
+        val to = if (s == 7) samples.length else math.min(samples.length, from + seg)
+        if (from < to) {
+          var sq = 0.0; var zc = 0; var i = from
+          while (i < to) {
+            sq += samples(i).toDouble * samples(i)
+            if (i > from && (samples(i) >= 0) != (samples(i - 1) >= 0)) zc += 1
+            i += 1
+          }
+          out(s) = math.sqrt(sq / (to - from)).toFloat
+          out(8 + s) = zc.toFloat / (to - from)
+        }
+        s += 1
+      }
+      out
+    }
+  }
+
+  /** Kind-routing codec: images decode for real via ImageIO, audio via
+    * javax.sound.sampled (stub fallback for undecodable bytes in both);
+    * video remains stubbed — the JDK ships no video codec. */
   object DefaultCodec extends Codec {
     def decodeFeatures(kind: String, payload: Array[Byte]): Array[Float] =
       kind match {
         case "image" => ImageIoCodec.decode(payload)
           .map(ImageIoCodec.features)
+          .getOrElse(StubCodec.decodeFeatures(payload))
+        case "audio" => WavCodec.decode(payload)
+          .map(WavCodec.features)
           .getOrElse(StubCodec.decodeFeatures(payload))
         case _ => StubCodec.decodeFeatures(payload)
       }

@@ -326,12 +326,13 @@ object DedupOps {
   }
 
   /** c1: the curation funnel — the composed shape a pretraining pipeline
-    * actually ships, as ONE declarative plan Catalyst optimizes end to
-    * end: duplicate-cluster retention (dd8's keepers) → quality floor
-    * (t3's score ≥ 0.5) → deterministic stratified mixture (t6's hash
-    * quotas). Every stage is individually oracle-gated; this gate proves
-    * the COMPOSITION — the joins line up and no stage forces a
-    * materialization barrier between them. */
+    * actually ships: duplicate-cluster retention (dd8's keepers) → quality
+    * floor (t3's score ≥ 0.5) → deterministic stratified mixture (t6's
+    * hash quotas). Downstream of the cluster labels (which the CC operator
+    * materializes internally, by design) everything composes into one
+    * declarative plan Catalyst optimizes as a whole — retention window,
+    * quality join, language join, and both filters. Every stage is
+    * individually oracle-gated; this gate proves the composition. */
   def curationFunnel: Q = (s, d) => {
     val words = plantedCorpus3(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("words"))

@@ -117,8 +117,13 @@ object TextOps {
     * re-builds and data-ablation A/Bs auditable, where `TABLESAMPLE`/
     * `rand()` sampling is neither reproducible nor stratifiable. */
   def stratifiedSample: Q = (s, d) =>
-    documents(s, d)
-      .select(col("doc_id"), col("lang"))
+    mixtureFilter(documents(s, d).select(col("doc_id"), col("lang")))
+
+  /** The t6 bucket + quota expressions over any (doc_id, lang) frame —
+    * stateless, so the SAME call works on a `readStream` source unchanged
+    * (curation-on-ingest; StreamsSpec proves parity with the batch query). */
+  private[graft] def mixtureFilter(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
       .withColumn("bucket", expr(
         "cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint) % 100"))
       .filter(expr(

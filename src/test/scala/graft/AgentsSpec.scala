@@ -203,7 +203,7 @@ class AgentsSpec extends SparkSpec {
       """{"agent_configs": [
         |  {"comment": "use {x} or { \"agent\": never }", "agent": "planner",
         |   "details": {"model": "m-a"}},
-        |  {"agent": "coder", "note": "stray { brace", "details": {"model": "m-b"}}
+        |  {"agent": "coder", "note": "decoy \"details\": { here", "details": {"model": "m-b"}}
         |]}""".stripMargin)
     assert(tricky == Map("planner" -> LlmConfig.Binding("m-a"),
       "coder" -> LlmConfig.Binding("m-b")))

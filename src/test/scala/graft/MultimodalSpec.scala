@@ -56,7 +56,7 @@ class MultimodalSpec extends SparkSpec {
       // image-kind bytes that are NOT an image fall back to the stub
       Multimodal.MediaRow(2L, Multimodal.MediaMeta("image", 0, 0, 0),
         "not a png".getBytes("UTF-8")),
-      // audio stays stubbed even with decodable bytes
+      // image bytes under audio kind are not PCM audio → stub fallback
       Multimodal.MediaRow(3L, Multimodal.MediaMeta("audio", 0, 0, 16000), png)
     ).toDS()
     val feats = Multimodal.extractFeatures(media).collect()
@@ -74,6 +74,41 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).sameElements(
       Multimodal.StubCodec.decodeFeatures("not a png".getBytes("UTF-8"))))
     assert(feats(3L).sameElements(Multimodal.StubCodec.decodeFeatures(png)))
+  }
+
+  test("real WAV payloads decode to RMS/ZCR features through the Spark pipeline") {
+    import spark.implicits._
+    // 0.1 s of a 440 Hz sine at 8 kHz, 16-bit mono PCM, amplitude 0.5
+    val rate = 8000f; val n = 800; val amp = 0.5
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (amp * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val media = Seq(
+      Multimodal.MediaRow(1L, Multimodal.MediaMeta("audio", 0, 0, 8000), wav),
+      // non-audio bytes under audio kind fall back to the stub
+      Multimodal.MediaRow(2L, Multimodal.MediaMeta("audio", 0, 0, 8000),
+        "not a wav".getBytes("UTF-8"))).toDS()
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.features).toMap
+
+    val real = feats(1L)
+    // sine RMS = amp/sqrt(2) ≈ 0.354 in every octant; ZCR = 2f/rate = 0.11
+    (0 until 8).foreach { s =>
+      assert(math.abs(real(s) - 0.354f) < 0.02f, s"rms octant $s: ${real(s)}")
+      assert(math.abs(real(8 + s) - 0.11f) < 0.02f, s"zcr octant $s: ${real(8 + s)}")
+    }
+    assert(feats(2L).sameElements(
+      Multimodal.StubCodec.decodeFeatures("not a wav".getBytes("UTF-8"))))
   }
 
   test("features feed VectorOps-compatible embedding column") {

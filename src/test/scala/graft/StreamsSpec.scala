@@ -185,6 +185,21 @@ class StreamsSpec extends SparkSpec {
     assert(got.size < store.count() + cand.count(), "some candidates dropped or replaced")
   }
 
+  test("streaming mixture sample matches the t6 batch query (curation on ingest)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sf, "documents").select(col("doc_id"), col("lang"))
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(docs.as[(Long, String)].collect().toSeq)
+    Streams.runToMemory(spark,
+      graft.operators.TextOps.mixtureFilter(ms.toDF().toDF("doc_id", "lang")),
+      "mix_parity", org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.sql("SELECT doc_id, lang, bucket FROM mix_parity")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = graft.operators.TextOps.stratifiedSample(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization matches window-based batch count") {
     val ev = eventsBatch.as[Streams.Event]
     // closed sessions + one open session per user == batch session count
