@@ -15,7 +15,11 @@ object PlanAudit {
         "dd3_lsh_jaccard_pairs", "a3_orders_per_month",
         // v7: the at-rest IVF probe — PartitionFilters on the index scan
         // is the line to look for
-        "v7_ivf_at_rest")
+        "v7_ivf_at_rest",
+        // c1: the composed curation funnel — hash joins only, both filters
+        // below the final projection, no materialization between stages
+        // downstream of the cluster labels
+        "c1_curation_funnel")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

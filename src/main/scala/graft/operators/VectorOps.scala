@@ -433,12 +433,20 @@ object VectorOps {
     * Assignment is the [[knnJoinOver]] shape: broadcast of K centroids
     * against one scan, no corpus shuffle beyond the partitioned write. */
   def writeIvfIndex(e0: DataFrame, K: Int, path: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
     CosineSimilarity.register(e0.sparkSession)
     val e = e0.localCheckpoint(eager = false) // feeds centroids + assignment
     val cent = e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
     cent.write.mode("overwrite").parquet(s"$path/centroids")
+    assignToCells(e, cent)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/index")
+  }
+
+  /** Nearest-existing-centroid assignment of a (vec_id, v) frame —
+    * broadcast of the K centroid rows against one scan, the shared shape
+    * of the index build and incremental append. */
+  private def assignToCells(e: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("v"), col("cid"),
         round(expr("cosine_sim(v, c)"), 6).as("csim"))
@@ -446,7 +454,24 @@ object VectorOps {
         Window.partitionBy("vec_id").orderBy(desc("csim"), col("cid"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/index")
+  }
+
+  /** Incremental maintenance of the at-rest index: assign a NEW batch to
+    * the nearest EXISTING centroid and APPEND to the cell partitions — no
+    * rebuild, no read of existing index data (the append lands new parquet
+    * files inside the assigned cell directories only). This is the
+    * operational answer to a growing corpus: appends keep the index fresh
+    * between periodic re-train+rebuild cycles, with recall degrading
+    * gracefully as centroids drift (standard IVF practice). Probes see
+    * appended vectors immediately — same directory pruning, asserted in
+    * ScaleOpsSpec. */
+  def appendToIvfIndex(batch: DataFrame, path: String): Unit = {
+    val s = batch.sparkSession
+    CosineSimilarity.register(s)
+    val cent = s.read.parquet(s"$path/centroids")
+      .select(col("cid"), col("c"))
+    assignToCells(batch, cent)
+      .write.mode("append").partitionBy("cid").parquet(s"$path/index")
   }
 
   /** Probe the at-rest IVF index: rank cells against the K-row centroid

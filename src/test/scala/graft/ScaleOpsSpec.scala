@@ -120,6 +120,38 @@ class ScaleOpsSpec extends SparkSpec {
     assert(cids.size <= 2)
   }
 
+  test("IVF append maintains the index in place: probes see new vectors, pruning intact") {
+    import graft.operators.VectorOps
+    val path = "target/ivf_index_append"
+    val e = VectorOps.vecsCheckpointed(spark, sf)
+    VectorOps.writeIvfIndex(e, K = 8, path)
+    val before = new java.io.File(s"$path/index").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).sorted.toSeq
+
+    // append near-duplicates of vector 1 (ids offset) — they must land in
+    // vector 1's cell and dominate a probe at vector 1
+    val batch = e.filter(col("vec_id") === 1)
+      .select((col("vec_id") + 50000).as("vec_id"), col("v"))
+    VectorOps.appendToIvfIndex(batch, path)
+
+    // no new cell directories: appends land INSIDE existing partitions
+    val after = new java.io.File(s"$path/index").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).sorted.toSeq
+    assert(after == before, s"$before -> $after")
+
+    val probeVec = e.filter(col("vec_id") === 1)
+      .collect()(0).getSeq[Double](2)
+    val probed = VectorOps.ivfProbe(spark, path, probeVec, probes = 2, k = 10)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid#\\d+ IN \\(".r
+      .findFirstIn(plan).nonEmpty, plan)
+    val rows = probed.collect()
+    // both the original and the appended copy score 1.0 at the top
+    val top2 = rows.take(2).map(_.getLong(0)).toSet
+    assert(top2 == Set(1L, 50001L), rows.take(3).mkString(";"))
+    assert(rows.take(2).forall(_.getDouble(2) == 1.0))
+  }
+
   test("GraftExtensions registers cosine_sim via injectFunction") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(e) // must not throw
