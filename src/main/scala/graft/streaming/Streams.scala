@@ -147,6 +147,74 @@ object Streams {
         .start()
   }
 
+  /** Streaming near-dup ADMISSION — the online form of the dedup family:
+    * a document stream where each arrival is accepted only if it is not a
+    * semantic near-duplicate (cosine ≥ 0.94, RankDedup.StrongThreshold) of
+    * anything ALREADY ACCEPTED. Sequential semantics exactly: a candidate
+    * blocked only by a REJECTED earlier candidate is admitted (rejections
+    * leave no trace), which is the greedy arrival-order independent-set
+    * rule; within a microbatch, arrival order is id order.
+    *
+    * Hybrid shape, same philosophy as the dd7 AUTO path: the expensive
+    * part — finding matches — runs distributed as the SAME banded RP-LSH
+    * hash join the dd5 oracle gates (batch×store and batch×batch, never a
+    * nested loop); the sequential greedy then replays arrival order over
+    * the bounded per-batch match edges on the driver. State is the
+    * accepted store, eagerly checkpointed per batch ([[RankUpsertSink]]'s
+    * pattern). */
+  final class NearDupAdmitSink(initialStore: DataFrame, dim: Int = 64,
+      planesPerBand: Int = 4) {
+    import graft.operators.RankDedup
+
+    @volatile private var storeDf: DataFrame =
+      initialStore.select(col("id"), col("v")).localCheckpoint(eager = true)
+
+    /** The accepted set (id, v) — safe to read between batches. */
+    def store: DataFrame = storeDf
+
+    /** One microbatch admission; also the direct entry for parity tests. */
+    def processBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
+      if (batch0.isEmpty) return
+      val s = batch0.sparkSession
+      import s.implicits._
+      val batch = batch0.select(col("id"), col("v"))
+        .localCheckpoint(eager = true)
+      def ranked(df: DataFrame) = df.withColumn("rank", lit(0L))
+      // matches against the accepted store: outright rejections
+      val storeHits = RankDedup.bandedMatches(ranked(storeDf), ranked(batch),
+          dim, planesPerBand, forceShuffle = false)
+        .select(col("cid")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      // batch-internal match edges, arrival(=id)-ordered
+      val inner = RankDedup.bandedMatches(ranked(batch), ranked(batch),
+          dim, planesPerBand, forceShuffle = false)
+        .filter(col("sid") < col("cid"))
+        .select(col("sid"), col("cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val earlier = inner.groupBy(_._2).map { case (c, ps) =>
+        c -> ps.map(_._1).toSet
+      }
+      val admitted = scala.collection.mutable.LinkedHashSet.empty[Long]
+      batch.select(col("id")).collect().map(_.getLong(0)).sorted.foreach { id =>
+        if (!storeHits(id) &&
+            !earlier.getOrElse(id, Set.empty[Long]).exists(admitted))
+          admitted += id
+      }
+      if (admitted.nonEmpty)
+        storeDf = storeDf
+          .unionByName(batch.join(admitted.toSeq.toDF("id"), Seq("id")))
+          .localCheckpoint(eager = true)
+    }
+
+    /** Attach to a document stream of (id, v) rows. */
+    def attach(candidates: DataFrame): StreamingQuery =
+      candidates.writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          processBatch(b.toDF(), id))
+        .start()
+  }
+
   /** Drive any of the above against a bounded parquet dir through a real
     * streaming query into a memory sink; returns the sink table name. Used by
     * tests and the streaming demo — `processAllAvailable` makes it

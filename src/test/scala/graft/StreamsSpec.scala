@@ -185,6 +185,39 @@ class StreamsSpec extends SparkSpec {
     assert(got.size < store.count() + cand.count(), "some candidates dropped or replaced")
   }
 
+  test("streaming near-dup admission: store/in-batch rejects, batching-invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def vec(id: Long): Seq[Double] = e.filter(col("vec_id") === id)
+      .collect()(0).getSeq[Double](1)
+    val store = e.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("id"), col("v"))
+    // batch 1: copy of a stored vector (reject), a fresh vector (admit),
+    // an in-batch copy of the fresh one (reject). batch 2: a copy of the
+    // batch-1 admit (reject — it was ACCEPTED earlier), another fresh (admit)
+    val b1 = Seq((10001L, vec(0)), (10002L, vec(1)), (10003L, vec(1)))
+    val b2 = Seq((20001L, vec(1)), (20002L, vec(2)))
+
+    val sink = new Streams.NearDupAdmitSink(store)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = sink.attach(ms.toDF().toDF("id", "v"))
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val seedIds = store.collect().map(_.getLong(0)).toSet
+    val got = sink.store.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == seedIds ++ Set(10002L, 20002L))
+
+    // batching-invariance: one candidate per microbatch = same accepted set
+    val sink2 = new Streams.NearDupAdmitSink(store)
+    (b1 ++ b2).zipWithIndex.foreach { case (c, i) =>
+      sink2.processBatch(Seq(c).toDF("id", "v"), i.toLong)
+    }
+    val got2 = sink2.store.select("id").collect().map(_.getLong(0)).toSet
+    assert(got2 == got)
+  }
+
   test("streaming mixture sample matches the t6 batch query (curation on ingest)") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.load(spark, sf, "documents").select(col("doc_id"), col("lang"))
