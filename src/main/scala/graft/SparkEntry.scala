@@ -101,6 +101,7 @@ object SparkEntry {
     "t4_fingerprint" -> TextOps.fingerprint,
     "t5_token_count" -> TextOps.tokenCount,
     "t6_stratified_sample" -> TextOps.stratifiedSample,
+    "t7_decontamination" -> TextOps.decontamination,
     // dedup pipeline (D-ops + MinHash/LSH/SimHash)
     "dd1_exact_dedup" -> DedupOps.exactDedup,
     "dd2_minhash_bands" -> DedupOps.minhashBands,
@@ -444,6 +445,7 @@ object SparkEntry {
     "t4_fingerprint" -> TextOps.oracle("t4_fingerprint"),
     "t5_token_count" -> TextOps.oracle("t5_token_count"),
     "t6_stratified_sample" -> TextOps.oracle("t6_stratified_sample"),
+    "t7_decontamination" -> TextOps.oracle("t7_decontamination"),
     "dd1_exact_dedup" -> DedupOps.exactDedupOracle,
     "dd2_minhash_bands" -> DedupOps.minhashBandsOracle,
     "dd3_lsh_jaccard_pairs" -> DedupOps.lshJaccardPairsOracle,

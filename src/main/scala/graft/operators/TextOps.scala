@@ -129,6 +129,37 @@ object TextOps {
       .filter(expr(
         "bucket < CASE lang WHEN 'en' THEN 60 WHEN 'fr' THEN 30 ELSE 10 END"))
 
+  /** t7: benchmark decontamination — flag corpus documents that share any
+    * 8-word n-gram with a benchmark ("eval") set, the standard
+    * train/test-contamination check (8-13-gram overlap). The eval set here
+    * is the deterministic doc_id % 97 slice standing in for a held-out
+    * benchmark file.
+    *
+    * Scale shape: the eval set's distinct n-gram table is SMALL by nature
+    * (benchmarks are thousands of documents, not billions), so the check
+    * is a broadcast hash probe against every corpus n-gram — map-side, no
+    * corpus shuffle; only the per-doc hit count aggregates. At 100 TB,
+    * hash the grams to longs first (the dd-family md5 fold) to shrink the
+    * broadcast; at fixture scale the strings are clearer and the plan is
+    * identical. */
+  def decontamination: Q = (s, d) => {
+    val gram8 =
+      """transform(sequence(0, greatest(size(words)-8, 0)),
+        | i -> array_join(slice(words, i+1, 8), ' '))""".stripMargin
+    val docs = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val grams = docs.select(col("doc_id"), explode(expr(gram8)).as("g"))
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct()
+    val hits = grams.join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id").agg(countDistinct(col("g")).as("n_hits"))
+    docs.select(col("doc_id"), (col("doc_id") % 97 === 0).as("is_benchmark"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_benchmark"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   // ---- DuckDB oracle SQL ----
 
   val oracle: Map[String, String] = Map(
@@ -170,6 +201,18 @@ object TextOps {
          |  CAST(len(regexp_extract_all(text, '$BpeTokenRegex')) AS DOUBLE), 6)
          |  AS chars_per_token
          |FROM documents""".stripMargin,
+    "t7_decontamination" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        | g AS (SELECT doc_id,
+        |   unnest(list_transform(range(0, greatest(len(words)-8, 0) + 1),
+        |     i -> array_to_string(words[(i+1):(i+8)], ' '))) AS g FROM w),
+        | bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        | hits AS (SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
+        |   FROM g JOIN bench USING (g) GROUP BY g.doc_id)
+        |SELECT w.doc_id, w.doc_id % 97 = 0 AS is_benchmark,
+        | coalesce(h.n_hits, 0) AS n_hits,
+        | coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM w LEFT JOIN hits h ON h.doc_id = w.doc_id""".stripMargin,
     "t6_stratified_sample" ->
       """SELECT doc_id, lang,
         | ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100

@@ -25,6 +25,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.filter(col("chars_per_token") <= 0).count() == 0)
   }
 
+  test("decontamination: benchmark docs self-flag; plan broadcasts the eval grams") {
+    val out = TextOps.decontamination(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan) // eval grams broadcast
+    val rows = out.collect()
+    // every benchmark doc contains its own n-grams → contaminated
+    val bench = rows.filter(_.getBoolean(1))
+    assert(bench.nonEmpty && bench.forall(_.getBoolean(3)))
+    // hit counts never exceed a doc's own distinct gram count
+    assert(rows.forall(r => r.getLong(2) >= 0))
+    // contamination is exactly n_hits > 0
+    assert(rows.forall(r => r.getBoolean(3) == (r.getLong(2) > 0)))
+  }
+
   test("frame sampling yields fixed 32-byte frames incl. frame 0 per media") {
     val frames = Multimodal.sampleFrames(Multimodal.mediaTable(spark, sf))
     assert(frames.filter(_.frame.length != 32).count() == 0)
