@@ -102,6 +102,7 @@ object SparkEntry {
     "t5_token_count" -> TextOps.tokenCount,
     "t6_stratified_sample" -> TextOps.stratifiedSample,
     "t7_decontamination" -> TextOps.decontamination,
+    "t8_repetition" -> TextOps.repetition,
     // dedup pipeline (D-ops + MinHash/LSH/SimHash)
     "dd1_exact_dedup" -> DedupOps.exactDedup,
     "dd2_minhash_bands" -> DedupOps.minhashBands,
@@ -446,6 +447,7 @@ object SparkEntry {
     "t5_token_count" -> TextOps.oracle("t5_token_count"),
     "t6_stratified_sample" -> TextOps.oracle("t6_stratified_sample"),
     "t7_decontamination" -> TextOps.oracle("t7_decontamination"),
+    "t8_repetition" -> TextOps.oracle("t8_repetition"),
     "dd1_exact_dedup" -> DedupOps.exactDedupOracle,
     "dd2_minhash_bands" -> DedupOps.minhashBandsOracle,
     "dd3_lsh_jaccard_pairs" -> DedupOps.lshJaccardPairsOracle,

@@ -160,6 +160,35 @@ object TextOps {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** t8: repetition filters — the Gopher-style quality signals (Rae et al.
+    * 2021 §A1.1.2, public): the fraction of tokens taken by the single
+    * most frequent word, and the fraction of 5-gram positions that repeat
+    * an earlier 5-gram. Highly repetitive machine-generated text scores
+    * high on both; the `repetitive` flag applies the paper's spirit
+    * (most-common-word > 20%, duplicated 5-grams > 15%).
+    *
+    * Scale shape: pure map-side per-document array arithmetic (the
+    * per-doc word scan is quadratic in the doc's DISTINCT words, bounded
+    * by document length, not corpus size) — no shuffle anywhere, runs at
+    * scan speed like the rest of the t-family. */
+  def repetition: Q = (s, d) => {
+    val gram5 =
+      """transform(sequence(0, greatest(size(words)-5, 0)),
+        | i -> array_join(slice(words, i+1, 5), ' '))""".stripMargin
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("words"), expr(gram5).as("g5"))
+      .select(col("doc_id"),
+        round(expr(
+          """array_max(transform(array_distinct(words),
+            | w -> size(filter(words, x -> x = w))))""".stripMargin)
+          / size(col("words")).cast("double"), 6).as("top_word_frac"),
+        round((size(col("g5")) - size(array_distinct(col("g5")))) /
+          size(col("g5")).cast("double"), 6).as("dup_5gram_frac"))
+      .withColumn("repetitive",
+        col("top_word_frac") > 0.2 || col("dup_5gram_frac") > 0.15)
+  }
+
   // ---- DuckDB oracle SQL ----
 
   val oracle: Map[String, String] = Map(
@@ -201,6 +230,23 @@ object TextOps {
          |  CAST(len(regexp_extract_all(text, '$BpeTokenRegex')) AS DOUBLE), 6)
          |  AS chars_per_token
          |FROM documents""".stripMargin,
+    "t8_repetition" ->
+      """SELECT doc_id,
+        | round(list_max(list_transform(list_distinct(words),
+        |    w -> len(list_filter(words, x -> x = w))))
+        |   / CAST(len(words) AS DOUBLE), 6) AS top_word_frac,
+        | round((len(g5) - len(list_distinct(g5)))
+        |   / CAST(len(g5) AS DOUBLE), 6) AS dup_5gram_frac,
+        | round(list_max(list_transform(list_distinct(words),
+        |    w -> len(list_filter(words, x -> x = w))))
+        |   / CAST(len(words) AS DOUBLE), 6) > 0.2
+        |  OR round((len(g5) - len(list_distinct(g5)))
+        |   / CAST(len(g5) AS DOUBLE), 6) > 0.15 AS repetitive
+        |FROM (SELECT doc_id, words,
+        |   list_transform(range(0, greatest(len(words)-5, 0) + 1),
+        |     i -> array_to_string(words[(i+1):(i+5)], ' ')) AS g5
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words
+        |   FROM documents))""".stripMargin,
     "t7_decontamination" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         | g AS (SELECT doc_id,
