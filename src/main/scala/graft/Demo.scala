@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import graft.lifecycle.{Agents, EngineSession, Ontology, ReAct, Retriever, SessionStore}
 import graft.operators.Profile
 
@@ -106,6 +107,16 @@ object Demo {
         println(Ontology.toMermaid(model).linesIterator.take(3).mkString("\n"))
       case Left(e) => println(s"ontology : rejected — $e")
     }
+
+    // --- curation pipeline (round 6): clusters -> retention -> funnel ---
+    val clusters = graft.operators.DedupOps.dupClusters(spark, sfDir)
+    val nClusters = clusters.select("component").distinct().count()
+    val funnel = graft.operators.DedupOps.curationFunnel(spark, sfDir)
+    println(s"curation : ${clusters.count()} docs in $nClusters clusters -> " +
+      s"${funnel.count()} survive retention+quality+mixture (c1)")
+    val decon = graft.operators.TextOps.decontamination(spark, sfDir)
+    println(s"decontam : ${decon.filter(col("contaminated") &&
+      !col("is_benchmark")).count()} non-benchmark docs overlap the eval slice (t7)")
     spark.stop()
   }
 }
