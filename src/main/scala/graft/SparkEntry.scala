@@ -103,6 +103,7 @@ object SparkEntry {
     "t6_stratified_sample" -> TextOps.stratifiedSample,
     "t7_decontamination" -> TextOps.decontamination,
     "t8_repetition" -> TextOps.repetition,
+    "t9_pii_redaction" -> TextOps.piiRedaction,
     // dedup pipeline (D-ops + MinHash/LSH/SimHash)
     "dd1_exact_dedup" -> DedupOps.exactDedup,
     "dd2_minhash_bands" -> DedupOps.minhashBands,
@@ -448,6 +449,7 @@ object SparkEntry {
     "t6_stratified_sample" -> TextOps.oracle("t6_stratified_sample"),
     "t7_decontamination" -> TextOps.oracle("t7_decontamination"),
     "t8_repetition" -> TextOps.oracle("t8_repetition"),
+    "t9_pii_redaction" -> TextOps.oracle("t9_pii_redaction"),
     "dd1_exact_dedup" -> DedupOps.exactDedupOracle,
     "dd2_minhash_bands" -> DedupOps.minhashBandsOracle,
     "dd3_lsh_jaccard_pairs" -> DedupOps.lshJaccardPairsOracle,

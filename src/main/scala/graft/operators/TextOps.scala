@@ -189,6 +189,29 @@ object TextOps {
         col("top_word_frac") > 0.2 || col("dup_5gram_frac") > 0.15)
   }
 
+  /** t9: PII redaction — scrub email addresses and count what was removed,
+    * the compliance pass every released corpus runs. The pattern avoids
+    * backslash escapes (`[.]` instead of `\.`) so the identical literal
+    * parses identically in Java regex (Spark) and RE2 (DuckDB); both
+    * engines produce the same match spans for this alternation-free
+    * character-class pattern. Emails are PLANTED (` contact user<id>
+    * @example.com now` on doc_id % 13) so every scale factor exercises a
+    * real redaction, mirroring the dd-family planting convention.
+    * Map-side projection, no shuffle. */
+  def piiRedaction: Q = (s, d) => {
+    val re = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+    val corpus = documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com now")))
+        .otherwise(col("text")).as("text"))
+    corpus.select(col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '$re', 0)")).as("n_emails"),
+      length(col("text")).as("len_before"),
+      length(regexp_replace(col("text"), re, "<EMAIL>")).as("len_after"))
+      .withColumn("redacted", col("n_emails") > 0)
+  }
+
   // ---- DuckDB oracle SQL ----
 
   val oracle: Map[String, String] = Map(
@@ -230,6 +253,21 @@ object TextOps {
          |  CAST(len(regexp_extract_all(text, '$BpeTokenRegex')) AS DOUBLE), 6)
          |  AS chars_per_token
          |FROM documents""".stripMargin,
+    "t9_pii_redaction" ->
+      """WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN text || ' contact user' ||
+        |    CAST(doc_id AS VARCHAR) || '@example.com now' ELSE text END AS text
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,
+        |   '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) AS INTEGER) AS n_emails,
+        | CAST(length(text) AS INTEGER) AS len_before,
+        | CAST(length(regexp_replace(text,
+        |   '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}', '<EMAIL>', 'g'))
+        |  AS INTEGER) AS len_after,
+        | len(regexp_extract_all(text,
+        |   '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) > 0 AS redacted
+        |FROM corpus""".stripMargin,
     "t8_repetition" ->
       """SELECT doc_id,
         | round(list_max(list_transform(list_distinct(words),
