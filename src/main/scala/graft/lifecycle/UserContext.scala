@@ -81,9 +81,17 @@ object UserContext {
       while (System.nanoTime() < deadline) {
         if (first) { sleeper(initialDelayMs); first = false }
         val f = feedbackFile
-        if (Files.exists(f)) {
-          val hit = readEntries(new String(Files.readAllBytes(f),
-            StandardCharsets.UTF_8))
+        // read-or-skip: the file can vanish between exists() and the read
+        // (web UI rewrites it); the reference logs and keeps polling on any
+        // read error (context_retrieval.py:43-76), so swallow and retry
+        val content =
+          try {
+            if (Files.exists(f))
+              Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+            else None
+          } catch { case _: java.io.IOException => None }
+        content.foreach { text =>
+          val hit = readEntries(text)
             .collectFirst { case (q, fb) if q == req.queryClarification => fb }
           if (hit.isDefined) {
             try Files.deleteIfExists(f)
@@ -100,8 +108,25 @@ object UserContext {
   private val qcField = """"query_clarification"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
   private val fbField = """"feedback"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
 
-  private def unescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\n", "\n").replace("\\\\", "\\")
+  /** Single left-to-right pass: sequential replace() corrupts input where
+    * an escaped backslash precedes an escapable char (e.g. `C:\\new` —
+    * replacing \n before \\ would turn the second backslash + n into a
+    * newline). */
+  private def unescape(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        out += (s(i + 1) match {
+          case 'n' => '\n'
+          case 't' => '\t'
+          case c => c // \" \\ \/ and anything else: the char itself
+        })
+        i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toString
+  }
 
   /** (query_clarification, feedback) pairs from the feedback file's JSON
     * list, via the same balanced-brace scan as [[WebSearch]]. Malformed

@@ -67,11 +67,14 @@ object Multimodal {
 
     /** None when the bytes are not a decodable image — the router falls
       * back to the stub, so text-standing-in-for-media fixtures keep their
-      * historical features. */
+      * historical features. NonFatal, not just IOException: the JDK
+      * readers throw RuntimeExceptions (CMMException, AIOOBE, IAE) on
+      * corrupt-but-recognized images, and a single bad payload must not
+      * fail the whole mapPartitions task. */
     def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
       try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
 
     def features(img: java.awt.image.BufferedImage): Array[Float] = {
       val (w, h) = (img.getWidth, img.getHeight)
@@ -142,8 +145,10 @@ object Multimodal {
           }
         } finally in.close()
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
+        // NonFatal (not just the declared UnsupportedAudioFile/IO pair):
+        // corrupt-but-recognized containers can throw RuntimeExceptions
+        // from the JDK parsers, and one bad payload must not fail the task
+        case scala.util.control.NonFatal(_) => None
       }
 
     def features(samples: Array[Float]): Array[Float] = {

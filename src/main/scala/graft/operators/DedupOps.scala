@@ -334,28 +334,23 @@ object DedupOps {
     * quality join, language join, and both filters. Every stage is
     * individually oracle-gated; this gate proves the composition. */
   def curationFunnel: Q = (s, d) => {
+    // composes the REAL operators: TextOps' factored t3 formula pieces and
+    // the t6 mixtureFilter — an inline copy would silently drift from the
+    // oracle-gated queries if their weights/quotas changed
     val words = plantedCorpus3(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
     val qual = words.select(col("doc_id"),
-      round(size(array_distinct(col("words"))) /
-        size(col("words")).cast("double"), 6).as("uniq_ratio"),
-      expr("""round(size(filter(words,
-        | w -> w IN ('the','a','of','and','to','in','is')))
-        | / cast(size(words) as double), 6)""".stripMargin).as("stop_ratio"))
+      TextOps.uniqRatio(col("words")).as("uniq_ratio"),
+      TextOps.stopRatio(col("words")).as("stop_ratio"))
     val lang = documents(s, d).select(col("doc_id").as("orig_id"), col("lang"))
-    clusterRetention(s, d).filter(col("keep"))
+    val survivors = clusterRetention(s, d).filter(col("keep"))
       .join(qual, "doc_id")
-      .withColumn("quality_score", round(
-        least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
-          col("uniq_ratio") * 0.3 +
-          least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3, 8))
+      .withColumn("quality_score", TextOps.qualityScoreCol(col("n_words"),
+        col("uniq_ratio"), col("stop_ratio")))
       .filter(col("quality_score") >= 0.5)
       .withColumn("orig_id", col("doc_id") % 100000)
       .join(lang, "orig_id")
-      .withColumn("bucket", expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint) % 100"))
-      .filter(expr(
-        "bucket < CASE lang WHEN 'en' THEN 60 WHEN 'fr' THEN 30 ELSE 10 END"))
+    TextOps.mixtureFilter(survivors)
       .select(col("doc_id"), col("lang"), col("component"),
         col("n_words"), col("quality_score"), col("bucket"))
   }

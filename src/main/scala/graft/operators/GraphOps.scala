@@ -73,21 +73,40 @@ object GraphOps {
     * driver, broadcast the labels back as a join. */
   private[graft] def componentsLocal(nodes: DataFrame, canonicalEdges: DataFrame): DataFrame = {
     val pairs = canonicalEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // union by size + full-path compression: without balancing, a long
+    // chain collected in descending order builds an O(n)-deep parent
+    // chain and label resolution goes quadratic — near the 1M-edge
+    // cutoff that is hours, not milliseconds. Union-by-min-id alone
+    // does NOT balance (the min is not the bigger tree); roots are
+    // re-labeled to the component min in a final pass instead.
     val parent = scala.collection.mutable.LongMap.empty[Long]
+    val size = scala.collection.mutable.LongMap.empty[Long]
     def root(x: Long): Long = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent(r)
-      if (r != x) parent(x) = r // path compression
+      var c = x // compress the whole walked path
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
     pairs.foreach { case (a, b) =>
       val (ra, rb) = (root(a), root(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      if (ra != rb) {
+        val (sa, sb) = (size.getOrElse(ra, 1L), size.getOrElse(rb, 1L))
+        val (big, small) = if (sa >= sb) (ra, rb) else (rb, ra)
+        parent(small) = big
+        size(big) = sa + sb
+      }
     }
     val touched = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
+    // component label = min id in the component (the operator's contract)
+    val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
+    touched.foreach { n =>
+      val r = root(n)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+    }
     val session = nodes.sparkSession
     import session.implicits._
-    val labels = touched.map(n => (n, root(n))).toDF("id", "lab")
+    val labels = touched.map(n => (n, minOfRoot(root(n)))).toDF("id", "lab")
     nodes.select(col("id")).join(broadcast(labels), Seq("id"), "left")
       .select(col("id"), coalesce(col("lab"), col("id")).as("component"))
   }

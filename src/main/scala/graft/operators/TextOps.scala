@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the documents corpus (SURVEY §2.8 F6/F9 plus
@@ -53,6 +54,23 @@ object TextOps {
           | WHEN r_de >= r_es THEN 'de' ELSE 'es' END""".stripMargin))
   }
 
+  /** The t3 formula pieces, factored so the c1 funnel composes the SAME
+    * expressions it claims to (a drifted inline copy would silently
+    * diverge from the oracle-gated operator). */
+  private[graft] val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[graft] def uniqRatio(words: Column): Column =
+    round(size(array_distinct(words)) / size(words).cast("double"), 6)
+  private[graft] def stopRatio(words: Column): Column =
+    round(size(filter(words, w => w.isInCollection(StopWords))) /
+      size(words).cast("double"), 6)
+  // round(8): the score is a sum of products of 6-dec-rounded ratios and
+  // 1-dec weights → the true value has ≤7 decimals, so rounding at 8 can
+  // never hit a decimal tie (rounding at 6 can, and did).
+  private[graft] def qualityScoreCol(nWords: Column, uniq: Column,
+      stop: Column): Column =
+    round(least(nWords.cast("double") / 100.0, lit(1.0)) * 0.4 +
+      uniq * 0.3 + least(stop * 5.0, lit(1.0)) * 0.3, 8)
+
   /** Quality scoring: length, word-length, uniqueness, stopword density
     * composed into a bounded score — the pre-training-filter archetype. */
   def qualityScore: Q = (s, d) =>
@@ -63,19 +81,11 @@ object TextOps {
         size(col("words")).as("n_words"),
         round(length(regexp_replace(col("text"), " ", "")) /
           size(col("words")).cast("double"), 6).as("avg_word_len"),
-        round(size(array_distinct(col("words"))) /
-          size(col("words")).cast("double"), 6).as("uniq_ratio"),
+        uniqRatio(col("words")).as("uniq_ratio"),
         size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha_tokens"),
-        expr("""round(size(filter(words,
-          | w -> w IN ('the','a','of','and','to','in','is')))
-          | / cast(size(words) as double), 6)""".stripMargin).as("stop_ratio"))
-      // round(8): the score is a sum of products of 6-dec-rounded ratios and
-      // 1-dec weights → the true value has ≤7 decimals, so rounding at 8 can
-      // never hit a decimal tie (rounding at 6 can, and did).
-      .withColumn("quality_score", round(
-        least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
-          col("uniq_ratio") * 0.3 +
-          least(col("stop_ratio") * 5.0, lit(1.0)) * 0.3, 8))
+        stopRatio(col("words")).as("stop_ratio"))
+      .withColumn("quality_score", qualityScoreCol(col("n_words"),
+        col("uniq_ratio"), col("stop_ratio")))
 
   /** BPE-ish tokenizer regex: a leading-space-attached run of letters, of
     * digits, or of other symbols — the GPT-2 pretokenizer shape reduced to

@@ -124,13 +124,20 @@ object Streams {
     /** The current store (id, v, rank) — safe to read between batches. */
     def store: DataFrame = storeDf
 
-    /** One microbatch application; also the direct entry for parity tests. */
+    /** One microbatch application; also the direct entry for parity tests.
+      * Idempotent under foreachBatch's at-least-once redelivery: a
+      * replayed candidate that was already inserted appears in BOTH the
+      * store and the batch, so the verdict-to-vectors join would fan out —
+      * `dropDuplicates("id")` collapses it, and the re-run verdict itself
+      * is a no-op (the candidate meets its stored copy at sim 1.0 with an
+      * equal rank → discarded). */
     def processBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (!batch.isEmpty) {
         val verdict = graft.operators.RankDedup.upsert(storeDf, batch, dim,
           planesPerBand)
         val vectors = storeDf.select(col("id"), col("v"))
           .unionByName(batch.select(col("id"), col("v")))
+          .dropDuplicates("id")
         storeDf = verdict.join(vectors, Seq("id"))
           .select(col("id"), col("v"), col("rank"))
           .localCheckpoint(eager = true)
