@@ -508,6 +508,45 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Batch form of [[ivfProbe]]: N query vectors against the at-rest index
+    * in ONE plan. Queries pick their top-p cells via the broadcast K-row
+    * centroid table (a distributed window, no per-query driver work), the
+    * union of probed cells — bounded by K, index METADATA — prunes the
+    * index scan via `isin` on the partition column, and a per-query window
+    * takes top-k. The single-probe form remains the interactive one-shot
+    * path; this is the 100 TB shape for query WORKLOADS, where per-query
+    * driver round-trips would serialize the batch. Per-query parity with
+    * [[ivfProbe]] is asserted in ScaleOpsSpec. */
+  def ivfProbeBatch(queries: DataFrame, path: String,
+      probes: Int = 2, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = queries.sparkSession
+    CosineSimilarity.register(s)
+    val cent = s.read.parquet(s"$path/centroids")
+    val qCells = queries.select(col("qid"), col("v"))
+      .crossJoin(broadcast(cent))
+      .select(col("qid"), col("v"), col("cid"),
+        round(expr("cosine_sim(v, c)"), 6).as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("csim"), col("cid"))))
+      .filter(col("rn") <= probes)
+      .select(col("qid"), col("v").as("qv"), col("cid"))
+      .localCheckpoint(eager = false) // feeds the cell list AND the scoring join
+    // the union of probed cells is ≤ K values — metadata, so the collect
+    // is bounded; it must be literal for the scan to prune directories
+    val cells = qCells.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx = s.read.parquet(s"$path/index")
+      .filter(col("cid").isin(cells: _*))
+    qCells.join(idx, Seq("cid"))
+      .select(col("qid"), col("vec_id"), col("cid"),
+        round(expr("cosine_sim(qv, v)"), 6).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Oracle-gated at-rest IVF query (v7): build the cell-partitioned index
     * for this sf dir under target/, probe with vector 1, exact top-10
     * within the 2 probed cells only. The DuckDB oracle recomputes the

@@ -120,6 +120,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(cids.size <= 2)
   }
 
+  test("IVF batch probe: per-query parity with single probes, pruning intact") {
+    import graft.operators.VectorOps
+    val path = "target/ivf_index_batch"
+    val e = VectorOps.vecsCheckpointed(spark, sf)
+    VectorOps.writeIvfIndex(e, K = 8, path)
+    val qids = Seq(1L, 2L, 3L)
+    val queries = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("v"))
+    val batch = VectorOps.ivfProbeBatch(queries, path, probes = 2, k = 10)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid#\\d+ IN \\(".r
+      .findFirstIn(plan).nonEmpty, plan)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(r => (r._2, r._3)).sortBy(p => (-p._2, p._1)).toSeq
+      }
+    qids.foreach { q =>
+      val v = e.filter(col("vec_id") === q).collect()(0).getSeq[Double](2)
+      val single = VectorOps.ivfProbe(spark, path, v, probes = 2, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(got(q) == single, s"query $q diverges from the single probe")
+      assert(got(q).head == ((q, 1.0)), s"query $q should top-hit itself")
+    }
+  }
+
   test("IVF append maintains the index in place: probes see new vectors, pruning intact") {
     import graft.operators.VectorOps
     val path = "target/ivf_index_append"
