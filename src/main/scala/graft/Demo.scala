@@ -68,7 +68,6 @@ object Demo {
 
     // --- ReAct search agent (round 4): bounded action loop over the local
     // documents corpus + the validator-gated calculator ---
-    import org.apache.spark.sql.functions.col
     val corpus = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).limit(50)
     val retriever = new Retriever(spark)
@@ -109,10 +108,15 @@ object Demo {
     }
 
     // --- curation pipeline (round 6): clusters -> retention -> funnel ---
-    val clusters = graft.operators.DedupOps.dupClusters(spark, sfDir)
-    val nClusters = clusters.select("component").distinct().count()
+    // one pass over the cluster frame for both counts; the funnel is its
+    // own oracle-gated query and recomputes its pipeline by design
+    val clusterStats = graft.operators.DedupOps.dupClusters(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.count(col("doc_id")),
+        org.apache.spark.sql.functions.countDistinct(col("component")))
+      .head()
     val funnel = graft.operators.DedupOps.curationFunnel(spark, sfDir)
-    println(s"curation : ${clusters.count()} docs in $nClusters clusters -> " +
+    println(s"curation : ${clusterStats.getLong(0)} docs in " +
+      s"${clusterStats.getLong(1)} clusters -> " +
       s"${funnel.count()} survive retention+quality+mixture (c1)")
     val decon = graft.operators.TextOps.decontamination(spark, sfDir)
     println(s"decontam : ${decon.filter(col("contaminated") &&

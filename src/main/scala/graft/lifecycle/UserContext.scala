@@ -108,21 +108,30 @@ object UserContext {
   private val qcField = """"query_clarification"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
   private val fbField = """"feedback"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
 
-  /** Single left-to-right pass: sequential replace() corrupts input where
-    * an escaped backslash precedes an escapable char (e.g. `C:\\new` —
-    * replacing \n before \\ would turn the second backslash + n into a
-    * newline). */
+  /** Single left-to-right pass over the full JSON escape set: sequential
+    * replace() corrupts input where an escaped backslash precedes an
+    * escapable char (e.g. `C:\\new`), and a partial escape table would
+    * mangle \r/\b/\f/\uXXXX by dropping the backslash. Escapes outside
+    * the JSON set keep their two characters intact. */
   private def unescape(s: String): String = {
     val out = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
       if (s(i) == '\\' && i + 1 < s.length) {
-        out += (s(i + 1) match {
-          case 'n' => '\n'
-          case 't' => '\t'
-          case c => c // \" \\ \/ and anything else: the char itself
-        })
-        i += 2
+        s(i + 1) match {
+          case 'n' => out += '\n'; i += 2
+          case 't' => out += '\t'; i += 2
+          case 'r' => out += '\r'; i += 2
+          case 'b' => out += '\b'; i += 2
+          case 'f' => out += '\f'; i += 2
+          case '"' | '\\' | '/' => out += s(i + 1); i += 2
+          case 'u' if i + 5 < s.length &&
+              s.substring(i + 2, i + 6).forall(c =>
+                Character.digit(c, 16) >= 0) =>
+            out += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case c => out += '\\'; out += c; i += 2 // unknown: keep the pair
+        }
       } else { out += s(i); i += 1 }
     }
     out.toString

@@ -442,19 +442,27 @@ object VectorOps {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/index")
   }
 
-  /** Nearest-existing-centroid assignment of a (vec_id, v) frame —
-    * broadcast of the K centroid rows against one scan, the shared shape
-    * of the index build and incremental append. */
-  private def assignToCells(e: DataFrame, cent: DataFrame): DataFrame = {
+  /** Top-N centroid cells per vector — broadcast of the K centroid rows
+    * against one scan, the ONE cell-ranking shape shared by the index
+    * build (`key`=vec_id, topN=1), incremental append (same), and batch
+    * probing (`key`=qid, topN=probes). A single definition keeps the
+    * rounding policy and tie-break locked together across all three, so a
+    * query's probed cells can never drift from the index's assignment. */
+  private def rankCells(e: DataFrame, cent: DataFrame, key: String,
+      topN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("cid"),
+      .select(col(key), col("v"), col("cid"),
         round(expr("cosine_sim(v, c)"), 6).as("csim"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("csim"), col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+        Window.partitionBy(key).orderBy(desc("csim"), col("cid"))))
+      .filter(col("rn") <= topN)
+      .select(col(key), col("v"), col("cid"))
   }
+
+  /** Nearest-existing-centroid assignment of a (vec_id, v) frame. */
+  private def assignToCells(e: DataFrame, cent: DataFrame): DataFrame =
+    rankCells(e, cent, "vec_id", topN = 1)
 
   /** Incremental maintenance of the at-rest index: assign a NEW batch to
     * the nearest EXISTING centroid and APPEND to the cell partitions — no
@@ -523,13 +531,8 @@ object VectorOps {
     val s = queries.sparkSession
     CosineSimilarity.register(s)
     val cent = s.read.parquet(s"$path/centroids")
-    val qCells = queries.select(col("qid"), col("v"))
-      .crossJoin(broadcast(cent))
-      .select(col("qid"), col("v"), col("cid"),
-        round(expr("cosine_sim(v, c)"), 6).as("csim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("csim"), col("cid"))))
-      .filter(col("rn") <= probes)
+    val qCells = rankCells(queries.select(col("qid"), col("v")),
+        cent, "qid", topN = probes)
       .select(col("qid"), col("v").as("qv"), col("cid"))
       .localCheckpoint(eager = false) // feeds the cell list AND the scoring join
     // the union of probed cells is ≤ K values — metadata, so the collect
