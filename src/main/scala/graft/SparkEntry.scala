@@ -94,6 +94,7 @@ object SparkEntry {
     "v5_ivf_assign" -> VectorOps.kmeansIvfAssign,
     "v6_rp_lsh_neardup" -> VectorOps.rpLshNearDup,
     "v7_ivf_at_rest" -> VectorOps.ivfAtRest,
+    "v8_embed_clusters" -> VectorOps.embedClusters,
     // text analysis (F6/F9 + pipeline ops)
     "t1_word_chunks" -> TextOps.wordChunks,
     "t2_lang_id" -> TextOps.langId,
@@ -462,6 +463,7 @@ object SparkEntry {
     "v5_ivf_assign" -> VectorOps.kmeansIvfAssignOracle,
     "v6_rp_lsh_neardup" -> VectorOps.rpLshNearDupOracle,
     "v7_ivf_at_rest" -> VectorOps.ivfAtRestOracle,
+    "v8_embed_clusters" -> VectorOps.embedClustersOracle,
     "mm1_media_features" ->
       """SELECT doc_id AS media_id,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

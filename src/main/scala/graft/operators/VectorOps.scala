@@ -346,23 +346,28 @@ object VectorOps {
       .distinct()
   }
 
-  private def rpBandedNearDupOracle(bands: Int): String = {
+  /** The RP-LSH pair pipeline in DuckDB as a CTE chain ending in
+    * `pairs(a_id, b_id, sim)` — shared by the v3/v6 and v8 oracles. */
+  private def rpPairsCtes(bands: Int): String = {
     val keys = (0 until bands).map(b => rpBandKey(b, k => s"v[$k]"))
     val bIdx = (0 until bands).mkString(", ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        | bk AS (SELECT vec_id, v, b, key FROM (
        |   SELECT vec_id, v, unnest([${keys.mkString(", ")}]) AS key,
-       |          unnest([$bIdx]) AS b FROM e))
-       |SELECT DISTINCT a.vec_id AS a_id, x.vec_id AS b_id,
-       | round(list_dot_product(a.v, x.v) /
-       |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(x.v, x.v))), 6)
-       |  AS sim
-       |FROM bk a JOIN bk x
-       | ON a.b = x.b AND a.key = x.key AND a.vec_id < x.vec_id
-       |WHERE round(list_dot_product(a.v, x.v) /
-       |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(x.v, x.v))), 6)
-       |  >= 0.30""".stripMargin
+       |          unnest([$bIdx]) AS b FROM e)),
+       | pairs AS (SELECT DISTINCT a.vec_id AS a_id, x.vec_id AS b_id,
+       |   round(list_dot_product(a.v, x.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(x.v, x.v))), 6)
+       |    AS sim
+       |  FROM bk a JOIN bk x
+       |   ON a.b = x.b AND a.key = x.key AND a.vec_id < x.vec_id
+       |  WHERE round(list_dot_product(a.v, x.v) /
+       |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(x.v, x.v))), 6)
+       |   >= 0.30)""".stripMargin
   }
+
+  private def rpBandedNearDupOracle(bands: Int): String =
+    s"WITH ${rpPairsCtes(bands)}\nSELECT a_id, b_id, sim FROM pairs"
 
   val rpLshNearDupOracle: String = rpBandedNearDupOracle(RpBands)
 
@@ -382,6 +387,30 @@ object VectorOps {
   def nearDupPairs: Q = (s, d) => rpBandedNearDup(s, d, V3Bands, "rp_band_keys_w")
 
   val nearDupPairsOracle: String = rpBandedNearDupOracle(V3Bands)
+
+  /** v8: embedding-space duplicate clusters — the same transitive cluster
+    * resolution dd7 gives the MinHash family, over the v3 RP-LSH pair
+    * graph: LSH pair discovery is probabilistic in EVERY family, so
+    * similarity ties at 0.30 chain (A~B, B~C without a found A~C) and
+    * group membership is a graph property. Same
+    * [[GraphOps.connectedComponents]] operator, second pair source. */
+  def embedClusters: Q = (s, d) => {
+    val pairs = nearDupPairs(s, d)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    GraphOps.connectedComponents(
+        vecs(s, d).select(col("vec_id").as("id")), pairs)
+      .select(col("id").as("vec_id"), col("component"))
+  }
+
+  val embedClustersOracle: String =
+    s"""WITH RECURSIVE ${rpPairsCtes(V3Bands)},
+       | edges AS (SELECT a_id AS u, b_id AS w FROM pairs
+       |   UNION ALL SELECT b_id AS u, a_id AS w FROM pairs),
+       | reach(id, comp) AS (
+       |   SELECT vec_id, vec_id FROM e
+       |   UNION
+       |   SELECT edges.w, r.comp FROM reach r JOIN edges ON edges.u = r.id)
+       |SELECT id AS vec_id, min(comp) AS component FROM reach GROUP BY id""".stripMargin
 
   // ---- corpus-size-derived (AUTO) library entrypoints ----
 
