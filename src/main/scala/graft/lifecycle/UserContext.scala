@@ -127,7 +127,10 @@ object UserContext {
           case '"' | '\\' | '/' => out += s(i + 1); i += 2
           case 'u' if i + 5 < s.length &&
               s.substring(i + 2, i + 6).forall(c =>
-                Character.digit(c, 16) >= 0) =>
+                // ASCII hex only: Character.digit also accepts fullwidth/
+                // Arabic-Indic digits, which are not legal JSON escapes
+                ('0' <= c && c <= '9') || ('a' <= c && c <= 'f') ||
+                  ('A' <= c && c <= 'F')) =>
             out += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
             i += 6
           case c => out += '\\'; out += c; i += 2 // unknown: keep the pair
