@@ -76,7 +76,10 @@ object ScaleProbe {
       "w1_moving_avg", "w8_sessionize", "dd1_exact_dedup",
       "dd3_lsh_jaccard_pairs", "t3_quality_score", "s1_hourly_events",
       "v3_neardup_embeddings", "v4_knn_join", "v6_rp_lsh_neardup",
-      "dd5_rank_upsert", "dd6_simhash_pairs")
+      "dd5_rank_upsert", "dd6_simhash_pairs",
+      // round 6: cluster resolution (LSH pairs + CC) and the broadcast
+      // n-gram decontamination probe
+      "dd7_dup_clusters", "t7_decontamination")
       .map(n => (n, SparkEntry.queries(n), SparkEntry.queries(n)))
     import graft.operators.{RankDedup, VectorOps}
     val scaled: Seq[(String, (SparkSession, String) => DataFrame,
