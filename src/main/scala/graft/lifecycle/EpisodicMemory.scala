@@ -105,8 +105,17 @@ final class EpisodicMemory(spark: SparkSession,
     * below [[EpisodicMemory.SparkPathCutoff]] the decision runs driver-side
     * (exact cosine scan, same tie-break as the operator's window — sim desc,
     * then store id asc); at or above it, the batch-shaped
-    * [[graft.operators.RankDedup.upsert]] takes over. EpisodicSpec asserts
-    * both paths produce identical replace/discard/insert decisions. */
+    * [[graft.operators.RankDedup.upsert]] takes over.
+    *
+    * Path parity: the driver scan is EXACT, the Spark path finds matches
+    * through RankDedup's banded RP-LSH join, whose candidate recall is
+    * probabilistic — so decisions are identical MODULO band recall (8 bands,
+    * miss rate (1-p^planes)^8 with p = 1-θ/π ≥ 0.889 at the 0.94 gate,
+    * i.e. ≤ ~1e-8 per pair at the default 4 planes). A true ≥0.94 match
+    * that misses every band would insert on the Spark path where the local
+    * path replaces/discards. EpisodicSpec asserts decision parity on
+    * exact-duplicate, no-match, AND borderline ~0.95-0.99 non-identical
+    * pairs, characterizing the recall caveat rather than hiding it. */
   def add(record: Record): Unit = {
     if (record.rank < RankDedup.MinRank) return
     val v = embedder.embed(record.intent)

@@ -168,32 +168,42 @@ object WebSearch {
     def fetch(url: String): Option[String] =
       fetchHops(url, HttpPageFetcher.MaxRedirectHops)
 
-    private def fetchHops(url: String, hops: Int): Option[String] =
-      try {
-        val conn = URI.create(url).toURL
-          .openConnection().asInstanceOf[HttpURLConnection]
-        conn.setConnectTimeout(timeoutMs)
-        conn.setReadTimeout(timeoutMs)
-        conn.setInstanceFollowRedirects(false)
-        conn.setRequestProperty("User-Agent", "Mozilla/5.0")
+    private def fetchHops(url: String, hops: Int): Option[String] = {
+      // Either a terminal result (Left) or a redirect target (Right): the
+      // connection is fully closed before the next hop opens, so a 3xx
+      // chain never pins more than one keep-alive socket at a time.
+      val step: Either[Option[String], String] =
         try {
-          val code = conn.getResponseCode
-          if (code >= 300 && code < 400) {
-            Option(conn.getHeaderField("Location")).filter(_ => hops > 0)
-              .flatMap(loc => fetchHops(URI.create(url).resolve(loc).toString,
-                hops - 1))
-          } else if (code >= 400) None
-          else {
-            val out = new java.io.ByteArrayOutputStream()
-            val in = conn.getInputStream
-            val buf = new Array[Byte](8192)
-            var n = in.read(buf)
-            while (n >= 0 && out.size() <= maxBytes) { out.write(buf, 0, n); n = in.read(buf) }
-            if (out.size() > maxBytes) None
-            else Some(extractText(out.toString("UTF-8")))
-          }
-        } finally conn.disconnect()
-      } catch { case scala.util.control.NonFatal(_) => None }
+          val conn = URI.create(url).toURL
+            .openConnection().asInstanceOf[HttpURLConnection]
+          conn.setConnectTimeout(timeoutMs)
+          conn.setReadTimeout(timeoutMs)
+          conn.setInstanceFollowRedirects(false)
+          conn.setRequestProperty("User-Agent", "Mozilla/5.0")
+          try {
+            val code = conn.getResponseCode
+            if (code >= 300 && code < 400) {
+              Option(conn.getHeaderField("Location")).filter(_ => hops > 0) match {
+                case Some(loc) => Right(URI.create(url).resolve(loc).toString)
+                case None => Left(None)
+              }
+            } else if (code >= 400) Left(None)
+            else {
+              val out = new java.io.ByteArrayOutputStream()
+              val in = conn.getInputStream
+              val buf = new Array[Byte](8192)
+              var n = in.read(buf)
+              while (n >= 0 && out.size() <= maxBytes) { out.write(buf, 0, n); n = in.read(buf) }
+              Left(if (out.size() > maxBytes) None
+                   else Some(extractText(out.toString("UTF-8"))))
+            }
+          } finally conn.disconnect()
+        } catch { case scala.util.control.NonFatal(_) => Left(None) }
+      step match {
+        case Left(result) => result
+        case Right(next) => fetchHops(next, hops - 1)
+      }
+    }
   }
 
   object HttpPageFetcher { val MaxRedirectHops = 5 }

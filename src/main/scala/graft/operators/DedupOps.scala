@@ -248,15 +248,36 @@ object DedupOps {
 
   // ---- duplicate-cluster resolution (dd7) ----
 
+  /** Offset separating planted copies from base documents: copy ids are
+    * base + k·PlantStride, and c1 recovers provenance as doc_id %
+    * PlantStride — sound ONLY while every base doc_id is below the stride.
+    * [[plantedCorpus3]] enforces that loudly (a wider fixture would
+    * otherwise silently mis-join languages, and the DuckDB oracle shares
+    * the expression so the hash gate could not catch the drift). */
+  private val PlantStride = 100000L
+
+  /** Dirs whose base corpus already passed the stride guard — the check is
+    * one column-pruned max() scan, run once per fixture dir, not once per
+    * plan construction (c1 builds this corpus several times per query). */
+  private val strideCheckedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Corpus with a planted CHAIN of near-duplicates per selected doc:
     * A (original), B = A + 3 words, C = A + 5 words. */
   private def plantedCorpus3(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
+    if (!strideCheckedDirs.contains(d)) {
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      require(maxId < PlantStride,
+        s"plantedCorpus3: base doc_id $maxId >= plant stride $PlantStride — " +
+          "copy ids would collide with base ids and %-provenance would mis-join")
+      strideCheckedDirs.add(d)
+    }
     val sel = docs.filter(col("doc_id") % 17 === 0)
     docs
-      .unionByName(sel.select((col("doc_id") + 100000).as("doc_id"),
+      .unionByName(sel.select((col("doc_id") + PlantStride).as("doc_id"),
         concat(col("text"), lit(" zz qq vv")).as("text")))
-      .unionByName(sel.select((col("doc_id") + 200000).as("doc_id"),
+      .unionByName(sel.select((col("doc_id") + 2 * PlantStride).as("doc_id"),
         concat(col("text"), lit(" zz qq vv ww yy")).as("text")))
   }
   private val corpus3Sql =
@@ -285,7 +306,7 @@ object DedupOps {
     * independent union-find cross-check. */
   private[graft] def dupClusterEdges(s: SparkSession, d: String): DataFrame =
     lshPairsOf(s, plantedCorpus3(s, d))
-      .filter(!(col("a_id") < 100000 && col("b_id") >= 200000))
+      .filter(!(col("a_id") < PlantStride && col("b_id") >= 2 * PlantStride))
       .select(col("a_id").as("a"), col("b_id").as("b"))
 
   /** dd7's full CTE chain (recursive min-id propagation), ending in
@@ -348,7 +369,7 @@ object DedupOps {
       .withColumn("quality_score", TextOps.qualityScoreCol(col("n_words"),
         col("uniq_ratio"), col("stop_ratio")))
       .filter(col("quality_score") >= 0.5)
-      .withColumn("orig_id", col("doc_id") % 100000)
+      .withColumn("orig_id", col("doc_id") % PlantStride)
       .join(lang, "orig_id")
     TextOps.mixtureFilter(survivors)
       .select(col("doc_id"), col("lang"), col("component"),

@@ -164,6 +164,12 @@ object GraphOps {
   }
 
   private def signature(e: DataFrame): (Long, String) = {
+    // Convergence test is (count, hash-sum) equality between consecutive
+    // rounds: two DIFFERENT edge sets colliding on both would terminate
+    // early with wrong labels — accepted at ~2^-64 odds (order-independent
+    // sum of per-edge xxhash64), the standard iterative-fixpoint tradeoff
+    // vs. an exact except()-based comparison that would cost a join per
+    // round.
     // decimal sum: a Long sum of 2^63-range hashes overflows under ANSI
     val r = e.agg(count(lit(1)),
       sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()

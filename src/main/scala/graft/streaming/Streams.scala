@@ -157,10 +157,14 @@ object Streams {
   /** Streaming near-dup ADMISSION — the online form of the dedup family:
     * a document stream where each arrival is accepted only if it is not a
     * semantic near-duplicate (cosine ≥ 0.94, RankDedup.StrongThreshold) of
-    * anything ALREADY ACCEPTED. Sequential semantics exactly: a candidate
-    * blocked only by a REJECTED earlier candidate is admitted (rejections
-    * leave no trace), which is the greedy arrival-order independent-set
-    * rule; within a microbatch, arrival order is id order.
+    * anything ALREADY ACCEPTED. Sequential semantics modulo LSH candidate
+    * recall — match edges (store and in-batch alike) come from the banded
+    * RP-LSH join, so a true ≥0.94 pair that misses every band (probability
+    * ≤ ~1e-8 per pair at 8 bands × 4 planes) is invisible to the greedy;
+    * given the found edges, the replay IS exact: a candidate blocked only
+    * by a REJECTED earlier candidate is admitted (rejections leave no
+    * trace), the greedy arrival-order independent-set rule; within a
+    * microbatch, arrival order is id order.
     *
     * Hybrid shape, same philosophy as the dd7 AUTO path: the expensive
     * part — finding matches — runs distributed as the SAME banded RP-LSH
@@ -184,7 +188,11 @@ object Streams {
       if (batch0.isEmpty) return
       val s = batch0.sparkSession
       import s.implicits._
+      // dropDuplicates: a redelivered or doubly-emitted id within one batch
+      // would otherwise survive the admitted-set join twice and land as
+      // duplicate rows in the accepted store (RankUpsertSink's same guard)
       val batch = batch0.select(col("id"), col("v"))
+        .dropDuplicates("id")
         .localCheckpoint(eager = true)
       def ranked(df: DataFrame) = df.withColumn("rank", lit(0L))
       // matches against the accepted store: outright rejections

@@ -67,6 +67,28 @@ class EpisodicSpec extends SparkSpec {
     assert(m.size == 6)
   }
 
+  test("fast path parity: borderline non-identical near-dup (LSH recall caveat)") {
+    // the r6 parity matrix only covered sim 1.0 and no-match, where banding
+    // cannot miss; this pins a genuinely borderline 0.94 < sim < 1.0 pair,
+    // where a band miss WOULD diverge the paths (insert vs replace/discard)
+    val m = mem()
+    val emb = new HashEmbedder()
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa"
+    val variant = base + " quebec"
+    def cosine(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val sim = cosine(emb.embed(base), emb.embed(variant))
+    assert(sim > 0.94 && sim < 0.9999, s"fixture pair not borderline: $sim")
+    m.add(Record("s0", base, "", "- p", "SELECT 0", 7))
+    val v = emb.embed(variant)
+    // replace direction (rank 9 > 7) and discard direction (rank 6 < 7):
+    // if the banded join missed the pair, the Spark path would insert
+    assert(m.decideLocal(9, v) == m.decideSpark(9, v), "replace direction diverged")
+    assert(m.decideLocal(6, v) == m.decideSpark(6, v), "discard direction diverged")
+  }
+
   test("chain integration: memory hit skips the planner entirely") {
     val es = new EngineSession(spark)
     es.bind("orders", Tables.load(spark, sf, "orders"))

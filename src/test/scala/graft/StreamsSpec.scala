@@ -216,6 +216,12 @@ class StreamsSpec extends SparkSpec {
     }
     val got2 = sink2.store.select("id").collect().map(_.getLong(0)).toSet
     assert(got2 == got)
+
+    // redelivered-id guard: the same id twice in one microbatch (foreachBatch
+    // at-least-once) must land in the accepted store exactly once
+    val sink3 = new Streams.NearDupAdmitSink(store)
+    sink3.processBatch(Seq((30001L, vec(3)), (30001L, vec(3))).toDF("id", "v"), 0L)
+    assert(sink3.store.filter(col("id") === 30001L).count() == 1L)
   }
 
   test("streaming mixture sample matches the t6 batch query (curation on ingest)") {
