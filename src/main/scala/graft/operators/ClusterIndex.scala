@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster labels AT REST — the operational form of the dd7/dd8
+  * family. The oracle-gated queries ([[DedupOps.dupClusters]],
+  * [[DedupOps.clusterRetention]]) recompute the whole LSH + connected-
+  * components pipeline per invocation, which is correct for a self-contained
+  * gate but not how production dedup ships: there, the cluster labels are an
+  * ARTIFACT materialized once and joined everywhere, maintained
+  * incrementally as the corpus grows (the same at-rest treatment
+  * [[VectorOps.writeIvfIndex]] gives the ANN family). The reference's dedup
+  * surface is the per-pair episodic gate (qa_retrieval.py:146-202); this is
+  * its corpus-scale operational shape.
+  *
+  * Layout under `path/`:
+  *  - `labels/` — (doc_id, hs, n, n_words, component, keep, canonical),
+  *    partitioned by `part` = hash-bucket of `component`. The label table
+  *    AND the per-doc MinHash verify attributes in one artifact, so an
+  *    append never recomputes shingle hashes for the existing corpus.
+  *  - `edges/`  — (a, b, component), same component-bucket partitioning;
+  *    the resolved pair graph, kept so a merge can re-run CC on ONLY the
+  *    touched components' subgraph.
+  *  - `bands/`  — (doc_id, bk), the at-rest LSH band index the incremental
+  *    probe equi-joins against (plain parquet: the probe is a join on `bk`,
+  *    not a partition lookup — at larger scale this table is the one to
+  *    bucket by `bk`).
+  *
+  * Why bucket by component hash instead of one dir per component: near-dup
+  * corpora have ~as many components as documents — millions of directories
+  * is a metadata explosion. [[NumParts]] buckets make incremental
+  * maintenance PHYSICAL partition work: an append reads only the buckets
+  * holding touched components (partition pruning on `part`) and rewrites
+  * only those buckets; every other bucket's files stay byte-identical
+  * (asserted in ClusterIndexSpec). At 100 TB raise NumParts (e.g. 64k) so
+  * one bucket rewrite stays a small, bounded slice of the corpus.
+  */
+object ClusterIndex {
+
+  /** Component-bucket count. 64 keeps fixture artifacts readable while
+    * still demonstrating pruning; the knob to raise with corpus size. */
+  val NumParts = 64
+
+  private def partOf(c: Column): Column =
+    pmod(xxhash64(c), lit(NumParts.toLong)).cast("int")
+
+  private val LabelCols = Seq("doc_id", "hs", "n", "n_words",
+    "component", "keep", "canonical", "part")
+
+  /** Full build over a (doc_id, text) corpus: LSH pair discovery →
+    * connected components → retention (keep-the-most-complete, dd8's
+    * policy), persisted under `path`. Same plan family as the dd7/dd8
+    * gates; ClusterIndexSpec asserts label parity with them. */
+  def write(corpus: DataFrame, path: String): Unit = {
+    val docs = DedupOps.lshDocsOf(corpus)
+    val pairs = DedupOps.lshPairsFromDocs(docs)
+    val edges = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
+    val nWords = corpus.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_words"))
+    val cc = GraphOps.connectedComponents(
+        corpus.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("component"))
+      .localCheckpoint(eager = false) // feeds labels AND the edge bucketing
+    retention(cc.join(nWords, "doc_id")
+        .join(docs.select("doc_id", "hs", "n"), "doc_id"))
+      .withColumn("part", partOf(col("component")))
+      .select(LabelCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(s"$path/labels")
+    // an edge's endpoints share a component by definition; bucket by it
+    edges.join(cc.select(col("doc_id").as("a"), col("component")), Seq("a"))
+      .withColumn("part", partOf(col("component")))
+      .select("a", "b", "component", "part")
+      .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(s"$path/edges")
+    DedupOps.lshBandsOf(docs)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands")
+  }
+
+  /** The persisted label table (doc_id, …, component, keep, canonical). */
+  def labels(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/labels")
+
+  /** dd8's retention policy over (doc_id, component, n_words, …): keep
+    * exactly one member per component — max word count, doc_id tie-break —
+    * and label every member with the surviving canonical. */
+  private def retention(members: DataFrame): DataFrame = {
+    val w = Window.partitionBy("component")
+      .orderBy(desc("n_words"), col("doc_id"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    members
+      .withColumn("keep", row_number().over(w) === 1)
+      .withColumn("canonical", first("doc_id").over(wFull))
+  }
+
+  /** Incremental maintenance: fold a batch of NEW documents (doc_ids must
+    * be disjoint from the stored corpus — the reference's UUID contract)
+    * into the at-rest index, re-resolving ONLY the touched components.
+    *
+    * Steps, each bounded by the new batch + touched components (never the
+    * stored corpus):
+    *  1. band the new docs, probe the at-rest band index (equi-join on
+    *     `bk`) for new×old candidates, self-join for new×new, verify
+    *     exact Jaccard against the stored (hs, n) attributes;
+    *  2. touched components = components of old endpoints of the found
+    *     edges; their buckets are the ONLY label/edge partitions read
+    *     (partition pruning on `part`) and the only ones rewritten;
+    *  3. re-run [[GraphOps.connectedComponents]] on the touched subgraph
+    *     (stored edges of touched components ∪ new edges) plus the new
+    *     docs, recompute retention for exactly those members;
+    *  4. physical write: affected buckets are deleted and rewritten with
+    *     (their untouched components' rows ∪ re-resolved rows); rows whose
+    *     component hashes elsewhere are APPENDED — pre-existing files in
+    *     unaffected buckets are never modified (ClusterIndexSpec asserts
+    *     byte-identity).
+    *
+    * Label parity with a full batch rebuild is exact, not approximate: the
+    * band pipeline is deterministic, so old×old pair discovery equals the
+    * stored edge set and components without a new edge cannot change.
+    *
+    * @return the affected bucket ids (diagnostics + spec assertions)
+    */
+  def append(newCorpus: DataFrame, path: String): Seq[Int] = {
+    val s = newCorpus.sparkSession
+    // eager: nd feeds candidate probing, verify lookup, and attrs below
+    val nd = DedupOps.lshDocsOf(newCorpus).localCheckpoint(eager = true)
+    val ndWords = newCorpus.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_words"))
+    val newBands = DedupOps.lshBandsOf(nd).localCheckpoint(eager = true)
+    val oldBands = s.read.parquet(s"$path/bands")
+    val oldLabels = labels(s, path)
+
+    // 1. candidate pairs touching a new doc: new×new plus new×old
+    val nn = newBands.as("a").join(newBands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val no = newBands.as("a").join(oldBands.as("b"), Seq("bk"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    val lookup = nd.select("doc_id", "hs", "n")
+      .unionByName(oldLabels.select("doc_id", "hs", "n"))
+    val newEdges = DedupOps.lshVerify(nn.unionByName(no).distinct(), lookup)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+      .localCheckpoint(eager = true)
+
+    // 2. touched components and their physical buckets
+    val endpoints = newEdges.select(col("a").as("doc_id"))
+      .unionByName(newEdges.select(col("b").as("doc_id"))).distinct()
+    val touched = oldLabels.join(endpoints, Seq("doc_id"))
+      .select("component").distinct().localCheckpoint(eager = true)
+    // bounded by NumParts — bucket METADATA, the one collect this op allows
+    val affectedParts = touched.select(partOf(col("component")).as("part"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
+    // 3. re-resolve the touched subgraph + all new docs
+    val oldInParts = oldLabels.filter(col("part").isin(affectedParts: _*))
+    val touchedMembers = oldInParts.join(touched, Seq("component"))
+      .localCheckpoint(eager = true)
+    val oldEdges = s.read.parquet(s"$path/edges")
+    val oldEdgesTouched = oldEdges
+      .filter(col("part").isin(affectedParts: _*))
+      .join(touched, Seq("component"))
+      .select("a", "b")
+    val cc = GraphOps.connectedComponents(
+        touchedMembers.select(col("doc_id").as("id"))
+          .unionByName(nd.select(col("doc_id").as("id"))),
+        newEdges.unionByName(oldEdgesTouched))
+      .select(col("id").as("doc_id"), col("component"))
+      .localCheckpoint(eager = false)
+    val attrs = touchedMembers.select("doc_id", "hs", "n", "n_words")
+      .unionByName(nd.select("doc_id", "hs", "n").join(ndWords, "doc_id")
+        .select("doc_id", "hs", "n", "n_words"))
+    val relabeled = retention(cc.join(attrs, "doc_id"))
+      .withColumn("part", partOf(col("component")))
+      .select(LabelCols.map(col): _*)
+    val relabeledEdges = newEdges.unionByName(oldEdgesTouched)
+      .join(cc.select(col("doc_id").as("a"), col("component")), Seq("a"))
+      .withColumn("part", partOf(col("component")))
+      .select("a", "b", "component", "part")
+
+    // 4. physical write — keep rows of untouched components sharing an
+    // affected bucket ride along in the rewrite
+    val keepLabels = oldInParts.join(touched, Seq("component"), "left_anti")
+      .select(LabelCols.map(col): _*)
+    val keepEdges = oldEdges.filter(col("part").isin(affectedParts: _*))
+      .join(touched, Seq("component"), "left_anti")
+      .select("a", "b", "component", "part")
+    rewriteBuckets(relabeled.unionByName(keepLabels), affectedParts,
+      s"$path/labels", s)
+    rewriteBuckets(relabeledEdges.unionByName(keepEdges), affectedParts,
+      s"$path/edges", s)
+    newBands.write.mode(SaveMode.Append).parquet(s"$path/bands")
+    affectedParts
+  }
+
+  /** Replace exactly the affected `part=` bucket dirs and append everything
+    * else. Rows are MATERIALIZED (eager checkpoint) before any delete so
+    * the write never reads files it is removing; explicit delete (rather
+    * than dynamic partition overwrite) also clears a bucket whose every
+    * component migrated elsewhere, which dynamic overwrite would leave
+    * stale because no new row lands in it. */
+  private def rewriteBuckets(rows: DataFrame, affectedParts: Seq[Int],
+      dir: String, s: SparkSession): Unit = {
+    val materialized = rows.localCheckpoint(eager = true)
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    affectedParts.foreach { p =>
+      fs.delete(new Path(s"$dir/part=$p"), true)
+    }
+    materialized.write.mode(SaveMode.Append).partitionBy("part").parquet(dir)
+  }
+}

@@ -187,31 +187,40 @@ object DedupOps {
   def lshJaccardPairs: Q = (s, d) =>
     lshPairsOf(s, plantedCorpus(s, d))
 
-  /** [[lshJaccardPairs]] over an arbitrary (doc_id, text) corpus — the
-    * pair-producing front the cluster-resolution query (dd7) composes on. */
-  private[graft] def lshPairsOf(s: SparkSession, corpus: DataFrame): DataFrame = {
-    // One materialized-once projection carries the hash set, its size, AND
-    // the 12 signature minima — the band self-join below would otherwise
-    // evaluate the signature lambdas twice (once per join side).
-    // localCheckpoint, not cache(): blocks are released when the plan is
-    // GC'd (no CacheManager entry leaked per invocation) and a later
-    // invocation can never silently reuse an earlier one's materialization
-    // through plan-equality matching.
-    registerSigs(s)
-    val docs = docShingleHashesOf(corpus)
+  /** Per-document MinHash index rows over any (doc_id, text) corpus:
+    * (doc_id, hs, n, sigv) — the reusable front of the LSH family. One
+    * materialized-once projection carries the hash set, its size, AND the
+    * 12 signature minima — a band self-join would otherwise evaluate the
+    * signature lambdas twice (once per join side). localCheckpoint, not
+    * cache(): blocks are released when the plan is GC'd (no CacheManager
+    * entry leaked per invocation) and a later invocation can never
+    * silently reuse an earlier one's materialization through plan-equality
+    * matching. [[graft.operators.ClusterIndex]] persists exactly these
+    * columns so an incremental append never recomputes them for the
+    * existing corpus. */
+  private[graft] def lshDocsOf(corpus: DataFrame): DataFrame = {
+    registerSigs(corpus.sparkSession)
+    docShingleHashesOf(corpus)
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"),
         expr("minhash_sigs(hs)").as("sigv"))
       .localCheckpoint(eager = false)
+  }
+
+  /** LSH band bucket keys of an [[lshDocsOf]] frame: (doc_id, bk). */
+  private[graft] def lshBandsOf(docs: DataFrame): DataFrame = {
     val bandArr = array(bandExprs(j => s"element_at(sigv, ${j + 1})").map(expr): _*)
-    val bands = docs.select(col("doc_id"), explode(bandArr).as("bk"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+    docs.select(col("doc_id"), explode(bandArr).as("bk"))
+  }
+
+  /** Exact n-gram Jaccard ≥ 0.4 verify of candidate pairs (a_id, b_id)
+    * against a (doc_id, hs, n) lookup covering both sides — a map-side
+    * array_intersect on the two fetched hash sets, in candidate-pair
+    * cardinality (the LSH point). */
+  private[graft] def lshVerify(cand: DataFrame, lookup: DataFrame): DataFrame =
     cand
-      .join(docs.select(col("doc_id").as("a_id"), col("hs").as("ha"),
+      .join(lookup.select(col("doc_id").as("a_id"), col("hs").as("ha"),
         col("n").as("na")), Seq("a_id"))
-      .join(docs.select(col("doc_id").as("b_id"), col("hs").as("hb"),
+      .join(lookup.select(col("doc_id").as("b_id"), col("hs").as("hb"),
         col("n").as("nb")), Seq("b_id"))
       .withColumn("ninter", size(array_intersect(col("ha"), col("hb"))))
       .select(col("a_id"), col("b_id"),
@@ -219,7 +228,21 @@ object DedupOps {
           (col("na") + col("nb") - col("ninter")).cast("double"), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= 0.4)
+
+  /** Full banded pair discovery over an [[lshDocsOf]] frame. */
+  private[graft] def lshPairsFromDocs(docs: DataFrame): DataFrame = {
+    val bands = lshBandsOf(docs)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    lshVerify(cand, docs)
   }
+
+  /** [[lshJaccardPairs]] over an arbitrary (doc_id, text) corpus — the
+    * pair-producing front the cluster-resolution query (dd7) composes on. */
+  private[graft] def lshPairsOf(s: SparkSession, corpus: DataFrame): DataFrame =
+    lshPairsFromDocs(lshDocsOf(corpus))
 
   /** The full LSH-pair pipeline in DuckDB as a CTE chain ending in
     * `pairs(a_id, b_id, jaccard)` — shared by the dd3 and dd7 oracles. */

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{ClusterIndex, DedupOps, GraphOps}
+
+/** Gates for the at-rest duplicate-cluster index: incremental append must
+  * equal a full batch rebuild exactly, touch only the affected buckets on
+  * disk, and agree with an independently recomputed LSH + connected-
+  * components pipeline. */
+class ClusterIndexSpec extends SparkSpec {
+
+  private def base: DataFrame =
+    Tables.load(spark, sf, "documents").select(col("doc_id"), col("text"))
+
+  /** Append batch: a planted near-dup CHAIN per selected base doc (B = A +
+    * 3 words, C = A + 5 words — both must fold into A's existing
+    * component), plus novel docs whose words are all id-derived so they
+    * share no shingles with anything (each must become its own singleton
+    * component in whatever bucket its id hashes to). */
+  private def appendBatch: DataFrame = {
+    val sel = base.filter(col("doc_id") % 17 === 0)
+    val novel = base.filter(col("doc_id") % 13 === 5)
+      .select((col("doc_id") + 700000).as("doc_id"),
+        concat_ws(" ",
+          (col("doc_id") * 7 % 997).cast("string"),
+          (col("doc_id") * 11 % 997).cast("string"),
+          (col("doc_id") * 13 % 997).cast("string"),
+          (col("doc_id") * 17 % 997).cast("string"),
+          (col("doc_id") * 19 % 997).cast("string")).as("text"))
+    sel.select((col("doc_id") + 500000).as("doc_id"),
+        concat(col("text"), lit(" zz qq vv")).as("text"))
+      .unionByName(sel.select((col("doc_id") + 600000).as("doc_id"),
+        concat(col("text"), lit(" zz qq vv ww yy")).as("text")))
+      .unionByName(novel)
+  }
+
+  private def labelSet(path: String): Set[(Long, Long, Boolean, Long)] =
+    ClusterIndex.labels(spark, path)
+      .select("doc_id", "component", "keep", "canonical")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+      .toSet
+
+  /** Recursive (relative-path → (size, mtime)) listing of data files. */
+  private def snapshot(dir: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val root = new java.io.File(dir)
+    walk(root).filter(_.getName.endsWith(".parquet"))
+      .map(f => root.toPath.relativize(f.toPath).toString ->
+        (f.length(), f.lastModified()))
+      .toMap
+  }
+
+  private def partOfFile(rel: String): Int =
+    "part=(\\d+)".r.findFirstMatchIn(rel).get.group(1).toInt
+
+  test("append = full rebuild; only affected buckets rewritten; chains fold in") {
+    val pathInc = "target/cluster_index_inc"
+    val pathFull = "target/cluster_index_full"
+    Seq(pathInc, pathFull).foreach(p =>
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively())
+
+    ClusterIndex.write(base, pathInc)
+    val before = snapshot(s"$pathInc/labels")
+    assert(before.nonEmpty)
+
+    val affected = ClusterIndex.append(appendBatch, pathInc)
+    assert(affected.nonEmpty, "planted chains must touch existing components")
+
+    // physical incrementality: every pre-existing file OUTSIDE an affected
+    // bucket is byte-identical (same size and mtime — never rewritten), and
+    // pruning is real (some pre-existing bucket was untouched)
+    val after = snapshot(s"$pathInc/labels")
+    val untouchedFiles = before.filter { case (rel, _) =>
+      !affected.contains(partOfFile(rel))
+    }
+    assert(untouchedFiles.nonEmpty, "no bucket escaped the rewrite — pruning is not real")
+    untouchedFiles.foreach { case (rel, meta) =>
+      assert(after.get(rel).contains(meta), s"untouched bucket file changed: $rel")
+    }
+
+    // logical parity: the incremental artifact equals a full batch rebuild
+    val combined = base.unionByName(appendBatch)
+    ClusterIndex.write(combined, pathFull)
+    assert(labelSet(pathInc) == labelSet(pathFull))
+
+    // independent cross-check: components match a FRESH pair discovery +
+    // connected components over the combined corpus (not the artifact code
+    // path), so write() and append() cannot both be wrong the same way
+    val want = GraphOps.connectedComponents(
+        combined.select(col("doc_id").as("id")),
+        DedupOps.lshPairsOf(spark, combined)
+          .select(col("a_id").as("a"), col("b_id").as("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ClusterIndex.labels(spark, pathInc)
+      .select("doc_id", "component")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+
+    // semantic spot checks on the fold-in
+    val labels = ClusterIndex.labels(spark, pathInc)
+      .select("doc_id", "component", "keep", "canonical", "n_words")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3), r.getInt(4)))
+    val byId = labels.map(l => l._1 -> l).toMap
+    val chainRoots = base.filter(col("doc_id") % 17 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    // LSH pair discovery is probabilistic per band (deterministic misses,
+    // shared with the full rebuild — the parity above proves that); most
+    // planted B-copies must still fold into their A's existing component
+    val foldedB = chainRoots.filter(a => byId(a)._2 == byId(a + 500000)._2)
+    assert(foldedB.length * 2 >= chainRoots.length,
+      s"only ${foldedB.length}/${chainRoots.length} B-copies folded into A")
+    // retention contract on the final artifact: exactly one keeper per
+    // component — the most complete member (max words, doc_id tie-break) —
+    // and every member's canonical points at it
+    labels.groupBy(_._2).foreach { case (comp, members) =>
+      val keepers = members.filter(_._3)
+      assert(keepers.length == 1, s"component $comp has ${keepers.length} keepers")
+      val want = members.minBy(m => (-m._5, m._1))
+      assert(keepers.head._1 == want._1, s"component $comp keeper is not the most complete")
+      members.foreach(m => assert(m._4 == want._1,
+        s"canonical of ${m._1} is not the keeper"))
+    }
+    // novel docs are their own singleton components, kept
+    val novelIds = labels.filter(_._1 >= 700000)
+    assert(novelIds.nonEmpty)
+    novelIds.foreach { case (id, comp, keep, canon, _) =>
+      assert(comp == id && keep && canon == id, s"novel $id not a kept singleton")
+    }
+  }
+
+  test("append with zero matches touches no existing bucket") {
+    val path = "target/cluster_index_nomatch"
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    ClusterIndex.write(base, path)
+    val before = snapshot(s"$path/labels")
+    val novelOnly = appendBatch.filter(col("doc_id") >= 700000)
+    val affected = ClusterIndex.append(novelOnly, path)
+    assert(affected.isEmpty, s"novel-only append touched buckets: $affected")
+    val after = snapshot(s"$path/labels")
+    before.foreach { case (rel, meta) =>
+      assert(after.get(rel).contains(meta), s"file changed on no-match append: $rel")
+    }
+    // and the novel docs are present as kept singletons
+    val novel = ClusterIndex.labels(spark, path)
+      .filter(col("doc_id") >= 700000)
+      .select("doc_id", "component", "keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(novel.nonEmpty)
+    novel.foreach { case (id, comp, keep) => assert(comp == id && keep) }
+  }
+}
