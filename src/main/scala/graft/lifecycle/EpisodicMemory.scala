@@ -143,6 +143,37 @@ final class EpisodicMemory(spark: SparkSession,
     else (Set.empty, false) // discard
   }
 
+  /** Persist the record store (metadata + intent vectors) as parquet —
+    * the durability the reference gets from its persistent vector index
+    * (qa_retrieval.py:4,247-275: the index outlives the process, so
+    * learned plan/code pairs survive restarts). Store order is part of
+    * the semantics (tie-breaks use the store index), so each row carries
+    * its position and [[load]] restores it exactly. The store is
+    * conversational metadata — bounded small by nature — so one
+    * parquet table is the right physical shape (the 100 TB corpora this
+    * engine processes live in the operator artifacts, not here). */
+  def save(path: String): Unit = {
+    import spark.implicits._
+    records.zipWithIndex.map { case ((r, v), i) =>
+      (i, r.id, r.intent, r.dataDescr, r.plan, r.sql, r.rank, v)
+    }.toDF("pos", "id", "intent", "data_descr", "plan", "sql", "rank", "v")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Replace the in-memory store with a previously [[save]]d one. The
+    * persisted intent vectors are reused as-is, so the loading instance
+    * must use the same embedder family the saving one did (retrieval
+    * embeds only the QUERY side). */
+  def load(path: String): Unit = {
+    records = spark.read.parquet(path)
+      .orderBy(org.apache.spark.sql.functions.col("pos"))
+      .collect()
+      .map(r => (Record(r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getLong(6)),
+        r.getSeq[Double](7)))
+      .toVector
+  }
+
   /** Bulk-path decision through the oracle-gated Spark operator (dd5). */
   private[graft] def decideSpark(rank: Long, v: Seq[Double]): (Set[Int], Boolean) = {
     import spark.implicits._

@@ -89,6 +89,66 @@ class EpisodicSpec extends SparkSpec {
     assert(m.decideLocal(6, v) == m.decideSpark(6, v), "discard direction diverged")
   }
 
+  test("persistence roundtrip: save/load preserves retrieval and upsert decisions") {
+    val path = "target/episodic_store"
+    val m1 = mem()
+    Seq("count orders per month", "revenue by brand per quarter",
+      "top suppliers by volume", "average discount per segment")
+      .zipWithIndex.foreach { case (t, i) =>
+        m1.add(Record(s"s$i", t, s"dataset $i", "- p", s"SELECT $i", 7))
+      }
+    m1.save(path)
+    val m2 = mem()
+    m2.load(path)
+    assert(m2.size == m1.size)
+    // identical retrieval, including the data-description rerank path
+    Seq("count orders per month", "top suppliers by volume").foreach { q =>
+      val (a, b) = (m1.retrieve(q, "dataset 2"), m2.retrieve(q, "dataset 2"))
+      assert(a.map(x => (x.record.id, x.record.sql, x.similarity)) ==
+        b.map(x => (x.record.id, x.record.sql, x.similarity)), q)
+    }
+    // identical upsert decisions after the roundtrip (store ORDER is part
+    // of the semantics — tie-breaks use the store index)
+    val emb = new HashEmbedder()
+    Seq(("count orders per month", 9L), ("count orders per month", 6L),
+        ("lineitem shipping delays", 8L)).foreach { case (intent, rank) =>
+      val v = emb.embed(intent)
+      assert(m1.decideLocal(rank, v) == m2.decideLocal(rank, v),
+        s"loaded store decides ($intent, $rank) differently")
+    }
+    m1.add(Record("c1", "count orders per month", "", "- p", "SELECT 'r'", 9))
+    m2.add(Record("c1", "count orders per month", "", "- p", "SELECT 'r'", 9))
+    assert(m1.size == m2.size)
+    assert(m1.retrieve("count orders per month").get.record.rank == 9)
+    assert(m2.retrieve("count orders per month").get.record.rank == 9)
+  }
+
+  test("persistence above the cutoff: loaded store routes adds through Spark, decisions unchanged") {
+    import spark.implicits._
+    val path = "target/episodic_store_big"
+    val emb = new HashEmbedder()
+    val n = EpisodicMemory.SparkPathCutoff + 5
+    // build the persisted form directly — the load contract accepts any
+    // saved store, and 10k+ add() calls would test nothing extra
+    val rows = (0 until n).map { i =>
+      val intent = s"intent token$i k${i * 7 % 997} q${i * 13 % 997}"
+      (i, s"r$i", intent, "", "- p", s"SELECT $i", 7L, emb.embed(intent))
+    }
+    rows.toDF("pos", "id", "intent", "data_descr", "plan", "sql", "rank", "v")
+      .write.mode("overwrite").parquet(path)
+    val m = new EpisodicMemory(spark)
+    m.load(path)
+    assert(m.size == n && m.size >= EpisodicMemory.SparkPathCutoff)
+    // the distributed decision equals the exact driver scan on the loaded
+    // store, and the public add() (which routes via Spark at this size)
+    // replaces rather than appends
+    val v = emb.embed("intent token3 k21 q39")
+    assert(m.decideSpark(9, v) == m.decideLocal(9, v))
+    m.add(Record("dup", "intent token3 k21 q39", "", "- p", "SELECT 'x'", 9))
+    assert(m.size == n, "higher-rank duplicate must replace, not append")
+    assert(m.retrieve("intent token3 k21 q39").get.record.rank == 9)
+  }
+
   test("chain integration: memory hit skips the planner entirely") {
     val es = new EngineSession(spark)
     es.bind("orders", Tables.load(spark, sf, "orders"))
