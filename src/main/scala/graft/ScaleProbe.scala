@@ -109,7 +109,13 @@ object ScaleProbe {
         RankDedup.rankUpsertQueryPlanes(0), RankDedup.rankUpsertQueryPlanes(0)),
       ("dd6_simhash_pairs_auto",
         graft.operators.DedupOps.simhashPairsAutoQ,
-        graft.operators.DedupOps.simhashPairsAutoQ))
+        graft.operators.DedupOps.simhashPairsAutoQ),
+      // t7 AUTO: the 10x corpus (~53k docs) crosses the hashed-gram
+      // cutoff, so the broadcast probe switches from ~50-byte strings to
+      // 8-byte longs by itself; contrast with the fixed-string t7 row
+      ("t7_decontamination_auto",
+        graft.operators.TextOps.decontaminationAutoQ,
+        graft.operators.TextOps.decontaminationAutoQ))
     def time(fn: (SparkSession, String) => DataFrame, d: String): Double = {
       fn(spark, d).count() // warm: codegen/JIT for this plan shape
       // the timed run must not reuse the warmup's materializations

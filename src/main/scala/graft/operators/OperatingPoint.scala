@@ -63,6 +63,18 @@ object OperatingPoint {
     * (e.g. xxhash64 pairs), which is a different operator variant. */
   def simhashChunkBits(n: Long): Int = clamp(8 + extraBits(n, 5300L), 8, 10)
 
+  /** Gram-representation switch for the t7 decontamination broadcast:
+    * above this corpus size the eval set's distinct 8-gram table is
+    * md5-folded to 48-bit longs before broadcasting — 8 bytes per gram
+    * instead of ~50-byte strings (the fixture's mean 8-gram), shrinking
+    * the broadcast ~6x and turning every probe comparison into a long
+    * equality. Below it the string form stays: the table is tiny either
+    * way and strings mirror exactly into the static DuckDB oracle.
+    * Anchor: the sf0.1 fixture (~5.3k docs) stays on strings; one decade
+    * up crosses over. Collisions only ever FLAG an extra document — the
+    * conservative direction for a contamination check. */
+  def hashDecontaminationGrams(n: Long): Boolean = n > 20000L
+
   /** Join-strategy knob for the banded self-joins: once the banded side
     * (n·bands rows carrying the dim-double vector) outgrows a
     * broadcast-friendly size, the self-join must be a shuffle join — both

@@ -148,17 +148,45 @@ object TextOps {
     * Scale shape: the eval set's distinct n-gram table is SMALL by nature
     * (benchmarks are thousands of documents, not billions), so the check
     * is a broadcast hash probe against every corpus n-gram — map-side, no
-    * corpus shuffle; only the per-doc hit count aggregates. At 100 TB,
-    * hash the grams to longs first (the dd-family md5 fold) to shrink the
-    * broadcast; at fixture scale the strings are clearer and the plan is
-    * identical. */
-  def decontamination: Q = (s, d) => {
+    * corpus shuffle; only the per-doc hit count aggregates. The gram
+    * REPRESENTATION is the corpus-derived knob: the oracle-gated query
+    * pins the string form (clear, exactly mirrorable in DuckDB);
+    * [[decontaminationAuto]] switches to the dd-family 48-bit md5 fold
+    * above [[OperatingPoint.hashDecontaminationGrams]], shrinking the
+    * broadcast (8 bytes vs ~50-byte strings) and making every probe
+    * comparison a long-equality instead of a string compare. */
+  def decontamination: Q = (s, d) =>
+    decontaminationOver(documents(s, d), hashGrams = false)
+
+  /** Library entrypoint with the gram representation derived from corpus
+    * size. The 48-bit fold's collision odds are birthday-bounded (~1e-4 at
+    * 1M distinct eval grams) and a collision can only FLAG an extra doc —
+    * the conservative direction for decontamination. */
+  def decontaminationAuto(corpus: org.apache.spark.sql.DataFrame,
+      countEstimate: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val n = countEstimate.getOrElse(corpus.count())
+    decontaminationOver(corpus, OperatingPoint.hashDecontaminationGrams(n))
+  }
+
+  /** ScaleProbe harness form of [[decontaminationAuto]]. */
+  private[graft] val decontaminationAutoQ: Q =
+    (s, d) => decontaminationAuto(documents(s, d))
+
+  /** Core of t7 over any (doc_id, text) corpus; `hashGrams` selects the
+    * probe representation (identical hit semantics modulo the documented
+    * fold collisions — TextOpsSpec asserts fixture parity). */
+  private[graft] def decontaminationOver(corpus: org.apache.spark.sql.DataFrame,
+      hashGrams: Boolean): org.apache.spark.sql.DataFrame = {
     val gram8 =
       """transform(sequence(0, greatest(size(words)-8, 0)),
         | i -> array_join(slice(words, i+1, 8), ' '))""".stripMargin
-    val docs = documents(s, d)
+    val docs = corpus
       .select(col("doc_id"), split(col("text"), " ").as("words"))
-    val grams = docs.select(col("doc_id"), explode(expr(gram8)).as("g"))
+    val gramsStr = docs.select(col("doc_id"), explode(expr(gram8)).as("g"))
+    val grams = if (hashGrams)
+      gramsStr.select(col("doc_id"), expr(
+        "cast(conv(substring(md5(g), 1, 12), 16, 10) as bigint)").as("g"))
+    else gramsStr
     val bench = grams.filter(col("doc_id") % 97 === 0)
       .select(col("g")).distinct()
     val hits = grams.join(broadcast(bench), Seq("g"))

@@ -41,6 +41,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getBoolean(3) == (r.getLong(2) > 0)))
   }
 
+  test("decontamination hashed-gram switch: long-key broadcast, parity with strings") {
+    val docs = Tables.load(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val hashed = TextOps.decontaminationOver(docs, hashGrams = true)
+    // the broadcast probe joins on a BIGINT gram (g#NL), not a string —
+    // the 100 TB form where the eval table broadcasts 8 bytes per gram
+    val plan = hashed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("\\[g#\\d+L\\]".r.findFirstIn(plan).nonEmpty,
+      s"hashed variant must join on a long gram column: $plan")
+    val strPlan = TextOps.decontaminationOver(docs, hashGrams = false)
+      .queryExecution.executedPlan.toString
+    assert("\\[g#\\d+L\\]".r.findFirstIn(strPlan).isEmpty,
+      "string variant unexpectedly joins on a long column")
+    // identical verdicts on the fixture (the 48-bit fold is
+    // collision-free at this gram count)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(rows(hashed) == rows(TextOps.decontaminationOver(docs, hashGrams = false)))
+    // the AUTO entrypoint picks strings at fixture size and longs at 10x —
+    // derivation checked directly against the documented cutoff
+    import graft.operators.OperatingPoint
+    assert(!OperatingPoint.hashDecontaminationGrams(5300L))
+    assert(OperatingPoint.hashDecontaminationGrams(53000L))
+  }
+
   test("frame sampling yields fixed 32-byte frames incl. frame 0 per media") {
     val frames = Multimodal.sampleFrames(Multimodal.mediaTable(spark, sf))
     assert(frames.filter(_.frame.length != 32).count() == 0)
