@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   * the JDK's javax.imageio and derives pixel features (per-quadrant RGB +
   * luma means). Audio decoding is REAL for 16-bit PCM WAV/AIFF/AU:
   * [[WavCodec]] decodes via javax.sound.sampled and derives per-octant
-  * RMS + zero-crossing features. Video decoding is STUBBED — the JDK
-  * ships no video codec, so [[StubCodec]] derives deterministic fake
-  * features from the bytes; swap it for an FFmpeg/JNI-backed codec in
-  * production — every signature stays the same. [[DefaultCodec]] routes
-  * by kind and falls back to the stub when bytes don't decode, so
-  * non-media fixtures flow through unchanged.
+  * RMS + zero-crossing features. Video decoding is REAL for MJPEG-style
+  * payloads (concatenated JPEG frames): [[MjpegCodec]] delimits frames by
+  * SOI/EOI markers, decodes each through ImageIO, and averages the frame
+  * features. True video CONTAINERS (MP4/MKV) still fall to [[StubCodec]]'s
+  * deterministic fake — the JDK ships no inter-frame codec; swap in an
+  * FFmpeg/JNI-backed codec behind the same seam in production.
+  * [[DefaultCodec]] routes by kind and falls back to the stub when bytes
+  * don't decode, so non-media fixtures flow through unchanged.
   */
 object Multimodal {
 
@@ -175,9 +177,51 @@ object Multimodal {
     }
   }
 
+  /** Real video decode for MJPEG-style payloads (concatenated JPEG
+    * frames — the shape surveillance cams, many capture SDKs, and
+    * frame-dumped fixtures produce): frames are found by scanning for
+    * JPEG SOI/EOI marker pairs (0xFFD8…0xFFD9 — entropy-coded JPEG data
+    * escapes 0xFF, so SOI cannot appear inside a frame's coded stream),
+    * each frame decodes through [[ImageIoCodec]], and the clip feature is
+    * the per-dimension MEAN over frames (deterministic, order-free). True
+    * containers (MP4/MKV/WebM) still fall to the stub — the JDK ships no
+    * inter-frame codec; swap in an FFmpeg/JNI codec behind the same
+    * [[Codec]] seam for those. */
+  object MjpegCodec {
+    /** Byte ranges of complete SOI…EOI frames, in stream order. */
+    def frames(payload: Array[Byte]): Seq[Array[Byte]] = {
+      val out = Seq.newBuilder[Array[Byte]]
+      var i = 0
+      var start = -1
+      while (i + 1 < payload.length) {
+        val a = payload(i) & 0xff
+        val b = payload(i + 1) & 0xff
+        if (a == 0xff && b == 0xd8 && start < 0) { start = i; i += 2 }
+        else if (a == 0xff && b == 0xd9 && start >= 0) {
+          out += java.util.Arrays.copyOfRange(payload, start, i + 2)
+          start = -1; i += 2
+        } else i += 1
+      }
+      out.result()
+    }
+
+    /** None when no frame both delimits AND decodes — the router then
+      * falls back to the stub (true-container payloads land here). */
+    def decodeFeatures(payload: Array[Byte]): Option[Array[Float]] = {
+      val decoded = frames(payload).flatMap(f =>
+        ImageIoCodec.decode(f).map(ImageIoCodec.features))
+      if (decoded.isEmpty) None
+      else Some(Array.tabulate(ImageIoCodec.FeatureDim) { d =>
+        decoded.map(_(d)).sum / decoded.length
+      })
+    }
+  }
+
   /** Kind-routing codec: images decode for real via ImageIO, audio via
-    * javax.sound.sampled (stub fallback for undecodable bytes in both);
-    * video remains stubbed — the JDK ships no video codec. */
+    * javax.sound.sampled, MJPEG-style video via per-frame ImageIO (stub
+    * fallback for undecodable bytes in all three — one corrupt payload
+    * must not fail the task, and true video containers have no JDK
+    * codec). */
   object DefaultCodec extends Codec {
     def decodeFeatures(kind: String, payload: Array[Byte]): Array[Float] =
       kind match {
@@ -186,6 +230,8 @@ object Multimodal {
           .getOrElse(StubCodec.decodeFeatures(payload))
         case "audio" => WavCodec.decode(payload)
           .map(WavCodec.features)
+          .getOrElse(StubCodec.decodeFeatures(payload))
+        case "video" => MjpegCodec.decodeFeatures(payload)
           .getOrElse(StubCodec.decodeFeatures(payload))
         case _ => StubCodec.decodeFeatures(payload)
       }
@@ -229,6 +275,19 @@ object Multimodal {
       m.payload.grouped(stride).zipWithIndex.collect {
         case (w, idx) if w.length >= frameSize =>
           Frame(m.media_id, idx, w.take(frameSize))
+      }
+    }
+  }
+
+  /** Real keyframe extraction for MJPEG-style payloads: one row per
+    * delimited JPEG frame (actual decodable frame bytes), complementing
+    * [[sampleFrames]]' fixed-stride byte windows (the oracle-pinned mm2
+    * shape for payloads without frame structure). */
+  def sampleJpegFrames(media: Dataset[MediaRow]): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      MjpegCodec.frames(m.payload).zipWithIndex.map { case (f, idx) =>
+        Frame(m.media_id, idx, f)
       }
     }
   }

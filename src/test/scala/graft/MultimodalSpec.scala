@@ -111,6 +111,55 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.StubCodec.decodeFeatures("not a wav".getBytes("UTF-8"))))
   }
 
+  test("MJPEG video payloads decode per-frame through the Spark pipeline") {
+    import spark.implicits._
+    // three solid-color JPEG frames (red, green, blue) concatenated —
+    // the MJPEG shape; JPEG is lossy so colors are asserted loosely
+    def solidJpeg(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    val (r, g, b) = (solidJpeg(0xff0000), solidJpeg(0x00ff00), solidJpeg(0x0000ff))
+    val mjpeg = r ++ g ++ b
+
+    // frame delimiting finds exactly the three encoded frames
+    val frames = Multimodal.MjpegCodec.frames(mjpeg)
+    assert(frames.length == 3)
+    assert(frames(0).sameElements(r) && frames(1).sameElements(g) &&
+      frames(2).sameElements(b))
+
+    // keyframe extraction through the Dataset pipeline: one row per real
+    // frame, each decodable back to its color
+    val media = Seq(
+      Multimodal.MediaRow(1L, Multimodal.MediaMeta("video", 8, 8, 0), mjpeg),
+      // a true-container stand-in (no JPEG markers) yields no keyframes
+      Multimodal.MediaRow(2L, Multimodal.MediaMeta("video", 0, 0, 0),
+        "mp4 container bytes".getBytes("UTF-8"))).toDS()
+    val kf = Multimodal.sampleJpegFrames(media).collect()
+    assert(kf.length == 3 && kf.forall(_.media_id == 1L))
+    assert(kf.map(_.frame_idx).sorted.sameElements(Array(0, 1, 2)))
+    val f0 = Multimodal.ImageIoCodec.decode(kf.sortBy(_.frame_idx).head.frame)
+    assert(f0.nonEmpty, "extracted keyframe must decode as an image")
+
+    // clip features = mean over frames: each channel mean ≈ 1/3 (one pure
+    // frame each), with luma tracking the rec601 weights
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.features).toMap
+    val clip = feats(1L)
+    (0 until 4).foreach { q =>
+      assert(math.abs(clip(q * 4) - 1f / 3) < 0.05f, s"quadrant $q R: ${clip(q * 4)}")
+      assert(math.abs(clip(q * 4 + 1) - 1f / 3) < 0.05f, s"quadrant $q G")
+      assert(math.abs(clip(q * 4 + 2) - 1f / 3) < 0.05f, s"quadrant $q B")
+    }
+    // container-like bytes fall back to the stub, not a crash or zeros
+    assert(feats(2L).sameElements(Multimodal.StubCodec.decodeFeatures(
+      "mp4 container bytes".getBytes("UTF-8"))))
+  }
+
   test("features feed VectorOps-compatible embedding column") {
     graft.functions.CosineSimilarity.register(spark)
     val f = Multimodal.featureFrame(spark, sf).limit(10)
