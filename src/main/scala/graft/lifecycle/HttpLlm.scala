@@ -40,23 +40,10 @@ final class HttpLlmClient(baseUrl: String, apiKey: String, model: String,
     conn
   }
 
-  private def failIfError(conn: HttpURLConnection): Unit = {
-    val code = conn.getResponseCode
-    if (code >= 400) {
-      // getErrorStream is null when the error response has no body — guard
-      // so the status code is reported rather than masked by an NPE
-      val text = Option(conn.getErrorStream)
-        .map(scala.io.Source.fromInputStream(_, "UTF-8").mkString)
-        .getOrElse("(no response body)")
-      throw new RuntimeException(
-        s"LLM HTTP $code: ${graft.plans.Lifecycle.condense(text)}")
-    }
-  }
-
   override def complete(stage: String, prompt: String): String = {
     val conn = open(stage, prompt, stream = false)
     try {
-      failIfError(conn)
+      HttpLlm.failIfError(conn)
       val text = scala.io.Source
         .fromInputStream(conn.getInputStream, "UTF-8").mkString
       HttpLlm.extractContent(text).getOrElse(
@@ -78,7 +65,7 @@ final class HttpLlmClient(baseUrl: String, apiKey: String, model: String,
     val t0 = System.nanoTime()
     val conn = open(stage, prompt, stream = true)
     try {
-      failIfError(conn)
+      HttpLlm.failIfError(conn)
       val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(conn.getInputStream, StandardCharsets.UTF_8))
       val text = new StringBuilder
@@ -137,34 +124,62 @@ object HttpLlm {
     b.append('"').toString
   }
 
-  /** Extract choices[0].message.content from a chat-completions response:
-    * scan to the "content" key and decode the JSON string that follows. A
-    * purpose-built scanner instead of a JSON dependency (build rules allow
-    * none); the response shape is fixed by the public API contract. */
-  def extractContent(json: String): Option[String] = {
-    val key = "\"content\""
-    val at = json.indexOf(key)
-    if (at < 0) return None
-    var i = at + key.length
-    while (i < json.length && (json(i) == ':' || json(i).isWhitespace)) i += 1
-    if (i >= json.length || json(i) != '"') return None
-    i += 1
-    val b = new StringBuilder
-    while (i < json.length && json(i) != '"') {
-      json(i) match {
-        case '\\' if i + 1 < json.length =>
-          json(i + 1) match {
-            case 'n' => b.append('\n'); i += 2
-            case 'r' => b.append('\r'); i += 2
-            case 't' => b.append('\t'); i += 2
-            case 'u' if i + 5 < json.length =>
-              b.append(Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar)
-              i += 6
-            case c => b.append(c); i += 2
-          }
-        case c => b.append(c); i += 1
-      }
+  /** Shared HTTP-error guard for the provider adapters. */
+  private[lifecycle] def failIfError(conn: HttpURLConnection): Unit = {
+    val code = conn.getResponseCode
+    if (code >= 400) {
+      // getErrorStream is null when the error response has no body — guard
+      // so the status code is reported rather than masked by an NPE
+      val text = Option(conn.getErrorStream)
+        .map(scala.io.Source.fromInputStream(_, "UTF-8").mkString)
+        .getOrElse("(no response body)")
+      throw new RuntimeException(
+        s"LLM HTTP $code: ${graft.plans.Lifecycle.condense(text)}")
     }
-    if (i >= json.length) None else Some(b.toString)
+  }
+
+  /** Extract choices[0].message.content from a chat-completions response. */
+  def extractContent(json: String): Option[String] = extractField(json, "content")
+
+  /** First `"name": "<string>"` pair decoded from a JSON payload; quoted
+    * occurrences of `name` that are VALUES rather than keys (no ':'
+    * follows), or keys whose value is not a string (e.g. Anthropic's
+    * `"content": [...]` block array), are skipped and the scan continues.
+    * A purpose-built scanner instead of a JSON dependency (build rules
+    * allow none); the response shapes are fixed by the public API
+    * contracts of the two wires this module speaks. */
+  def extractField(json: String, name: String): Option[String] = {
+    val key = "\"" + name + "\""
+    var at = json.indexOf(key)
+    while (at >= 0) {
+      var i = at + key.length
+      while (i < json.length && json(i).isWhitespace) i += 1
+      if (i < json.length && json(i) == ':') {
+        i += 1
+        while (i < json.length && json(i).isWhitespace) i += 1
+        if (i < json.length && json(i) == '"') {
+          i += 1
+          val b = new StringBuilder
+          while (i < json.length && json(i) != '"') {
+            json(i) match {
+              case '\\' if i + 1 < json.length =>
+                json(i + 1) match {
+                  case 'n' => b.append('\n'); i += 2
+                  case 'r' => b.append('\r'); i += 2
+                  case 't' => b.append('\t'); i += 2
+                  case 'u' if i + 5 < json.length =>
+                    b.append(Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar)
+                    i += 6
+                  case c => b.append(c); i += 2
+                }
+              case c => b.append(c); i += 1
+            }
+          }
+          return if (i >= json.length) None else Some(b.toString)
+        }
+      }
+      at = json.indexOf(key, at + 1)
+    }
+    None
   }
 }

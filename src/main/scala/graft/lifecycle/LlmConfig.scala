@@ -5,15 +5,20 @@ package graft.lifecycle
   * ..., "details": {"model": ..., "provider": ...}}], LLM_CONFIG_sample.json;
   * resolved per call by models.init(agent) → provider dispatch,
   * bambooai/models/__init__.py:121-164). Here the provider zoo collapses to
-  * the OpenAI-compatible [[HttpLlmClient]] — one wire shape reaches most
-  * public endpoints — so a binding is (model, base-url, api-key) and
-  * dispatch is a stage→client map in front of a default client.
+  * two PUBLIC wire shapes — the OpenAI-compatible [[HttpLlmClient]] (which
+  * reaches most gateways) and the Anthropic Messages
+  * [[AnthropicLlmClient]] — so a binding is (model, provider, base-url,
+  * api-key) and dispatch is a stage→client map in front of a default
+  * client.
   */
 object LlmConfig {
 
-  /** One stage binding. Unset fields inherit the default client's values. */
+  /** One stage binding. Unset fields inherit the default client's values;
+    * `provider` selects the wire shape ("anthropic" → the Messages API,
+    * anything else → OpenAI-compatible chat completions, mirroring the
+    * reference's per-provider `details.provider` key). */
   final case class Binding(model: String, baseUrl: Option[String] = None,
-      apiKey: Option[String] = None)
+      apiKey: Option[String] = None, provider: Option[String] = None)
 
   /** Stage-routing client: stages with a binding go to their own client,
     * everything else to the default — so partial configs behave like the
@@ -98,7 +103,8 @@ object LlmConfig {
           model <- strField(details, "model")
         } yield agent -> Binding(model,
           baseUrl = strField(details, "base_url"),
-          apiKey = strField(details, "api_key"))
+          apiKey = strField(details, "api_key"),
+          provider = strField(details, "provider"))
       }
     }.toMap
   }
@@ -111,14 +117,22 @@ object LlmConfig {
 
   /** Environment wiring: GRAFT_LLM_CONFIG holds the agent_configs JSON;
     * per-stage clients inherit the default's base-url/key unless the
-    * binding overrides them. None when no default client can be built
-    * (no GRAFT_LLM_API_KEY), same inert contract as [[HttpLlm.fromEnv]]. */
+    * binding overrides them (an "anthropic" binding defaults to the
+    * public Messages endpoint instead of the chat-completions base, whose
+    * /v1 path component belongs to a different wire). None when no
+    * default client can be built (no GRAFT_LLM_API_KEY), same inert
+    * contract as [[HttpLlm.fromEnv]]. */
   def fromEnv(env: String => Option[String] = sys.env.get): Option[Dispatch] =
     HttpLlm.fromEnv(env).map { default =>
       val base = env("GRAFT_LLM_BASE_URL").getOrElse("https://api.openai.com/v1")
       val key = env("GRAFT_LLM_API_KEY").getOrElse("")
       val bindings = env("GRAFT_LLM_CONFIG").map(parse).getOrElse(Map.empty)
-      dispatch(default, bindings, b => new HttpLlmClient(
-        b.baseUrl.getOrElse(base), b.apiKey.getOrElse(key), b.model))
+      dispatch(default, bindings, b =>
+        if (b.provider.contains("anthropic"))
+          new AnthropicLlmClient(
+            b.baseUrl.getOrElse("https://api.anthropic.com"),
+            b.apiKey.getOrElse(key), b.model)
+        else new HttpLlmClient(
+          b.baseUrl.getOrElse(base), b.apiKey.getOrElse(key), b.model))
     }
 }

@@ -195,7 +195,7 @@ class AgentsSpec extends SparkSpec {
         |  {"agent": "broken", "details": {"provider": "openai"}}
         |]}""".stripMargin)
     assert(cfg == Map(
-      "planner" -> LlmConfig.Binding("model-a"),
+      "planner" -> LlmConfig.Binding("model-a", provider = Some("openai")),
       "summarizer" -> LlmConfig.Binding("model-b", baseUrl = Some("http://alt/v1"))))
     // braces inside string values must not mis-anchor an entry, and
     // "agent" text inside a string value is not a key (round-5 advice)

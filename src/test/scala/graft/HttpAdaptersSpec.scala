@@ -126,6 +126,92 @@ class HttpAdaptersSpec extends SparkSpec {
     }
   }
 
+  test("Anthropic adapter: Messages wire shape, content-block extraction") {
+    import graft.lifecycle.AnthropicLlmClient
+    var seenBody = ""
+    var seenKey = ""
+    var seenVersion = ""
+    val response =
+      """{"id":"msg-1","type":"message","role":"assistant",
+        |"content":[{"type":"text","text":"plan:\n- bucket \"big\" orders"}],
+        |"stop_reason":"end_turn","usage":{"output_tokens":12}}""".stripMargin
+    withServer(Map("/v1/messages" -> (ex => {
+      seenKey = ex.getRequestHeaders.getFirst("x-api-key")
+      seenVersion = ex.getRequestHeaders.getFirst("anthropic-version")
+      seenBody = scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+      (200, response)
+    }))) { base =>
+      val client = new AnthropicLlmClient(base, "sk-ant-test", "test-model")
+      val out = client.complete("planner", "plan the \"big\" orders query")
+      assert(out == "plan:\n- bucket \"big\" orders")
+      assert(seenKey == "sk-ant-test" && seenVersion.nonEmpty)
+      assert(seenBody.contains("\"model\":\"test-model\""))
+      assert(seenBody.contains("\"max_tokens\":"))
+      assert(seenBody.contains("planner"))
+      assert(seenBody.contains("plan the \\\"big\\\" orders query"))
+      // the adapter satisfies the same seam the agent chain consumes
+      assert((client: Agents.LlmClient).complete("planner", "x").nonEmpty)
+    }
+    // "content" is a block ARRAY on this wire — the field scanner must
+    // skip it (and the "type":"text" VALUE) and land on the text block
+    assert(HttpLlm.extractField(response, "text")
+      .contains("plan:\n- bucket \"big\" orders"))
+  }
+
+  test("Anthropic adapter: SSE deltas assemble until message_stop") {
+    import graft.lifecycle.AnthropicLlmClient
+    var seenBody = ""
+    val sse = Seq(
+      """data: {"type":"message_start","message":{"id":"msg-1"}}""",
+      """data: {"type":"content_block_start","index":0,"content_block":{"type":"text","text":""}}""",
+      """data: {"type":"content_block_delta","index":0,"delta":{"type":"text_delta","text":"Hel"}}""",
+      "",
+      """data: {"type":"content_block_delta","index":0,"delta":{"type":"text_delta","text":"lo "}}""",
+      """data: {"type":"content_block_delta","index":0,"delta":{"type":"text_delta","text":"world"}}""",
+      """data: {"type":"content_block_stop","index":0}""",
+      """data: {"type":"message_delta","delta":{"stop_reason":"end_turn"}}""",
+      """data: {"type":"message_stop"}""",
+      """data: {"type":"content_block_delta","index":0,"delta":{"type":"text_delta","text":"IGNORED"}}""")
+      .mkString("\n")
+    withServer(Map("/v1/messages" -> (ex => {
+      seenBody = scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+      (200, sse)
+    }))) { base =>
+      val client = new AnthropicLlmClient(base, "sk-ant-test", "m")
+      val deltas = scala.collection.mutable.Buffer.empty[String]
+      val r = client.completeStreaming("summarizer", "say hello", deltas += _)
+      assert(seenBody.contains("\"stream\":true"))
+      assert(r.text == "Hello world" && r.chunks == 3)
+      assert(deltas.toSeq == Seq("Hel", "lo ", "world"))
+      assert(r.elapsedSec > 0 && r.chunksPerSec > 0)
+    }
+  }
+
+  test("LlmConfig: anthropic provider binding dispatches to the Messages wire") {
+    import graft.lifecycle.LlmConfig
+    var path = ""
+    val response =
+      """{"content":[{"type":"text","text":"ok"}]}"""
+    withServer(Map("/v1/messages" -> (ex => {
+      path = ex.getRequestURI.getPath
+      (200, response)
+    }))) { base =>
+      val cfg = s"""{"agent_configs": [
+                   |  {"agent": "planner", "details": {"model": "m-ant",
+                   |   "provider": "anthropic", "base_url": "$base"}}
+                   |]}""".stripMargin
+      val d = LlmConfig.fromEnv(Map(
+        "GRAFT_LLM_API_KEY" -> "k",
+        "GRAFT_LLM_BASE_URL" -> "http://127.0.0.1:1/v1",
+        "GRAFT_LLM_CONFIG" -> cfg).get).get
+      assert(d.boundStages == Set("planner"))
+      assert(d.complete("planner", "p") == "ok")
+      assert(path == "/v1/messages")
+      // an unbound stage still routes to the (dead) default wire
+      intercept[Exception] { d.complete("summarizer", "p") }
+    }
+  }
+
   test("fromEnv: inert without a key, configured with one") {
     assert(HttpLlm.fromEnv(_ => None).isEmpty)
     val c = HttpLlm.fromEnv(Map(
