@@ -20,6 +20,84 @@ object PlotSpec {
     case c => c.toString
   }
 
+  /** The reference's plot_2d helper parameter surface
+    * (default_prompts.yaml:1290-1313): a plotly-express call reduced to
+    * its declarative inputs — plot type, x/y columns, title, axis-label
+    * remaps, a series color, and hover columns. */
+  final case class Plot2d(plotType: String, x: String, ys: Seq[String],
+      title: String, labels: Map[String, String] = Map.empty,
+      color: Option[String] = None, hoverData: Seq[String] = Nil)
+
+  /** plotly-express plot types → Vega-Lite marks (both public grammars);
+    * unknown types fall back to point, the exploratory default. */
+  private val MarkOf = Map("scatter" -> "point", "line" -> "line",
+    "bar" -> "bar", "area" -> "area", "histogram" -> "bar")
+
+  private def vlType(dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case _: org.apache.spark.sql.types.NumericType => "quantitative"
+      case org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => "temporal"
+      case _ => "nominal"
+    }
+
+  private def jsonValue(v: Any): String = v match {
+    case null => "null"
+    case n: java.lang.Number => n.toString
+    case b: java.lang.Boolean => b.toString
+    case other => "\"" + esc(other.toString) + "\""
+  }
+
+  /** Vega-Lite v5 emission of the [[Plot2d]] contract over an aggregated
+    * frame: inline `data.values` row objects, the mark mapped from the
+    * plotly type, typed x/y encodings (column dtype → quantitative /
+    * temporal / nominal) with label remaps as axis titles, hover columns
+    * as the tooltip channel, and multi-series y folded into
+    * (series, value) with color carrying the series — the same
+    * declarative semantics plot_2d renders through plotly, in the other
+    * public grammar. Deterministic: key order is fixed and rows follow
+    * the frame's order (callers sort upstream). */
+  def toVegaLite(spec: Plot2d, df: DataFrame, maxRows: Int = 1000): String = {
+    val cols = (spec.x +: spec.ys) ++ spec.hoverData.filterNot(
+      c => c == spec.x || spec.ys.contains(c))
+    val schema = df.select(cols.head, cols.tail: _*).schema
+    val rows = df.select(cols.head, cols.tail: _*).limit(maxRows).collect()
+      .map { r =>
+        cols.indices.map(i => "\"" + esc(cols(i)) + "\": " + jsonValue(r.get(i)))
+          .mkString("{", ", ", "}")
+      }.mkString("[", ", ", "]")
+    def axisTitle(c: String) = spec.labels.getOrElse(c, c)
+    def enc(channel: String, field: String, dtype: String, extra: String = "") =
+      s""""$channel": {"field": "${esc(field)}", "type": "$dtype"$extra, "title": "${esc(axisTitle(field))}"}"""
+    // plotly's histogram bins x itself; Vega-Lite says so explicitly
+    val xEnc = enc("x", spec.x, vlType(schema(spec.x).dataType),
+      if (spec.plotType == "histogram") ", \"bin\": true" else "")
+    val mark = MarkOf.getOrElse(spec.plotType, "point")
+    val tooltip =
+      if (spec.hoverData.isEmpty) ""
+      else ", \"tooltip\": [" + spec.hoverData.map(c =>
+        s"""{"field": "${esc(c)}", "type": "${vlType(schema(c).dataType)}"}""")
+        .mkString(", ") + "]"
+    val (transform, yEnc, colorEnc) =
+      if (spec.ys.length == 1) {
+        val c = spec.color.map(col =>
+          s""", "color": {"value": "${esc(col)}"}""").getOrElse("")
+        ("", enc("y", spec.ys.head, vlType(schema(spec.ys.head).dataType)), c)
+      } else {
+        val fold = spec.ys.map(y => "\"" + esc(y) + "\"").mkString(", ")
+        (s""""transform": [{"fold": [$fold], "as": ["series", "value"]}], """,
+          """"y": {"field": "value", "type": "quantitative"}""",
+          """, "color": {"field": "series", "type": "nominal"}""")
+      }
+    s"""{"$$schema": "https://vega.github.io/schema/vega-lite/v5.json", """ +
+      s""""title": "${esc(spec.title)}", """ +
+      s""""data": {"values": $rows}, """ +
+      transform +
+      s""""mark": {"type": "$mark"}, """ +
+      s""""encoding": {$xEnc, $yEnc$colorEnc$tooltip}}"""
+  }
+
   /** Serialize spec + inlined (small, post-aggregation) data rows — the
     * shape the reference ships to its web UI as plotly JSON. Callers are
     * expected to pass an already-aggregated frame (the engine's contract:

@@ -63,4 +63,41 @@ class CatalogSpec extends SparkSpec {
     // sanity: parses as JSON via the oracle-side python? keep it structural
     assert(json.count(_ == '[') == json.count(_ == ']'))
   }
+
+  test("plot_2d vega-lite emission: golden shape for the reference helper contract") {
+    import spark.implicits._
+    // tiny deterministic frame standing in for an aggregated result
+    val df = Seq(("2024-01", 3L, 1.5, "a"), ("2024-02", 5L, 2.5, "b"))
+      .toDF("month", "n", "avg_v", "tag")
+    // single-series line with label remap, explicit color, hover column —
+    // the full plot_2d parameter surface (default_prompts.yaml:1290-1313)
+    val single = PlotSpec.toVegaLite(PlotSpec.Plot2d(
+      "line", "month", Seq("n"), "Orders",
+      labels = Map("month" -> "Month", "n" -> "Orders / month"),
+      color = Some("#336699"), hoverData = Seq("tag")), df)
+    val goldenSingle =
+      """{"$schema": "https://vega.github.io/schema/vega-lite/v5.json", """ +
+        """"title": "Orders", """ +
+        """"data": {"values": [{"month": "2024-01", "n": 3, "tag": "a"}, """ +
+        """{"month": "2024-02", "n": 5, "tag": "b"}]}, """ +
+        """"mark": {"type": "line"}, """ +
+        """"encoding": {"x": {"field": "month", "type": "nominal", "title": "Month"}, """ +
+        """"y": {"field": "n", "type": "quantitative", "title": "Orders / month"}, """ +
+        """"color": {"value": "#336699"}, """ +
+        """"tooltip": [{"field": "tag", "type": "nominal"}]}}"""
+    assert(single == goldenSingle, single)
+
+    // multi-series scatter folds ys into (series, value) carried by color
+    val multi = PlotSpec.toVegaLite(PlotSpec.Plot2d(
+      "scatter", "month", Seq("n", "avg_v"), "Two series"), df)
+    assert(multi.contains(""""transform": [{"fold": ["n", "avg_v"], "as": ["series", "value"]}]"""))
+    assert(multi.contains(""""mark": {"type": "point"}"""))
+    assert(multi.contains(""""y": {"field": "value", "type": "quantitative"}"""))
+    assert(multi.contains(""""color": {"field": "series", "type": "nominal"}"""))
+
+    // histogram asks Vega-Lite to bin x, matching plotly's behavior
+    val hist = PlotSpec.toVegaLite(PlotSpec.Plot2d(
+      "histogram", "avg_v", Seq("n"), "H"), df)
+    assert(hist.contains(""""x": {"field": "avg_v", "type": "quantitative", "bin": true"""))
+  }
 }
