@@ -3,27 +3,38 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-up probe: synthesizes a 10x copy of the sf0.1 fixtures (keys
+/** Scale-up probe: synthesizes an N-times copy of the sf0.1 fixtures (keys
   * offset per copy so group/join/session cardinalities scale with the data,
   * matching how a larger TPC-H SF behaves), then times headline queries at
-  * 1x and 10x and prints per-query scaling ratios as one JSON line.
+  * 1x and Nx and prints per-query scaling ratios as one JSON line.
   *
   * Purpose: turn the "would this plan survive a scale-up?" review question
-  * into a measurement. A query whose ratio tracks the 10x data growth is
+  * into a measurement. A query whose ratio tracks the data growth is
   * scan/shuffle-linear; a super-linear ratio exposes a fixed-cardinality
   * blocking key or a driver-side bottleneck. Writes only under target/.
   *
-  * Usage: runMain graft.ScaleProbe [baseSfDir] [outDir]
+  * Two modes share the machinery:
+  *  - copies = 10 (default): the full per-family sweep that has anchored
+  *    BASELINE.md §5 since round 3;
+  *  - copies = 100: the TWO-DECADE check for the AUTO operating points —
+  *    every scale claim was previously measured at one decade; this runs
+  *    the SAME library entrypoints (the operator derives its own config
+  *    from the corpus count, no hand knobs anywhere) against ~60M lineitem
+  *    rows / ~550k planted docs / 200k vectors and verifies the log2
+  *    derivation holds across both decades. The default 100x row set is
+  *    the AUTO family + the broadcast-probe and cluster queries; pass an
+  *    explicit name filter to probe anything else.
+  *
+  * Usage: runMain graft.ScaleProbe [baseSfDir] [outDir] [nameFilter] [copies]
   */
 object ScaleProbe {
 
-  private val Copies = 10
-
-  private[graft] def synth(spark: SparkSession, base: String, out: String): Unit = {
-    val copies = spark.range(Copies).select(col("id").as("cp"))
+  private[graft] def synth(spark: SparkSession, base: String, out: String,
+      copies: Int = 10): Unit = {
+    val cps = spark.range(copies).select(col("id").as("cp"))
     def widen(name: String, keyShifts: Map[String, Long]): Unit = {
       val t = Tables.load(spark, base, name)
-      val shifted = keyShifts.foldLeft(t.crossJoin(copies)) {
+      val shifted = keyShifts.foldLeft(t.crossJoin(cps)) {
         case (df, (c, stride)) => df.withColumn(c, col(c) + col("cp") * stride)
       }.drop("cp")
       shifted.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -34,15 +45,24 @@ object ScaleProbe {
     widen("customer", Map("c_custkey" -> 1000000L))
     widen("events", Map("event_id" -> 100000000L, "user_id" -> 100000L))
     widen("documents", Map("doc_id" -> 1000000L))
-    // embeddings: shift ids AND rotate each copy's vector by cp positions —
-    // an un-rotated copy would be an exact near-dup of every other copy, so
-    // pair counts would grow c² by construction and the probe would measure
-    // the synthetic corpus, not the plan. Rotation keeps per-copy geometry
-    // identical while decorrelating copies (fixture cross-cosines ≤ 0.51).
-    Tables.load(spark, base, "embeddings").crossJoin(copies)
+    // embeddings: shift ids AND decorrelate each copy's vector — an
+    // untouched copy would be an exact near-dup of every other copy, so
+    // pair counts would grow c² by construction and the probe would
+    // measure the synthetic corpus, not the plan. Copies 0-63 rotate by
+    // cp positions (per-copy geometry identical, fixture cross-cosines
+    // ≤ 0.51); past 64 the rotations repeat, so copies ≥ 64 additionally
+    // flip the sign of alternating elements, which drives the cosine
+    // against the same-rotation copy toward the odd/even mass difference
+    // (≈ 0 for hash-style vectors) instead of 1.0.
+    Tables.load(spark, base, "embeddings").crossJoin(cps)
+      .withColumn("embedding", expr(
+        """concat(slice(embedding, (cp % 64) + 1, 64 - (cp % 64)),
+          |       slice(embedding, 1, cp % 64))""".stripMargin))
+      .withColumn("embedding", expr(
+        """CASE WHEN cp < 64 THEN embedding
+          | ELSE transform(embedding, (x, i) ->
+          |   CASE WHEN i % 2 = 0 THEN -x ELSE x END) END""".stripMargin))
       .withColumn("vec_id", col("vec_id") + col("cp") * 1000000L)
-      .withColumn("embedding",
-        expr("concat(slice(embedding, cp + 1, 64 - cp), slice(embedding, 1, cp))"))
       .drop("cp")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     // small dims are shared, copied as-is
@@ -54,7 +74,8 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val out = if (args.length > 1) args(1) else "target/sfx10"
+    val copies = if (args.length > 3) args(3).toInt else 10
+    val out = if (args.length > 1) args(1) else s"target/sfx$copies"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -63,9 +84,9 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    synth(spark, base, out)
+    synth(spark, base, out, copies)
 
-    // (name, plan at 1x, plan at 10x). For LSH/IVF operators the 10x plan
+    // (name, plan at 1x, plan at Nx). For LSH/IVF operators the Nx plan
     // uses the SCALED operating point — more sign bits / more cells — because
     // that is how the operator is run on a larger corpus: the bucket count is
     // the knob that holds per-bucket occupancy (and so candidate-pair work)
@@ -81,7 +102,20 @@ object ScaleProbe {
       // n-gram decontamination probe
       "dd7_dup_clusters", "t7_decontamination")
       .map(n => (n, SparkEntry.queries(n), SparkEntry.queries(n)))
-    import graft.operators.{RankDedup, VectorOps}
+    import graft.operators.{Profile, RankDedup, VectorOps}
+    // profile first-touch: exact vs sketched (HLL++) distinct counts over
+    // the widened lineitem table with THREE categorical columns — the
+    // configuration where the exact form's Expand rewrite multiplies
+    // every input row per distinct group before the shuffle, which is
+    // the first thing that stalls on a wide 100 TB table. Both sides run
+    // the SAME summaryAgg; only the distinct aggregates differ.
+    def profileQ(approx: Boolean): (SparkSession, String) => DataFrame =
+      (s, d) => Profile.summaryAgg(
+        Tables.load(s, d, "lineitem").select(
+          col("l_returnflag"), col("l_linestatus"),
+          year(col("l_shipdate")).cast("string").as("l_shipyear"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        approx)
     val scaled: Seq[(String, (SparkSession, String) => DataFrame,
         (SparkSession, String) => DataFrame)] = Seq(
       // 10x corpus → +log2(10) ≈ 3.3 extra sign bits holds pair work
@@ -99,7 +133,7 @@ object ScaleProbe {
         graft.operators.DedupOps.simhashPairsAt(8),
         graft.operators.DedupOps.simhashPairsAt(10)),
       // AUTO rows: the same fn on both sides — the operating point is
-      // derived from the corpus count inside the operator, so the 10x run
+      // derived from the corpus count inside the operator, so the Nx run
       // must pick the scaled config by itself. Done = the auto row's ratio
       // tracks the manual scaled row's, not the fixed-config row's.
       ("v6_rp_lsh_neardup_auto",
@@ -110,12 +144,14 @@ object ScaleProbe {
       ("dd6_simhash_pairs_auto",
         graft.operators.DedupOps.simhashPairsAutoQ,
         graft.operators.DedupOps.simhashPairsAutoQ),
-      // t7 AUTO: the 10x corpus (~53k docs) crosses the hashed-gram
-      // cutoff, so the broadcast probe switches from ~50-byte strings to
-      // 8-byte longs by itself; contrast with the fixed-string t7 row
+      // t7 AUTO: a larger corpus crosses the hashed-gram cutoff, so the
+      // broadcast probe switches from ~50-byte strings to 8-byte longs by
+      // itself; contrast with the fixed-string t7 row
       ("t7_decontamination_auto",
         graft.operators.TextOps.decontaminationAutoQ,
-        graft.operators.TextOps.decontaminationAutoQ))
+        graft.operators.TextOps.decontaminationAutoQ),
+      ("profile_summary_exact", profileQ(false), profileQ(false)),
+      ("profile_summary_approx", profileQ(true), profileQ(true)))
     def time(fn: (SparkSession, String) => DataFrame, d: String): Double = {
       fn(spark, d).count() // warm: codegen/JIT for this plan shape
       // the timed run must not reuse the warmup's materializations
@@ -125,20 +161,26 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
     // optional arg 3: comma-separated name filter (substring match) so a
-    // single family can be probed without the full ~13 min sweep
-    val nameFilter = if (args.length > 2) args(2).split(",").toSeq else Seq.empty
+    // single family can be probed without the full sweep. At 100 copies
+    // the default set is the two-decade AUTO check (plus the dd7 cluster
+    // and t7 broadcast queries, whose scale stories are corpus-derived).
+    val nameFilter =
+      if (args.length > 2 && args(2).nonEmpty) args(2).split(",").toSeq
+      else if (copies != 10)
+        Seq("_auto", "dd7_dup_clusters", "profile_summary")
+      else Seq.empty
     val selected = (std ++ scaled).filter { case (n, _, _) =>
       nameFilter.isEmpty || nameFilter.exists(n.contains)
     }
-    val rows = selected.map { case (name, fn1, fn10) =>
+    val rows = selected.map { case (name, fn1, fnN) =>
       val t1 = time(fn1, base)
-      val t10 = time(fn10, out)
-      (name, t1, t10, t10 / t1)
+      val tN = time(fnN, out)
+      (name, t1, tN, tN / t1)
     }
-    val qs = rows.map { case (n, t1, t10, r) =>
-      f""""$n":{"t1x":$t1%.3f,"t10x":$t10%.3f,"ratio":$r%.2f}"""
+    val qs = rows.map { case (n, t1, tN, r) =>
+      f""""$n":{"t1x":$t1%.3f,"t${copies}x":$tN%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_probe","copies":$Copies,"queries":$qs}""")
+    println(s"""{"metric":"scale_probe","copies":$copies,"queries":$qs}""")
     spark.stop()
   }
 }

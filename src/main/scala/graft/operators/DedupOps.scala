@@ -281,21 +281,27 @@ object DedupOps {
 
   /** Dirs whose base corpus already passed the stride guard — the check is
     * one column-pruned max() scan, run once per fixture dir, not once per
-    * plan construction (c1 builds this corpus several times per query). */
+    * plan construction (c1 builds this corpus several times per query).
+    * The guard lives on [[curationFunnel]] (the only %-provenance user):
+    * dd7/dd8 tolerate arbitrary id ranges — ScaleProbe's widened corpora
+    * legitimately carry 1M-stride ids — but c1's lang join would silently
+    * mis-join there, which is exactly what must fail loudly instead. */
   private val strideCheckedDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def requirePlantStride(s: SparkSession, d: String): Unit =
+    if (!strideCheckedDirs.contains(d)) {
+      val maxId = documents(s, d).agg(max("doc_id")).head().getLong(0)
+      require(maxId < PlantStride,
+        s"curationFunnel: base doc_id $maxId >= plant stride $PlantStride — " +
+          "copy ids would collide with base ids and %-provenance would mis-join")
+      strideCheckedDirs.add(d)
+    }
 
   /** Corpus with a planted CHAIN of near-duplicates per selected doc:
     * A (original), B = A + 3 words, C = A + 5 words. */
   private def plantedCorpus3(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
-    if (!strideCheckedDirs.contains(d)) {
-      val maxId = docs.agg(max("doc_id")).head().getLong(0)
-      require(maxId < PlantStride,
-        s"plantedCorpus3: base doc_id $maxId >= plant stride $PlantStride — " +
-          "copy ids would collide with base ids and %-provenance would mis-join")
-      strideCheckedDirs.add(d)
-    }
     val sel = docs.filter(col("doc_id") % 17 === 0)
     docs
       .unionByName(sel.select((col("doc_id") + PlantStride).as("doc_id"),
@@ -378,6 +384,7 @@ object DedupOps {
     * quality join, language join, and both filters. Every stage is
     * individually oracle-gated; this gate proves the composition. */
   def curationFunnel: Q = (s, d) => {
+    requirePlantStride(s, d)
     // composes the REAL operators: TextOps' factored t3 formula pieces and
     // the t6 mixtureFilter — an inline copy would silently drift from the
     // oracle-gated queries if their weights/quotas changed
