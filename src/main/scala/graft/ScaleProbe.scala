@@ -75,6 +75,13 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = if (args.length > 3) args(3).toInt else 10
+    // rotation gives 64 distinct copies and the sign flip doubles that;
+    // copy 128 would equal copy 64 exactly, re-creating the c² pair
+    // blowup the decorrelation exists to prevent — refuse loudly
+    require(copies >= 1 && copies <= 128,
+      s"copies=$copies outside [1,128]: embedding decorrelation repeats " +
+        "past 128 (64 rotations x 2 sign patterns) and exact-duplicate " +
+        "copies would make the probe measure the synthetic corpus")
     val out = if (args.length > 1) args(1) else s"target/sfx$copies"
     val spark = SparkSession.builder()
       .master("local[32]")

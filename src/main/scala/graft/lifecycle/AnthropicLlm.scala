@@ -1,7 +1,6 @@
 package graft.lifecycle
 
-import java.net.{HttpURLConnection, URI}
-import java.nio.charset.StandardCharsets
+import java.net.HttpURLConnection
 
 /** Anthropic Messages API adapter behind [[Agents.LlmClient]] — the second
   * provider wire the engine speaks natively (the reference ships one module
@@ -34,17 +33,9 @@ final class AnthropicLlmClient(baseUrl: String, apiKey: String, model: String,
       s"""{"model":${HttpLlm.jsonStr(model)},"max_tokens":$maxTokens,${if (stream) "\"stream\":true," else ""}
          |"system":${HttpLlm.jsonStr(s"You are the $stage stage of a data-analysis agent. Respond with exactly the artifact the stage contract requires.")},
          |"messages":[{"role":"user","content":${HttpLlm.jsonStr(prompt)}}]}""".stripMargin
-    val conn = URI.create(s"$baseUrl/v1/messages").toURL
-      .openConnection().asInstanceOf[HttpURLConnection]
-    conn.setConnectTimeout(timeoutMs)
-    conn.setReadTimeout(timeoutMs)
-    conn.setRequestMethod("POST")
-    conn.setRequestProperty("Content-Type", "application/json")
-    conn.setRequestProperty("x-api-key", apiKey)
-    conn.setRequestProperty("anthropic-version", "2023-06-01")
-    conn.setDoOutput(true)
-    conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
-    conn
+    HttpLlm.postJson(s"$baseUrl/v1/messages",
+      Seq("x-api-key" -> apiKey, "anthropic-version" -> "2023-06-01"),
+      body, timeoutMs)
   }
 
   override def complete(stage: String, prompt: String): String = {
@@ -65,31 +56,21 @@ final class AnthropicLlmClient(baseUrl: String, apiKey: String, model: String,
       onDelta: String => Unit = _ => ()): HttpLlm.StreamResult = {
     val t0 = System.nanoTime()
     val conn = open(stage, prompt, stream = true)
-    try {
-      HttpLlm.failIfError(conn)
-      val reader = new java.io.BufferedReader(
-        new java.io.InputStreamReader(conn.getInputStream, StandardCharsets.UTF_8))
-      val text = new StringBuilder
-      var chunks = 0
-      var line = reader.readLine()
-      while (line != null) {
-        val payload = line.stripPrefix("data:").trim
-        val eventType =
-          if (line.startsWith("data:") && payload.nonEmpty)
-            HttpLlm.extractField(payload, "type")
-          else None
-        if (eventType.contains("message_stop")) line = null
-        else {
-          if (eventType.contains("content_block_delta"))
-            HttpLlm.extractField(payload, "text").foreach { d =>
-              text.append(d); chunks += 1; onDelta(d)
-            }
-          line = reader.readLine()
-        }
-      }
-      val elapsedSec = (System.nanoTime() - t0) / 1e9
-      HttpLlm.StreamResult(text.toString, chunks, elapsedSec,
-        if (elapsedSec > 0) chunks / elapsedSec else 0.0)
-    } finally conn.disconnect()
+    // the Messages contract documents mid-stream `{"type":"error",...}`
+    // events after the 200 is committed (e.g. overloaded_error) — those
+    // must throw, not surface a truncated completion as success
+    try HttpLlm.ssePump(conn, t0,
+      isStop = p => HttpLlm.extractField(p, "type").contains("message_stop"),
+      failOn = p =>
+        if (HttpLlm.extractField(p, "type").contains("error"))
+          Some(HttpLlm.extractField(p, "message")
+            .getOrElse(graft.plans.Lifecycle.condense(p)))
+        else None,
+      extractDelta = p =>
+        if (HttpLlm.extractField(p, "type").contains("content_block_delta"))
+          HttpLlm.extractField(p, "text")
+        else None,
+      onDelta = onDelta)
+    finally conn.disconnect()
   }
 }

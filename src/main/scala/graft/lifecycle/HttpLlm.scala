@@ -28,16 +28,8 @@ final class HttpLlmClient(baseUrl: String, apiKey: String, model: String,
       s"""{"model":${HttpLlm.jsonStr(model)},${if (stream) "\"stream\":true," else ""}"messages":[
          |{"role":"system","content":${HttpLlm.jsonStr(s"You are the $stage stage of a data-analysis agent. Respond with exactly the artifact the stage contract requires.")}},
          |{"role":"user","content":${HttpLlm.jsonStr(prompt)}}]}""".stripMargin
-    val conn = URI.create(s"$baseUrl/chat/completions").toURL
-      .openConnection().asInstanceOf[HttpURLConnection]
-    conn.setConnectTimeout(timeoutMs)
-    conn.setReadTimeout(timeoutMs)
-    conn.setRequestMethod("POST")
-    conn.setRequestProperty("Content-Type", "application/json")
-    conn.setRequestProperty("Authorization", s"Bearer $apiKey")
-    conn.setDoOutput(true)
-    conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
-    conn
+    HttpLlm.postJson(s"$baseUrl/chat/completions",
+      Seq("Authorization" -> s"Bearer $apiKey"), body, timeoutMs)
   }
 
   override def complete(stage: String, prompt: String): String = {
@@ -64,28 +56,18 @@ final class HttpLlmClient(baseUrl: String, apiKey: String, model: String,
       onDelta: String => Unit = _ => ()): HttpLlm.StreamResult = {
     val t0 = System.nanoTime()
     val conn = open(stage, prompt, stream = true)
-    try {
-      HttpLlm.failIfError(conn)
-      val reader = new java.io.BufferedReader(
-        new java.io.InputStreamReader(conn.getInputStream, StandardCharsets.UTF_8))
-      val text = new StringBuilder
-      var chunks = 0
-      var line = reader.readLine()
-      while (line != null) {
-        val payload = line.stripPrefix("data:").trim
-        if (line.startsWith("data:") && payload == "[DONE]") line = null
-        else {
-          if (line.startsWith("data:") && payload.nonEmpty)
-            HttpLlm.extractContent(payload).foreach { d =>
-              text.append(d); chunks += 1; onDelta(d)
-            }
-          line = reader.readLine()
-        }
-      }
-      val elapsedSec = (System.nanoTime() - t0) / 1e9
-      HttpLlm.StreamResult(text.toString, chunks, elapsedSec,
-        if (elapsedSec > 0) chunks / elapsedSec else 0.0)
-    } finally conn.disconnect()
+    // error events on this wire arrive as a data payload whose top-level
+    // (first) key is "error" — anchored to the payload head so the word
+    // appearing inside a content delta cannot false-positive
+    try HttpLlm.ssePump(conn, t0,
+      isStop = _ == "[DONE]",
+      failOn = p =>
+        if (p.startsWith("{\"error\"") || p.startsWith("{ \"error\""))
+          Some(graft.plans.Lifecycle.condense(p))
+        else None,
+      extractDelta = HttpLlm.extractContent,
+      onDelta = onDelta)
+    finally conn.disconnect()
   }
 }
 
@@ -108,6 +90,62 @@ object HttpLlm {
         key,
         env("GRAFT_LLM_MODEL").getOrElse("gpt-4o-mini"))
     }
+
+  /** POST a JSON body and return the live connection — the connection
+    * setup shared by every provider wire (the adapters differ only in
+    * URL, headers, and body shape). */
+  private[lifecycle] def postJson(url: String, headers: Seq[(String, String)],
+      body: String, timeoutMs: Int): HttpURLConnection = {
+    val conn = URI.create(url).toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", "application/json")
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    conn.setDoOutput(true)
+    conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+    conn
+  }
+
+  /** Drain an SSE stream into a [[StreamResult]] — the pump shared by the
+    * provider wires, parameterized only by the three things that differ:
+    * the stop sentinel, the mid-stream error shape, and delta extraction.
+    * Mid-stream error events arrive AFTER the HTTP 200 is committed (both
+    * public wire contracts document them), so `failOn` must throw rather
+    * than let the server's close return a silently truncated completion
+    * as success. */
+  private[lifecycle] def ssePump(conn: HttpURLConnection, t0: Long,
+      isStop: String => Boolean, failOn: String => Option[String],
+      extractDelta: String => Option[String],
+      onDelta: String => Unit): StreamResult = {
+    failIfError(conn)
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(conn.getInputStream, StandardCharsets.UTF_8))
+    val text = new StringBuilder
+    var chunks = 0
+    var stopped = false
+    var line = reader.readLine()
+    while (line != null && !stopped) {
+      if (line.startsWith("data:")) {
+        val payload = line.stripPrefix("data:").trim
+        if (payload.nonEmpty) {
+          if (isStop(payload)) stopped = true
+          else failOn(payload) match {
+            case Some(msg) => throw new RuntimeException(
+              s"LLM stream error after ${text.length} chars: $msg")
+            case None => extractDelta(payload).foreach { d =>
+              text.append(d); chunks += 1; onDelta(d)
+            }
+          }
+        }
+      }
+      if (!stopped) line = reader.readLine()
+    }
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    StreamResult(text.toString, chunks, elapsedSec,
+      if (elapsedSec > 0) chunks / elapsedSec else 0.0)
+  }
 
   /** JSON string literal with full escaping. */
   def jsonStr(s: String): String = {

@@ -79,15 +79,22 @@ object PlotSpec {
       else ", \"tooltip\": [" + spec.hoverData.map(c =>
         s"""{"field": "${esc(c)}", "type": "${vlType(schema(c).dataType)}"}""")
         .mkString(", ") + "]"
+    // histogram y must AGGREGATE per bin (plotly's histfunc defaults to
+    // sum when y is given, and Plot2d always carries a y) — without it
+    // Vega-Lite overplots one bar per source row and multi-row bins
+    // render the max row instead of the bin total
+    val yAgg =
+      if (spec.plotType == "histogram") ", \"aggregate\": \"sum\"" else ""
     val (transform, yEnc, colorEnc) =
       if (spec.ys.length == 1) {
         val c = spec.color.map(col =>
           s""", "color": {"value": "${esc(col)}"}""").getOrElse("")
-        ("", enc("y", spec.ys.head, vlType(schema(spec.ys.head).dataType)), c)
+        ("", enc("y", spec.ys.head, vlType(schema(spec.ys.head).dataType),
+          yAgg), c)
       } else {
         val fold = spec.ys.map(y => "\"" + esc(y) + "\"").mkString(", ")
         (s""""transform": [{"fold": [$fold], "as": ["series", "value"]}], """,
-          """"y": {"field": "value", "type": "quantitative"}""",
+          s""""y": {"field": "value", "type": "quantitative"$yAgg}""",
           """, "color": {"field": "series", "type": "nominal"}""")
       }
     s"""{"$$schema": "https://vega.github.io/schema/vega-lite/v5.json", """ +

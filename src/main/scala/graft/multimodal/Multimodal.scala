@@ -179,30 +179,73 @@ object Multimodal {
 
   /** Real video decode for MJPEG-style payloads (concatenated JPEG
     * frames — the shape surveillance cams, many capture SDKs, and
-    * frame-dumped fixtures produce): frames are found by scanning for
-    * JPEG SOI/EOI marker pairs (0xFFD8…0xFFD9 — entropy-coded JPEG data
-    * escapes 0xFF, so SOI cannot appear inside a frame's coded stream),
-    * each frame decodes through [[ImageIoCodec]], and the clip feature is
-    * the per-dimension MEAN over frames (deterministic, order-free). True
-    * containers (MP4/MKV/WebM) still fall to the stub — the JDK ships no
-    * inter-frame codec; swap in an FFmpeg/JNI codec behind the same
-    * [[Codec]] seam for those. */
+    * frame-dumped fixtures produce): frames are delimited by WALKING the
+    * JPEG marker structure, not by scanning raw bytes for SOI/EOI pairs.
+    * The naive scan is wrong on real camera output: APPn segments carry
+    * complete embedded JPEGs (EXIF thumbnails) whose own FFD8/FFD9 would
+    * split the outer frame mid-segment. Walking marker-by-marker skips
+    * length-prefixed segments (APPn/DQT/DHT/SOF…) wholesale, then inside
+    * entropy-coded scan data honors the coding contract — 0xFF is stuffed
+    * as FF00 and only restart markers FFD0-D7 may appear — so the first
+    * real EOI found is the frame boundary. Each frame decodes through
+    * [[ImageIoCodec]], and the clip feature is the per-dimension MEAN over
+    * frames (deterministic, order-free). True containers (MP4/MKV/WebM)
+    * still fall to the stub — the JDK ships no inter-frame codec; swap in
+    * an FFmpeg/JNI codec behind the same [[Codec]] seam for those. */
   object MjpegCodec {
-    /** Byte ranges of complete SOI…EOI frames, in stream order. */
+    /** Byte ranges of complete SOI…EOI frames, in stream order. A frame
+      * whose marker structure is malformed is skipped (scan resumes past
+      * its SOI) rather than corrupting subsequent frame boundaries. */
     def frames(payload: Array[Byte]): Seq[Array[Byte]] = {
       val out = Seq.newBuilder[Array[Byte]]
+      val n = payload.length
+      def u8(k: Int) = payload(k) & 0xff
       var i = 0
-      var start = -1
-      while (i + 1 < payload.length) {
-        val a = payload(i) & 0xff
-        val b = payload(i + 1) & 0xff
-        if (a == 0xff && b == 0xd8 && start < 0) { start = i; i += 2 }
-        else if (a == 0xff && b == 0xd9 && start >= 0) {
-          out += java.util.Arrays.copyOfRange(payload, start, i + 2)
-          start = -1; i += 2
+      while (i + 1 < n) {
+        if (u8(i) == 0xff && u8(i + 1) == 0xd8) {
+          val end = frameEnd(payload, i)
+          if (end > 0) {
+            out += java.util.Arrays.copyOfRange(payload, i, end)
+            i = end
+          } else i += 2 // malformed or truncated: skip this SOI, rescan
         } else i += 1
       }
       out.result()
+    }
+
+    /** End offset (exclusive) of the frame whose SOI sits at `start`, or
+      * -1 when the structure is malformed/truncated before EOI. */
+    private def frameEnd(payload: Array[Byte], start: Int): Int = {
+      val n = payload.length
+      def u8(k: Int) = payload(k) & 0xff
+      var j = start + 2
+      var inScan = false
+      while (j + 1 < n) {
+        if (!inScan) {
+          if (u8(j) != 0xff) return -1 // expected a marker
+          else u8(j + 1) match {
+            case 0xd9 => return j + 2 // EOI
+            case 0xff => j += 1 // fill byte before a marker
+            case 0x01 => j += 2 // TEM, standalone
+            case m if m >= 0xd0 && m <= 0xd7 => j += 2 // RSTn, standalone
+            case m =>
+              if (j + 3 >= n) return -1
+              val len = (u8(j + 2) << 8) | u8(j + 3) // includes len bytes
+              if (len < 2) return -1
+              j += 2 + len // skips APPn payloads incl. EXIF thumbnails
+              if (m == 0xda) inScan = true // SOS: entropy data follows
+          }
+        } else {
+          if (u8(j) != 0xff) j += 1
+          else u8(j + 1) match {
+            case 0xd9 => return j + 2 // EOI inside/after scan data
+            case 0x00 => j += 2 // stuffed FF in entropy data
+            case m if m >= 0xd0 && m <= 0xd7 => j += 2 // restart marker
+            case _ => inScan = false // next segment header (progressive)
+          }
+        }
+      }
+      -1
     }
 
     /** None when no frame both delimits AND decodes — the router then

@@ -196,19 +196,55 @@ object ClusterIndex {
     affectedParts
   }
 
-  /** Replace exactly the affected `part=` bucket dirs and append everything
-    * else. Rows are MATERIALIZED (eager checkpoint) before any delete so
-    * the write never reads files it is removing; explicit delete (rather
-    * than dynamic partition overwrite) also clears a bucket whose every
-    * component migrated elsewhere, which dynamic overwrite would leave
-    * stale because no new row lands in it. */
+  /** Replace exactly the affected `part=` bucket dirs (and append staged
+    * files to any other bucket the rows hash into), two-phase: stage the
+    * replacement rows as a complete durable parquet write FIRST, then
+    * swap each affected bucket in with renames (retire the live dir, move
+    * the staged dir into place), then drop the retired copies. No bucket
+    * is ever deleted before its replacement exists on disk — a crash at
+    * any point leaves every row present in either the live, staged, or
+    * retired location (dot-prefixed dirs are invisible to parquet scans),
+    * unlike a delete-then-append whose failure window loses the affected
+    * buckets outright. Explicit swap (rather than dynamic partition
+    * overwrite) also clears a bucket whose every component migrated
+    * elsewhere, which dynamic overwrite would leave stale because no new
+    * row lands in it. */
   private def rewriteBuckets(rows: DataFrame, affectedParts: Seq[Int],
       dir: String, s: SparkSession): Unit = {
-    val materialized = rows.localCheckpoint(eager = true)
     val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(dir, s".staging-$stamp")
+    val retired = new Path(dir, s".retired-$stamp")
+    // reads the live buckets, writes a durable copy; live files untouched
+    rows.write.mode(SaveMode.Overwrite).partitionBy("part")
+      .parquet(staging.toString)
+    fs.mkdirs(retired)
+    val affected = affectedParts.toSet
     affectedParts.foreach { p =>
-      fs.delete(new Path(s"$dir/part=$p"), true)
+      val live = new Path(s"$dir/part=$p")
+      if (fs.exists(live)) fs.rename(live, new Path(retired, s"part=$p"))
+      val staged = new Path(staging, s"part=$p")
+      if (fs.exists(staged)) fs.rename(staged, live)
     }
-    materialized.write.mode(SaveMode.Append).partitionBy("part").parquet(dir)
+    // rows can land OUTSIDE the affected buckets too — a re-resolved
+    // component's id (min member) can change, so its hash bucket moves,
+    // and brand-new components hash wherever. Those buckets must GAIN the
+    // staged files without disturbing their existing ones (unaffected
+    // buckets are never rewritten, only appended to) — file names carry a
+    // write-UUID so moves cannot collide.
+    Option(fs.listStatus(staging)).toSeq.flatten
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("part="))
+      .foreach { st =>
+        val p = st.getPath.getName.stripPrefix("part=").toInt
+        if (!affected.contains(p)) {
+          val live = new Path(s"$dir/part=$p")
+          fs.mkdirs(live)
+          fs.listStatus(st.getPath).foreach { f =>
+            fs.rename(f.getPath, new Path(live, f.getPath.getName))
+          }
+        }
+      }
+    fs.delete(staging, true)
+    fs.delete(retired, true)
   }
 }

@@ -95,9 +95,17 @@ class CatalogSpec extends SparkSpec {
     assert(multi.contains(""""y": {"field": "value", "type": "quantitative"}"""))
     assert(multi.contains(""""color": {"field": "series", "type": "nominal"}"""))
 
-    // histogram asks Vega-Lite to bin x, matching plotly's behavior
+    // histogram asks Vega-Lite to bin x AND aggregate y per bin — plotly
+    // sums y per bin when y is given; without the aggregate Vega-Lite
+    // overplots one bar per source row and multi-row bins render wrong
     val hist = PlotSpec.toVegaLite(PlotSpec.Plot2d(
       "histogram", "avg_v", Seq("n"), "H"), df)
     assert(hist.contains(""""x": {"field": "avg_v", "type": "quantitative", "bin": true"""))
+    assert(hist.contains(""""y": {"field": "n", "type": "quantitative", "aggregate": "sum""""))
+    // multi-series histogram aggregates the folded value channel too
+    val histMulti = PlotSpec.toVegaLite(PlotSpec.Plot2d(
+      "histogram", "avg_v", Seq("n", "avg_v"), "H2"), df)
+    assert(histMulti.contains(
+      """"y": {"field": "value", "type": "quantitative", "aggregate": "sum"}"""))
   }
 }

@@ -126,6 +126,43 @@ class HttpAdaptersSpec extends SparkSpec {
     }
   }
 
+  test("LLM adapter: mid-stream error event throws, not a truncated success") {
+    // the error arrives AFTER the 200 is committed and after real deltas —
+    // the pump must throw instead of returning partial text as success
+    val sse = Seq(
+      """data: {"choices":[{"delta":{"content":"Hel"}}]}""",
+      """data: {"error":{"message":"overloaded","type":"server_error"}}""",
+      """data: [DONE]""").mkString("\n")
+    withServer(Map("/v1/chat/completions" -> (_ => (200, sse)))) { base =>
+      val client = new HttpLlmClient(s"$base/v1", "sk-test", "m")
+      val e = intercept[RuntimeException](client.completeStreaming("s", "p"))
+      assert(e.getMessage.contains("stream error"))
+      assert(e.getMessage.contains("overloaded"))
+    }
+    // the word "error" INSIDE a content delta must not false-positive
+    val benign = Seq(
+      """data: {"choices":[{"delta":{"content":"an \"error\" string"}}]}""",
+      """data: [DONE]""").mkString("\n")
+    withServer(Map("/v1/chat/completions" -> (_ => (200, benign)))) { base =>
+      val client = new HttpLlmClient(s"$base/v1", "sk-test", "m")
+      assert(client.completeStreaming("s", "p").text == "an \"error\" string")
+    }
+  }
+
+  test("Anthropic adapter: mid-stream error event throws with the message") {
+    import graft.lifecycle.AnthropicLlmClient
+    val sse = Seq(
+      """data: {"type":"content_block_delta","index":0,"delta":{"type":"text_delta","text":"Hel"}}""",
+      """data: {"type":"error","error":{"type":"overloaded_error","message":"Overloaded"}}""",
+      """data: {"type":"message_stop"}""").mkString("\n")
+    withServer(Map("/v1/messages" -> (_ => (200, sse)))) { base =>
+      val client = new AnthropicLlmClient(base, "sk-ant-test", "m")
+      val e = intercept[RuntimeException](client.completeStreaming("s", "p"))
+      assert(e.getMessage.contains("stream error"))
+      assert(e.getMessage.contains("Overloaded"))
+    }
+  }
+
   test("Anthropic adapter: Messages wire shape, content-block extraction") {
     import graft.lifecycle.AnthropicLlmClient
     var seenBody = ""

@@ -160,6 +160,51 @@ class MultimodalSpec extends SparkSpec {
       "mp4 container bytes".getBytes("UTF-8"))))
   }
 
+  test("MJPEG frames with EXIF-embedded thumbnails delimit correctly") {
+    // real camera MJPEG frames carry APP1/EXIF segments whose payload is a
+    // COMPLETE embedded JPEG (the thumbnail) with its own SOI/EOI — a naive
+    // SOI/EOI byte scan splits the outer frame at the thumbnail's EOI; the
+    // marker walk must skip the APP1 segment wholesale
+    def solidJpeg(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    def withExifThumb(frame: Array[Byte], thumb: Array[Byte]): Array[Byte] = {
+      // insert APP1 right after SOI: FFE1 <len> "Exif\0\0" <thumb bytes>
+      val exifHeader = "Exif\u0000\u0000".getBytes("ISO-8859-1")
+      val len = 2 + exifHeader.length + thumb.length // len includes itself
+      assert(len <= 0xffff)
+      val app1 = Array[Byte](0xff.toByte, 0xe1.toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ exifHeader ++ thumb
+      frame.take(2) ++ app1 ++ frame.drop(2)
+    }
+    val thumb = solidJpeg(0xffffff)
+    val (r, g) = (solidJpeg(0xff0000), solidJpeg(0x00ff00))
+    val rExif = withExifThumb(r, thumb)
+    val stream = rExif ++ g
+
+    val frames = Multimodal.MjpegCodec.frames(stream)
+    assert(frames.length == 2,
+      s"expected 2 frames, got ${frames.length} — thumbnail EOI split the outer frame")
+    assert(frames(0).sameElements(rExif) && frames(1).sameElements(g))
+
+    // both frames decode, and the EXIF-bearing frame's pixels are
+    // unaffected by the inserted segment (features match the plain frame)
+    val plain = Multimodal.ImageIoCodec.decode(r).map(Multimodal.ImageIoCodec.features)
+    val exif = Multimodal.ImageIoCodec.decode(frames(0)).map(Multimodal.ImageIoCodec.features)
+    assert(plain.nonEmpty && exif.nonEmpty)
+    assert(plain.get.sameElements(exif.get))
+
+    // truncated trailing frame: complete frames still come back
+    val truncated = rExif ++ g.take(g.length / 2)
+    val partial = Multimodal.MjpegCodec.frames(truncated)
+    assert(partial.length == 1 && partial(0).sameElements(rExif))
+  }
+
   test("features feed VectorOps-compatible embedding column") {
     graft.functions.CosineSimilarity.register(spark)
     val f = Multimodal.featureFrame(spark, sf).limit(10)
