@@ -111,16 +111,22 @@ object ScaleProbe {
       .map(n => (n, SparkEntry.queries(n), SparkEntry.queries(n)))
     import graft.operators.{Profile, RankDedup, VectorOps}
     // profile first-touch: exact vs sketched (HLL++) distinct counts over
-    // the widened lineitem table with THREE categorical columns — the
-    // configuration where the exact form's Expand rewrite multiplies
-    // every input row per distinct group before the shuffle, which is
-    // the first thing that stalls on a wide 100 TB table. Both sides run
-    // the SAME summaryAgg; only the distinct aggregates differ.
+    // the widened lineitem table with FOUR categorical columns — three
+    // low-cardinality flags plus one ID-like high-cardinality column
+    // (every real wide table has them, and they are where the exact form
+    // hurts: the Expand rewrite multiplies every input row per distinct
+    // group before the shuffle AND the high-card column's shuffle carries
+    // one key per distinct value, while the sketch ships fixed-size HLL
+    // buffers). Both sides run the SAME summaryAgg; only the distinct
+    // aggregates differ. Measured at 100x the low-card-only variant is
+    // FLAT for both forms — tiny distinct sets make exact cheap — so the
+    // high-card column is what turns the claimed win into a number.
     def profileQ(approx: Boolean): (SparkSession, String) => DataFrame =
       (s, d) => Profile.summaryAgg(
         Tables.load(s, d, "lineitem").select(
           col("l_returnflag"), col("l_linestatus"),
           year(col("l_shipdate")).cast("string").as("l_shipyear"),
+          col("l_orderkey").cast("string").as("l_okey"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount")),
         approx)
     val scaled: Seq[(String, (SparkSession, String) => DataFrame,
