@@ -56,13 +56,14 @@ final class HttpLlmClient(baseUrl: String, apiKey: String, model: String,
       onDelta: String => Unit = _ => ()): HttpLlm.StreamResult = {
     val t0 = System.nanoTime()
     val conn = open(stage, prompt, stream = true)
-    // error events on this wire arrive as a data payload whose top-level
-    // (first) key is "error" — anchored to the payload head so the word
-    // appearing inside a content delta cannot false-positive
+    // error events on this wire carry an "error" KEY and no delta content
+    // (gateways differ on surrounding fields/whitespace, so no prefix
+    // anchoring); a delta whose content TEXT mentions "error" has
+    // extractable content and is never treated as a failure
     try HttpLlm.ssePump(conn, t0,
       isStop = _ == "[DONE]",
       failOn = p =>
-        if (p.startsWith("{\"error\"") || p.startsWith("{ \"error\""))
+        if (HttpLlm.extractContent(p).isEmpty && HttpLlm.hasKey(p, "error"))
           Some(graft.plans.Lifecycle.condense(p))
         else None,
       extractDelta = HttpLlm.extractContent,
@@ -142,6 +143,13 @@ object HttpLlm {
       }
       if (!stopped) line = reader.readLine()
     }
+    // EOF before the stop sentinel is a truncated stream (proxy idle
+    // timeout, server crash) — same silent-truncation failure as an
+    // unrecognized error event; both wires ALWAYS terminate a healthy
+    // stream with their sentinel
+    if (!stopped)
+      throw new RuntimeException(
+        s"LLM stream ended without stop sentinel after ${text.length} chars")
     val elapsedSec = (System.nanoTime() - t0) / 1e9
     StreamResult(text.toString, chunks, elapsedSec,
       if (elapsedSec > 0) chunks / elapsedSec else 0.0)
@@ -178,6 +186,26 @@ object HttpLlm {
 
   /** Extract choices[0].message.content from a chat-completions response. */
   def extractContent(json: String): Option[String] = extractField(json, "content")
+
+  /** Whether the payload carries `"name"` as a JSON KEY (a quote-wrapped
+    * occurrence followed by ':', not preceded by a backslash — an escaped
+    * quote means the match sits INSIDE a string value, e.g. the word
+    * appearing in streamed content text). Used to recognize error events
+    * whose value is an object, which [[extractField]] (string values
+    * only) cannot see. */
+  private[lifecycle] def hasKey(json: String, name: String): Boolean = {
+    val key = "\"" + name + "\""
+    var at = json.indexOf(key)
+    while (at >= 0) {
+      if (at == 0 || json(at - 1) != '\\') {
+        var i = at + key.length
+        while (i < json.length && json(i).isWhitespace) i += 1
+        if (i < json.length && json(i) == ':') return true
+      }
+      at = json.indexOf(key, at + 1)
+    }
+    false
+  }
 
   /** First `"name": "<string>"` pair decoded from a JSON payload; quoted
     * occurrences of `name` that are VALUES rather than keys (no ':'

@@ -74,8 +74,12 @@ object PlotSpec {
     val xEnc = enc("x", spec.x, vlType(schema(spec.x).dataType),
       if (spec.plotType == "histogram") ", \"bin\": true" else "")
     val mark = MarkOf.getOrElse(spec.plotType, "point")
+    // histograms drop the tooltip channel: a non-aggregated field channel
+    // in an aggregated encoding becomes a group-by dimension in Vega-Lite,
+    // re-splitting each bin into per-value bars (plotly histogram hover
+    // shows bin range + total, not arbitrary columns, so nothing is lost)
     val tooltip =
-      if (spec.hoverData.isEmpty) ""
+      if (spec.hoverData.isEmpty || spec.plotType == "histogram") ""
       else ", \"tooltip\": [" + spec.hoverData.map(c =>
         s"""{"field": "${esc(c)}", "type": "${vlType(schema(c).dataType)}"}""")
         .mkString(", ") + "]"

@@ -194,20 +194,26 @@ object Multimodal {
     * an FFmpeg/JNI codec behind the same [[Codec]] seam for those. */
   object MjpegCodec {
     /** Byte ranges of complete SOI…EOI frames, in stream order. A frame
-      * whose marker structure is malformed is skipped (scan resumes past
-      * its SOI) rather than corrupting subsequent frame boundaries. */
+      * whose marker structure is malformed or truncated ENDS delimiting
+      * (complete frames so far are returned): rescanning past a bad SOI
+      * could land on an EXIF thumbnail's embedded SOI inside the broken
+      * frame's APP1 payload and emit the thumbnail as a top-level frame —
+      * the exact corruption the marker walk exists to prevent. The common
+      * malformed case is a recording cut mid-frame, where stopping is
+      * also the correct answer. */
     def frames(payload: Array[Byte]): Seq[Array[Byte]] = {
       val out = Seq.newBuilder[Array[Byte]]
       val n = payload.length
       def u8(k: Int) = payload(k) & 0xff
       var i = 0
-      while (i + 1 < n) {
+      var halted = false
+      while (!halted && i + 1 < n) {
         if (u8(i) == 0xff && u8(i + 1) == 0xd8) {
           val end = frameEnd(payload, i)
           if (end > 0) {
             out += java.util.Arrays.copyOfRange(payload, i, end)
             i = end
-          } else i += 2 // malformed or truncated: skip this SOI, rescan
+          } else halted = true
         } else i += 1
       }
       out.result()

@@ -199,39 +199,55 @@ object ClusterIndex {
   /** Replace exactly the affected `part=` bucket dirs (and append staged
     * files to any other bucket the rows hash into), two-phase: stage the
     * replacement rows as a complete durable parquet write FIRST, then
-    * swap each affected bucket in with renames (retire the live dir, move
-    * the staged dir into place), then drop the retired copies. No bucket
-    * is ever deleted before its replacement exists on disk — a crash at
-    * any point leaves every row present in either the live, staged, or
-    * retired location (dot-prefixed dirs are invisible to parquet scans),
-    * unlike a delete-then-append whose failure window loses the affected
-    * buckets outright. Explicit swap (rather than dynamic partition
-    * overwrite) also clears a bucket whose every component migrated
-    * elsewhere, which dynamic overwrite would leave stale because no new
-    * row lands in it. */
+    * move staged files into their buckets with CHECKED renames (Hadoop
+    * reports rename failure by returning false — an unchecked false here
+    * nests dirs or strands rows, so any false aborts loudly). Appends to
+    * unaffected buckets go first (pure gains), then each affected bucket
+    * is swapped (retire the live dir, move the staged dir into place),
+    * then the retired copies are dropped. No bucket is ever deleted
+    * before its replacement exists on disk — a crash leaves every row
+    * present in a live, staged, or retired location (dot-prefixed dirs
+    * are invisible to parquet scans), unlike a delete-then-append whose
+    * failure window loses the affected buckets outright. The residual
+    * crash window is DUPLICATE-visible, not loss: appends landed but an
+    * affected bucket not yet swapped still holds the old copy of a
+    * migrated component until the swap completes — detectable (doc_id
+    * multiplicity), and [[write]] rebuilds from the corpus. Orphaned
+    * staging/retired dirs from a previous crashed run are cleared on
+    * entry (single-writer maintenance is the contract, as with the IVF
+    * index). At 100 TB this artifact graduates to a transactional table
+    * format (commit-log semantics); the staged-rename protocol is the
+    * dependency-free analog. Explicit swap (rather than dynamic
+    * partition overwrite) also clears a bucket whose every component
+    * migrated elsewhere, which dynamic overwrite would leave stale
+    * because no new row lands in it. */
   private def rewriteBuckets(rows: DataFrame, affectedParts: Seq[Int],
       dir: String, s: SparkSession): Unit = {
     val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    def renameOrFail(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"bucket swap aborted: rename $src -> $dst failed")
+    // clear orphans from a previous crashed run before writing new ones
+    Option(fs.listStatus(new Path(dir))).toSeq.flatten
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(".staging-") ||
+        p.getName.startsWith(".retired-"))
+      .foreach(fs.delete(_, true))
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(dir, s".staging-$stamp")
     val retired = new Path(dir, s".retired-$stamp")
     // reads the live buckets, writes a durable copy; live files untouched
     rows.write.mode(SaveMode.Overwrite).partitionBy("part")
       .parquet(staging.toString)
-    fs.mkdirs(retired)
     val affected = affectedParts.toSet
-    affectedParts.foreach { p =>
-      val live = new Path(s"$dir/part=$p")
-      if (fs.exists(live)) fs.rename(live, new Path(retired, s"part=$p"))
-      val staged = new Path(staging, s"part=$p")
-      if (fs.exists(staged)) fs.rename(staged, live)
-    }
-    // rows can land OUTSIDE the affected buckets too — a re-resolved
+    // 1. rows can land OUTSIDE the affected buckets — a re-resolved
     // component's id (min member) can change, so its hash bucket moves,
-    // and brand-new components hash wherever. Those buckets must GAIN the
-    // staged files without disturbing their existing ones (unaffected
-    // buckets are never rewritten, only appended to) — file names carry a
-    // write-UUID so moves cannot collide.
+    // and brand-new components hash wherever. Those buckets GAIN the
+    // staged files without their existing ones being disturbed
+    // (unaffected buckets are never rewritten, only appended to) — file
+    // names carry a write-UUID so moves cannot collide. Gains go first
+    // so a crash mid-protocol duplicates rather than loses.
     Option(fs.listStatus(staging)).toSeq.flatten
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("part="))
       .foreach { st =>
@@ -240,10 +256,18 @@ object ClusterIndex {
           val live = new Path(s"$dir/part=$p")
           fs.mkdirs(live)
           fs.listStatus(st.getPath).foreach { f =>
-            fs.rename(f.getPath, new Path(live, f.getPath.getName))
+            renameOrFail(f.getPath, new Path(live, f.getPath.getName))
           }
         }
       }
+    // 2. swap the affected buckets
+    fs.mkdirs(retired)
+    affectedParts.foreach { p =>
+      val live = new Path(s"$dir/part=$p")
+      if (fs.exists(live)) renameOrFail(live, new Path(retired, s"part=$p"))
+      val staged = new Path(staging, s"part=$p")
+      if (fs.exists(staged)) renameOrFail(staged, live)
+    }
     fs.delete(staging, true)
     fs.delete(retired, true)
   }

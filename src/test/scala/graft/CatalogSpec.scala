@@ -107,5 +107,10 @@ class CatalogSpec extends SparkSpec {
       "histogram", "avg_v", Seq("n", "avg_v"), "H2"), df)
     assert(histMulti.contains(
       """"y": {"field": "value", "type": "quantitative", "aggregate": "sum"}"""))
+    // histogram hover columns are dropped: a non-aggregated tooltip field
+    // would become a group-by dim in Vega-Lite and re-split the bins
+    val histHover = PlotSpec.toVegaLite(PlotSpec.Plot2d(
+      "histogram", "avg_v", Seq("n"), "H3", hoverData = Seq("tag")), df)
+    assert(!histHover.contains("tooltip"))
   }
 }

@@ -152,4 +152,32 @@ class ClusterIndexSpec extends SparkSpec {
     assert(novel.nonEmpty)
     novel.foreach { case (id, comp, keep) => assert(comp == id && keep) }
   }
+
+  test("append clears orphaned staging dirs and leaves none behind") {
+    val path = "target/cluster_index_orphan"
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    ClusterIndex.write(base, path)
+    // plant orphans as a crashed previous append would leave them
+    val orphanStaging = new java.io.File(s"$path/labels/.staging-dead")
+    val orphanRetired = new java.io.File(s"$path/labels/.retired-dead")
+    assert(orphanStaging.mkdirs() && orphanRetired.mkdirs())
+    val junk = new java.io.File(orphanStaging, "part=0")
+    assert(junk.mkdirs())
+    java.nio.file.Files.write(new java.io.File(junk, "junk.parquet").toPath,
+      Array[Byte](1, 2, 3))
+
+    val labelsBefore = labelSet(path)
+    ClusterIndex.append(appendBatch, path)
+
+    // orphans cleared, and the protocol's own staging/retired dirs gone
+    def dotDirs(dir: String): Seq[String] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith(".staging-") ||
+          f.getName.startsWith(".retired-"))
+        .map(_.getName)
+    assert(dotDirs(s"$path/labels").isEmpty, dotDirs(s"$path/labels"))
+    assert(dotDirs(s"$path/edges").isEmpty, dotDirs(s"$path/edges"))
+    // the orphan junk never leaked into a visible bucket
+    assert(ClusterIndex.labels(spark, path).count() > labelsBefore.size)
+  }
 }

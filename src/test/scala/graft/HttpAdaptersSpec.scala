@@ -149,6 +149,29 @@ class HttpAdaptersSpec extends SparkSpec {
     }
   }
 
+  test("LLM adapter: error events with leading fields and EOF truncation throw") {
+    // gateways prepend ids/metadata to error events — detection is by the
+    // error KEY plus absent delta content, not a brittle payload prefix
+    val sse = Seq(
+      """data: {"id":"gen-1","provider":"x","error":{"message":"quota","code":429}}""",
+      """data: [DONE]""").mkString("\n")
+    withServer(Map("/v1/chat/completions" -> (_ => (200, sse)))) { base =>
+      val client = new HttpLlmClient(s"$base/v1", "sk-test", "m")
+      val e = intercept[RuntimeException](client.completeStreaming("s", "p"))
+      assert(e.getMessage.contains("stream error") && e.getMessage.contains("quota"))
+    }
+    // a clean close with NO stop sentinel is a truncated stream — also loud
+    val cut = Seq(
+      """data: {"choices":[{"delta":{"content":"par"}}]}""",
+      """data: {"choices":[{"delta":{"content":"tial"}}]}""").mkString("\n")
+    withServer(Map("/v1/chat/completions" -> (_ => (200, cut)))) { base =>
+      val client = new HttpLlmClient(s"$base/v1", "sk-test", "m")
+      val e = intercept[RuntimeException](client.completeStreaming("s", "p"))
+      assert(e.getMessage.contains("without stop sentinel"))
+      assert(e.getMessage.contains("7 chars")) // partial length surfaces
+    }
+  }
+
   test("Anthropic adapter: mid-stream error event throws with the message") {
     import graft.lifecycle.AnthropicLlmClient
     val sse = Seq(
