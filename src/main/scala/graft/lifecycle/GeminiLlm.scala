@@ -1,0 +1,78 @@
+package graft.lifecycle
+
+import java.net.HttpURLConnection
+
+/** Gemini generateContent adapter behind [[Agents.LlmClient]] — the third
+  * provider wire the engine speaks natively (the reference ships
+  * bambooai/models/gemini_models.py over the google.genai SDK, converting
+  * its OpenAI-shaped messages to role/parts Content objects at
+  * gemini_models.py:17-63; here the same conversion targets the public
+  * REST contract directly, no SDK). Everything below follows the published
+  * API shape only:
+  *
+  *  - POST `{base}/v1beta/models/{model}:generateContent` with an
+  *    `x-goog-api-key` header; body carries `system_instruction` (parts),
+  *    `contents: [{role:"user", parts:[{text}]}]`, and `generationConfig
+  *    .maxOutputTokens`;
+  *  - responses carry `candidates[0].content.parts[0].text`;
+  *  - streaming swaps the verb for `:streamGenerateContent?alt=sse`: each
+  *    SSE data event is a response chunk whose parts carry a text delta,
+  *    and the FINAL chunk signals completion inline via `finishReason`
+  *    (no separate stop sentinel — the pump extracts that chunk's delta
+  *    before stopping on it).
+  *
+  * Selected per stage via [[LlmConfig]] bindings (`"provider": "gemini"`
+  * or `"google"`). JDK-only HTTP through the shared [[HttpLlm.postJson]] /
+  * [[HttpLlm.ssePump]] machinery; HttpAdaptersSpec drives both paths
+  * against a local wire-shape stub.
+  */
+final class GeminiLlmClient(baseUrl: String, apiKey: String, model: String,
+    maxTokens: Int = 4096, timeoutMs: Int = 60000) extends Agents.LlmClient {
+
+  private def openFor(stage: String, prompt: String,
+      stream: Boolean): HttpURLConnection = {
+    val sys = s"You are the $stage stage of a data-analysis agent. " +
+      "Respond with exactly the artifact the stage contract requires."
+    val body =
+      s"""{"system_instruction":{"parts":[{"text":${HttpLlm.jsonStr(sys)}}]},
+         |"contents":[{"role":"user","parts":[{"text":${HttpLlm.jsonStr(prompt)}}]}],
+         |"generationConfig":{"maxOutputTokens":$maxTokens}}""".stripMargin
+    val verb =
+      if (stream) s"$model:streamGenerateContent?alt=sse"
+      else s"$model:generateContent"
+    HttpLlm.postJson(s"$baseUrl/v1beta/models/$verb",
+      Seq("x-goog-api-key" -> apiKey), body, timeoutMs)
+  }
+
+  override def complete(stage: String, prompt: String): String = {
+    val conn = openFor(stage, prompt, stream = false)
+    try {
+      HttpLlm.failIfError(conn)
+      val text = scala.io.Source
+        .fromInputStream(conn.getInputStream, "UTF-8").mkString
+      HttpLlm.extractField(text, "text").getOrElse(
+        throw new RuntimeException(
+          s"no text part in response: ${graft.plans.Lifecycle.condense(text)}"))
+    } finally conn.disconnect()
+  }
+
+  /** Streaming completion; same [[HttpLlm.StreamResult]] telemetry as the
+    * other wires. */
+  def completeStreaming(stage: String, prompt: String,
+      onDelta: String => Unit = _ => ()): HttpLlm.StreamResult = {
+    val t0 = System.nanoTime()
+    val conn = openFor(stage, prompt, stream = true)
+    // the final chunk carries finishReason inline (and often trailing
+    // text); error events carry an "error" object and no text part
+    try HttpLlm.ssePump(conn, t0,
+      isStop = p => HttpLlm.hasKey(p, "finishReason"),
+      failOn = p =>
+        if (HttpLlm.extractField(p, "text").isEmpty && HttpLlm.hasKey(p, "error"))
+          Some(HttpLlm.extractField(p, "message")
+            .getOrElse(graft.plans.Lifecycle.condense(p)))
+        else None,
+      extractDelta = p => HttpLlm.extractField(p, "text"),
+      onDelta = onDelta)
+    finally conn.disconnect()
+  }
+}

@@ -131,13 +131,18 @@ object HttpLlm {
       if (line.startsWith("data:")) {
         val payload = line.stripPrefix("data:").trim
         if (payload.nonEmpty) {
-          if (isStop(payload)) stopped = true
-          else failOn(payload) match {
+          failOn(payload) match {
             case Some(msg) => throw new RuntimeException(
               s"LLM stream error after ${text.length} chars: $msg")
-            case None => extractDelta(payload).foreach { d =>
-              text.append(d); chunks += 1; onDelta(d)
-            }
+            case None =>
+              // delta before stop: some wires (Gemini) signal the end
+              // INSIDE the final content-bearing chunk (finishReason),
+              // so a stop-first order would drop the last delta; the
+              // sentinel payloads of the other wires carry no delta
+              extractDelta(payload).foreach { d =>
+                text.append(d); chunks += 1; onDelta(d)
+              }
+              if (isStop(payload)) stopped = true
           }
         }
       }

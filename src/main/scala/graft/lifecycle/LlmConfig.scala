@@ -5,9 +5,10 @@ package graft.lifecycle
   * ..., "details": {"model": ..., "provider": ...}}], LLM_CONFIG_sample.json;
   * resolved per call by models.init(agent) → provider dispatch,
   * bambooai/models/__init__.py:121-164). Here the provider zoo collapses to
-  * two PUBLIC wire shapes — the OpenAI-compatible [[HttpLlmClient]] (which
-  * reaches most gateways) and the Anthropic Messages
-  * [[AnthropicLlmClient]] — so a binding is (model, provider, base-url,
+  * three PUBLIC wire shapes — the OpenAI-compatible [[HttpLlmClient]]
+  * (which reaches most gateways), the Anthropic Messages
+  * [[AnthropicLlmClient]], and the Gemini generateContent
+  * [[GeminiLlmClient]] — so a binding is (model, provider, base-url,
   * api-key) and dispatch is a stage→client map in front of a default
   * client.
   */
@@ -15,8 +16,9 @@ object LlmConfig {
 
   /** One stage binding. Unset fields inherit the default client's values;
     * `provider` selects the wire shape ("anthropic" → the Messages API,
-    * anything else → OpenAI-compatible chat completions, mirroring the
-    * reference's per-provider `details.provider` key). */
+    * "gemini"/"google" → generateContent, anything else →
+    * OpenAI-compatible chat completions, mirroring the reference's
+    * per-provider `details.provider` key). */
   final case class Binding(model: String, baseUrl: Option[String] = None,
       apiKey: Option[String] = None, provider: Option[String] = None)
 
@@ -131,6 +133,10 @@ object LlmConfig {
         if (b.provider.contains("anthropic"))
           new AnthropicLlmClient(
             b.baseUrl.getOrElse("https://api.anthropic.com"),
+            b.apiKey.getOrElse(key), b.model)
+        else if (b.provider.exists(p => p == "gemini" || p == "google"))
+          new GeminiLlmClient(
+            b.baseUrl.getOrElse("https://generativelanguage.googleapis.com"),
             b.apiKey.getOrElse(key), b.model)
         else new HttpLlmClient(
           b.baseUrl.getOrElse(base), b.apiKey.getOrElse(key), b.model))

@@ -272,6 +272,79 @@ class HttpAdaptersSpec extends SparkSpec {
     }
   }
 
+  test("Gemini adapter: generateContent wire shape and SSE finish-chunk delta") {
+    import graft.lifecycle.GeminiLlmClient
+    var seenBody = ""
+    var seenKey = ""
+    var seenPath = ""
+    val response =
+      """{"candidates":[{"content":{"parts":[{"text":"plan: \"ok\""}],
+        |"role":"model"},"finishReason":"STOP"}]}""".stripMargin
+    withServer(Map("/v1beta/models/g-test:generateContent" -> (ex => {
+      seenPath = ex.getRequestURI.getPath
+      seenKey = ex.getRequestHeaders.getFirst("x-goog-api-key")
+      seenBody = scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+      (200, response)
+    }))) { base =>
+      val client = new GeminiLlmClient(base, "g-key", "g-test")
+      assert(client.complete("planner", "plan it") == "plan: \"ok\"")
+      assert(seenPath.endsWith("models/g-test:generateContent"))
+      assert(seenKey == "g-key")
+      assert(seenBody.contains("\"system_instruction\""))
+      assert(seenBody.contains("\"contents\""))
+      assert(seenBody.contains("\"maxOutputTokens\""))
+      assert(seenBody.contains("plan it"))
+    }
+    // streaming: the FINAL chunk carries finishReason AND a trailing text
+    // delta in the same payload — it must be appended, then stop
+    val sse = Seq(
+      """data: {"candidates":[{"content":{"parts":[{"text":"Hel"}],"role":"model"}}]}""",
+      """data: {"candidates":[{"content":{"parts":[{"text":"lo "}],"role":"model"}}]}""",
+      """data: {"candidates":[{"content":{"parts":[{"text":"world"}],"role":"model"},"finishReason":"STOP"}]}""")
+      .mkString("\n")
+    withServer(Map("/v1beta/models/g-test:streamGenerateContent" -> (_ => (200, sse)))) { base =>
+      val client = new GeminiLlmClient(base, "g-key", "g-test")
+      val deltas = scala.collection.mutable.Buffer.empty[String]
+      val r = client.completeStreaming("s", "p", deltas += _)
+      assert(r.text == "Hello world" && r.chunks == 3)
+      assert(deltas.toSeq == Seq("Hel", "lo ", "world"))
+    }
+    // mid-stream error object (no text part) throws, and EOF with no
+    // finishReason anywhere is the truncation guard
+    val errSse = Seq(
+      """data: {"candidates":[{"content":{"parts":[{"text":"Hel"}],"role":"model"}}]}""",
+      """data: {"error":{"code":503,"message":"backend unavailable"}}""")
+      .mkString("\n")
+    withServer(Map("/v1beta/models/g-test:streamGenerateContent" -> (_ => (200, errSse)))) { base =>
+      val client = new GeminiLlmClient(base, "g-key", "g-test")
+      val e = intercept[RuntimeException](client.completeStreaming("s", "p"))
+      assert(e.getMessage.contains("backend unavailable"))
+    }
+  }
+
+  test("LlmConfig: gemini provider binding dispatches to generateContent") {
+    import graft.lifecycle.LlmConfig
+    var path = ""
+    val response =
+      """{"candidates":[{"content":{"parts":[{"text":"ok"}]},"finishReason":"STOP"}]}"""
+    withServer(Map("/v1beta/" -> (ex => {
+      path = ex.getRequestURI.getPath
+      (200, response)
+    }))) { base =>
+      val cfg = s"""{"agent_configs": [
+                   |  {"agent": "planner", "details": {"model": "g-pro",
+                   |   "provider": "gemini", "base_url": "$base"}}
+                   |]}""".stripMargin
+      val d = LlmConfig.fromEnv(Map(
+        "GRAFT_LLM_API_KEY" -> "k",
+        "GRAFT_LLM_BASE_URL" -> "http://127.0.0.1:1/v1",
+        "GRAFT_LLM_CONFIG" -> cfg).get).get
+      assert(d.boundStages == Set("planner"))
+      assert(d.complete("planner", "p") == "ok")
+      assert(path == "/v1beta/models/g-pro:generateContent")
+    }
+  }
+
   test("fromEnv: inert without a key, configured with one") {
     assert(HttpLlm.fromEnv(_ => None).isEmpty)
     val c = HttpLlm.fromEnv(Map(
