@@ -230,6 +230,51 @@ object Streams {
         .start()
   }
 
+  /** Streaming maintenance of the AT-REST duplicate-cluster index: each
+    * microbatch of (doc_id, text) documents is folded into the persisted
+    * label artifact through the SAME incremental operator the batch gates
+    * pin ([[graft.operators.ClusterIndex.append]]) — new docs probe the
+    * stored band index, only touched components re-resolve, untouched
+    * buckets stay byte-identical. This is the operational chain a
+    * production ingest runs: documents arrive continuously, cluster
+    * labels stay current ON DISK, and every downstream consumer joins the
+    * artifact instead of recomputing LSH + connected components
+    * ([[NearDupAdmitSink]] is the admission-decision variant of the same
+    * idea; this one persists the full cluster structure).
+    *
+    * Idempotent under foreachBatch's at-least-once redelivery: already-
+    * indexed doc_ids are anti-joined away against the stored labels
+    * before appending, so a replayed batch is a no-op rather than a
+    * duplicate-label corruption; in-batch duplicate ids collapse first.
+    * The guard costs one column-pruned labels scan per batch — at larger
+    * scale, bucket the labels by doc_id range and this probe prunes too.
+    * The index must be seeded by [[graft.operators.ClusterIndex.write]]
+    * (a non-empty corpus) before attaching. Appends are synchronized:
+    * single-writer maintenance is the artifact's contract. */
+  final class ClusterIndexSink(path: String) {
+    import graft.operators.ClusterIndex
+
+    /** One microbatch fold; also the direct entry for parity tests. */
+    def processBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
+      if (batch0.isEmpty) return
+      val s = batch0.sparkSession
+      val fresh = batch0.select(col("doc_id"), col("text"))
+        .dropDuplicates("doc_id")
+        .join(ClusterIndex.labels(s, path).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint(eager = true)
+      if (fresh.head(1).nonEmpty) ClusterIndex.append(fresh, path)
+    }
+
+    /** Attach to a document stream of (doc_id, text) rows. */
+    def attach(docs: DataFrame): StreamingQuery =
+      docs.writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          processBatch(b.toDF(), id))
+        .start()
+  }
+
   /** Drive any of the above against a bounded parquet dir through a real
     * streaming query into a memory sink; returns the sink table name. Used by
     * tests and the streaming demo — `processAllAvailable` makes it

@@ -153,6 +153,42 @@ class ClusterIndexSpec extends SparkSpec {
     novel.foreach { case (id, comp, keep) => assert(comp == id && keep) }
   }
 
+  test("streaming sink folds microbatches into the at-rest index, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // two paths seeded identically from the base corpus
+    val pathStream = "target/cluster_index_stream"
+    val pathBatch = "target/cluster_index_stream_ref"
+    Seq(pathStream, pathBatch).foreach { p =>
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+      ClusterIndex.write(base, p)
+    }
+
+    // the append batch split into two waves: near-dup chains then novels
+    val rows = appendBatch.select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (wave1, wave2) = rows.partition(_._1 < 700000)
+
+    val sink = new graft.streaming.Streams.ClusterIndexSink(pathStream)
+    val ms = MemoryStream[(Long, String)]
+    val q = sink.attach(ms.toDF().toDF("doc_id", "text"))
+    ms.addData(wave1); q.processAllAvailable()
+    ms.addData(wave2); q.processAllAvailable()
+    // at-least-once redelivery: the whole second wave replays — no-op
+    ms.addData(wave2); q.processAllAvailable()
+    q.stop()
+
+    ClusterIndex.append(appendBatch, pathBatch)
+    assert(labelSet(pathStream) == labelSet(pathBatch),
+      "streamed microbatch appends must equal one batch append")
+    // no duplicate doc_id rows survived the replay
+    val dups = ClusterIndex.labels(spark, pathStream)
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(dups == 0)
+  }
+
   test("append clears orphaned staging dirs and leaves none behind") {
     val path = "target/cluster_index_orphan"
     new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
