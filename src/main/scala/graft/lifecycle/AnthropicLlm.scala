@@ -31,7 +31,7 @@ final class AnthropicLlmClient(baseUrl: String, apiKey: String, model: String,
       stream: Boolean): HttpURLConnection = {
     val body =
       s"""{"model":${HttpLlm.jsonStr(model)},"max_tokens":$maxTokens,${if (stream) "\"stream\":true," else ""}
-         |"system":${HttpLlm.jsonStr(s"You are the $stage stage of a data-analysis agent. Respond with exactly the artifact the stage contract requires.")},
+         |"system":${HttpLlm.jsonStr(HttpLlm.stagePrompt(stage))},
          |"messages":[{"role":"user","content":${HttpLlm.jsonStr(prompt)}}]}""".stripMargin
     HttpLlm.postJson(s"$baseUrl/v1/messages",
       Seq("x-api-key" -> apiKey, "anthropic-version" -> "2023-06-01"),
@@ -41,9 +41,7 @@ final class AnthropicLlmClient(baseUrl: String, apiKey: String, model: String,
   override def complete(stage: String, prompt: String): String = {
     val conn = open(stage, prompt, stream = false)
     try {
-      HttpLlm.failIfError(conn)
-      val text = scala.io.Source
-        .fromInputStream(conn.getInputStream, "UTF-8").mkString
+      val text = HttpLlm.readBody(conn)
       HttpLlm.extractField(text, "text").getOrElse(
         throw new RuntimeException(
           s"no text content block in response: ${graft.plans.Lifecycle.condense(text)}"))

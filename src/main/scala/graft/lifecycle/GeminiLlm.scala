@@ -31,10 +31,8 @@ final class GeminiLlmClient(baseUrl: String, apiKey: String, model: String,
 
   private def openFor(stage: String, prompt: String,
       stream: Boolean): HttpURLConnection = {
-    val sys = s"You are the $stage stage of a data-analysis agent. " +
-      "Respond with exactly the artifact the stage contract requires."
     val body =
-      s"""{"system_instruction":{"parts":[{"text":${HttpLlm.jsonStr(sys)}}]},
+      s"""{"system_instruction":{"parts":[{"text":${HttpLlm.jsonStr(HttpLlm.stagePrompt(stage))}}]},
          |"contents":[{"role":"user","parts":[{"text":${HttpLlm.jsonStr(prompt)}}]}],
          |"generationConfig":{"maxOutputTokens":$maxTokens}}""".stripMargin
     val verb =
@@ -44,13 +42,21 @@ final class GeminiLlmClient(baseUrl: String, apiKey: String, model: String,
       Seq("x-goog-api-key" -> apiKey), body, timeoutMs)
   }
 
+  /** All text parts of a payload, concatenated — long completions span
+    * SEVERAL `parts` entries (and streaming chunks may carry more than
+    * one), so taking only the first would silently truncate. The request
+    * leaves candidateCount at its default of 1, so every text part
+    * belongs to the one candidate. */
+  private def allText(payload: String): Option[String] = {
+    val parts = HttpLlm.extractFields(payload, "text")
+    if (parts.isEmpty) None else Some(parts.mkString)
+  }
+
   override def complete(stage: String, prompt: String): String = {
     val conn = openFor(stage, prompt, stream = false)
     try {
-      HttpLlm.failIfError(conn)
-      val text = scala.io.Source
-        .fromInputStream(conn.getInputStream, "UTF-8").mkString
-      HttpLlm.extractField(text, "text").getOrElse(
+      val text = HttpLlm.readBody(conn)
+      allText(text).getOrElse(
         throw new RuntimeException(
           s"no text part in response: ${graft.plans.Lifecycle.condense(text)}"))
     } finally conn.disconnect()
@@ -67,11 +73,11 @@ final class GeminiLlmClient(baseUrl: String, apiKey: String, model: String,
     try HttpLlm.ssePump(conn, t0,
       isStop = p => HttpLlm.hasKey(p, "finishReason"),
       failOn = p =>
-        if (HttpLlm.extractField(p, "text").isEmpty && HttpLlm.hasKey(p, "error"))
+        if (allText(p).isEmpty && HttpLlm.hasKey(p, "error"))
           Some(HttpLlm.extractField(p, "message")
             .getOrElse(graft.plans.Lifecycle.condense(p)))
         else None,
-      extractDelta = p => HttpLlm.extractField(p, "text"),
+      extractDelta = allText,
       onDelta = onDelta)
     finally conn.disconnect()
   }

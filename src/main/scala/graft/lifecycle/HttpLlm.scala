@@ -26,7 +26,7 @@ final class HttpLlmClient(baseUrl: String, apiKey: String, model: String,
       stream: Boolean): HttpURLConnection = {
     val body =
       s"""{"model":${HttpLlm.jsonStr(model)},${if (stream) "\"stream\":true," else ""}"messages":[
-         |{"role":"system","content":${HttpLlm.jsonStr(s"You are the $stage stage of a data-analysis agent. Respond with exactly the artifact the stage contract requires.")}},
+         |{"role":"system","content":${HttpLlm.jsonStr(HttpLlm.stagePrompt(stage))}},
          |{"role":"user","content":${HttpLlm.jsonStr(prompt)}}]}""".stripMargin
     HttpLlm.postJson(s"$baseUrl/chat/completions",
       Seq("Authorization" -> s"Bearer $apiKey"), body, timeoutMs)
@@ -35,9 +35,7 @@ final class HttpLlmClient(baseUrl: String, apiKey: String, model: String,
   override def complete(stage: String, prompt: String): String = {
     val conn = open(stage, prompt, stream = false)
     try {
-      HttpLlm.failIfError(conn)
-      val text = scala.io.Source
-        .fromInputStream(conn.getInputStream, "UTF-8").mkString
+      val text = HttpLlm.readBody(conn)
       HttpLlm.extractContent(text).getOrElse(
         throw new RuntimeException(
           s"no message content in response: ${graft.plans.Lifecycle.condense(text)}"))
@@ -219,7 +217,15 @@ object HttpLlm {
     * A purpose-built scanner instead of a JSON dependency (build rules
     * allow none); the response shapes are fixed by the public API
     * contracts of the two wires this module speaks. */
-  def extractField(json: String, name: String): Option[String] = {
+  def extractField(json: String, name: String): Option[String] =
+    extractFields(json, name).headOption
+
+  /** ALL `"name": "<string>"` values in payload order — wires whose
+    * completion spans several parts (Gemini splits long outputs across
+    * `parts` entries) concatenate these; [[extractField]] is the
+    * single-value head. Same key-vs-value discipline as documented above. */
+  def extractFields(json: String, name: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
     val key = "\"" + name + "\""
     var at = json.indexOf(key)
     while (at >= 0) {
@@ -246,11 +252,23 @@ object HttpLlm {
               case c => b.append(c); i += 1
             }
           }
-          return if (i >= json.length) None else Some(b.toString)
+          if (i < json.length) out += b.toString
         }
       }
       at = json.indexOf(key, at + 1)
     }
-    None
+    out.result()
+  }
+
+  /** The per-stage system prompt shared by every provider wire — one
+    * definition so the stage contract cannot drift between adapters. */
+  private[lifecycle] def stagePrompt(stage: String): String =
+    s"You are the $stage stage of a data-analysis agent. " +
+      "Respond with exactly the artifact the stage contract requires."
+
+  /** Read a non-streaming response body (after [[failIfError]]). */
+  private[lifecycle] def readBody(conn: HttpURLConnection): String = {
+    failIfError(conn)
+    scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
   }
 }

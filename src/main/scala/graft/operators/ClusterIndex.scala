@@ -182,17 +182,27 @@ object ClusterIndex {
       .select("a", "b", "component", "part")
 
     // 4. physical write — keep rows of untouched components sharing an
-    // affected bucket ride along in the rewrite
+    // affected bucket ride along in the rewrite. Write ORDER is part of
+    // the crash contract: bands first, then edges, LABELS LAST — a doc
+    // present in labels is therefore fully applied, so "in labels" is the
+    // only membership test a caller needs (ClusterIndexSink's replay
+    // guard). A crash between the writes re-runs the whole append on
+    // redelivery and converges: candidate pairs are distinct'd, so the
+    // duplicate band rows a re-run appends only add join work, and the
+    // re-resolved edge rewrite recomputes the same components (pair
+    // discovery was checkpointed before the first write landed).
     val keepLabels = oldInParts.join(touched, Seq("component"), "left_anti")
       .select(LabelCols.map(col): _*)
     val keepEdges = oldEdges.filter(col("part").isin(affectedParts: _*))
       .join(touched, Seq("component"), "left_anti")
       .select("a", "b", "component", "part")
-    rewriteBuckets(relabeled.unionByName(keepLabels), affectedParts,
-      s"$path/labels", s)
+    // safe here: nn/no candidate discovery materialized into newEdges'
+    // eager checkpoint above, so the probe never sees these new rows
+    newBands.write.mode(SaveMode.Append).parquet(s"$path/bands")
     rewriteBuckets(relabeledEdges.unionByName(keepEdges), affectedParts,
       s"$path/edges", s)
-    newBands.write.mode(SaveMode.Append).parquet(s"$path/bands")
+    rewriteBuckets(relabeled.unionByName(keepLabels), affectedParts,
+      s"$path/labels", s)
     affectedParts
   }
 
@@ -228,12 +238,26 @@ object ClusterIndex {
       if (!fs.rename(src, dst))
         throw new java.io.IOException(
           s"bucket swap aborted: rename $src -> $dst failed")
-    // clear orphans from a previous crashed run before writing new ones
+    // clear orphans from a previous crashed run before writing new ones.
+    // Retired dirs are RESTORED first, not just deleted: a crash between
+    // a bucket's retire-rename and its staged-rename leaves that bucket's
+    // only copy under .retired-* — rename it back before dropping the dir
+    // (if the staged rename did land, the live dir exists and the retired
+    // copy is stale — deleted as before).
     Option(fs.listStatus(new Path(dir))).toSeq.flatten
       .map(_.getPath)
       .filter(p => p.getName.startsWith(".staging-") ||
         p.getName.startsWith(".retired-"))
-      .foreach(fs.delete(_, true))
+      .foreach { orphan =>
+        if (orphan.getName.startsWith(".retired-"))
+          Option(fs.listStatus(orphan)).toSeq.flatten
+            .filter(st => st.getPath.getName.startsWith("part="))
+            .foreach { st =>
+              val live = new Path(dir, st.getPath.getName)
+              if (!fs.exists(live)) renameOrFail(st.getPath, live)
+            }
+        fs.delete(orphan, true)
+      }
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(dir, s".staging-$stamp")
     val retired = new Path(dir, s".retired-$stamp")

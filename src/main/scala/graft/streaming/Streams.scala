@@ -242,28 +242,42 @@ object Streams {
     * ([[NearDupAdmitSink]] is the admission-decision variant of the same
     * idea; this one persists the full cluster structure).
     *
-    * Idempotent under foreachBatch's at-least-once redelivery: already-
-    * indexed doc_ids are anti-joined away against the stored labels
-    * before appending, so a replayed batch is a no-op rather than a
-    * duplicate-label corruption; in-batch duplicate ids collapse first.
-    * The guard costs one column-pruned labels scan per batch — at larger
-    * scale, bucket the labels by doc_id range and this probe prunes too.
-    * The index must be seeded by [[graft.operators.ClusterIndex.write]]
-    * (a non-empty corpus) before attaching. Appends are synchronized:
-    * single-writer maintenance is the artifact's contract. */
+    * Idempotent under foreachBatch's at-least-once redelivery, two
+    * layers: a committed batchId MARKER (the standard idempotent-
+    * foreachBatch pattern — Structured Streaming redelivers the same
+    * batchId with the same data, so a marker present means the fold
+    * fully landed, skip) and a doc_id anti-join against the stored
+    * labels, which drops duplicate SUBMISSIONS (the same doc arriving
+    * again in a later batch) and makes a crash-interrupted fold converge
+    * on re-run: append() writes labels LAST, so an unlabeled doc
+    * reprocesses completely and a labeled one is fully applied (the band
+    * and edge rows a partial run left behind are harmless — candidate
+    * pairs are distinct'd). The guard costs one column-pruned labels
+    * scan per batch — at larger scale, bucket the labels by doc_id range
+    * and this probe prunes too. The index must be seeded by
+    * [[graft.operators.ClusterIndex.write]] (a non-empty corpus) before
+    * attaching. Appends are synchronized: single-writer maintenance is
+    * the artifact's contract. */
   final class ClusterIndexSink(path: String) {
     import graft.operators.ClusterIndex
+    import org.apache.hadoop.fs.Path
 
     /** One microbatch fold; also the direct entry for parity tests. */
     def processBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
       if (batch0.isEmpty) return
       val s = batch0.sparkSession
+      val markerDir = new Path(s"$path/_stream_commits")
+      val marker = new Path(markerDir, s"batch-$batchId")
+      val fs = markerDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(marker)) return // exact redelivery of an applied batch
       val fresh = batch0.select(col("doc_id"), col("text"))
         .dropDuplicates("doc_id")
         .join(ClusterIndex.labels(s, path).select("doc_id"),
           Seq("doc_id"), "left_anti")
         .localCheckpoint(eager = true)
       if (fresh.head(1).nonEmpty) ClusterIndex.append(fresh, path)
+      fs.mkdirs(markerDir)
+      fs.create(marker).close() // after the fold fully landed
     }
 
     /** Attach to a document stream of (doc_id, text) rows. */

@@ -309,8 +309,7 @@ class HttpAdaptersSpec extends SparkSpec {
       assert(r.text == "Hello world" && r.chunks == 3)
       assert(deltas.toSeq == Seq("Hel", "lo ", "world"))
     }
-    // mid-stream error object (no text part) throws, and EOF with no
-    // finishReason anywhere is the truncation guard
+    // mid-stream error object (no text part) throws
     val errSse = Seq(
       """data: {"candidates":[{"content":{"parts":[{"text":"Hel"}],"role":"model"}}]}""",
       """data: {"error":{"code":503,"message":"backend unavailable"}}""")
@@ -319,6 +318,36 @@ class HttpAdaptersSpec extends SparkSpec {
       val client = new GeminiLlmClient(base, "g-key", "g-test")
       val e = intercept[RuntimeException](client.completeStreaming("s", "p"))
       assert(e.getMessage.contains("backend unavailable"))
+    }
+    // EOF with no finishReason and no error event = truncated stream
+    val cutSse =
+      """data: {"candidates":[{"content":{"parts":[{"text":"Hel"}],"role":"model"}}]}"""
+    withServer(Map("/v1beta/models/g-test:streamGenerateContent" -> (_ => (200, cutSse)))) { base =>
+      val client = new GeminiLlmClient(base, "g-key", "g-test")
+      val e = intercept[RuntimeException](client.completeStreaming("s", "p"))
+      assert(e.getMessage.contains("without stop sentinel"))
+    }
+  }
+
+  test("Gemini adapter: multi-part completions concatenate, never truncate") {
+    import graft.lifecycle.GeminiLlmClient
+    // long outputs span SEVERAL parts entries in one candidate — taking
+    // only the first silently truncates
+    val response =
+      """{"candidates":[{"content":{"parts":[{"text":"part one, "},
+        |{"text":"part two"}],"role":"model"},"finishReason":"STOP"}]}""".stripMargin
+    withServer(Map("/v1beta/models/g-test:generateContent" -> (_ => (200, response)))) { base =>
+      val client = new GeminiLlmClient(base, "g-key", "g-test")
+      assert(client.complete("s", "p") == "part one, part two")
+    }
+    // a streaming chunk carrying two parts keeps both
+    val sse = Seq(
+      """data: {"candidates":[{"content":{"parts":[{"text":"a"},{"text":"b"}],"role":"model"}}]}""",
+      """data: {"candidates":[{"content":{"parts":[{"text":"c"}],"role":"model"},"finishReason":"STOP"}]}""")
+      .mkString("\n")
+    withServer(Map("/v1beta/models/g-test:streamGenerateContent" -> (_ => (200, sse)))) { base =>
+      val client = new GeminiLlmClient(base, "g-key", "g-test")
+      assert(client.completeStreaming("s", "p").text == "abc")
     }
   }
 
