@@ -165,6 +165,40 @@ object ScaleProbe {
         graft.operators.TextOps.decontaminationAutoQ),
       ("profile_summary_exact", profileQ(false), profileQ(false)),
       ("profile_summary_approx", profileQ(true), profileQ(true)))
+    // ClusterIndex.append at 1x vs Nx corpus: the fold's cost contract is
+    // batch + touched buckets — and the corpus-derived layout
+    // (OperatingPoint.clusterIndexParts / bandIndexBuckets) holds bucket
+    // size roughly constant — so folding the SAME fixed-size batch into a
+    // 1x- and an Nx-seeded index should cost about the same. Document
+    // copies are word-salted per copy so the synthetic corpus doesn't
+    // manufacture Nx-sized duplicate clusters (the same decorrelation the
+    // embedding copies get above); the batch is salted as copy 0, so it
+    // touches the same components at both scales. Seeding (write) is
+    // untimed; one warm append absorbs codegen/JIT, a second disjoint
+    // batch is timed.
+    def clusterAppendSecs(c: Int, tag: String): Double = {
+      import graft.operators.ClusterIndex
+      val cpsC = spark.range(c).select(col("id").as("cp"))
+      val salted = Tables.load(spark, base, "documents").crossJoin(cpsC)
+        .select((col("doc_id") + col("cp") * 1000000L).as("doc_id"),
+          expr("concat_ws(' ', transform(split(text, ' '), " +
+            "w -> concat(w, 'c', cast(cp as string))))").as("text"))
+      val docsPath = s"$out/salted_docs_$tag"
+      salted.write.mode("overwrite").parquet(docsPath)
+      val idx = s"$out/probe_cidx_$tag"
+      new scala.reflect.io.Directory(new java.io.File(idx)).deleteRecursively()
+      ClusterIndex.write(spark.read.parquet(docsPath), idx)
+      def batch(off: Long) = Tables.load(spark, base, "documents")
+        .filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + off).as("doc_id"),
+          expr("concat_ws(' ', transform(split(concat(text, ' zz qq vv'), " +
+            "' '), w -> concat(w, 'c0')))").as("text"))
+      ClusterIndex.append(batch(900000000L).localCheckpoint(eager = true), idx)
+      val b = batch(910000000L).localCheckpoint(eager = true)
+      val t0 = System.nanoTime()
+      ClusterIndex.append(b, idx)
+      (System.nanoTime() - t0) / 1e9
+    }
     def time(fn: (SparkSession, String) => DataFrame, d: String): Double = {
       fn(spark, d).count() // warm: codegen/JIT for this plan shape
       // the timed run must not reuse the warmup's materializations
@@ -180,7 +214,7 @@ object ScaleProbe {
     val nameFilter =
       if (args.length > 2 && args(2).nonEmpty) args(2).split(",").toSeq
       else if (copies != 10)
-        Seq("_auto", "dd7_dup_clusters", "profile_summary")
+        Seq("_auto", "dd7_dup_clusters", "profile_summary", "cluster_append")
       else Seq.empty
     val selected = (std ++ scaled).filter { case (n, _, _) =>
       nameFilter.isEmpty || nameFilter.exists(n.contains)
@@ -190,7 +224,13 @@ object ScaleProbe {
       val tN = time(fnN, out)
       (name, t1, tN, tN / t1)
     }
-    val qs = rows.map { case (n, t1, tN, r) =>
+    val appendRows =
+      if (nameFilter.isEmpty || nameFilter.exists("cluster_append".contains)) {
+        val t1 = clusterAppendSecs(1, "1x")
+        val tN = clusterAppendSecs(copies, "nx")
+        Seq(("cluster_append", t1, tN, tN / t1))
+      } else Seq.empty
+    val qs = (rows ++ appendRows).map { case (n, t1, tN, r) =>
       f""""$n":{"t1x":$t1%.3f,"t${copies}x":$tN%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","copies":$copies,"queries":$qs}""")

@@ -25,58 +25,154 @@ import org.apache.spark.sql.functions._
   *    the resolved pair graph, kept so a merge can re-run CC on ONLY the
   *    touched components' subgraph.
   *  - `bands/`  — (doc_id, bk), the at-rest LSH band index the incremental
-  *    probe equi-joins against (plain parquet: the probe is a join on `bk`,
-  *    not a partition lookup — at larger scale this table is the one to
-  *    bucket by `bk`).
+  *    probe equi-joins against, partitioned by `bkb` = hash-bucket of `bk`
+  *    so the probe reads only the buckets the batch's band keys hash into.
+  *  - `_meta`   — the layout constants the artifact was written with
+  *    ([[IndexMeta]]); appends use the STORED layout, never a re-derived
+  *    one (re-deriving from the grown corpus would silently re-hash every
+  *    bucket assignment).
+  *  - `_maintenance.lock` — [[MaintenanceLock]]'s single-writer fence,
+  *    held across [[write]] and [[append]].
   *
   * Why bucket by component hash instead of one dir per component: near-dup
   * corpora have ~as many components as documents — millions of directories
-  * is a metadata explosion. [[NumParts]] buckets make incremental
-  * maintenance PHYSICAL partition work: an append reads only the buckets
-  * holding touched components (partition pruning on `part`) and rewrites
-  * only those buckets; every other bucket's files stay byte-identical
-  * (asserted in ClusterIndexSpec). At 100 TB raise NumParts (e.g. 64k) so
-  * one bucket rewrite stays a small, bounded slice of the corpus.
+  * is a metadata explosion. Bucketing makes incremental maintenance
+  * PHYSICAL partition work: an append reads only the buckets holding
+  * touched components (partition pruning on `part`) and rewrites only
+  * those buckets; every other bucket's files stay byte-identical (asserted
+  * in ClusterIndexSpec). Both bucket counts are corpus-derived at write
+  * time ([[OperatingPoint.clusterIndexParts]] /
+  * [[OperatingPoint.bandIndexBuckets]]) so a bucket rewrite stays a small,
+  * bounded slice of the corpus at any scale.
   */
 object ClusterIndex {
 
-  /** Component-bucket count. 64 keeps fixture artifacts readable while
-    * still demonstrating pruning; the knob to raise with corpus size. */
-  val NumParts = 64
+  /** Layout constants persisted at `path/_meta`: the component-bucket
+    * count, the band-index bucket count, and the corpus size they were
+    * derived from (diagnostics). Indexes written before `_meta` existed
+    * fall back to the original pinned layout (64 parts, unbucketed
+    * bands — `bandBuckets == 0`). */
+  final case class IndexMeta(numParts: Int, bandBuckets: Int, n: Long)
 
-  private def partOf(c: Column): Column =
-    pmod(xxhash64(c), lit(NumParts.toLong)).cast("int")
+  /** Pre-`_meta` layout, also the fixture floor of the derivations. */
+  private val LegacyMeta = IndexMeta(64, 0, 0L)
+
+  def meta(s: SparkSession, path: String): IndexMeta = {
+    val p = new Path(path, "_meta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) LegacyMeta
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val kv = text.linesIterator.filter(_.contains('='))
+        .map { l => val Array(k, v) = l.split("=", 2); (k.trim, v.trim) }
+        .toMap
+      IndexMeta(kv("num_parts").toInt, kv("band_buckets").toInt,
+        kv.getOrElse("n", "0").toLong)
+    }
+  }
+
+  private def writeMeta(s: SparkSession, path: String, m: IndexMeta): Unit = {
+    val p = new Path(path, "_meta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"num_parts=${m.numParts}\nband_buckets=${m.bandBuckets}\nn=${m.n}\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def partOf(c: Column, numParts: Int): Column =
+    pmod(xxhash64(c), lit(numParts.toLong)).cast("int")
+
+  /** Band-key bucket for the `bands/` partitioning; `bk` is the
+    * pipe-joined signature-minima STRING, so hash it to spread. */
+  private def bkbOf(bandBuckets: Int): Column =
+    pmod(xxhash64(col("bk")), lit(bandBuckets.toLong)).cast("int")
 
   private val LabelCols = Seq("doc_id", "hs", "n", "n_words",
     "component", "keep", "canonical", "part")
 
+  /** Test-only crash injection for the staged-rename protocol (the
+    * standard failpoint pattern): set to `"after-gains:<leaf>"` and the
+    * bucket rewrite of a dir ending in `<leaf>` throws AFTER the
+    * unaffected-bucket gains landed but BEFORE any affected bucket
+    * swapped — the exact duplicate-visible window the ClusterIndexSink
+    * repair path must close. Null in production; specs set and clear. */
+  private[graft] val failpoint =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private def maybeFail(stage: String, dir: String): Unit = {
+    val fp = failpoint.get
+    if (fp != null) fp.split(":", 2) match {
+      case Array(st, leaf) if st == stage && dir.endsWith(leaf) =>
+        throw new IllegalStateException(s"failpoint $fp in $dir")
+      case _ => ()
+    }
+  }
+
+  /** The stored band rows a batch's candidate probe must join — pruned to
+    * the batch's `bkb` buckets when the index is bucketed (partition
+    * pruning on the partitioned read; the distinct-`bkb` collect is
+    * bounded by the `_meta` bucket count, ≤ 4096). Package-visible so the
+    * spec can assert the pruned plan. */
+  private[graft] def prunedBands(s: SparkSession, path: String,
+      newBands: DataFrame): DataFrame = {
+    val m = meta(s, path)
+    val all = s.read.parquet(s"$path/bands")
+    if (m.bandBuckets == 0) all
+    else {
+      val batchBkbs = newBands.select(bkbOf(m.bandBuckets).as("bkb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      all.filter(col("bkb").isin(batchBkbs: _*))
+    }
+  }
+
   /** Full build over a (doc_id, text) corpus: LSH pair discovery →
     * connected components → retention (keep-the-most-complete, dd8's
     * policy), persisted under `path`. Same plan family as the dd7/dd8
-    * gates; ClusterIndexSpec asserts label parity with them. */
-  def write(corpus: DataFrame, path: String): Unit = {
-    val docs = DedupOps.lshDocsOf(corpus)
-    val pairs = DedupOps.lshPairsFromDocs(docs)
-    val edges = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
-    val nWords = corpus.select(col("doc_id"),
-      size(split(col("text"), " ")).as("n_words"))
-    val cc = GraphOps.connectedComponents(
-        corpus.select(col("doc_id").as("id")), edges)
-      .select(col("id").as("doc_id"), col("component"))
-      .localCheckpoint(eager = false) // feeds labels AND the edge bucketing
-    retention(cc.join(nWords, "doc_id")
-        .join(docs.select("doc_id", "hs", "n"), "doc_id"))
-      .withColumn("part", partOf(col("component")))
-      .select(LabelCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(s"$path/labels")
-    // an edge's endpoints share a component by definition; bucket by it
-    edges.join(cc.select(col("doc_id").as("a"), col("component")), Seq("a"))
-      .withColumn("part", partOf(col("component")))
-      .select("a", "b", "component", "part")
-      .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(s"$path/edges")
-    DedupOps.lshBandsOf(docs)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands")
-  }
+    * gates; ClusterIndexSpec asserts label parity with them. Bucket
+    * counts are derived from the corpus size (pass `countEstimate` to
+    * skip the count job) and persisted in `_meta` for [[append]]. */
+  def write(corpus: DataFrame, path: String,
+      countEstimate: Option[Long] = None): Unit =
+    MaintenanceLock.withLock(corpus.sparkSession, path) {
+      val s = corpus.sparkSession
+      val n = math.max(1L, countEstimate.getOrElse(corpus.count()))
+      val m = IndexMeta(OperatingPoint.clusterIndexParts(n),
+        OperatingPoint.bandIndexBuckets(n), n)
+      // meta first: a crash mid-write leaves a partial artifact that is
+      // rebuilt by re-running write() (Overwrite semantics); data files
+      // must never exist without the layout that hashed them
+      writeMeta(s, path, m)
+      val docs = DedupOps.lshDocsOf(corpus)
+      val pairs = DedupOps.lshPairsFromDocs(docs)
+      val edges = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
+      val nWords = corpus.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_words"))
+      val cc = GraphOps.connectedComponents(
+          corpus.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("component"))
+        .localCheckpoint(eager = false) // feeds labels AND the edge bucketing
+      retention(cc.join(nWords, "doc_id")
+          .join(docs.select("doc_id", "hs", "n"), "doc_id"))
+        .withColumn("part", partOf(col("component"), m.numParts))
+        .select(LabelCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite).partitionBy("part")
+        .parquet(s"$path/labels")
+      // an edge's endpoints share a component by definition; bucket by it
+      edges.join(cc.select(col("doc_id").as("a"), col("component")), Seq("a"))
+        .withColumn("part", partOf(col("component"), m.numParts))
+        .select("a", "b", "component", "part")
+        .write.mode(SaveMode.Overwrite).partitionBy("part")
+        .parquet(s"$path/edges")
+      DedupOps.lshBandsOf(docs)
+        .withColumn("bkb", bkbOf(m.bandBuckets))
+        .write.mode(SaveMode.Overwrite).partitionBy("bkb")
+        .parquet(s"$path/bands")
+    }
 
   /** The persisted label table (doc_id, …, component, keep, canonical). */
   def labels(s: SparkSession, path: String): DataFrame =
@@ -95,22 +191,36 @@ object ClusterIndex {
       .withColumn("canonical", first("doc_id").over(wFull))
   }
 
-  /** Incremental maintenance: fold a batch of NEW documents (doc_ids must
-    * be disjoint from the stored corpus — the reference's UUID contract)
-    * into the at-rest index, re-resolving ONLY the touched components.
+  /** Incremental maintenance: fold a batch of documents into the at-rest
+    * index, re-resolving ONLY the touched components. New doc_ids are the
+    * normal case (the reference's UUID contract); a doc_id already present
+    * in the index is absorbed IDEMPOTENTLY under the same-id-same-content
+    * contract — its stored components are force-touched, so its old rows
+    * are rewritten rather than duplicated. That makes a full re-run of the
+    * same batch converge to the same artifact, which is what lets the
+    * streaming sink repair a crash-interrupted fold by simply re-running
+    * it (the ADVICE-identified duplicate-visible window: a crash between
+    * the gains and swaps of [[rewriteBuckets]] can leave a migrated
+    * component visible in two buckets — on re-run both copies' components
+    * are touched, so both buckets rewrite and the duplicate dies).
     *
     * Steps, each bounded by the new batch + touched components (never the
     * stored corpus):
-    *  1. band the new docs, probe the at-rest band index (equi-join on
-    *     `bk`) for new×old candidates, self-join for new×new, verify
-    *     exact Jaccard against the stored (hs, n) attributes;
+    *  1. band the new docs, probe the at-rest band index for new×old
+    *     candidates — the probe filters the stored bands to the batch's
+    *     `bkb` buckets first (partition pruning; the distinct-`bkb`
+    *     collect is bounded by the `_meta` bucket count) — self-join for
+    *     new×new, verify exact Jaccard against the stored (hs, n)
+    *     attributes;
     *  2. touched components = components of old endpoints of the found
-    *     edges; their buckets are the ONLY label/edge partitions read
-    *     (partition pruning on `part`) and the only ones rewritten;
+    *     edges, PLUS components of any stored row whose doc_id is in the
+    *     batch (resubmission / crash-repair absorption); their buckets are
+    *     the ONLY label/edge partitions read (partition pruning on `part`)
+    *     and the only ones rewritten;
     *  3. re-run [[GraphOps.connectedComponents]] on the touched subgraph
     *     (stored edges of touched components ∪ new edges) plus the new
     *     docs, recompute retention for exactly those members;
-    *  4. physical write: affected buckets are deleted and rewritten with
+    *  4. physical write: affected buckets are swapped wholesale with
     *     (their untouched components' rows ∪ re-resolved rows); rows whose
     *     component hashes elsewhere are APPENDED — pre-existing files in
     *     unaffected buckets are never modified (ClusterIndexSpec asserts
@@ -122,14 +232,20 @@ object ClusterIndex {
     *
     * @return the affected bucket ids (diagnostics + spec assertions)
     */
-  def append(newCorpus: DataFrame, path: String): Seq[Int] = {
+  def append(newCorpus: DataFrame, path: String): Seq[Int] =
+    MaintenanceLock.withLock(newCorpus.sparkSession, path) {
+      appendLocked(newCorpus, path)
+    }
+
+  private def appendLocked(newCorpus: DataFrame, path: String): Seq[Int] = {
     val s = newCorpus.sparkSession
+    val m = meta(s, path)
     // eager: nd feeds candidate probing, verify lookup, and attrs below
     val nd = DedupOps.lshDocsOf(newCorpus).localCheckpoint(eager = true)
     val ndWords = newCorpus.select(col("doc_id"),
       size(split(col("text"), " ")).as("n_words"))
     val newBands = DedupOps.lshBandsOf(nd).localCheckpoint(eager = true)
-    val oldBands = s.read.parquet(s"$path/bands")
+    val oldBands = prunedBands(s, path, newBands)
     val oldLabels = labels(s, path)
 
     // 1. candidate pairs touching a new doc: new×new plus new×old
@@ -140,22 +256,36 @@ object ClusterIndex {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
       .filter(col("a_id") =!= col("b_id"))
+    // dropDuplicates: a crash-repair re-run sees the stored copy of a
+    // batch doc alongside nd's — attributes are text-derived, so either
+    // row is the same row
     val lookup = nd.select("doc_id", "hs", "n")
       .unionByName(oldLabels.select("doc_id", "hs", "n"))
+      .dropDuplicates("doc_id")
     val newEdges = DedupOps.lshVerify(nn.unionByName(no).distinct(), lookup)
       .select(col("a_id").as("a"), col("b_id").as("b"))
       .localCheckpoint(eager = true)
 
-    // 2. touched components and their physical buckets
+    // 2. touched components and their physical buckets. Components of
+    // stored rows carrying a batch doc_id are force-touched so a
+    // resubmitted (or crash-duplicated) doc's old rows are REWRITTEN, not
+    // joined by a second copy.
     val endpoints = newEdges.select(col("a").as("doc_id"))
       .unionByName(newEdges.select(col("b").as("doc_id"))).distinct()
+    val batchIds = nd.select("doc_id")
     val touched = oldLabels.join(endpoints, Seq("doc_id"))
-      .select("component").distinct().localCheckpoint(eager = true)
-    // bounded by NumParts — bucket METADATA, the one collect this op allows
-    val affectedParts = touched.select(partOf(col("component")).as("part"))
+      .select("component")
+      .unionByName(oldLabels.join(batchIds, Seq("doc_id"))
+        .select("component"))
+      .distinct().localCheckpoint(eager = true)
+    // bounded by numParts — bucket METADATA, the one collect this op allows
+    val affectedParts = touched
+      .select(partOf(col("component"), m.numParts).as("part"))
       .distinct().collect().map(_.getInt(0)).toSeq
 
-    // 3. re-resolve the touched subgraph + all new docs
+    // 3. re-resolve the touched subgraph + all new docs. distinct /
+    // dropDuplicates throughout: a repair re-run can hold the same doc or
+    // edge in both the stored and new sides.
     val oldInParts = oldLabels.filter(col("part").isin(affectedParts: _*))
     val touchedMembers = oldInParts.join(touched, Seq("component"))
       .localCheckpoint(eager = true)
@@ -164,33 +294,39 @@ object ClusterIndex {
       .filter(col("part").isin(affectedParts: _*))
       .join(touched, Seq("component"))
       .select("a", "b")
+    val subEdges = newEdges.unionByName(oldEdgesTouched)
+      .dropDuplicates("a", "b")
+      .localCheckpoint(eager = false) // feeds cc AND the edge rewrite
     val cc = GraphOps.connectedComponents(
         touchedMembers.select(col("doc_id").as("id"))
-          .unionByName(nd.select(col("doc_id").as("id"))),
-        newEdges.unionByName(oldEdgesTouched))
+          .unionByName(nd.select(col("doc_id").as("id"))).distinct(),
+        subEdges)
       .select(col("id").as("doc_id"), col("component"))
       .localCheckpoint(eager = false)
     val attrs = touchedMembers.select("doc_id", "hs", "n", "n_words")
       .unionByName(nd.select("doc_id", "hs", "n").join(ndWords, "doc_id")
         .select("doc_id", "hs", "n", "n_words"))
+      .dropDuplicates("doc_id")
     val relabeled = retention(cc.join(attrs, "doc_id"))
-      .withColumn("part", partOf(col("component")))
+      .withColumn("part", partOf(col("component"), m.numParts))
       .select(LabelCols.map(col): _*)
-    val relabeledEdges = newEdges.unionByName(oldEdgesTouched)
+    val relabeledEdges = subEdges
       .join(cc.select(col("doc_id").as("a"), col("component")), Seq("a"))
-      .withColumn("part", partOf(col("component")))
+      .withColumn("part", partOf(col("component"), m.numParts))
       .select("a", "b", "component", "part")
 
     // 4. physical write — keep rows of untouched components sharing an
     // affected bucket ride along in the rewrite. Write ORDER is part of
     // the crash contract: bands first, then edges, LABELS LAST — a doc
-    // present in labels is therefore fully applied, so "in labels" is the
-    // only membership test a caller needs (ClusterIndexSink's replay
-    // guard). A crash between the writes re-runs the whole append on
-    // redelivery and converges: candidate pairs are distinct'd, so the
-    // duplicate band rows a re-run appends only add join work, and the
-    // re-resolved edge rewrite recomputes the same components (pair
-    // discovery was checkpointed before the first write landed).
+    // present in labels is therefore fully applied EXCEPT in the
+    // duplicate-visible window a crash inside the labels rewrite leaves
+    // (gains landed, swaps pending); re-running the SAME batch closes it
+    // (see the idempotence notes above), which is why the streaming sink
+    // persists each batch durably before folding it. Candidate pairs are
+    // distinct'd, so the duplicate band rows a re-run appends only add
+    // join work, and the re-resolved edge rewrite recomputes the same
+    // components (pair discovery was checkpointed before the first write
+    // landed).
     val keepLabels = oldInParts.join(touched, Seq("component"), "left_anti")
       .select(LabelCols.map(col): _*)
     val keepEdges = oldEdges.filter(col("part").isin(affectedParts: _*))
@@ -198,7 +334,11 @@ object ClusterIndex {
       .select("a", "b", "component", "part")
     // safe here: nn/no candidate discovery materialized into newEdges'
     // eager checkpoint above, so the probe never sees these new rows
-    newBands.write.mode(SaveMode.Append).parquet(s"$path/bands")
+    val bandWriter =
+      if (m.bandBuckets == 0) newBands.write.mode(SaveMode.Append)
+      else newBands.withColumn("bkb", bkbOf(m.bandBuckets))
+        .write.mode(SaveMode.Append).partitionBy("bkb")
+    bandWriter.parquet(s"$path/bands")
     rewriteBuckets(relabeledEdges.unionByName(keepEdges), affectedParts,
       s"$path/edges", s)
     rewriteBuckets(relabeled.unionByName(keepLabels), affectedParts,
@@ -221,16 +361,17 @@ object ClusterIndex {
     * failure window loses the affected buckets outright. The residual
     * crash window is DUPLICATE-visible, not loss: appends landed but an
     * affected bucket not yet swapped still holds the old copy of a
-    * migrated component until the swap completes — detectable (doc_id
-    * multiplicity), and [[write]] rebuilds from the corpus. Orphaned
+    * migrated component until the swap completes — closed by re-running
+    * the same append ([[append]]'s force-touch idempotence), which the
+    * streaming sink guarantees via its durable pending batches. Orphaned
     * staging/retired dirs from a previous crashed run are cleared on
-    * entry (single-writer maintenance is the contract, as with the IVF
-    * index). At 100 TB this artifact graduates to a transactional table
-    * format (commit-log semantics); the staged-rename protocol is the
-    * dependency-free analog. Explicit swap (rather than dynamic
-    * partition overwrite) also clears a bucket whose every component
-    * migrated elsewhere, which dynamic overwrite would leave stale
-    * because no new row lands in it. */
+    * entry (single-writer maintenance, enforced by [[MaintenanceLock]],
+    * as with the IVF index). At 100 TB this artifact graduates to a
+    * transactional table format (commit-log semantics); the staged-rename
+    * protocol is the dependency-free analog. Explicit swap (rather than
+    * dynamic partition overwrite) also clears a bucket whose every
+    * component migrated elsewhere, which dynamic overwrite would leave
+    * stale because no new row lands in it. */
   private def rewriteBuckets(rows: DataFrame, affectedParts: Seq[Int],
       dir: String, s: SparkSession): Unit = {
     val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -284,6 +425,7 @@ object ClusterIndex {
           }
         }
       }
+    maybeFail("after-gains", dir)
     // 2. swap the affected buckets
     fs.mkdirs(retired)
     affectedParts.foreach { p =>

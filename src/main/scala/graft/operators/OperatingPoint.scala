@@ -75,6 +75,48 @@ object OperatingPoint {
     * conservative direction for a contamination check. */
   def hashDecontaminationGrams(n: Long): Boolean = n > 20000L
 
+  /** Next power of two ≥ x (x already clamped to int range by callers). */
+  private def pow2Ceil(x: Long): Int = {
+    require(x <= (1L << 30), s"pow2Ceil input $x out of range")
+    if (x <= 1L) 1 else Integer.highestOneBit((x - 1).toInt) << 1
+  }
+
+  /** Component-bucket count for the at-rest cluster index
+    * ([[ClusterIndex]]): labels and edges are bucketed by component hash so
+    * an append reads and rewrites only the touched buckets. The knob must
+    * grow with the corpus or each bucket rewrite grows linearly with it —
+    * target ≈1k docs per bucket (a label row carries the doc's shingle-hash
+    * set, so 1k docs ≈ a few MB of parquet — comfortably above
+    * small-file territory, bounded rewrite work per touched component).
+    * Power-of-two steps so the knob moves in doublings like the LSH bit
+    * knobs. Floor 64 keeps fixture artifacts readable and pruning
+    * demonstrable; cap 64k bounds the partition-directory count (at the cap
+    * a 1e10-doc corpus holds ~150k docs/bucket — the scale where this
+    * artifact graduates to a transactional table format anyway, per the
+    * [[ClusterIndex]] scaladoc). Derived ONCE at [[ClusterIndex.write]] and
+    * persisted in the index `_meta` — appends must keep using the layout
+    * the artifact was written with, never re-derive from the grown count. */
+  def clusterIndexParts(n: Long): Int = {
+    require(n > 0, s"corpus count must be positive, got $n")
+    clamp(pow2Ceil(math.min(n / 1024L, 1L << 16)), 64, 1 << 16)
+  }
+
+  /** Bucket count for the cluster index's at-rest LSH band table
+    * (`bands/`, partitioned by `bkb = pmod(bk, B)`): an append's candidate
+    * probe joins its batch's band keys against the stored table, and with
+    * the table bucketed the probe reads ONLY the buckets the batch's keys
+    * hash into (partition pruning on `bkb`) instead of scanning every
+    * stored band row. The batch's distinct `bkb` set is collected to drive
+    * the pruning `isin` — bounded by B, so the cap (4096) is also the
+    * bound on that driver-side metadata. Floor 16 keeps a small append's
+    * probe visibly pruned on fixtures (a one-doc batch touches ≤ NumBands
+    * buckets). Same ~1k-docs-per-bucket growth target as
+    * [[clusterIndexParts]]; persisted in `_meta` alongside it. */
+  def bandIndexBuckets(n: Long): Int = {
+    require(n > 0, s"corpus count must be positive, got $n")
+    clamp(pow2Ceil(math.min(n / 1024L, 1L << 12)), 16, 1 << 12)
+  }
+
   /** Join-strategy knob for the banded self-joins: once the banded side
     * (n·bands rows carrying the dim-double vector) outgrows a
     * broadcast-friendly size, the self-join must be a shuffle join — both

@@ -461,15 +461,16 @@ object VectorOps {
     * demonstrated by the PartitionFilters assertion in ScaleOpsSpec.
     * Assignment is the [[knnJoinOver]] shape: broadcast of K centroids
     * against one scan, no corpus shuffle beyond the partitioned write. */
-  def writeIvfIndex(e0: DataFrame, K: Int, path: String): Unit = {
-    CosineSimilarity.register(e0.sparkSession)
-    val e = e0.localCheckpoint(eager = false) // feeds centroids + assignment
-    val cent = e.filter(col("vec_id") < K)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
-    cent.write.mode("overwrite").parquet(s"$path/centroids")
-    assignToCells(e, cent)
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/index")
-  }
+  def writeIvfIndex(e0: DataFrame, K: Int, path: String): Unit =
+    MaintenanceLock.withLock(e0.sparkSession, path) {
+      CosineSimilarity.register(e0.sparkSession)
+      val e = e0.localCheckpoint(eager = false) // feeds centroids + assignment
+      val cent = e.filter(col("vec_id") < K)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+      cent.write.mode("overwrite").parquet(s"$path/centroids")
+      assignToCells(e, cent)
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/index")
+    }
 
   /** Top-N centroid cells per vector — broadcast of the K centroid rows
     * against one scan, the ONE cell-ranking shape shared by the index
@@ -502,14 +503,15 @@ object VectorOps {
     * gracefully as centroids drift (standard IVF practice). Probes see
     * appended vectors immediately — same directory pruning, asserted in
     * ScaleOpsSpec. */
-  def appendToIvfIndex(batch: DataFrame, path: String): Unit = {
-    val s = batch.sparkSession
-    CosineSimilarity.register(s)
-    val cent = s.read.parquet(s"$path/centroids")
-      .select(col("cid"), col("c"))
-    assignToCells(batch, cent)
-      .write.mode("append").partitionBy("cid").parquet(s"$path/index")
-  }
+  def appendToIvfIndex(batch: DataFrame, path: String): Unit =
+    MaintenanceLock.withLock(batch.sparkSession, path) {
+      val s = batch.sparkSession
+      CosineSimilarity.register(s)
+      val cent = s.read.parquet(s"$path/centroids")
+        .select(col("cid"), col("c"))
+      assignToCells(batch, cent)
+        .write.mode("append").partitionBy("cid").parquet(s"$path/index")
+    }
 
   /** Probe the at-rest IVF index: rank cells against the K-row centroid
     * table (driver-side — it is index metadata, bounded by K, the one

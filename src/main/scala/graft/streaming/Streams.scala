@@ -242,42 +242,141 @@ object Streams {
     * ([[NearDupAdmitSink]] is the admission-decision variant of the same
     * idea; this one persists the full cluster structure).
     *
-    * Idempotent under foreachBatch's at-least-once redelivery, two
-    * layers: a committed batchId MARKER (the standard idempotent-
-    * foreachBatch pattern — Structured Streaming redelivers the same
-    * batchId with the same data, so a marker present means the fold
-    * fully landed, skip) and a doc_id anti-join against the stored
-    * labels, which drops duplicate SUBMISSIONS (the same doc arriving
-    * again in a later batch) and makes a crash-interrupted fold converge
-    * on re-run: append() writes labels LAST, so an unlabeled doc
-    * reprocesses completely and a labeled one is fully applied (the band
-    * and edge rows a partial run left behind are harmless — candidate
-    * pairs are distinct'd). The guard costs one column-pruned labels
-    * scan per batch — at larger scale, bucket the labels by doc_id range
-    * and this probe prunes too. The index must be seeded by
-    * [[graft.operators.ClusterIndex.write]] (a non-empty corpus) before
-    * attaching. Appends are synchronized: single-writer maintenance is
-    * the artifact's contract. */
+    * Correct under foreachBatch's at-least-once redelivery AND under a
+    * crash anywhere inside the fold, three layers:
+    *
+    *  1. A durable PENDING copy of each deduplicated batch is written
+    *     under `_stream_commits/pending-<batchId>` BEFORE the fold starts,
+    *     and a committed batchId MARKER after it finishes (the standard
+    *     idempotent-foreachBatch pattern). A pending dir without its
+    *     marker is a crashed fold; [[processBatch]] repairs every such
+    *     orphan on entry by RE-RUNNING the fold from the pending copy —
+    *     sound because [[graft.operators.ClusterIndex.append]] is
+    *     idempotent for resubmitted doc_ids (it force-touches their
+    *     stored components), so a re-run closes even the duplicate-visible
+    *     window a crash between rewriteBuckets' gains and swaps leaves
+    *     (stale rows of a migrated component in an unswapped bucket
+    *     alongside the new copy — the state a labels anti-join alone
+    *     would skip forever, since the new docs ARE labeled).
+    *  2. Duplicate SUBMISSIONS (the same doc arriving again in a later
+    *     batch) are dropped by an anti-join against a compact
+    *     `_stream_commits/seen_ids` sidecar — one doc_id column, appended
+    *     per committed batch — instead of scanning the full label
+    *     artifact (whose rows carry the wide shingle-hash sets) every
+    *     batch. The sidecar read is bounded by the STREAMED id count, not
+    *     the corpus. This guard is an optimization, not a correctness
+    *     layer: a miss (e.g. resubmission of a doc seeded by `write`,
+    *     which the sidecar never saw) is absorbed idempotently by the
+    *     force-touch path, at the cost of one touched component.
+    *  3. The sidecar self-compacts past [[CompactAfterFiles]] batch files
+    *     (read → single-file rewrite → swap). A crash mid-compaction can
+    *     at worst LOSE sidecar rows, which by (2) only costs work, never
+    *     correctness — the loss-tolerant shape is what keeps compaction
+    *     dependency-free.
+    *
+    * The index must be seeded by [[graft.operators.ClusterIndex.write]]
+    * (a non-empty corpus) before attaching. Appends are synchronized and
+    * the artifact's [[graft.operators.MaintenanceLock]] fences concurrent
+    * writers: single-writer maintenance is the contract. */
   final class ClusterIndexSink(path: String) {
     import graft.operators.ClusterIndex
-    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import org.apache.spark.sql.SaveMode
+
+    private val commitsDir = new Path(s"$path/_stream_commits")
+    private val seenIdsDir = new Path(commitsDir, "seen_ids")
+    private def marker(batchId: Long) = new Path(commitsDir, s"batch-$batchId")
+    private def pending(batchId: Long) =
+      new Path(commitsDir, s"pending-$batchId")
+
+    /** Sidecar file count that triggers compaction — small enough that
+      * the per-batch anti-join never reads an unbounded file listing,
+      * large enough that compaction is amortized over many batches. */
+    private val CompactAfterFiles = 64
+
+    private def fs(s: SparkSession): FileSystem =
+      commitsDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+    /** The streamed-ids sidecar as a one-column (doc_id) frame. */
+    private def seenIds(s: SparkSession): DataFrame =
+      if (fs(s).exists(seenIdsDir))
+        s.read.parquet(seenIdsDir.toString).select("doc_id")
+      else s.range(0).select(col("id").as("doc_id"))
+
+    /** The duplicate-submission guard's plan, exposed for the spec that
+      * asserts it probes the compact sidecar, never the label artifact. */
+    private[graft] def freshDocs(batch: DataFrame): DataFrame =
+      batch.select(col("doc_id"), col("text"))
+        .dropDuplicates("doc_id")
+        .join(seenIds(batch.sparkSession), Seq("doc_id"), "left_anti")
 
     /** One microbatch fold; also the direct entry for parity tests. */
     def processBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
-      if (batch0.isEmpty) return
       val s = batch0.sparkSession
-      val markerDir = new Path(s"$path/_stream_commits")
-      val marker = new Path(markerDir, s"batch-$batchId")
-      val fs = markerDir.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(marker)) return // exact redelivery of an applied batch
-      val fresh = batch0.select(col("doc_id"), col("text"))
-        .dropDuplicates("doc_id")
-        .join(ClusterIndex.labels(s, path).select("doc_id"),
-          Seq("doc_id"), "left_anti")
-        .localCheckpoint(eager = true)
-      if (fresh.head(1).nonEmpty) ClusterIndex.append(fresh, path)
-      fs.mkdirs(markerDir)
-      fs.create(marker).close() // after the fold fully landed
+      val f = fs(s)
+      repairPending(s, f) // close any crashed fold before taking new work
+      if (f.exists(marker(batchId))) return // redelivery of an applied batch
+      if (batch0.isEmpty) return
+      val fresh = freshDocs(batch0).localCheckpoint(eager = true)
+      if (fresh.head(1).nonEmpty) {
+        // durable intent FIRST: the fold below can crash mid-rewrite, and
+        // the repair path must be able to re-run the exact same batch
+        fresh.write.mode(SaveMode.Overwrite)
+          .parquet(pending(batchId).toString)
+        foldPending(s, f, batchId)
+      } else {
+        f.mkdirs(commitsDir)
+        f.create(marker(batchId)).close() // nothing to fold, batch applied
+      }
+    }
+
+    /** Fold a durable pending batch and commit it: append → sidecar ids →
+      * marker → drop pending. Ids land before the marker so a marker
+      * always means fully recorded; a crash between them re-runs the fold
+      * (idempotent) and at worst duplicates sidecar rows (anti-join
+      * semantics are unaffected). */
+    private def foldPending(s: SparkSession, f: FileSystem,
+        batchId: Long): Unit = {
+      val docs = s.read.parquet(pending(batchId).toString)
+      ClusterIndex.append(docs, path)
+      docs.select("doc_id").write.mode(SaveMode.Append)
+        .parquet(seenIdsDir.toString)
+      compactSeenIds(s, f)
+      f.create(marker(batchId)).close()
+      f.delete(pending(batchId), true)
+    }
+
+    /** Re-run every pending batch whose marker is missing (a crashed
+      * fold), oldest first; drop pending dirs whose marker landed but
+      * whose cleanup didn't. */
+    private def repairPending(s: SparkSession, f: FileSystem): Unit = {
+      if (!f.exists(commitsDir)) return
+      val orphans = Option(f.listStatus(commitsDir)).toSeq.flatten
+        .map(_.getPath).filter(_.getName.startsWith("pending-"))
+        .map(p => p.getName.stripPrefix("pending-").toLong)
+        .sorted
+      orphans.foreach { id =>
+        if (f.exists(marker(id))) f.delete(pending(id), true)
+        else foldPending(s, f, id)
+      }
+    }
+
+    /** Rewrite the sidecar as one file once it fragments past
+      * [[CompactAfterFiles]]. Loss-tolerant by design (see class doc), so
+      * plain write-aside + swap suffices — no staged-rename protocol. */
+    private def compactSeenIds(s: SparkSession, f: FileSystem): Unit = {
+      val files = Option(f.listStatus(seenIdsDir)).toSeq.flatten
+        .count(_.getPath.getName.endsWith(".parquet"))
+      if (files <= CompactAfterFiles) return
+      val tmp = new Path(commitsDir, "seen_ids_compact_tmp")
+      f.delete(tmp, true)
+      s.read.parquet(seenIdsDir.toString).select("doc_id").distinct()
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      f.delete(seenIdsDir, true)
+      if (!f.rename(tmp, seenIdsDir))
+        throw new java.io.IOException(
+          s"sidecar compaction: rename $tmp -> $seenIdsDir failed")
     }
 
     /** Attach to a document stream of (doc_id, text) rows. */

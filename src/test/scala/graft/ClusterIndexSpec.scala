@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{ClusterIndex, DedupOps, GraphOps}
+import graft.operators.{ClusterIndex, DedupOps, GraphOps, MaintenanceLock, OperatingPoint, VectorOps}
 
 /** Gates for the at-rest duplicate-cluster index: incremental append must
   * equal a full batch rebuild exactly, touch only the affected buckets on
@@ -187,6 +187,145 @@ class ClusterIndexSpec extends SparkSpec {
     val dups = ClusterIndex.labels(spark, pathStream)
       .groupBy("doc_id").count().filter(col("count") > 1).count()
     assert(dups == 0)
+  }
+
+  test("write persists a corpus-derived layout and the band probe prunes") {
+    val path = "target/cluster_index_meta"
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    ClusterIndex.write(base, path)
+    val m = ClusterIndex.meta(spark, path)
+    val n = base.count()
+    assert(m.numParts == OperatingPoint.clusterIndexParts(n))
+    assert(m.bandBuckets == OperatingPoint.bandIndexBuckets(n))
+    assert(m.n == n)
+    // bands are physically partitioned by the bkb bucket
+    val bkbDirs = Option(new java.io.File(s"$path/bands").listFiles())
+      .toSeq.flatten.filter(_.getName.startsWith("bkb="))
+    assert(bkbDirs.nonEmpty && bkbDirs.length <= m.bandBuckets)
+    // a one-doc batch's probe plan prunes to the buckets its band keys
+    // hash into — PartitionFilters on bkb, strictly fewer buckets than
+    // the table holds
+    val nd = DedupOps.lshDocsOf(appendBatch.limit(1))
+    val pruned = ClusterIndex.prunedBands(spark, path, DedupOps.lshBandsOf(nd))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bkb"),
+      s"band probe plan does not prune:\n$plan")
+    val readBkbs = pruned.select("bkb").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(readBkbs.size < bkbDirs.length,
+      s"one-doc probe read ${readBkbs.size} of ${bkbDirs.length} buckets")
+  }
+
+  test("resubmitting an already-applied batch is absorbed idempotently") {
+    val path = "target/cluster_index_resub"
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    ClusterIndex.write(base, path)
+    ClusterIndex.append(appendBatch, path)
+    val before = labelSet(path)
+    // the full batch again — e.g. the streaming guard missed (sidecar
+    // loss) or an operator retry: force-touch must rewrite, not duplicate
+    val affected = ClusterIndex.append(appendBatch, path)
+    assert(affected.nonEmpty, "resubmission must force-touch stored components")
+    assert(labelSet(path) == before, "resubmission changed the labels")
+    val dups = ClusterIndex.labels(spark, path)
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(dups == 0)
+  }
+
+  test("crash inside the labels rewrite duplicates, redelivery repairs exactly") {
+    val pathCrash = "target/cluster_index_crash"
+    val pathRef = "target/cluster_index_crash_ref"
+    Seq(pathCrash, pathRef).foreach { p =>
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+      ClusterIndex.write(base, p)
+    }
+    // a MIGRATION batch: ids -a with text identical to base doc a. The
+    // identical text guarantees the band match (same minhash signature),
+    // and the merged component's id becomes min(old, -a) = -a, so the
+    // whole component MIGRATES to -a's hash bucket — the new rows land as
+    // GAINS in an unaffected bucket while the old copies sit in the
+    // yet-unswapped affected bucket. A crash between those two phases is
+    // the ADVICE-identified duplicate-visible window.
+    val migration = base.filter(col("doc_id") % 41 === 3).limit(5)
+      .select((-col("doc_id")).as("doc_id"), col("text"))
+      .localCheckpoint(eager = true)
+    assert(migration.count() >= 3)
+
+    val sink = new graft.streaming.Streams.ClusterIndexSink(pathCrash)
+    ClusterIndex.failpoint.set("after-gains:labels")
+    try intercept[IllegalStateException] { sink.processBatch(migration, 99L) }
+    finally ClusterIndex.failpoint.set(null)
+
+    // the partial state is REAL: gains landed, swaps didn't — the base
+    // docs are now visible under both their old and migrated components
+    val dupsMid = ClusterIndex.labels(spark, pathCrash)
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(dupsMid > 0, "crash window did not produce the duplicate state " +
+      "this test exists to repair")
+    // and the durable intent survived: pending without marker
+    assert(new java.io.File(s"$pathCrash/_stream_commits/pending-99").exists())
+    assert(!new java.io.File(s"$pathCrash/_stream_commits/batch-99").exists())
+
+    // redelivery of the same batchId repairs: pending re-runs, force-touch
+    // rewrites BOTH copies' buckets, the duplicate dies
+    sink.processBatch(migration, 99L)
+    val dupsAfter = ClusterIndex.labels(spark, pathCrash)
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(dupsAfter == 0)
+    assert(!new java.io.File(s"$pathCrash/_stream_commits/pending-99").exists())
+    // exact parity with an uncrashed batch append
+    ClusterIndex.append(migration, pathRef)
+    assert(labelSet(pathCrash) == labelSet(pathRef))
+  }
+
+  test("maintenance lock: held fails loudly, stale is broken, always released") {
+    val path = "target/cluster_index_lock"
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    ClusterIndex.write(base, path)
+    val novelOnly = appendBatch.filter(col("doc_id") >= 700000)
+    val lockFile = new java.io.File(s"$path/_maintenance.lock")
+    // a live concurrent writer: second append must fail loudly
+    java.nio.file.Files.write(lockFile.toPath, "12345 test-holder".getBytes)
+    val ex = intercept[IllegalStateException] {
+      ClusterIndex.append(novelOnly, path)
+    }
+    assert(ex.getMessage.contains("single-writer"))
+    // a crashed writer: backdate past the staleness horizon — broken and
+    // the append proceeds, releasing the lock on exit
+    assert(lockFile.setLastModified(
+      System.currentTimeMillis() - MaintenanceLock.DefaultStaleMs - 60000))
+    ClusterIndex.append(novelOnly, path)
+    assert(!lockFile.exists(), "lock not released after append")
+    // the IVF artifact is fenced by the same lock
+    val ivfPath = "target/ivf_lock_probe"
+    new scala.reflect.io.Directory(new java.io.File(ivfPath)).deleteRecursively()
+    assert(new java.io.File(ivfPath).mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(s"$ivfPath/_maintenance.lock").toPath,
+      "12345 test-holder".getBytes)
+    val e = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    intercept[IllegalStateException] {
+      VectorOps.writeIvfIndex(e, K = 8, ivfPath)
+    }
+  }
+
+  test("streaming guard probes the compact id sidecar, not the label artifact") {
+    val path = "target/cluster_index_guard"
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    ClusterIndex.write(base, path)
+    val sink = new graft.streaming.Streams.ClusterIndexSink(path)
+    val novelOnly = appendBatch.filter(col("doc_id") >= 700000)
+    sink.processBatch(novelOnly, 0L)
+    val plan = sink.freshDocs(appendBatch).queryExecution.executedPlan.toString
+    assert(plan.contains("seen_ids"), s"guard does not read the sidecar:\n$plan")
+    assert(!plan.contains("labels"),
+      s"guard still scans the label artifact:\n$plan")
+    // and the guard actually filters: the already-streamed novels are gone
+    val freshIds = sink.freshDocs(appendBatch).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(freshIds.forall(_ < 700000))
+    assert(freshIds.nonEmpty)
   }
 
   test("append clears orphaned staging dirs and leaves none behind") {

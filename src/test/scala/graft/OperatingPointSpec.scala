@@ -33,6 +33,21 @@ class OperatingPointSpec extends SparkSpec {
     assert(OperatingPoint.simhashChunkBits(5300L << 20) == 10)
   }
 
+  test("cluster index parts: ~1k docs/bucket in pow2 steps, floor 64, cap 64k") {
+    assert(OperatingPoint.clusterIndexParts(530) == 64)     // fixture floor
+    assert(OperatingPoint.clusterIndexParts(65536) == 64)   // 64k docs = 64 buckets
+    assert(OperatingPoint.clusterIndexParts(100000) == 128) // pow2Ceil(97)
+    assert(OperatingPoint.clusterIndexParts(1000000) == 1024)
+    assert(OperatingPoint.clusterIndexParts(10000000000L) == 65536) // cap
+  }
+
+  test("band index buckets: same growth target, floor 16, cap 4096") {
+    assert(OperatingPoint.bandIndexBuckets(530) == 16)      // fixture floor
+    assert(OperatingPoint.bandIndexBuckets(100000) == 128)
+    assert(OperatingPoint.bandIndexBuckets(10000000000L) == 4096) // cap =
+    // the bound on the probe's driver-side distinct-bkb collect
+  }
+
   test("derivations are monotonic in corpus size") {
     val ns = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L, 100000000L)
     def mono(f: Long => Int) =
@@ -40,6 +55,8 @@ class OperatingPointSpec extends SparkSpec {
     mono(OperatingPoint.rpPlanesPerBand)
     mono(OperatingPoint.ivfCells)
     mono(OperatingPoint.simhashChunkBits)
+    mono(OperatingPoint.clusterIndexParts)
+    mono(OperatingPoint.bandIndexBuckets)
   }
 
   test("auto near-dup == pinned oracle query at the anchor-regime fixture") {
