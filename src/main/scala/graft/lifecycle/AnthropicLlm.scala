@@ -13,8 +13,9 @@ import java.net.HttpURLConnection
   *    headers; body carries model, max_tokens (required), a `system`
   *    string, and `messages: [{role, content}]`;
   *  - non-streaming responses carry content BLOCKS
-  *    (`"content":[{"type":"text","text":...}]`) — the first text block is
-  *    the completion;
+  *    (`"content":[{"type":"text","text":...}]`) — the completion is ALL
+  *    text blocks concatenated (responses can interleave several, e.g.
+  *    around citations or tool/thinking blocks);
   *  - streaming (`"stream":true`) is SSE: `content_block_delta` events
   *    carry `{"delta":{"type":"text_delta","text":...}}` chunks and a
   *    `message_stop` event terminates the stream.
@@ -42,9 +43,14 @@ final class AnthropicLlmClient(baseUrl: String, apiKey: String, model: String,
     val conn = open(stage, prompt, stream = false)
     try {
       val text = HttpLlm.readBody(conn)
-      HttpLlm.extractField(text, "text").getOrElse(
+      // ALL text blocks, concatenated — a first-block-only read silently
+      // truncates multi-block responses (the same reason the Gemini
+      // adapter concatenates parts)
+      val blocks = HttpLlm.extractFields(text, "text")
+      if (blocks.isEmpty)
         throw new RuntimeException(
-          s"no text content block in response: ${graft.plans.Lifecycle.condense(text)}"))
+          s"no text content block in response: ${graft.plans.Lifecycle.condense(text)}")
+      blocks.mkString
     } finally conn.disconnect()
   }
 

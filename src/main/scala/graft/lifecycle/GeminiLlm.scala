@@ -69,14 +69,24 @@ final class GeminiLlmClient(baseUrl: String, apiKey: String, model: String,
     val t0 = System.nanoTime()
     val conn = openFor(stage, prompt, stream = true)
     // the final chunk carries finishReason inline (and often trailing
-    // text); error events carry an "error" object and no text part
+    // text); error events carry an "error" object and no text part. Only
+    // finishReason=STOP is a healthy end: SAFETY / RECITATION /
+    // MAX_TOKENS mean the stream was BLOCKED or cut — surfacing the
+    // partial text as success would be silent truncation, so those fail
+    // like a mid-stream error (failOn runs before the delta extract, so
+    // a blocked chunk's trailing text is never appended)
     try HttpLlm.ssePump(conn, t0,
-      isStop = p => HttpLlm.hasKey(p, "finishReason"),
-      failOn = p =>
+      isStop = p =>
+        HttpLlm.extractField(p, "finishReason").contains("STOP"),
+      failOn = p => {
+        val reason = HttpLlm.extractField(p, "finishReason")
         if (allText(p).isEmpty && HttpLlm.hasKey(p, "error"))
           Some(HttpLlm.extractField(p, "message")
             .getOrElse(graft.plans.Lifecycle.condense(p)))
-        else None,
+        else if (reason.exists(_ != "STOP"))
+          Some(s"stream blocked: finishReason=${reason.get}")
+        else None
+      },
       extractDelta = allText,
       onDelta = onDelta)
     finally conn.disconnect()

@@ -57,11 +57,14 @@ final class HttpLlmClient(baseUrl: String, apiKey: String, model: String,
     // error events on this wire carry an "error" KEY and no delta content
     // (gateways differ on surrounding fields/whitespace, so no prefix
     // anchoring); a delta whose content TEXT mentions "error" has
-    // extractable content and is never treated as a failure
+    // extractable content and is never treated as a failure. The key's
+    // VALUE must be non-null: some OpenAI-compatible gateways emit
+    // "error":null on every healthy chunk
     try HttpLlm.ssePump(conn, t0,
       isStop = _ == "[DONE]",
       failOn = p =>
-        if (HttpLlm.extractContent(p).isEmpty && HttpLlm.hasKey(p, "error"))
+        if (HttpLlm.extractContent(p).isEmpty &&
+            HttpLlm.hasNonNullKey(p, "error"))
           Some(graft.plans.Lifecycle.condense(p))
         else None,
       extractDelta = HttpLlm.extractContent,
@@ -204,6 +207,27 @@ object HttpLlm {
         var i = at + key.length
         while (i < json.length && json(i).isWhitespace) i += 1
         if (i < json.length && json(i) == ':') return true
+      }
+      at = json.indexOf(key, at + 1)
+    }
+    false
+  }
+
+  /** [[hasKey]] restricted to keys whose value is not the literal `null`:
+    * some OpenAI-compatible gateways stamp `"error":null` on every healthy
+    * chunk, which must not read as a stream failure. */
+  private[lifecycle] def hasNonNullKey(json: String, name: String): Boolean = {
+    val key = "\"" + name + "\""
+    var at = json.indexOf(key)
+    while (at >= 0) {
+      if (at == 0 || json(at - 1) != '\\') {
+        var i = at + key.length
+        while (i < json.length && json(i).isWhitespace) i += 1
+        if (i < json.length && json(i) == ':') {
+          i += 1
+          while (i < json.length && json(i).isWhitespace) i += 1
+          if (!json.startsWith("null", i)) return true
+        }
       }
       at = json.indexOf(key, at + 1)
     }

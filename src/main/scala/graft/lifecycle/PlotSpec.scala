@@ -44,6 +44,10 @@ object PlotSpec {
 
   private def jsonValue(v: Any): String = v match {
     case null => "null"
+    // NaN/Infinity (e.g. an avg over an empty group) have no JSON literal
+    // — Number.toString would emit invalid JSON, so map to null
+    case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+    case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
     case n: java.lang.Number => n.toString
     case b: java.lang.Boolean => b.toString
     case other => "\"" + esc(other.toString) + "\""

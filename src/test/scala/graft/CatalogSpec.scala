@@ -64,6 +64,20 @@ class CatalogSpec extends SparkSpec {
     assert(json.count(_ == '[') == json.count(_ == ']'))
   }
 
+  test("plot spec maps non-finite doubles to null — the JSON stays valid") {
+    import spark.implicits._
+    // an avg over an empty group produces NaN; Number.toString would emit
+    // the invalid-JSON literal NaN into the inline data values
+    val df = Seq(("a", 1.5), ("b", Double.NaN), ("c", Double.PositiveInfinity))
+      .toDF("k", "v")
+    val vl = PlotSpec.toVegaLite(
+      PlotSpec.Plot2d("bar", "k", Seq("v"), "t"), df)
+    assert(!vl.contains("NaN") && !vl.contains("Infinity"), vl)
+    assert(vl.contains(""""k": "b", "v": null"""), vl)
+    assert(vl.contains(""""k": "c", "v": null"""), vl)
+    assert(vl.contains(""""v": 1.5"""), vl)
+  }
+
   test("plot_2d vega-lite emission: golden shape for the reference helper contract") {
     import spark.implicits._
     // tiny deterministic frame standing in for an aggregated result

@@ -351,6 +351,65 @@ class HttpAdaptersSpec extends SparkSpec {
     }
   }
 
+  test("LLM adapter: \"error\":null on healthy chunks is not a failure") {
+    // some OpenAI-compatible gateways stamp "error":null on EVERY chunk;
+    // a key-presence check alone would abort healthy streams
+    val sse = Seq(
+      """data: {"error":null,"choices":[{"delta":{"content":"Hel"}}]}""",
+      """data: {"error": null,"choices":[{"delta":{"content":"lo"}}]}""",
+      """data: {"error":null,"choices":[{"delta":{"role":"assistant"}}]}""",
+      """data: [DONE]""").mkString("\n")
+    withServer(Map("/v1/chat/completions" -> (_ => (200, sse)))) { base =>
+      val client = new HttpLlmClient(s"$base/v1", "sk-test", "m")
+      assert(client.completeStreaming("s", "p").text == "Hello")
+    }
+    // while a REAL error value still throws
+    val bad = Seq(
+      """data: {"error":{"message":"boom"}}""",
+      """data: [DONE]""").mkString("\n")
+    withServer(Map("/v1/chat/completions" -> (_ => (200, bad)))) { base =>
+      val client = new HttpLlmClient(s"$base/v1", "sk-test", "m")
+      val e = intercept[RuntimeException](client.completeStreaming("s", "p"))
+      assert(e.getMessage.contains("boom"))
+    }
+  }
+
+  test("Anthropic adapter: multi-block responses concatenate all text blocks") {
+    import graft.lifecycle.AnthropicLlmClient
+    // responses can interleave several text blocks (citations, around
+    // tool/thinking blocks) — first-block-only would silently truncate
+    val response =
+      """{"id":"msg-2","type":"message","role":"assistant",
+        |"content":[{"type":"text","text":"first "},
+        |{"type":"tool_use","id":"t1","name":"calc","input":{}},
+        |{"type":"text","text":"second"}],
+        |"stop_reason":"end_turn"}""".stripMargin
+    withServer(Map("/v1/messages" -> (_ => (200, response)))) { base =>
+      val client = new AnthropicLlmClient(base, "sk-ant-test", "m")
+      assert(client.complete("s", "p") == "first second")
+    }
+  }
+
+  test("Gemini adapter: a blocked stream (finishReason != STOP) throws") {
+    import graft.lifecycle.GeminiLlmClient
+    // SAFETY/RECITATION/MAX_TOKENS mean blocked or cut — returning the
+    // partial text as success would be silent truncation; the blocked
+    // chunk's trailing text must not leak into the error-path text either
+    for (reason <- Seq("SAFETY", "RECITATION", "MAX_TOKENS")) {
+      val sse = Seq(
+        """data: {"candidates":[{"content":{"parts":[{"text":"Hel"}],"role":"model"}}]}""",
+        s"""data: {"candidates":[{"content":{"parts":[{"text":"lo"}],"role":"model"},"finishReason":"$reason"}]}""")
+        .mkString("\n")
+      withServer(Map("/v1beta/models/g-test:streamGenerateContent" ->
+          (_ => (200, sse)))) { base =>
+        val client = new GeminiLlmClient(base, "g-key", "g-test")
+        val e = intercept[RuntimeException](client.completeStreaming("s", "p"))
+        assert(e.getMessage.contains(reason), s"$reason: ${e.getMessage}")
+        assert(e.getMessage.contains("3 chars")) // only pre-block text counted
+      }
+    }
+  }
+
   test("LlmConfig: gemini provider binding dispatches to generateContent") {
     import graft.lifecycle.LlmConfig
     var path = ""
