@@ -106,8 +106,17 @@ object Bench {
     cluSpark.stop()
     val (cqs, cspreads, cfailed, ctotal) = jsonRow(cluResults)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$TimedRuns,"errors":$failed,""" +
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$TimedRuns,"errors":$failed,""" +
       s""""cluster_config":{"autoBroadcastJoinThreshold":-1,"shuffle_partitions":200},""" +
-      s""""cluster_total":$ctotal,"cluster_queries":$cqs,"cluster_spread":$cspreads,"cluster_errors":$cfailed,"sf":"$sfDir"}""")
+      s""""cluster_total":$ctotal,"cluster_queries":$cqs,"cluster_spread":$cspreads,"cluster_errors":$cfailed,"sf":"$sfDir"}"""
+    println(json)
+    // also land the line as a FILE: scraping a JSON line out of sbt/log4j
+    // console interleaving is lossy (the driver's per-query map parse has
+    // failed on wrapped lines), a file read is not
+    val outFile = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(outFile.getParent)
+    java.nio.file.Files.write(outFile,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }
