@@ -227,27 +227,45 @@ object TextOps {
         col("top_word_frac") > 0.2 || col("dup_5gram_frac") > 0.15)
   }
 
-  /** t9: PII redaction — scrub email addresses and count what was removed,
-    * the compliance pass every released corpus runs. The pattern avoids
-    * backslash escapes (`[.]` instead of `\.`) so the identical literal
-    * parses identically in Java regex (Spark) and RE2 (DuckDB); both
-    * engines produce the same match spans for this alternation-free
-    * character-class pattern. Emails are PLANTED (` contact user<id>
-    * @example.com now` on doc_id % 13) so every scale factor exercises a
-    * real redaction, mirroring the dd-family planting convention.
+  /** t9: PII redaction — scrub emails, US-style phone numbers, and IPv4
+    * addresses, counting removals per category: the compliance pass every
+    * released corpus runs. All three patterns avoid backslash escapes
+    * (`[.]`/`[-]` instead of `\.`/`\-`) and alternation so the identical
+    * literal parses identically and produces the same match spans in Java
+    * regex (Spark) and RE2 (DuckDB). Replacement order email → phone → IP
+    * is safe by construction: no replacement token contains digits, the
+    * phone shape has no dots, and the IP shape has no hyphens, so no pass
+    * creates or destroys a later pass's matches. Each category is PLANTED
+    * on its own doc_id modulus (13 / 11 / 7 — coprime, so mixed-category
+    * docs occur too) mirroring the dd-family planting convention.
     * Map-side projection, no shuffle. */
   def piiRedaction: Q = (s, d) => {
-    val re = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+    val phoneRe = "[0-9]{3}[-][0-9]{3}[-][0-9]{4}"
+    val ipRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
     val corpus = documents(s, d).select(col("doc_id"),
-      when(col("doc_id") % 13 === 0,
-        concat(col("text"), lit(" contact user"),
-          col("doc_id").cast("string"), lit("@example.com now")))
-        .otherwise(col("text")).as("text"))
+      concat(col("text"),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" now"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string"),
+            lit(" today"))).otherwise(lit(""))).as("text"))
     corpus.select(col("doc_id"),
-      size(expr(s"regexp_extract_all(text, '$re', 0)")).as("n_emails"),
+      size(expr(s"regexp_extract_all(text, '$emailRe', 0)")).as("n_emails"),
+      size(expr(s"regexp_extract_all(text, '$phoneRe', 0)")).as("n_phones"),
+      size(expr(s"regexp_extract_all(text, '$ipRe', 0)")).as("n_ips"),
       length(col("text")).as("len_before"),
-      length(regexp_replace(col("text"), re, "<EMAIL>")).as("len_after"))
-      .withColumn("redacted", col("n_emails") > 0)
+      length(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>"))
+        .as("len_after"))
+      .withColumn("redacted",
+        col("n_emails") > 0 || col("n_phones") > 0 || col("n_ips") > 0)
   }
 
   // ---- DuckDB oracle SQL ----
@@ -292,19 +310,37 @@ object TextOps {
          |  AS chars_per_token
          |FROM documents""".stripMargin,
     "t9_pii_redaction" ->
-      """WITH corpus AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 13 = 0 THEN text || ' contact user' ||
-        |    CAST(doc_id AS VARCHAR) || '@example.com now' ELSE text END AS text
+      """WITH corpus AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 13 = 0 THEN ' contact user' ||
+        |    CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+        |   ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' from 10.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |    CAST(doc_id % 100 AS VARCHAR) || ' today' ELSE '' END AS text
         | FROM documents)
         |SELECT doc_id,
         | CAST(len(regexp_extract_all(text,
         |   '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) AS INTEGER) AS n_emails,
+        | CAST(len(regexp_extract_all(text,
+        |   '[0-9]{3}[-][0-9]{3}[-][0-9]{4}')) AS INTEGER) AS n_phones,
+        | CAST(len(regexp_extract_all(text,
+        |   '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS INTEGER)
+        |  AS n_ips,
         | CAST(length(text) AS INTEGER) AS len_before,
-        | CAST(length(regexp_replace(text,
-        |   '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}', '<EMAIL>', 'g'))
+        | CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9]{3}[-][0-9]{3}[-][0-9]{4}', '<PHONE>', 'g'),
+        |   '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'))
         |  AS INTEGER) AS len_after,
         | len(regexp_extract_all(text,
-        |   '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) > 0 AS redacted
+        |   '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) > 0
+        | OR len(regexp_extract_all(text,
+        |   '[0-9]{3}[-][0-9]{3}[-][0-9]{4}')) > 0
+        | OR len(regexp_extract_all(text,
+        |   '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) > 0
+        |  AS redacted
         |FROM corpus""".stripMargin,
     "t8_repetition" ->
       """SELECT doc_id,
