@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -266,11 +268,86 @@ object Multimodal {
     }
   }
 
+  /** True-container video decode (MP4/MKV/WebM) by shelling to `ffmpeg`
+    * WHEN PRESENT — the JDK ships no inter-frame codec, and a JNI binding
+    * would be a dependency this build can't take, so the capability is
+    * probed once per JVM and the codec degrades to None (→ MJPEG walk →
+    * stub) everywhere ffmpeg is absent. Fully deterministic when it does
+    * run: fixed 1 fps sampling, fixed frame cap, mean-pooled
+    * [[ImageIoCodec]] features — the same clip-feature contract as
+    * [[MjpegCodec]].
+    *
+    * Scale shape: one bounded subprocess per payload INSIDE a
+    * mapPartitions batch (the payload is already executor-local bytes; no
+    * driver involvement), frame cap [[MaxFrames]] bounds the per-payload
+    * work, and a wall-clock kill bounds a wedged decode — one corrupt
+    * container must cost seconds, not a hung task. Payloads are sniffed
+    * ([[looksLikeContainer]]) before any process spawn so the common
+    * non-container case never forks. */
+  object FfmpegCodec {
+    /** Per-JVM capability probe — executors probe independently, so a
+      * heterogeneous cluster degrades per-machine, never fails. */
+    lazy val available: Boolean =
+      try {
+        val p = new ProcessBuilder("ffmpeg", "-version")
+          .redirectErrorStream(true).start()
+        p.getInputStream.readAllBytes()
+        p.waitFor() == 0
+      } catch { case _: java.io.IOException => false }
+
+    /** Frames sampled per clip: enough for a stable mean, bounded work. */
+    val MaxFrames = 8
+
+    private val KillAfterSec = 30L
+
+    /** MP4-family (`ftyp` box at offset 4) or EBML magic (MKV/WebM). */
+    def looksLikeContainer(payload: Array[Byte]): Boolean = {
+      def u8(k: Int) = payload(k) & 0xff
+      payload.length >= 12 &&
+        ((payload(4) == 'f' && payload(5) == 't' &&
+          payload(6) == 'y' && payload(7) == 'p') ||
+         (u8(0) == 0x1a && u8(1) == 0x45 && u8(2) == 0xdf && u8(3) == 0xa3))
+    }
+
+    /** None when ffmpeg is absent, the payload doesn't sniff as a
+      * container, or no sampled frame decodes — the router then falls
+      * through to the MJPEG walk and the stub. */
+    def decodeFeatures(payload: Array[Byte]): Option[Array[Float]] = {
+      if (!available || !looksLikeContainer(payload)) return None
+      val dir = java.nio.file.Files.createTempDirectory("graft-ffmpeg")
+      try {
+        val in = dir.resolve("in.bin")
+        java.nio.file.Files.write(in, payload)
+        val p = new ProcessBuilder("ffmpeg", "-v", "error",
+          "-i", in.toString, "-vf", "fps=1", "-frames:v", MaxFrames.toString,
+          "-f", "image2", dir.resolve("frame%03d.jpg").toString)
+          .redirectErrorStream(true).start()
+        p.getInputStream.readAllBytes() // drain so ffmpeg can't block
+        if (!p.waitFor(KillAfterSec, java.util.concurrent.TimeUnit.SECONDS)) {
+          p.destroyForcibly(); return None
+        }
+        val frames = java.nio.file.Files.list(dir).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("frame"))
+          .toSeq.sortBy(_.getFileName.toString)
+          .flatMap(f => ImageIoCodec.decode(java.nio.file.Files.readAllBytes(f))
+            .map(ImageIoCodec.features))
+        if (frames.isEmpty) None
+        else Some(Array.tabulate(ImageIoCodec.FeatureDim) { d =>
+          frames.map(_(d)).sum / frames.length
+        })
+      } catch { case _: java.io.IOException => None }
+      finally {
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+  }
+
   /** Kind-routing codec: images decode for real via ImageIO, audio via
-    * javax.sound.sampled, MJPEG-style video via per-frame ImageIO (stub
-    * fallback for undecodable bytes in all three — one corrupt payload
-    * must not fail the task, and true video containers have no JDK
-    * codec). */
+    * javax.sound.sampled, video via ffmpeg when present (true containers)
+    * or per-frame ImageIO (MJPEG streams); stub fallback for undecodable
+    * bytes in all three — one corrupt payload must not fail the task. */
   object DefaultCodec extends Codec {
     def decodeFeatures(kind: String, payload: Array[Byte]): Array[Float] =
       kind match {
@@ -280,7 +357,8 @@ object Multimodal {
         case "audio" => WavCodec.decode(payload)
           .map(WavCodec.features)
           .getOrElse(StubCodec.decodeFeatures(payload))
-        case "video" => MjpegCodec.decodeFeatures(payload)
+        case "video" => FfmpegCodec.decodeFeatures(payload)
+          .orElse(MjpegCodec.decodeFeatures(payload))
           .getOrElse(StubCodec.decodeFeatures(payload))
         case _ => StubCodec.decodeFeatures(payload)
       }

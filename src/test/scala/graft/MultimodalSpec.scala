@@ -213,4 +213,47 @@ class MultimodalSpec extends SparkSpec {
       .agg(min("s")).collect()(0).getDouble(0)
     assert(self > 1.0 - 1e-6)
   }
+
+  test("container sniff: ftyp and EBML magic accepted, everything else not") {
+    import Multimodal.FfmpegCodec.looksLikeContainer
+    val mp4 = Array[Byte](0, 0, 0, 0x20, 'f', 't', 'y', 'p',
+      'i', 's', 'o', 'm')
+    val ebml = Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte) ++
+      Array.fill[Byte](8)(0)
+    assert(looksLikeContainer(mp4) && looksLikeContainer(ebml))
+    assert(!looksLikeContainer("plain text payload".getBytes("UTF-8")))
+    assert(!looksLikeContainer(Array[Byte](0xff.toByte, 0xd8.toByte))) // JPEG
+    assert(!looksLikeContainer(Array.empty[Byte]))
+  }
+
+  test("true container decodes via the ffmpeg seam when ffmpeg is present") {
+    // capability-gated: runs only where ffmpeg exists (CI containers
+    // without it skip — the seam's None path is covered either way below)
+    assume(Multimodal.FfmpegCodec.available, "ffmpeg not on PATH")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mp4-fixture")
+    val mp4 = dir.resolve("clip.mp4")
+    // tiny synthetic clip, generated at test time (no binary checked in)
+    val gen = new ProcessBuilder("ffmpeg", "-v", "error",
+      "-f", "lavfi", "-i", "testsrc=duration=2:size=64x64:rate=4",
+      "-pix_fmt", "yuv420p", mp4.toString).redirectErrorStream(true).start()
+    gen.getInputStream.readAllBytes()
+    assert(gen.waitFor() == 0, "fixture generation failed")
+    val payload = java.nio.file.Files.readAllBytes(mp4)
+    assert(Multimodal.FfmpegCodec.looksLikeContainer(payload))
+    val feats = Multimodal.FfmpegCodec.decodeFeatures(payload)
+    assert(feats.isDefined, "container did not decode")
+    assert(feats.get.length == Multimodal.ImageIoCodec.FeatureDim)
+    // deterministic: same payload, same features
+    assert(feats.get.sameElements(
+      Multimodal.FfmpegCodec.decodeFeatures(payload).get))
+    java.nio.file.Files.deleteIfExists(mp4)
+    java.nio.file.Files.deleteIfExists(dir)
+  }
+
+  test("non-container payloads never reach a subprocess: seam returns None") {
+    // sniff rejects, so this is None regardless of ffmpeg's presence —
+    // mm1/mm2's text payloads keep flowing MJPEG-walk → stub unchanged
+    val textPayload = "not a container".getBytes("UTF-8")
+    assert(Multimodal.FfmpegCodec.decodeFeatures(textPayload).isEmpty)
+  }
 }
