@@ -310,4 +310,68 @@ class AgentsSpec extends SparkSpec {
     assert(ScalarExtras.wrap("a bb ccc dddd", 5) == Seq("a bb", "ccc", "dddd"))
     assert(ScalarExtras.truncateLabel("x" * 50).length == 40)
   }
+
+  test("e2e chain with MIXED provider wires: per-stage routing over real HTTP") {
+    // the reference's agent_configs shape: one chain, different providers
+    // per stage (models/__init__.py:121-164). Planner rides the Anthropic
+    // Messages wire, summarizer the Gemini generateContent wire, the rest
+    // the OpenAI-shaped default — each a REAL HTTP round-trip against a
+    // local wire-shape stub, dispatched by LlmConfig
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.lifecycle.{AnthropicLlmClient, GeminiLlmClient, HttpLlmClient}
+    val fx = fixtures(false)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n")
+    def stageOf(body: String): String =
+      "You are the ([a-z_]+) stage".r.findFirstMatchIn(body)
+        .map(_.group(1)).getOrElse("?")
+    val served = scala.collection.mutable.Buffer.empty[(String, String)]
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def route(path: String, wire: String, answer: String => String): Unit =
+      server.createContext(path, (ex: HttpExchange) => {
+        val body =
+          scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+        val stage = stageOf(body)
+        served.synchronized { served += ((wire, stage)) }
+        val payload = answer(stage).getBytes("UTF-8")
+        ex.sendResponseHeaders(200, payload.length)
+        ex.getResponseBody.write(payload)
+        ex.close()
+      })
+    route("/chat/completions", "openai", stage =>
+      s"""{"choices":[{"message":{"role":"assistant","content":"${esc(fx(stage).head)}"}}]}""")
+    route("/v1/messages", "anthropic", stage =>
+      s"""{"content":[{"type":"text","text":"${esc(fx(stage).head)}"}]}""")
+    route("/v1beta/models/", "gemini", stage =>
+      s"""{"candidates":[{"content":{"parts":[{"text":"${esc(fx(stage).head)}"}]}}]}""")
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val d = LlmConfig.dispatch(
+        new HttpLlmClient(base, "k", "m-default"),
+        LlmConfig.parse(
+          s"""{"agent_configs": [
+             |  {"agent": "planner", "details": {"model": "m-claude",
+             |   "provider": "anthropic", "base_url": "$base"}},
+             |  {"agent": "summarizer", "details": {"model": "m-gem",
+             |   "provider": "gemini", "base_url": "$base"}}
+             |]}""".stripMargin),
+        b =>
+          if (b.provider.contains("anthropic"))
+            new AnthropicLlmClient(b.baseUrl.get, "k", b.model)
+          else if (b.provider.contains("gemini"))
+            new GeminiLlmClient(b.baseUrl.get, "k", b.model)
+          else new HttpLlmClient(b.baseUrl.get, "k", b.model))
+      val r = Agents.converse(session(), d,
+        "How many orders per month in 1995?", "orders")
+      // identical final table to the single-provider scripted chain
+      assert(r.repair.attempts == 0 && r.repair.df.get.count() == 12)
+      assert(r.summary.contains("Orders peaked mid-1995."))
+      // and each stage rode ITS wire, in chain order
+      assert(served.toSeq == Seq(
+        "openai" -> "expert_selector", "openai" -> "analyst_selector",
+        "anthropic" -> "planner", "gemini" -> "summarizer"))
+    } finally server.stop(0)
+  }
 }
