@@ -53,6 +53,8 @@ object SparkEntry {
     "a12_pricing_summary" -> Relational.pricingSummary,
     "a13_cube" -> Relational.cubeAgg,
     "a14_grouping_sets" -> Relational.groupingSets,
+    "a15_pivot" -> Relational.pivotTable,
+    "f19_unpivot" -> Relational.unpivotMeasures,
     "w10_range_window" -> Relational.rangeWindow,
     // §2.5 windows
     "w1_moving_avg" -> Relational.movingAvg,
@@ -85,6 +87,7 @@ object SparkEntry {
     // §2.10 streaming batch-equivalent
     "s1_hourly_events" -> Relational.hourlyEvents,
     "s2_sliding_events" -> Relational.slidingEvents,
+    "s3_session_window" -> Relational.sessionWindowAgg,
     // vector similarity (O3/O4/F10 + ANN scale path)
     "v1_cosine_topk" -> VectorOps.cosineTopK,
     "v2_ivf_topk" -> VectorOps.ivfTopK,
@@ -105,6 +108,8 @@ object SparkEntry {
     "t7_decontamination" -> TextOps.decontamination,
     "t8_repetition" -> TextOps.repetition,
     "t9_pii_redaction" -> TextOps.piiRedaction,
+    "t10_domain_caps" -> TextOps.domainCaps,
+    "c2_mixture_weights" -> TextOps.mixtureWeights,
     // dedup pipeline (D-ops + MinHash/LSH/SimHash)
     "dd1_exact_dedup" -> DedupOps.exactDedup,
     "dd2_minhash_bands" -> DedupOps.minhashBands,
@@ -296,6 +301,23 @@ object SparkEntry {
         | count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "a15_pivot" ->
+      """SELECT o_orderstatus AS status,
+        | count(*) FILTER (o_orderpriority = '1-URGENT') AS p_urgent,
+        | count(*) FILTER (o_orderpriority = '2-HIGH') AS p_high,
+        | count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p_medium,
+        | count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p_not_spec,
+        | count(*) FILTER (o_orderpriority = '5-LOW') AS p_low
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "f19_unpivot" ->
+      """SELECT l_orderkey AS order_key, l_linenumber AS line_no,
+        | 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        | FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        | FROM lineitem""".stripMargin,
     "w10_range_window" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |  round(sum(o_totalprice), 2) AS total,
@@ -419,6 +441,22 @@ object SparkEntry {
         |   AS w_start
         | FROM events CROSS JOIN UNNEST(range(0, 4)) AS t(k))
         |GROUP BY w_start""".stripMargin,
+    // session_window semantics: an event with gap >= 30 min from its
+    // predecessor starts a new session; window end = last event + 30 min.
+    // Gap arithmetic in microseconds (event timestamps carry us precision).
+    "s3_session_window" ->
+      """WITH marked AS (SELECT user_id, ts, value,
+        |  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |    (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+        |   THEN 1 ELSE 0 END AS new_sess FROM events),
+        | sess AS (SELECT user_id, ts, value,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        | CAST(max(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
     "v1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         | p AS (SELECT v AS p FROM e WHERE vec_id = 0)
@@ -451,6 +489,8 @@ object SparkEntry {
     "t7_decontamination" -> TextOps.oracle("t7_decontamination"),
     "t8_repetition" -> TextOps.oracle("t8_repetition"),
     "t9_pii_redaction" -> TextOps.oracle("t9_pii_redaction"),
+    "t10_domain_caps" -> TextOps.oracle("t10_domain_caps"),
+    "c2_mixture_weights" -> TextOps.oracle("c2_mixture_weights"),
     "dd1_exact_dedup" -> DedupOps.exactDedupOracle,
     "dd2_minhash_bands" -> DedupOps.minhashBandsOracle,
     "dd3_lsh_jaccard_pairs" -> DedupOps.lshJaccardPairsOracle,

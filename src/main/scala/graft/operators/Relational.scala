@@ -292,6 +292,34 @@ object Relational {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
   }
 
+  /** A15 pivot table — the pandas `pivot_table` archetype the reference's
+    * generated code leans on (rows=status, columns=priority, values=count):
+    * `.pivot` with the value list PINNED so Spark neither runs a discovery
+    * job nor depends on data order for column layout. Plan: a single
+    * two-key partial-agg + shuffle, same as a13's cube input. */
+  def pivotTable: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderstatus").as("status"))
+      .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .toDF("status", "p_urgent", "p_high", "p_medium", "p_not_spec", "p_low")
+      // a status with zero rows for some priority pivots to null; the
+      // count-semantics (and the oracle's FILTER form) say 0
+      .na.fill(0L)
+
+  /** F19 unpivot/melt — the inverse reshape (pandas `melt`): wide per-line
+    * measures to long (metric, value) pairs. Spark's native `unpivot`
+    * expands map-side (no shuffle, no join): 3 output rows per input row. */
+  def unpivotMeasures: Q = (s, d) =>
+    lineitem(s, d)
+      .select(col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_no"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(Array(col("order_key"), col("line_no")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+
   /** Range-frame window (engine extra beyond the reference's ROWS frames):
     * trailing-7-day revenue per day — RANGE over a day-number key covers
     * calendar gaps that a ROWS frame would silently skip. */
@@ -574,4 +602,20 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
       .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
         col("n"), col("total_value"))
+
+  /** §2.10 session windows in batch: `session_window(ts, 30 min)` per user —
+    * the streaming-native gap-session operator (Streams.sessionWindows runs
+    * the SAME expression under readStream; StreamsSpec pins batch/stream
+    * parity). Semantics: a session absorbs an event iff its timestamp is
+    * strictly inside the previous window's [start, last+gap) extent, so a
+    * gap of exactly 30 minutes starts a new session; window end = last
+    * event + gap. One shuffle on user_id; session merging is per-key local.
+    * Complements w8 (the window-function formulation): same sessions,
+    * microsecond gap arithmetic here vs w8's floored-seconds contract. */
+  def sessionWindowAgg: Q = (s, d) =>
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the documents corpus (SURVEY §2.8 F6/F9 plus
@@ -268,9 +269,122 @@ object TextOps {
         col("n_emails") > 0 || col("n_phones") > 0 || col("n_ips") > 0)
   }
 
+  /** t10 keep-best ordering: longest doc first, doc_id breaks ties.
+    * Shared between the declarative window form and the pre-pruned scale
+    * form so they cannot drift. */
+  private[graft] val DomainCap = 15
+
+  /** t10: per-domain document caps — the domain-balancing pass every web
+    * corpus runs before training (cap each source/domain at N docs so no
+    * single crawl dominates the mixture), keeping the best docs per domain
+    * (longest, doc_id tie-break). Declarative shape: one row_number window
+    * partitioned by source — a single shuffle on the domain key.
+    *
+    * At 100 TB the window is exact but a mega-domain's rows all land in one
+    * partition; [[domainCapsPrePruned]] is the scale form — each input
+    * partition keeps only its own top-cap per domain map-side (a bounded
+    * heap), so the shuffle carries ≤ partitions × domains × cap rows
+    * regardless of corpus size, then the same window runs on the survivors.
+    * Exact by construction: the global top-cap of a domain is a subset of
+    * the union of per-partition top-caps. */
+  def domainCaps: Q = (s, d) =>
+    capBestPerDomain(documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars")), DomainCap)
+
+  /** The shared window tail of t10: rank within domain, keep rk <= cap. */
+  private def capBestPerDomain(docs: DataFrame, cap: Int): DataFrame =
+    docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))).cast("int"))
+      .filter(col("rk") <= cap)
+
+  /** Scale form of t10 (see [[domainCaps]]): map-side bounded per-domain
+    * keep-best before the exact window. `corpus` must carry
+    * (doc_id: long, source: string, n_chars: long). */
+  private[graft] def domainCapsPrePruned(corpus: DataFrame,
+      cap: Int = DomainCap): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    // Worst-kept-first ordering: a row is evicted before another iff it has
+    // fewer chars, or equal chars and a larger doc_id (the window's
+    // (n_chars desc, doc_id asc) keep order, inverted).
+    val worstFirst: Ordering[(Long, Long)] =
+      Ordering.by { case (nChars, docId) => (-nChars, docId) }
+    val pruned = corpus
+      .select(col("doc_id").cast("long"), col("source"),
+        col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val best = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+        it.foreach { case (docId, source, nChars) =>
+          val pq = best.getOrElseUpdate(source,
+            scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          pq.enqueue((nChars, docId))
+          if (pq.size > cap) pq.dequeue()
+        }
+        best.iterator.flatMap { case (source, pq) =>
+          pq.iterator.map { case (nChars, docId) => (docId, source, nChars) }
+        }
+      }
+      .toDF("doc_id", "source", "n_chars")
+    capBestPerDomain(pruned, cap)
+  }
+
+  /** c2: mixture weights — given a target language mixture for the training
+    * blend, compute each language's actual corpus share and the sampling
+    * weight (target/actual) that achieves the target; weight > 1 means the
+    * language must be oversampled (epochs > 1 over its docs). The shape of
+    * every data-mixture rebalancing step (e.g. the Pile / LLaMA mixture
+    * tables, public). Scale: one map-side-combined groupBy on lang (a
+    * handful of groups), then a broadcast of the single global-total row —
+    * nothing here grows with corpus size. */
+  def mixtureWeights: Q = (s, d) => {
+    val targetCase =
+      """CASE lang WHEN 'en' THEN 0.40 WHEN 'zh' THEN 0.15 WHEN 'es' THEN 0.15
+        | WHEN 'de' THEN 0.15 WHEN 'fr' THEN 0.15 ELSE 0.0 END""".stripMargin
+    val counts = documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val total = counts.agg(sum(col("n_docs")).as("total_docs"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("actual_share",
+        round(col("n_docs") / col("total_docs").cast("double"), 6))
+      .withColumn("target_share", expr(targetCase).cast("double"))
+      .withColumn("weight",
+        round(col("target_share") / col("actual_share"), 6))
+      .withColumn("oversample", col("weight") > 1.0)
+      .drop("total_docs")
+  }
+
   // ---- DuckDB oracle SQL ----
 
   val oracle: Map[String, String] = Map(
+    "t10_domain_caps" ->
+      """SELECT * FROM (SELECT doc_id, source, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |   ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rk
+        | FROM documents) WHERE rk <= 15""".stripMargin,
+    "c2_mixture_weights" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents
+        |  GROUP BY lang),
+        | total AS (SELECT sum(n_docs) AS total_docs FROM counts)
+        |SELECT lang, n_docs, sum_chars,
+        | round(n_docs / CAST(total_docs AS DOUBLE), 6) AS actual_share,
+        | CAST(CASE lang WHEN 'en' THEN 0.40 WHEN 'zh' THEN 0.15
+        |  WHEN 'es' THEN 0.15 WHEN 'de' THEN 0.15 WHEN 'fr' THEN 0.15
+        |  ELSE 0.0 END AS DOUBLE) AS target_share,
+        | round(CAST(CASE lang WHEN 'en' THEN 0.40 WHEN 'zh' THEN 0.15
+        |  WHEN 'es' THEN 0.15 WHEN 'de' THEN 0.15 WHEN 'fr' THEN 0.15
+        |  ELSE 0.0 END AS DOUBLE)
+        |  / round(n_docs / CAST(total_docs AS DOUBLE), 6), 6) AS weight,
+        | round(CAST(CASE lang WHEN 'en' THEN 0.40 WHEN 'zh' THEN 0.15
+        |  WHEN 'es' THEN 0.15 WHEN 'de' THEN 0.15 WHEN 'fr' THEN 0.15
+        |  ELSE 0.0 END AS DOUBLE)
+        |  / round(n_docs / CAST(total_docs AS DOUBLE), 6), 6) > 1.0
+        |  AS oversample
+        |FROM counts, total""".stripMargin,
     "t1_word_chunks" ->
       """SELECT doc_id, CAST(len(words) AS INTEGER) AS n_words,
         | CAST(i AS INTEGER) AS chunk_idx,

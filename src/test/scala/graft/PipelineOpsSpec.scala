@@ -118,4 +118,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(_.getInt(1)).distinct.length <= 2)
     assert(!rows.map(_.getLong(0)).contains(1L)) // probe excluded
   }
+
+  test("t10 pre-pruned domain caps: exact parity with the window form") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))
+    val want = TextOps.domainCaps(spark, sf).collect().map(key).toSet
+    // spread the corpus over many partitions so the map-side prune runs
+    // per-partition (single-partition input would make the prune trivially
+    // exact), then check row-for-row equality including ranks
+    val corpus = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .repartition(7)
+    val got = TextOps.domainCapsPrePruned(corpus).collect().map(key).toSet
+    assert(got == want)
+    // each domain is actually capped, with contiguous ranks from 1
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc.values.forall(g => g.size <= TextOps.DomainCap &&
+      g.map(_._4).toSeq.sorted == (1 to g.size)))
+  }
+
+  test("c2 mixture weights: shares sum to 1, weights rebalance to target") {
+    val rows = TextOps.mixtureWeights(spark, sf).collect()
+    val actual = rows.map(_.getDouble(3)).sum
+    assert(math.abs(actual - 1.0) < 1e-4)
+    // resampling each lang by its weight recovers the target share:
+    // weight * actual_share == target_share (up to the 6-dec rounding)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(5) * r.getDouble(3) - r.getDouble(4)) < 1e-5)
+    }
+    // oversample flag is exactly weight > 1
+    rows.foreach(r => assert(r.getBoolean(6) == (r.getDouble(5) > 1.0)))
+  }
+
+  test("s3 session windows agree with w8 sessionize on session count per user") {
+    val s3 = Relational.sessionWindowAgg(spark, sf)
+      .groupBy("user_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w8 = Relational.sessionize(spark, sf)
+      .groupBy("user_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s3 == w8)
+  }
 }
