@@ -107,7 +107,11 @@ object ScaleProbe {
       "dd5_rank_upsert", "dd6_simhash_pairs",
       // round 6: cluster resolution (LSH pairs + CC) and the broadcast
       // n-gram decontamination probe
-      "dd7_dup_clusters", "t7_decontamination")
+      "dd7_dup_clusters", "t7_decontamination",
+      // round 8: per-domain caps — the synth copies multiply every domain's
+      // docs Nx over the same 20 sources, i.e. exactly the mega-domain
+      // growth the partial WindowGroupLimit bounds map-side
+      "t10_domain_caps")
       .map(n => (n, SparkEntry.queries(n), SparkEntry.queries(n)))
     import graft.operators.{Profile, RankDedup, VectorOps}
     // profile first-touch: exact vs sketched (HLL++) distinct counts over

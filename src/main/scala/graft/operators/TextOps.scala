@@ -277,60 +277,25 @@ object TextOps {
   /** t10: per-domain document caps — the domain-balancing pass every web
     * corpus runs before training (cap each source/domain at N docs so no
     * single crawl dominates the mixture), keeping the best docs per domain
-    * (longest, doc_id tie-break). Declarative shape: one row_number window
-    * partitioned by source — a single shuffle on the domain key.
+    * (longest, doc_id tie-break): one row_number window partitioned by
+    * source, rank <= cap.
     *
-    * At 100 TB the window is exact but a mega-domain's rows all land in one
-    * partition; [[domainCapsPrePruned]] is the scale form — each input
-    * partition keeps only its own top-cap per domain map-side (a bounded
-    * heap), so the shuffle carries ≤ partitions × domains × cap rows
-    * regardless of corpus size, then the same window runs on the survivors.
-    * Exact by construction: the global top-cap of a domain is a subset of
-    * the union of per-partition top-caps. */
+    * Scale shape: because the rank filter is adjacent to the window,
+    * Catalyst rewrites it to WindowGroupLimit and — critically — inserts a
+    * PARTIAL group-limit before the Exchange, so each input partition ships
+    * at most cap rows per domain into the shuffle: shuffle volume is
+    * bounded by partitions × domains × cap regardless of corpus size, and
+    * a mega-domain cannot flood its reducer. A hand-written mapPartitions
+    * pre-prune would duplicate exactly this; PipelineOpsSpec pins the
+    * map-side WindowGroupLimit so a regression (e.g. a filter shape the
+    * rewrite no longer matches) is loud. */
   def domainCaps: Q = (s, d) =>
-    capBestPerDomain(documents(s, d)
-      .select(col("doc_id"), col("source"), col("n_chars")), DomainCap)
-
-  /** The shared window tail of t10: rank within domain, keep rk <= cap. */
-  private def capBestPerDomain(docs: DataFrame, cap: Int): DataFrame =
-    docs
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("source"))
           .orderBy(col("n_chars").desc, col("doc_id"))).cast("int"))
-      .filter(col("rk") <= cap)
-
-  /** Scale form of t10 (see [[domainCaps]]): map-side bounded per-domain
-    * keep-best before the exact window. `corpus` must carry
-    * (doc_id: long, source: string, n_chars: long). */
-  private[graft] def domainCapsPrePruned(corpus: DataFrame,
-      cap: Int = DomainCap): DataFrame = {
-    val s = corpus.sparkSession
-    import s.implicits._
-    // Worst-kept-first ordering: a row is evicted before another iff it has
-    // fewer chars, or equal chars and a larger doc_id (the window's
-    // (n_chars desc, doc_id asc) keep order, inverted).
-    val worstFirst: Ordering[(Long, Long)] =
-      Ordering.by { case (nChars, docId) => (-nChars, docId) }
-    val pruned = corpus
-      .select(col("doc_id").cast("long"), col("source"),
-        col("n_chars").cast("long"))
-      .as[(Long, String, Long)]
-      .mapPartitions { it =>
-        val best = scala.collection.mutable.Map
-          .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long)]]
-        it.foreach { case (docId, source, nChars) =>
-          val pq = best.getOrElseUpdate(source,
-            scala.collection.mutable.PriorityQueue.empty(worstFirst))
-          pq.enqueue((nChars, docId))
-          if (pq.size > cap) pq.dequeue()
-        }
-        best.iterator.flatMap { case (source, pq) =>
-          pq.iterator.map { case (nChars, docId) => (docId, source, nChars) }
-        }
-      }
-      .toDF("doc_id", "source", "n_chars")
-    capBestPerDomain(pruned, cap)
-  }
+      .filter(col("rk") <= DomainCap)
 
   /** c2: mixture weights — given a target language mixture for the training
     * blend, compute each language's actual corpus share and the sampling

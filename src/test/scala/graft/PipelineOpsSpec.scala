@@ -119,22 +119,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!rows.map(_.getLong(0)).contains(1L)) // probe excluded
   }
 
-  test("t10 pre-pruned domain caps: exact parity with the window form") {
-    def key(r: org.apache.spark.sql.Row) =
-      (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))
-    val want = TextOps.domainCaps(spark, sf).collect().map(key).toSet
-    // spread the corpus over many partitions so the map-side prune runs
-    // per-partition (single-partition input would make the prune trivially
-    // exact), then check row-for-row equality including ranks
-    val corpus = Tables.load(spark, sf, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .repartition(7)
-    val got = TextOps.domainCapsPrePruned(corpus).collect().map(key).toSet
-    assert(got == want)
+  test("t10 domain caps: map-side WindowGroupLimit bounds the shuffle") {
+    val df = TextOps.domainCaps(spark, sf)
+    // the rank<=cap filter must rewrite to a group limit BOTH sides of the
+    // exchange — the partial (map-side) one is what bounds shuffle volume
+    // to partitions x domains x cap when a mega-domain shows up
+    // tree prints root-first, so the map-side (partial) group limit is the
+    // one BELOW the last Exchange in the string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("WindowGroupLimit").length >= 3,
+      "expected partial + final WindowGroupLimit:\n" + plan)
+    assert(plan.split("Exchange").last.contains("WindowGroupLimit"),
+      "expected the partial WindowGroupLimit below the exchange:\n" + plan)
     // each domain is actually capped, with contiguous ranks from 1
-    val bySrc = got.groupBy(_._2)
-    assert(bySrc.values.forall(g => g.size <= TextOps.DomainCap &&
-      g.map(_._4).toSeq.sorted == (1 to g.size)))
+    val bySrc = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._2)
+    assert(bySrc.values.forall(g => g.length <= TextOps.DomainCap &&
+      g.map(_._4).sorted.sameElements(1 to g.length)))
   }
 
   test("c2 mixture weights: shares sum to 1, weights rebalance to target") {
