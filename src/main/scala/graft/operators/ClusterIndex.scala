@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   *    one (re-deriving from the grown corpus would silently re-hash every
   *    bucket assignment).
   *  - `_maintenance.lock` — [[MaintenanceLock]]'s single-writer fence,
-  *    held across [[write]] and [[append]].
+  *    held across [[write]], [[append]], and [[delete]].
   *
   * Why bucket by component hash instead of one dir per component: near-dup
   * corpora have ~as many components as documents — millions of directories
@@ -346,6 +346,109 @@ object ClusterIndex {
     affectedParts
   }
 
+  /** Incremental DELETION: remove documents from the at-rest index —
+    * takedown / right-to-be-forgotten maintenance, the third operation a
+    * production corpus artifact needs beside build and append. Bounded by
+    * the deleted batch + its touched components, like [[append]]:
+    *
+    *  1. touched components = stored components of the deleted doc_ids
+    *     (ids not in the index are ignored — deletion is idempotent);
+    *  2. band-index rows are located WITHOUT the original text: band keys
+    *     are reconstructed from the stored `hs` shingle hashes
+    *     ([[DedupOps.lshBandsFromStored]] — `minhash_sigs` is
+    *     deterministic on `hs`), so only the victims' `bkb` buckets are
+    *     rewritten;
+    *  3. the touched components' REMAINING members re-resolve over the
+    *     stored edges minus edges incident to a victim — deletion can
+    *     SPLIT a component (a bridge doc leaves), and a deleted keeper's
+    *     survivors get a fresh retention pass;
+    *  4. physical writes reuse the staged-rename protocol; write order is
+    *     the mirror of [[append]]'s: bands and edges first, labels LAST,
+    *     so "doc_id absent from labels" means fully deleted. A crash
+    *     mid-protocol is repaired by re-running the same delete (victims
+    *     still present in labels re-derive the same touched set; victims
+    *     already gone are skipped).
+    *
+    * Requires the bucketed band layout (`_meta` with band_buckets > 0);
+    * legacy flat-band indexes must be rebuilt with [[write]] first —
+    * pruning a flat band dir would force a full-corpus rewrite, which this
+    * op's cost contract forbids.
+    *
+    * @return the affected component-bucket ids (diagnostics + specs)
+    */
+  def delete(docIds: DataFrame, path: String): Seq[Int] =
+    MaintenanceLock.withLock(docIds.sparkSession, path) {
+      deleteLocked(docIds, path)
+    }
+
+  private def deleteLocked(docIds: DataFrame, path: String): Seq[Int] = {
+    val s = docIds.sparkSession
+    val m = meta(s, path)
+    require(m.bandBuckets > 0,
+      "delete requires a bucketed band index; rebuild with ClusterIndex.write")
+    val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().localCheckpoint(eager = true)
+    val oldLabels = labels(s, path)
+    // victims materialize BEFORE any rewrite: their stored hs rows are the
+    // only way back to their band keys once labels change
+    val victims = oldLabels.join(ids, Seq("doc_id"))
+      .localCheckpoint(eager = true)
+    val touched = victims.select("component").distinct()
+      .localCheckpoint(eager = true)
+    val affectedParts = touched
+      .select(partOf(col("component"), m.numParts).as("part"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (affectedParts.isEmpty) Seq.empty
+    else {
+      // remaining members + remaining edges of the touched components
+      val oldInParts = oldLabels.filter(col("part").isin(affectedParts: _*))
+      val remaining = oldInParts.join(touched, Seq("component"))
+        .join(ids, Seq("doc_id"), "left_anti")
+        .localCheckpoint(eager = true)
+      val oldEdges = s.read.parquet(s"$path/edges")
+      val subEdges = oldEdges.filter(col("part").isin(affectedParts: _*))
+        .join(touched, Seq("component"))
+        .join(ids.select(col("doc_id").as("a")), Seq("a"), "left_anti")
+        .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_anti")
+        .select("a", "b")
+        .localCheckpoint(eager = false) // feeds cc AND the edge rewrite
+      val cc = GraphOps.connectedComponents(
+          remaining.select(col("doc_id").as("id")), subEdges)
+        .select(col("id").as("doc_id"), col("component"))
+        .localCheckpoint(eager = false)
+      val relabeled = retention(
+          cc.join(remaining.select("doc_id", "hs", "n", "n_words"), "doc_id"))
+        .withColumn("part", partOf(col("component"), m.numParts))
+        .select(LabelCols.map(col): _*)
+      val relabeledEdges = subEdges
+        .join(cc.select(col("doc_id").as("a"), col("component")), Seq("a"))
+        .withColumn("part", partOf(col("component"), m.numParts))
+        .select("a", "b", "component", "part")
+      val keepLabels = oldInParts.join(touched, Seq("component"), "left_anti")
+        .select(LabelCols.map(col): _*)
+      val keepEdges = oldEdges.filter(col("part").isin(affectedParts: _*))
+        .join(touched, Seq("component"), "left_anti")
+        .select("a", "b", "component", "part")
+
+      // bands: reconstruct the victims' band keys from stored hs, rewrite
+      // only the bkb buckets those keys hash into
+      val victimBands = DedupOps.lshBandsFromStored(
+        victims.select("doc_id", "hs"))
+      val victimBkbs = victimBands.select(bkbOf(m.bandBuckets).as("bkb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val keptBands = s.read.parquet(s"$path/bands")
+        .filter(col("bkb").isin(victimBkbs: _*))
+        .join(ids, Seq("doc_id"), "left_anti")
+        .select("doc_id", "bk", "bkb")
+      rewriteBuckets(keptBands, victimBkbs, s"$path/bands", s, "bkb")
+      rewriteBuckets(relabeledEdges.unionByName(keepEdges), affectedParts,
+        s"$path/edges", s)
+      rewriteBuckets(relabeled.unionByName(keepLabels), affectedParts,
+        s"$path/labels", s)
+      affectedParts
+    }
+  }
+
   /** Replace exactly the affected `part=` bucket dirs (and append staged
     * files to any other bucket the rows hash into), two-phase: stage the
     * replacement rows as a complete durable parquet write FIRST, then
@@ -372,8 +475,8 @@ object ClusterIndex {
     * dynamic partition overwrite) also clears a bucket whose every
     * component migrated elsewhere, which dynamic overwrite would leave
     * stale because no new row lands in it. */
-  private def rewriteBuckets(rows: DataFrame, affectedParts: Seq[Int],
-      dir: String, s: SparkSession): Unit = {
+  private[operators] def rewriteBuckets(rows: DataFrame, affectedParts: Seq[Int],
+      dir: String, s: SparkSession, partCol: String = "part"): Unit = {
     val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
     def renameOrFail(src: Path, dst: Path): Unit =
       if (!fs.rename(src, dst))
@@ -392,7 +495,7 @@ object ClusterIndex {
       .foreach { orphan =>
         if (orphan.getName.startsWith(".retired-"))
           Option(fs.listStatus(orphan)).toSeq.flatten
-            .filter(st => st.getPath.getName.startsWith("part="))
+            .filter(st => st.getPath.getName.startsWith(s"$partCol="))
             .foreach { st =>
               val live = new Path(dir, st.getPath.getName)
               if (!fs.exists(live)) renameOrFail(st.getPath, live)
@@ -403,7 +506,7 @@ object ClusterIndex {
     val staging = new Path(dir, s".staging-$stamp")
     val retired = new Path(dir, s".retired-$stamp")
     // reads the live buckets, writes a durable copy; live files untouched
-    rows.write.mode(SaveMode.Overwrite).partitionBy("part")
+    rows.write.mode(SaveMode.Overwrite).partitionBy(partCol)
       .parquet(staging.toString)
     val affected = affectedParts.toSet
     // 1. rows can land OUTSIDE the affected buckets — a re-resolved
@@ -414,11 +517,12 @@ object ClusterIndex {
     // names carry a write-UUID so moves cannot collide. Gains go first
     // so a crash mid-protocol duplicates rather than loses.
     Option(fs.listStatus(staging)).toSeq.flatten
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("part="))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$partCol="))
       .foreach { st =>
-        val p = st.getPath.getName.stripPrefix("part=").toInt
+        val p = st.getPath.getName.stripPrefix(s"$partCol=").toInt
         if (!affected.contains(p)) {
-          val live = new Path(s"$dir/part=$p")
+          val live = new Path(s"$dir/$partCol=$p")
           fs.mkdirs(live)
           fs.listStatus(st.getPath).foreach { f =>
             renameOrFail(f.getPath, new Path(live, f.getPath.getName))
@@ -429,9 +533,9 @@ object ClusterIndex {
     // 2. swap the affected buckets
     fs.mkdirs(retired)
     affectedParts.foreach { p =>
-      val live = new Path(s"$dir/part=$p")
-      if (fs.exists(live)) renameOrFail(live, new Path(retired, s"part=$p"))
-      val staged = new Path(staging, s"part=$p")
+      val live = new Path(s"$dir/$partCol=$p")
+      if (fs.exists(live)) renameOrFail(live, new Path(retired, s"$partCol=$p"))
+      val staged = new Path(staging, s"$partCol=$p")
       if (fs.exists(staged)) renameOrFail(staged, live)
     }
     fs.delete(staging, true)

@@ -212,6 +212,17 @@ object DedupOps {
     docs.select(col("doc_id"), explode(bandArr).as("bk"))
   }
 
+  /** Band keys reconstructed from STORED shingle hashes (`hs`, as the
+    * cluster index persists per label row) — `minhash_sigs` is
+    * deterministic on `hs`, so this equals [[lshBandsOf]] ∘ [[lshDocsOf]]
+    * without needing the original text. The at-rest delete path uses it to
+    * locate a doc's band-index rows. */
+  private[graft] def lshBandsFromStored(rows: DataFrame): DataFrame = {
+    registerSigs(rows.sparkSession)
+    lshBandsOf(rows.select(col("doc_id"), col("hs"),
+      expr("minhash_sigs(hs)").as("sigv")))
+  }
+
   /** Exact n-gram Jaccard ≥ 0.4 verify of candidate pairs (a_id, b_id)
     * against a (doc_id, hs, n) lookup covering both sides — a map-side
     * array_intersect on the two fetched hash sets, in candidate-pair

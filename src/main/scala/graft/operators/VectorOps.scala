@@ -513,6 +513,37 @@ object VectorOps {
         .write.mode("append").partitionBy("cid").parquet(s"$path/index")
     }
 
+  /** Incremental DELETION from the at-rest IVF index: takedown maintenance,
+    * mirroring [[graft.operators.ClusterIndex.delete]]. Victim cells are
+    * located with a column-pruned (vec_id, cid) scan — no vector data read —
+    * then ONLY those `cid=` partitions are rewritten via the shared
+    * staged-rename protocol; every other cell's files stay byte-identical.
+    * Centroids are deliberately NOT re-trained (standard IVF practice:
+    * deletion, like append, degrades recall gracefully until the periodic
+    * re-train+rebuild; a deleted seed vector does not move its centroid).
+    * At 100 TB the locate scan wants a vec_id→cid sidecar; the column-pruned
+    * scan is the dependency-free analog.
+    *
+    * @return the affected cell ids (diagnostics + specs)
+    */
+  def deleteFromIvfIndex(vecIds: DataFrame, path: String): Seq[Int] =
+    MaintenanceLock.withLock(vecIds.sparkSession, path) {
+      val s = vecIds.sparkSession
+      val ids = vecIds.select(col("vec_id").cast("long").as("vec_id"))
+        .distinct().localCheckpoint(eager = true)
+      val index = s.read.parquet(s"$path/index")
+      val affected = index.select("vec_id", "cid").join(ids, Seq("vec_id"))
+        .select("cid").distinct().collect().map(_.getInt(0)).toSeq
+      if (affected.isEmpty) Seq.empty
+      else {
+        val kept = index.filter(col("cid").isin(affected: _*))
+          .join(ids, Seq("vec_id"), "left_anti")
+          .select("vec_id", "v", "cid")
+        ClusterIndex.rewriteBuckets(kept, affected, s"$path/index", s, "cid")
+        affected
+      }
+    }
+
   /** Probe the at-rest IVF index: rank cells against the K-row centroid
     * table (driver-side — it is index metadata, bounded by K, the one
     * collect this operator is allowed), then exact-score ONLY the top-p

@@ -355,4 +355,72 @@ class ClusterIndexSpec extends SparkSpec {
     // the orphan junk never leaked into a visible bucket
     assert(ClusterIndex.labels(spark, path).count() > labelsBefore.size)
   }
+
+  test("delete = rebuild without the victims; splits bridged components") {
+    val pathDel = "target/cluster_index_del"
+    val pathRef = "target/cluster_index_del_ref"
+    Seq(pathDel, pathRef).foreach(p =>
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively())
+    // bridge triple: B = A's words ++ C's words, A∩C = ∅ — deleting B must
+    // SPLIT the component. Both bridge pairs sit at Jaccard 0.474 (above
+    // the 0.4 verify floor) AND share a MinHash band under the pipeline's
+    // fixed md5/universal-hash constants — band collision at this J is
+    // fixture-dependent, so the word lists were searched offline and are
+    // DETERMINISTIC forever (the hash family is pinned in DedupOps).
+    val pWords = ("w028 w048 w176 w106 w034 w177 w022 w069 w052 w151 " +
+      "w061 w191 w128 w067 w027 w082 w072 w044 w168 w150")
+    val sWords = ("w116 w140 w075 w083 w112 w120 w088 w092 w197 w068 " +
+      "w045 w005 w187 w198 w079 w136 w186 w138 w171 w035")
+    val a = (900001L, pWords)
+    val b = (900002L, pWords + " " + sWords)
+    val c = (900003L, sWords)
+    import spark.implicits._
+    val corpus = base.unionByName(
+      Seq(a, b, c).toDF("doc_id", "text"))
+    ClusterIndex.write(corpus, pathDel)
+    val compOf = ClusterIndex.labels(spark, pathDel)
+      .select("doc_id", "component").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(compOf(a._1) == compOf(b._1) && compOf(b._1) == compOf(c._1),
+      "bridge fixture must start as one component")
+
+    // victims: the bridge + a spread of base docs (some keepers among them)
+    val victimIds = Seq(b._1) ++ base.filter(col("doc_id") % 23 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val before = snapshot(s"$pathDel/labels")
+    val affected = ClusterIndex.delete(
+      victimIds.toDF("doc_id"), pathDel)
+    assert(affected.nonEmpty)
+
+    // physical incrementality under delete too
+    val after = snapshot(s"$pathDel/labels")
+    val untouched = before.filter { case (rel, _) =>
+      !affected.contains(partOfFile(rel))
+    }
+    assert(untouched.nonEmpty, "no bucket escaped the delete rewrite")
+    untouched.foreach { case (rel, meta) =>
+      assert(after.get(rel).contains(meta), s"untouched bucket changed: $rel")
+    }
+
+    // logical parity: delete == a fresh build on the corpus minus victims
+    val survivors = corpus.filter(!col("doc_id").isin(victimIds: _*))
+    ClusterIndex.write(survivors, pathRef)
+    assert(labelSet(pathDel) == labelSet(pathRef))
+
+    // the bridge split: A and C live, now in different components
+    val compAfter = ClusterIndex.labels(spark, pathDel)
+      .select("doc_id", "component").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(!compAfter.contains(b._1))
+    assert(compAfter(a._1) != compAfter(c._1), "bridge removal must split")
+
+    // band index holds no victim rows, and only victim bkb buckets moved
+    val bandIds = spark.read.parquet(s"$pathDel/bands")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(victimIds.forall(!bandIds.contains(_)))
+
+    // deleting the same ids again is a no-op (already absent)
+    assert(ClusterIndex.delete(victimIds.toDF("doc_id"), pathDel).isEmpty)
+    assert(labelSet(pathDel) == labelSet(pathRef))
+  }
 }

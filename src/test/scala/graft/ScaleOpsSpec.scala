@@ -178,6 +178,51 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows.take(2).forall(_.getDouble(2) == 1.0))
   }
 
+  test("IVF delete rewrites only victim cells; probes stop seeing victims") {
+    import graft.operators.VectorOps
+    import spark.implicits._
+    val path = "target/ivf_index_delete"
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    val e = VectorOps.vecsCheckpointed(spark, sf)
+    VectorOps.writeIvfIndex(e, K = 8, path)
+    val beforeRows = spark.read.parquet(s"$path/index")
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    def fileMeta(): Map[String, (Long, Long)] =
+      new java.io.File(s"$path/index").listFiles()
+        .filter(_.getName.startsWith("cid="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> (f.length(), f.lastModified())))
+        .toMap
+    val before = fileMeta()
+
+    // delete vector 1 and a spread of others (vec 1 has a known cell)
+    val victims = Seq(1L) ++ beforeRows.map(_._1).filter(_ % 29 == 3).take(5)
+    val affected = VectorOps.deleteFromIvfIndex(victims.toDF("vec_id"), path)
+    assert(affected.nonEmpty)
+
+    // content = original minus victims; untouched cells byte-identical
+    val afterRows = spark.read.parquet(s"$path/index")
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(afterRows == beforeRows.filterNot(r => victims.contains(r._1)))
+    fileMeta().foreach { case (rel, meta) =>
+      val cid = rel.split("/")(0).stripPrefix("cid=").toInt
+      if (!affected.contains(cid))
+        assert(before.get(rel).contains(meta), s"untouched cell changed: $rel")
+    }
+
+    // a probe at the deleted vector no longer returns it
+    val probeVec = e.filter(col("vec_id") === 1)
+      .collect()(0).getSeq[Double](2)
+    val got = VectorOps.ivfProbe(spark, path, probeVec, probes = 2, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(!got.contains(1L))
+
+    // deleting already-absent ids is a no-op
+    assert(VectorOps.deleteFromIvfIndex(victims.toDF("vec_id"), path).isEmpty)
+  }
+
   test("GraftExtensions registers cosine_sim via injectFunction") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(e) // must not throw
