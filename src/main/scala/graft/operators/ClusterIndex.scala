@@ -449,6 +449,65 @@ object ClusterIndex {
     }
   }
 
+  /** Compaction — the fourth lifecycle operation beside [[write]],
+    * [[append]], and [[delete]]. Incremental maintenance fragments buckets:
+    * every append lands its band rows and unaffected-bucket gains as NEW
+    * files, and every bucket rewrite re-emits rows from a multi-task
+    * shuffle, so a bucket touched k times holds O(k) small parquet files —
+    * the classic at-rest small-files problem that degrades scan throughput
+    * (per-file open/footer cost, tiny row groups) long before capacity
+    * matters at 100 TB. This rewrites ONLY the buckets whose data-file
+    * count exceeds `maxFiles`, coalescing each to one file per bucket
+    * through the same staged-rename protocol — crash-safe, row-identical,
+    * and buckets at or below the threshold stay byte-identical. The file
+    * census is pure bucket METADATA (one driver-side listing per bucket,
+    * bounded by the `_meta` bucket counts), and the data read is pruned to
+    * the fragmented buckets. Runs under the single-writer fence like every
+    * other maintenance op.
+    *
+    * @return compacted bucket ids per sub-artifact (diagnostics + specs)
+    */
+  def compact(s: SparkSession, path: String,
+      maxFiles: Int = 4): Map[String, Seq[Int]] =
+    MaintenanceLock.withLock(s, path) {
+      val m = meta(s, path)
+      Map(
+        "labels" -> compactDir(s, s"$path/labels", "part", maxFiles),
+        "edges" -> compactDir(s, s"$path/edges", "part", maxFiles)) ++
+        // a legacy flat band dir has no partition column to prune or swap
+        // on — appends to it are plain file appends, and compacting it
+        // means a full rewrite better served by write()
+        (if (m.bandBuckets > 0)
+          Map("bands" -> compactDir(s, s"$path/bands", "bkb", maxFiles))
+        else Map.empty)
+    }
+
+  /** One partitioned dir's compaction: census the `partCol=` bucket dirs,
+    * pick those holding more than `maxFiles` data files, re-emit exactly
+    * their rows clustered one-task-per-bucket (`repartition(partCol)` —
+    * each bucket's rows land in a single task, so the partitioned write
+    * emits ONE file per bucket), and swap them in via [[rewriteBuckets]].
+    * Shared with the IVF index's `cid=` cells. */
+  private[operators] def compactDir(s: SparkSession, dir: String,
+      partCol: String, maxFiles: Int): Seq[Int] = {
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fragmented = Option(fs.listStatus(new Path(dir))).toSeq.flatten
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$partCol="))
+      .filter { st =>
+        Option(fs.listStatus(st.getPath)).toSeq.flatten.count(f =>
+          f.isFile && !f.getPath.getName.startsWith(".") &&
+            !f.getPath.getName.startsWith("_")) > maxFiles
+      }
+      .map(_.getPath.getName.stripPrefix(s"$partCol=").toInt)
+    if (fragmented.nonEmpty)
+      rewriteBuckets(
+        s.read.parquet(dir).filter(col(partCol).isin(fragmented: _*))
+          .repartition(col(partCol)),
+        fragmented, dir, s, partCol)
+    fragmented
+  }
+
   /** Replace exactly the affected `part=` bucket dirs (and append staged
     * files to any other bucket the rows hash into), two-phase: stage the
     * replacement rows as a complete durable parquet write FIRST, then

@@ -544,6 +544,24 @@ object VectorOps {
       }
     }
 
+  /** Compact fragmented cells of the at-rest IVF index: every
+    * [[appendToIvfIndex]] lands new files inside its assigned `cid=` dirs
+    * and every [[deleteFromIvfIndex]] re-emits its victims' cells from a
+    * multi-task shuffle, so hot cells accumulate small parquet files over
+    * a maintenance history — the same small-files decay
+    * [[graft.operators.ClusterIndex.compact]] repairs for the cluster
+    * artifact, and the two share one implementation. Cells at or below
+    * `maxFiles` stay byte-identical; probes see identical rows (asserted
+    * in ScaleOpsSpec).
+    *
+    * @return the compacted cell ids (diagnostics + specs)
+    */
+  def compactIvfIndex(s: SparkSession, path: String,
+      maxFiles: Int = 4): Seq[Int] =
+    MaintenanceLock.withLock(s, path) {
+      ClusterIndex.compactDir(s, s"$path/index", "cid", maxFiles)
+    }
+
   /** Probe the at-rest IVF index: rank cells against the K-row centroid
     * table (driver-side — it is index metadata, bounded by K, the one
     * collect this operator is allowed), then exact-score ONLY the top-p

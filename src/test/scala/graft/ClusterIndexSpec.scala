@@ -356,6 +356,66 @@ class ClusterIndexSpec extends SparkSpec {
     assert(ClusterIndex.labels(spark, path).count() > labelsBefore.size)
   }
 
+  test("compaction coalesces fragmented buckets; rows and pruning intact") {
+    val path = "target/cluster_index_compact"
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    ClusterIndex.write(base, path)
+    // a maintenance history fragments the artifact: each append lands its
+    // band rows as NEW files and re-emits rewritten buckets from a
+    // multi-task shuffle
+    ClusterIndex.append(appendBatch, path)
+    ClusterIndex.append(appendBatch, path)
+
+    def bucketFiles(sub: String, pc: String): Map[Int, Int] =
+      snapshot(s"$path/$sub").keys.toSeq
+        .groupBy(rel => s"$pc=(\\d+)".r.findFirstMatchIn(rel).get.group(1).toInt)
+        .map { case (b, fs) => b -> fs.size }
+    val labelsBefore = labelSet(path)
+    val bandsBefore = spark.read.parquet(s"$path/bands")
+      .select("doc_id", "bk").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bucketFiles("bands", "bkb").values.exists(_ > 1),
+      "maintenance history failed to fragment the band index")
+    val before = Seq("labels" -> "part", "edges" -> "part", "bands" -> "bkb")
+      .map { case (sub, pc) => sub -> snapshot(s"$path/$sub") }.toMap
+
+    val compacted = ClusterIndex.compact(spark, path, maxFiles = 1)
+    assert(compacted("bands").nonEmpty)
+
+    // row parity: compaction moves bytes, never rows
+    assert(labelSet(path) == labelsBefore)
+    assert(spark.read.parquet(s"$path/bands")
+      .select("doc_id", "bk").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == bandsBefore)
+
+    // every compacted bucket holds exactly one data file now; every bucket
+    // below the threshold is byte-identical
+    Seq("labels" -> "part", "edges" -> "part", "bands" -> "bkb").foreach {
+      case (sub, pc) =>
+        val counts = bucketFiles(sub, pc)
+        compacted(sub).foreach { b =>
+          assert(counts(b) == 1, s"$sub bucket $b still has ${counts(b)} files")
+        }
+        val after = snapshot(s"$path/$sub")
+        before(sub).foreach { case (rel, meta) =>
+          val b = s"$pc=(\\d+)".r.findFirstMatchIn(rel).get.group(1).toInt
+          if (!compacted(sub).contains(b))
+            assert(after.get(rel).contains(meta),
+              s"below-threshold $sub file changed: $rel")
+        }
+    }
+
+    // the band probe still partition-prunes over the compacted layout
+    val nd = DedupOps.lshDocsOf(appendBatch.limit(1))
+    val plan = ClusterIndex.prunedBands(spark, path, DedupOps.lshBandsOf(nd))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bkb"), plan)
+
+    // already-compact artifact: second pass is a no-op
+    assert(ClusterIndex.compact(spark, path, maxFiles = 1)
+      .values.forall(_.isEmpty))
+  }
+
   test("delete = rebuild without the victims; splits bridged components") {
     val pathDel = "target/cluster_index_del"
     val pathRef = "target/cluster_index_del_ref"

@@ -223,6 +223,60 @@ class ScaleOpsSpec extends SparkSpec {
     assert(VectorOps.deleteFromIvfIndex(victims.toDF("vec_id"), path).isEmpty)
   }
 
+  test("IVF compaction coalesces appended cells; probe rows unchanged") {
+    import graft.operators.VectorOps
+    val path = "target/ivf_index_compact"
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    val e = VectorOps.vecsCheckpointed(spark, sf)
+    VectorOps.writeIvfIndex(e, K = 8, path)
+    // two appends into vector 1's cell fragment it (each lands new files)
+    Seq(50000L, 60000L).foreach { off =>
+      VectorOps.appendToIvfIndex(
+        e.filter(col("vec_id") === 1)
+          .select((col("vec_id") + off).as("vec_id"), col("v")), path)
+    }
+    def fileMeta(): Map[String, (Long, Long)] =
+      new java.io.File(s"$path/index").listFiles()
+        .filter(_.getName.startsWith("cid="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> (f.length(), f.lastModified())))
+        .toMap
+    val beforeRows = spark.read.parquet(s"$path/index")
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val before = fileMeta()
+    val fragmentedCells = before.keys.groupBy(_.split("/")(0))
+      .filter(_._2.size > 1).keySet
+      .map(_.stripPrefix("cid=").toInt)
+    assert(fragmentedCells.nonEmpty, "appends failed to fragment any cell")
+
+    val compacted = VectorOps.compactIvfIndex(spark, path, maxFiles = 1)
+    assert(compacted.toSet == fragmentedCells,
+      s"compacted $compacted != fragmented $fragmentedCells")
+
+    // compacted cells hold one file; untouched cells byte-identical;
+    // rows unchanged
+    val after = fileMeta()
+    compacted.foreach { cid =>
+      assert(after.keys.count(_.split("/")(0) == s"cid=$cid") == 1)
+    }
+    before.foreach { case (rel, meta) =>
+      if (!compacted.contains(rel.split("/")(0).stripPrefix("cid=").toInt))
+        assert(after.get(rel).contains(meta), s"untouched cell changed: $rel")
+    }
+    assert(spark.read.parquet(s"$path/index")
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet == beforeRows)
+
+    // a probe over the compacted index still sees both appended copies
+    val probeVec = e.filter(col("vec_id") === 1).collect()(0).getSeq[Double](2)
+    val got = VectorOps.ivfProbe(spark, path, probeVec, probes = 2, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 50001L, 60001L).subsetOf(got), got.toString)
+    // second pass: already compact, no-op
+    assert(VectorOps.compactIvfIndex(spark, path, maxFiles = 1).isEmpty)
+  }
+
   test("GraftExtensions registers cosine_sim via injectFunction") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(e) // must not throw
