@@ -180,7 +180,11 @@ object ScaleProbe {
     // touches the same components at both scales. Seeding (write) is
     // untimed; one warm append absorbs codegen/JIT, a second disjoint
     // batch is timed.
-    def clusterAppendSecs(c: Int, tag: String): Double = {
+    // Deletion shares the seeded index and the same cost contract: victims
+    // are copy-0 docs, so the SAME id set is deleted at both scales and
+    // the work is bounded by the victims + their touched components. Each
+    // op gets one warm (disjoint) run first to absorb codegen/JIT.
+    def clusterMaintSecs(c: Int, tag: String): (Double, Double) = {
       import graft.operators.ClusterIndex
       val cpsC = spark.range(c).select(col("id").as("cp"))
       val salted = Tables.load(spark, base, "documents").crossJoin(cpsC)
@@ -201,7 +205,15 @@ object ScaleProbe {
       val b = batch(910000000L).localCheckpoint(eager = true)
       val t0 = System.nanoTime()
       ClusterIndex.append(b, idx)
-      (System.nanoTime() - t0) / 1e9
+      val appendSec = (System.nanoTime() - t0) / 1e9
+      def victims(m: Int, r: Int) = Tables.load(spark, base, "documents")
+        .filter(col("doc_id") % m === r).select("doc_id")
+        .localCheckpoint(eager = true)
+      ClusterIndex.delete(victims(29, 2), idx)
+      val v = victims(23, 1)
+      val t1 = System.nanoTime()
+      ClusterIndex.delete(v, idx)
+      (appendSec, (System.nanoTime() - t1) / 1e9)
     }
     def time(fn: (SparkSession, String) => DataFrame, d: String): Double = {
       fn(spark, d).count() // warm: codegen/JIT for this plan shape
@@ -229,10 +241,12 @@ object ScaleProbe {
       (name, t1, tN, tN / t1)
     }
     val appendRows =
-      if (nameFilter.isEmpty || nameFilter.exists("cluster_append".contains)) {
-        val t1 = clusterAppendSecs(1, "1x")
-        val tN = clusterAppendSecs(copies, "nx")
-        Seq(("cluster_append", t1, tN, tN / t1))
+      if (nameFilter.isEmpty || nameFilter.exists(f =>
+          Seq("cluster_append", "cluster_delete").exists(_.contains(f)))) {
+        val (a1, d1) = clusterMaintSecs(1, "1x")
+        val (aN, dN) = clusterMaintSecs(copies, "nx")
+        Seq(("cluster_append", a1, aN, aN / a1),
+          ("cluster_delete", d1, dN, dN / d1))
       } else Seq.empty
     val qs = (rows ++ appendRows).map { case (n, t1, tN, r) =>
       f""""$n":{"t1x":$t1%.3f,"t${copies}x":$tN%.3f,"ratio":$r%.2f}"""
