@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, Sq8}
 
 /** Vector similarity operators (SURVEY §2.6 O3/O4, §2.8 F10) plus the
   * large-scale ANN path a training-data pipeline needs.
@@ -509,8 +509,16 @@ object VectorOps {
       CosineSimilarity.register(s)
       val cent = s.read.parquet(s"$path/centroids")
         .select(col("cid"), col("c"))
-      assignToCells(batch, cent)
-        .write.mode("append").partitionBy("cid").parquet(s"$path/index")
+      val assigned = assignToCells(batch, cent)
+      // match the stored row format: a quantized index gets encoded rows
+      val rows =
+        if (!s.read.parquet(s"$path/index").columns.contains("code")) assigned
+        else {
+          Sq8.register(s)
+          assigned.select(col("vec_id"),
+            expr("sq8_encode(v)").as("code"), col("cid"))
+        }
+      rows.write.mode("append").partitionBy("cid").parquet(s"$path/index")
     }
 
   /** Incremental DELETION from the at-rest IVF index: takedown maintenance,
@@ -536,9 +544,9 @@ object VectorOps {
         .select("cid").distinct().collect().map(_.getInt(0)).toSeq
       if (affected.isEmpty) Seq.empty
       else {
+        // column-agnostic keep (full-precision `v` or quantized `code`)
         val kept = index.filter(col("cid").isin(affected: _*))
           .join(ids, Seq("vec_id"), "left_anti")
-          .select("vec_id", "v", "cid")
         ClusterIndex.rewriteBuckets(kept, affected, s"$path/index", s, "cid")
         affected
       }
@@ -570,6 +578,25 @@ object VectorOps {
   def ivfProbe(s: SparkSession, path: String, probe: Seq[Double],
       probes: Int = 2, k: Int = 10): DataFrame = {
     CosineSimilarity.register(s)
+    val topCells = topCellsFor(s, path, probe, probes)
+    s.read.parquet(s"$path/index")
+      .filter(col("cid").isin(topCells: _*))
+      .select(col("vec_id"), col("cid"),
+        round(call_function("cosine_sim", col("v"),
+          typedLit(probe.toArray)), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Driver-side cell ranking shared by the single-probe forms: cosine of
+    * the query against the K-row centroid table (index METADATA, bounded
+    * by K — the one collect these operators allow). round(·,6) before
+    * ranking so the cell choice is engine-independent — HALF_UP, the same
+    * policy as Spark's round() and DuckDB's round() in the v7 oracle
+    * (math.rint is half-even and could diverge on an exact .5e-6 tie
+    * between the driver ranking and the oracle's). */
+  private def topCellsFor(s: SparkSession, path: String, probe: Seq[Double],
+      probes: Int): Seq[Int] = {
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
@@ -577,20 +604,50 @@ object VectorOps {
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    // round(·,6) before ranking so the cell choice is engine-independent —
-    // HALF_UP, the same policy as Spark's round() and DuckDB's round() in
-    // the v7 oracle (math.rint is half-even and could diverge on an exact
-    // .5e-6 tie between the driver ranking and the oracle's)
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val topCells = s.read.parquet(s"$path/centroids").collect()
+    s.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r6(cos(r.getSeq[Double](1), probe))))
       .sortBy { case (cid, c) => (-c, cid) }
       .take(probes).map(_._1).toSeq
+  }
+
+  /** Write the at-rest IVF index with SQ8-QUANTIZED vectors: same
+    * assignment and cell partitioning as [[writeIvfIndex]], but each cell
+    * row stores the [[graft.functions.Sq8Encode]] code (1 byte/element +
+    * 8-byte scale) instead of 8-byte doubles — an ~8x raw scan/memory
+    * reduction, which at 100 TB is the difference between a float corpus
+    * that must be probed from disk and a quantized one that fits hot
+    * tiers. Centroids stay full precision: K rows of metadata, and
+    * quantizing them would shift every cell boundary for no byte savings.
+    * Recall floor vs the full-precision probe and the byte reduction are
+    * pinned in ScaleOpsSpec. */
+  def writeIvfIndexQ8(e0: DataFrame, K: Int, path: String): Unit =
+    MaintenanceLock.withLock(e0.sparkSession, path) {
+      val s = e0.sparkSession
+      CosineSimilarity.register(s)
+      Sq8.register(s)
+      val e = e0.localCheckpoint(eager = false)
+      val cent = e.filter(col("vec_id") < K)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+      cent.write.mode("overwrite").parquet(s"$path/centroids")
+      assignToCells(e, cent)
+        .select(col("vec_id"), expr("sq8_encode(v)").as("code"), col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/index")
+    }
+
+  /** Probe the quantized index: identical cell choice to [[ivfProbe]]
+    * (full-precision centroids), scoring via the fused byte-loop
+    * [[graft.functions.CosineSimQ8]] — the scale cancels from the cosine,
+    * so no dequantization happens anywhere in the plan. */
+  def ivfProbeQ8(s: SparkSession, path: String, probe: Seq[Double],
+      probes: Int = 2, k: Int = 10): DataFrame = {
+    Sq8.register(s)
+    val topCells = topCellsFor(s, path, probe, probes)
     s.read.parquet(s"$path/index")
       .filter(col("cid").isin(topCells: _*))
       .select(col("vec_id"), col("cid"),
-        round(call_function("cosine_sim", col("v"),
+        round(call_function("cosine_sim_q8", col("code"),
           typedLit(probe.toArray)), 6).as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)

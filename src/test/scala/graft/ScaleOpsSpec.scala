@@ -277,6 +277,81 @@ class ScaleOpsSpec extends SparkSpec {
     assert(VectorOps.compactIvfIndex(spark, path, maxFiles = 1).isEmpty)
   }
 
+  test("SQ8 quantization: bounded error, 4x+ smaller index, recall holds") {
+    import graft.operators.VectorOps
+    import graft.functions.Sq8
+    Sq8.register(spark)
+    val e = VectorOps.vecsCheckpointed(spark, sf)
+
+    // per-element roundtrip error is bounded by half a quantization step
+    // (scale/254); exercised through the CODEGEN encode and eval decode
+    val bad = e.select(col("v"),
+        expr("sq8_decode(sq8_encode(v))").as("w"),
+        expr("array_max(transform(v, x -> abs(x)))").as("scale"))
+      .select(expr(
+        "aggregate(zip_with(v, w, (a, b) -> abs(a - b)), 0D, " +
+          "(acc, d) -> greatest(acc, d))").as("maxerr"), col("scale"))
+      .filter(col("maxerr") > col("scale") / 254.0 + lit(1e-12)).count()
+    assert(bad == 0, s"$bad vectors exceed the half-step roundtrip bound")
+
+    // quantized cosine tracks the exact cosine tightly on real fixtures
+    val probeVec = e.filter(col("vec_id") === 1).collect()(0).getSeq[Double](2)
+    val worst = e.select(abs(
+        call_function("cosine_sim_q8", expr("sq8_encode(v)"),
+          typedLit(probeVec.toArray)) -
+        call_function("cosine_sim", col("v"), typedLit(probeVec.toArray)))
+        .as("d"))
+      .agg(max("d")).collect()(0).getDouble(0)
+    assert(worst < 0.02, s"worst quantized-cosine error $worst")
+
+    // at-rest: Q8 index from the same corpus, same cell layout
+    val pathF = "target/ivf_index_full_cmp"
+    val pathQ = "target/ivf_index_q8"
+    Seq(pathF, pathQ).foreach(p =>
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively())
+    VectorOps.writeIvfIndex(e, K = 8, pathF)
+    VectorOps.writeIvfIndexQ8(e, K = 8, pathQ)
+    def bytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(s"$p/index"))
+    }
+    assert(bytes(pathQ) * 4 < bytes(pathF),
+      s"q8 ${bytes(pathQ)} vs full ${bytes(pathF)} — expected >4x reduction")
+
+    // probe parity: pruning intact, recall@10 >= 0.9 across queries
+    val qids = Seq(1L, 7L, 23L, 40L, 77L)
+    val recalls = qids.map { q =>
+      val v = e.filter(col("vec_id") === q).collect()(0).getSeq[Double](2)
+      val full = VectorOps.ivfProbe(spark, pathF, v, probes = 2, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      val quant = VectorOps.ivfProbeQ8(spark, pathQ, v, probes = 2, k = 10)
+      val plan = quant.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cid#\\d+ IN \\(".r
+        .findFirstIn(plan).nonEmpty, plan)
+      val got = quant.collect().map(_.getLong(0)).toSet
+      assert(got.contains(q), s"query $q does not top-hit itself")
+      full.intersect(got).size.toDouble / full.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, s"mean recall@10 vs full precision = $recall")
+
+    // the maintenance lifecycle is format-aware: an append to the Q8 index
+    // stores encoded rows, delete keeps whatever columns the index has
+    val v1 = e.filter(col("vec_id") === 1).collect()(0).getSeq[Double](2)
+    VectorOps.appendToIvfIndex(
+      e.filter(col("vec_id") === 1)
+        .select((col("vec_id") + 70000).as("vec_id"), col("v")), pathQ)
+    val afterAppend = VectorOps.ivfProbeQ8(spark, pathQ, v1, 2, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(afterAppend.contains(70001L), afterAppend.toString)
+    VectorOps.deleteFromIvfIndex(Seq(70001L).toDF("vec_id"), pathQ)
+    val afterDelete = VectorOps.ivfProbeQ8(spark, pathQ, v1, 2, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(!afterDelete.contains(70001L) && afterDelete.contains(1L))
+  }
+
   test("GraftExtensions registers cosine_sim via injectFunction") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(e) // must not throw
