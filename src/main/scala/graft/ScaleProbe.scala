@@ -215,6 +215,41 @@ object ScaleProbe {
       ClusterIndex.delete(v, idx)
       (appendSec, (System.nanoTime() - t1) / 1e9)
     }
+    // SQ8 serving probe: seed a full-precision and a quantized IVF index
+    // from the same (widened) embeddings with the same √n cell count, then
+    // time the SAME probe against both and census index bytes. The scan
+    // reduction is the claim (8 B doubles → 1 B codes); the probe-time
+    // ratio shows how much of it survives to wall-clock at each corpus
+    // scale (at toy scale scheduling dominates; the bytes ratio is the
+    // 100 TB number). Seeding is untimed; one warm probe per index
+    // absorbs codegen/JIT before the timed run.
+    def sq8Secs(d: String, tag: String): (Double, Double, Long, Long) = {
+      import graft.operators.VectorOps
+      val e = Tables.load(spark, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .localCheckpoint(eager = true)
+      val k = math.max(8, math.sqrt(e.count().toDouble).toInt)
+      val pF = s"$out/sq8_full_$tag"; val pQ = s"$out/sq8_q8_$tag"
+      Seq(pF, pQ).foreach(p =>
+        new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively())
+      VectorOps.writeIvfIndex(e, k, pF)
+      VectorOps.writeIvfIndexQ8(e, k, pQ)
+      def bytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+          else if (f.getName.endsWith(".parquet")) f.length() else 0L
+        walk(new java.io.File(s"$p/index"))
+      }
+      val probe = e.filter(col("vec_id") === 5)
+        .collect()(0).getSeq[Double](1)
+      def timed(fn: => Long): Double = {
+        fn; spark.catalog.clearCache()
+        val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+      }
+      val tF = timed(VectorOps.ivfProbe(spark, pF, probe, probes = 2).count())
+      val tQ = timed(VectorOps.ivfProbeQ8(spark, pQ, probe, probes = 2).count())
+      (tF, tQ, bytes(pF), bytes(pQ))
+    }
     def time(fn: (SparkSession, String) => DataFrame, d: String): Double = {
       fn(spark, d).count() // warm: codegen/JIT for this plan shape
       // the timed run must not reuse the warmup's materializations
@@ -248,7 +283,16 @@ object ScaleProbe {
         Seq(("cluster_append", a1, aN, aN / a1),
           ("cluster_delete", d1, dN, dN / d1))
       } else Seq.empty
-    val qs = (rows ++ appendRows).map { case (n, t1, tN, r) =>
+    val sq8Rows =
+      if (nameFilter.exists(f => "sq8_probe".contains(f))) {
+        val (f1, q1, bf1, bq1) = sq8Secs(base, "1x")
+        val (fN, qN, bfN, bqN) = sq8Secs(out, "nx")
+        Seq(("ivf_probe_full", f1, fN, fN / f1),
+          ("ivf_probe_q8", q1, qN, qN / q1),
+          ("sq8_bytes_ratio", bf1.toDouble / bq1, bfN.toDouble / bqN,
+            (bfN.toDouble / bqN) / (bf1.toDouble / bq1)))
+      } else Seq.empty
+    val qs = (rows ++ appendRows ++ sq8Rows).map { case (n, t1, tN, r) =>
       f""""$n":{"t1x":$t1%.3f,"t${copies}x":$tN%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","copies":$copies,"queries":$qs}""")

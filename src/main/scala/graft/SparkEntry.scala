@@ -98,6 +98,7 @@ object SparkEntry {
     "v6_rp_lsh_neardup" -> VectorOps.rpLshNearDup,
     "v7_ivf_at_rest" -> VectorOps.ivfAtRest,
     "v8_embed_clusters" -> VectorOps.embedClusters,
+    "v9_sq8_topk" -> VectorOps.sq8TopK,
     // text analysis (F6/F9 + pipeline ops)
     "t1_word_chunks" -> TextOps.wordChunks,
     "t2_lang_id" -> TextOps.langId,
@@ -504,6 +505,7 @@ object SparkEntry {
     "v6_rp_lsh_neardup" -> VectorOps.rpLshNearDupOracle,
     "v7_ivf_at_rest" -> VectorOps.ivfAtRestOracle,
     "v8_embed_clusters" -> VectorOps.embedClustersOracle,
+    "v9_sq8_topk" -> VectorOps.sq8TopKOracle,
     "mm1_media_features" ->
       """SELECT doc_id AS media_id,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

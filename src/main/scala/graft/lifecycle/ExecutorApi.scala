@@ -1,0 +1,301 @@
+package graft.lifecycle
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Profile
+import graft.plans.Lifecycle
+import graft.sources.{Sources, TableCache}
+
+/** The engine's HTTP serving surface — the reference's code-executor API
+  * (web_app/code_executor_api.py) re-expressed over the Spark engine. The
+  * reference runs a Flask service whose endpoints exec generated pandas code
+  * against an LRU DataFrame cache and expose df-utils previews; here the
+  * same endpoint contract serves the engine's declarative surface:
+  *
+  *   POST /execute                    run VALIDATED SQL against the cached
+  *                                    table bound as view `df`
+  *                                    (code_executor_api.py:69-206 — exec of
+  *                                    generated python, recast through
+  *                                    SqlValidator per SURVEY §2.12: the
+  *                                    engine never executes arbitrary code)
+  *   POST /upload_dataset             register a parquet/csv PATH under a
+  *                                    df_id (code_executor_api.py:209-249;
+  *                                    path not multipart — the engine reads
+  *                                    distributed storage, it does not spool
+  *                                    uploads through the driver)
+  *   POST /df_utils/compute_df_sample head(100) records  (ibid:252-275, I4)
+  *   POST /df_utils/df_to_string      row-25 head + summary (ibid:280-310, I2)
+  *   POST /df_utils/df_summary        per-column profile   (ibid:313-353, I1)
+  *   POST /df_utils/df_columns        columns + dtypes     (ibid:356-375, I3)
+  *   GET  /health                     liveness + cache occupancy
+  *   POST /query                      the chat surface (web_app/app.py:927-971):
+  *                                    runs the full agent chain and streams
+  *                                    per-stage completions as SSE events —
+  *                                    the reference's output-queue → SSE
+  *                                    drain collapsed to a synchronous tap
+  *                                    (requires an [[Agents.LlmClient]];
+  *                                    tests wire the scripted fixture)
+  *
+  * Error contract mirrors the reference: missing df_id → 400, cache miss →
+  * 404, operator errors → 200 with an `error` key (the repair loop reads the
+  * error text, it is not a transport failure).
+  *
+  * Scale: every response is bounded by construction — previews are
+  * `limit(n)` plans (no full count except df_to_string's documented row-25
+  * rule), and /execute returns a bounded preview while the full result stays
+  * a named view for further SQL. JDK HttpServer only — no added deps.
+  */
+final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
+    llm: Option[Agents.LlmClient] = None,
+    memory: Option[EpisodicMemory] = None) {
+
+  private val cache = new TableCache(cacheSize)
+  private var server: Option[HttpServer] = None
+  // the last successful /query chain, held for /submit_rank — the
+  // reference completes learning asynchronously in a second request
+  // (app.py:973-1010), so the rank arrives after the result streamed
+  private var lastChain: Option[(String, Agents.ChainResult)] = None
+
+  /** Start on `port` (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = {
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    srv.createContext("/health", (ex: HttpExchange) => respond(ex, 200,
+      s"""{"status":"ok","cached":${cache.size}}"""))
+    srv.createContext("/execute", handler(execute))
+    srv.createContext("/upload_dataset", handler(uploadDataset))
+    srv.createContext("/df_utils/compute_df_sample",
+      handler(withDf(_) { (_, df) => (200, recordsJson(Profile.sample(df))) }))
+    srv.createContext("/df_utils/df_to_string", handler(dfToString))
+    srv.createContext("/df_utils/df_summary",
+      handler(withDf(_) { (_, df) =>
+        (200, s"""{"data":${jstr(Profile.summaryString(df))}}""")
+      }))
+    srv.createContext("/df_utils/df_columns",
+      handler(withDf(_) { (_, df) =>
+        // SQL-facing dtype names (bigint/double/string…), the vocabulary
+        // the API's SQL surface speaks — not Scala's DataType class names
+        val dtypes = df.schema.fields.map { f =>
+          s"""${jstr(f.name)}:${jstr(f.dataType.simpleString)}""" }
+          .mkString("{", ",", "}")
+        val cols = df.columns.map(jstr).mkString("[", ",", "]")
+        (200, s"""{"columns":$cols,"dtypes":$dtypes}""")
+      }))
+    srv.createContext("/query", query _)
+    srv.createContext("/submit_rank", handler(submitRank))
+    srv.setExecutor(null) // caller-thread dispatch; the engine is the work
+    srv.start()
+    server = Some(srv)
+    srv.getAddress.getPort
+  }
+
+  def stop(): Unit = { server.foreach(_.stop(0)); server = None }
+
+  // ---- endpoints ----
+
+  /** /execute: `{"sql": ..., "df_id"?: ...}`. When df_id hits the cache its
+    * table is bound as view `df` (the reference's exec-scope injection,
+    * code_executor_api.py:100-104); the SQL runs through the §2.12
+    * validator; on success the RESULT replaces the cached entry (the
+    * reference writes the mutated df back, :115-117) and a bounded preview
+    * returns. */
+  private def execute(body: String): (Int, String) = {
+    val sql = HttpLlm.extractField(body, "sql").getOrElse("")
+    if (sql.isEmpty) return (400, err("No sql provided"))
+    val dfId = HttpLlm.extractField(body, "df_id")
+    dfId.flatMap(cache.get).foreach(df => session.bind("df", df))
+    session.runValidatedSql(sql) match {
+      case Left(msg) => (200, err(msg))
+      case Right(result) =>
+        dfId.foreach { id => cache.put(id, result); session.bind(id, result) }
+        (200, recordsJson(result, limit = 100))
+    }
+  }
+
+  /** /upload_dataset: `{"df_id": ..., "path": ..., "format"?: "csv"}` —
+    * reads the path through the engine's source operators and caches it. */
+  private def uploadDataset(body: String): (Int, String) = {
+    val dfId = HttpLlm.extractField(body, "df_id").getOrElse("")
+    val path = HttpLlm.extractField(body, "path").getOrElse("")
+    if (dfId.isEmpty || path.isEmpty)
+      return (400, err("df_id and path required"))
+    val isCsv = HttpLlm.extractField(body, "format").contains("csv") ||
+      path.endsWith(".csv")
+    val df =
+      if (isCsv) Sources.csv(session.spark, path)
+      else Sources.parquet(session.spark, path)
+    cache.put(dfId, df)
+    session.bind(dfId, df)
+    val cols = df.columns.map(jstr).mkString("[", ",", "]")
+    (200, s"""{"df_id":${jstr(dfId)},"columns":$cols}""")
+  }
+
+  /** /df_utils/df_to_string: the I2 row-25 contract; `order_by` is a
+    * comma-separated column list (Spark tables are unordered — the caller
+    * names the order that defines "row 25", defaulting to schema order). */
+  private def dfToString(body: String): (Int, String) = withDf(body) { (_, df) =>
+    val n = numField(body, "num_rows").getOrElse(5L).toInt
+    val orderCols = HttpLlm.extractField(body, "order_by")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(df.columns.toSeq)
+    (200, s"""{"data":${jstr(Profile.dataframeToString(df, orderCols, n))}}""")
+  }
+
+  /** /query: `{"question": ..., "df_id": ...}` → `text/event-stream`. The
+    * reference spawns a worker thread and drains its output queue into SSE
+    * (app.py:959-971, web_output_manager.py:10-47); the engine's chain is
+    * synchronous, so a tap client emits one `stage` event per completed
+    * LLM call in chain order, then one `result` event with the bounded
+    * preview + summary (or an `error` event — errors are events on this
+    * surface, the stream IS the response). */
+  private def query(ex: HttpExchange): Unit = {
+    val body =
+      try new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      catch { case _: Exception => "" }
+    val question = HttpLlm.extractField(body, "question").getOrElse("")
+    val dfId = HttpLlm.extractField(body, "df_id").getOrElse("")
+    (llm, question, if (dfId.isEmpty) None else cache.get(dfId)) match {
+      case (None, _, _) => respond(ex, 200, err("no LLM client configured"))
+      case (_, "", _) => respond(ex, 400, err("No question provided"))
+      case (_, _, None) => respond(ex, 404, err("DataFrame not found in cache"))
+      case (Some(client), q, Some(_)) =>
+        ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+        ex.sendResponseHeaders(200, 0)
+        val out = ex.getResponseBody
+        def emit(event: String, data: String): Unit = {
+          out.write(s"event: $event\ndata: $data\n\n"
+            .getBytes(StandardCharsets.UTF_8))
+          out.flush()
+        }
+        val tap = new Agents.LlmClient {
+          def complete(stage: String, prompt: String): String = {
+            val text = client.complete(stage, prompt)
+            emit("stage", s"""{"stage":${jstr(stage)},"text":${jstr(text)}}""")
+            text
+          }
+        }
+        try {
+          val r = Agents.converse(session, tap, q, dfId, memory)
+          if (r.repair.df.nonEmpty) lastChain = Some((dfId, r))
+          r.repair.df match {
+            case Some(d) => emit("result",
+              recordsJson(d).dropRight(1) +
+                s""","summary":${r.summary.map(jstr).getOrElse("null")}""" +
+                s""","attempts":${r.repair.attempts}}""")
+            case None => emit("error",
+              err(r.repair.errors.lastOption.getOrElse("no result")))
+          }
+        } catch {
+          case e: Exception => emit("error", err(Lifecycle.condense(
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))))
+        }
+        out.close()
+        ex.close()
+    }
+  }
+
+  /** /submit_rank: `{"rank": N}` — completes the chain's learning step
+    * asynchronously (the reference's step-11 second request,
+    * app.py:973-1010): a rank at or above the [[graft.operators.RankDedup
+    * .MinRank]] threshold stores the LAST successful /query chain into
+    * episodic memory through the rank-dedup gate (bambooai.py:638-684). */
+  private def submitRank(body: String): (Int, String) = {
+    val rank = numField(body, "rank").getOrElse(
+      return (400, err("No rank provided")))
+    (lastChain, memory) match {
+      case (None, _) => (404, err("no completed query chain to rank"))
+      case (_, None) => (200, err("no episodic memory configured"))
+      case (Some((table, r)), Some(mem)) =>
+        val stored = rank >= graft.operators.RankDedup.MinRank
+        if (stored) {
+          val profile = session.current(table)
+            .map(df => graft.operators.Profile.summaryString(df))
+            .getOrElse("")
+          mem.add(EpisodicMemory.Record(
+            id = java.util.UUID.nameUUIDFromBytes(
+              r.analyst.intent.getBytes("UTF-8")).toString,
+            intent = r.analyst.intent, dataDescr = profile,
+            plan = r.plan.steps.map("- " + _).mkString("\n"), sql = r.plan.sql,
+            rank = rank))
+        }
+        (200, s"""{"stored":$stored,"rank":$rank}""")
+    }
+  }
+
+  // ---- plumbing ----
+
+  private def handler(f: String => (Int, String)):
+      com.sun.net.httpserver.HttpHandler = (ex: HttpExchange) => {
+    val (code, json) =
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        f(body)
+      } catch {
+        case e: Exception => (200, err(Lifecycle.condense(
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName))))
+      }
+    respond(ex, code, json)
+  }
+
+  /** The reference's shared df_id guard: 400 when absent, 404 on miss. */
+  private def withDf(body: String)(
+      f: (String, DataFrame) => (Int, String)): (Int, String) =
+    HttpLlm.extractField(body, "df_id") match {
+      case None | Some("") => (400, err("No df_id provided"))
+      case Some(id) => cache.get(id) match {
+        case None => (404, err("DataFrame not found in cache"))
+        case Some(df) => f(id, df)
+      }
+    }
+
+  private def respond(ex: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  /** `{"data": [row objects...], "columns": [...]}` — the shape
+    * compute_df_sample returns (code_executor_api.py:262-266), bounded by
+    * `limit` BEFORE collect. */
+  private def recordsJson(df: DataFrame, limit: Int = 100): String = {
+    val cols = df.columns.toSeq
+    val rows = df.limit(limit).collect().map { r =>
+      cols.indices.map(i =>
+        jstr(cols(i)) + ":" + PlotSpec.jsonValue(r.get(i)))
+        .mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    s"""{"data":$rows,"columns":${cols.map(jstr).mkString("[", ",", "]")}}"""
+  }
+
+  private def err(msg: String): String = s"""{"error":${jstr(msg)}}"""
+
+  private def jstr(s: String): String = HttpLlm.jsonStr(s)
+
+  /** First integer-valued `"name": N` in the payload (the body scanner in
+    * [[HttpLlm]] reads string values only). */
+  private def numField(json: String, name: String): Option[Long] = {
+    val key = "\"" + name + "\""
+    var at = json.indexOf(key)
+    while (at >= 0) {
+      var i = at + key.length
+      while (i < json.length && json(i).isWhitespace) i += 1
+      if (i < json.length && json(i) == ':') {
+        i += 1
+        while (i < json.length && json(i).isWhitespace) i += 1
+        val start = i
+        if (i < json.length && json(i) == '-') i += 1
+        while (i < json.length && json(i).isDigit) i += 1
+        if (i > start && json.substring(start, i) != "-")
+          return Some(json.substring(start, i).toLong)
+      }
+      at = json.indexOf(key, at + 1)
+    }
+    None
+  }
+}

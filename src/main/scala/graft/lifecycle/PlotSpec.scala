@@ -13,7 +13,7 @@ object PlotSpec {
   final case class Spec(kind: String, x: String, ys: Seq[String],
       title: String)
 
-  private def esc(s: String): String = s.flatMap {
+  private[lifecycle] def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case c if c < ' ' => f"\\u${c.toInt}%04x"
@@ -42,7 +42,7 @@ object PlotSpec {
       case _ => "nominal"
     }
 
-  private def jsonValue(v: Any): String = v match {
+  private[lifecycle] def jsonValue(v: Any): String = v match {
     case null => "null"
     // NaN/Infinity (e.g. an avg over an empty group) have no JSON literal
     // — Number.toString would emit invalid JSON, so map to null

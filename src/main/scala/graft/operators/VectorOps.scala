@@ -703,6 +703,44 @@ object VectorOps {
     ivfProbe(s, path, probe, probes = 2, k = 10)
   }
 
+  /** O3/F10 over SQ8-QUANTIZED vectors: the [[cosineTopK]] shape scored
+    * through [[graft.functions.Sq8Encode]] + [[graft.functions.CosineSimQ8]]
+    * — encode and score fuse into one whole-stage-codegen pass reading the
+    * corpus once; at rest the codes are 1/8th the bytes (writeIvfIndexQ8).
+    * Hash-gated against a DuckDB reproduction of the exact quantization rule
+    * (code_i = floor(v_i/scale*127 + 0.5), the Java Math.round contract), so
+    * the quantizer itself — not just its recall — is oracle-checked. */
+  def sq8TopK: Q = (s, d) => {
+    Sq8.register(s)
+    CosineSimilarity.register(s)
+    val e = vecs(s, d)
+    val probe = e.filter(col("vec_id") === 2).select(col("v").as("p"))
+    e.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 2)
+      .select(col("vec_id"),
+        round(expr("cosine_sim_q8(sq8_encode(v), p)"), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** DuckDB reproduction of the SQ8 asymmetric cosine: quantize each stored
+    * vector with the same scale/round rule (floor(x+0.5) = Java Math.round —
+    * DuckDB's round() is half-away-from-zero and would diverge on negative
+    * codes), keep the query full precision, round(·,6) as everywhere. */
+  val sq8TopKOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      | sc AS (SELECT vec_id, v,
+      |   list_max(list_transform(v, x -> abs(x))) AS s FROM e),
+      | c AS (SELECT vec_id,
+      |   list_transform(v, x -> CASE WHEN s = 0 THEN 0.0
+      |     ELSE floor(x / s * 127 + 0.5) END) AS code FROM sc),
+      | p AS (SELECT v AS p FROM e WHERE vec_id = 2)
+      |SELECT c.vec_id, round(list_dot_product(code, p) /
+      | (sqrt(list_dot_product(code, code)) * sqrt(list_dot_product(p, p))), 6)
+      |  AS sim
+      |FROM c, p WHERE c.vec_id <> 2
+      |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
   val ivfAtRestOracle: String = {
     val cos = (a: String, b: String) =>
       s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +

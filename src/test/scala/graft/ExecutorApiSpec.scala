@@ -1,0 +1,171 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import graft.lifecycle.{EngineSession, ExecutorApi}
+
+/** Real-HTTP exercise of the serving surface: every request goes through a
+  * live JDK HttpServer on an ephemeral loopback port — the wire, the status
+  * codes, and the JSON shapes are the asserted contract
+  * (web_app/code_executor_api.py semantics per endpoint). */
+class ExecutorApiSpec extends SparkSpec {
+
+  private def call(port: Int, path: String, body: Option[String])
+      : (Int, String) = {
+    val conn = URI.create(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(5000); conn.setReadTimeout(30000)
+    body match {
+      case Some(b) =>
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
+      case None => conn.setRequestMethod("GET")
+    }
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text = scala.io.Source.fromInputStream(stream, "UTF-8").mkString
+    conn.disconnect()
+    (code, text)
+  }
+
+  test("executor API serves upload, df_utils, execute, and error contracts") {
+    val api = new ExecutorApi(new EngineSession(spark))
+    val port = api.start()
+    try {
+      // liveness
+      val (hc, health) = call(port, "/health", None)
+      assert(hc == 200 && health.contains("\"status\":\"ok\""))
+
+      // upload: register the orders table under a df_id
+      val (uc, up) = call(port, "/upload_dataset",
+        Some(s"""{"df_id":"orders","path":"$sf/orders.parquet"}"""))
+      assert(uc == 200 && up.contains("\"o_orderkey\""), up)
+
+      // df_columns: names + dtypes
+      val (cc, cols) = call(port, "/df_utils/df_columns",
+        Some("""{"df_id":"orders"}"""))
+      assert(cc == 200 && cols.contains("\"o_totalprice\":\"double\""), cols)
+
+      // df_summary: the I1 profile string rides in `data`
+      val (sc, summary) = call(port, "/df_utils/df_summary",
+        Some("""{"df_id":"orders"}"""))
+      assert(sc == 200 && summary.contains("numeric"), summary)
+
+      // compute_df_sample: bounded head(100) record objects
+      val (pc, sample) = call(port, "/df_utils/compute_df_sample",
+        Some("""{"df_id":"orders"}"""))
+      assert(pc == 200, sample)
+      assert("\\{\"o_orderkey\":".r.findAllIn(sample).length == 100, "100 records")
+
+      // df_to_string: the I2 row-25 head + summary, caller-named order
+      val (tc, ts) = call(port, "/df_utils/df_to_string",
+        Some("""{"df_id":"orders","num_rows":3,"order_by":"o_orderkey"}"""))
+      assert(tc == 200 && ts.contains("DF Head:") && ts.contains("DF Summary:"), ts)
+
+      // execute: validated SQL over the bound view; result replaces the entry
+      val (ec, res) = call(port, "/execute",
+        Some("""{"df_id":"orders","sql":"SELECT o_orderstatus AS status, count(*) AS n FROM df GROUP BY o_orderstatus"}"""))
+      assert(ec == 200 && res.contains("\"status\"") && res.contains("\"n\""), res)
+      // the cached entry is now the RESULT (reference writes the mutated df
+      // back) — its columns changed accordingly
+      val (c2, cols2) = call(port, "/df_utils/df_columns",
+        Some("""{"df_id":"orders"}"""))
+      assert(c2 == 200 && cols2.contains("\"status\"") &&
+        !cols2.contains("o_orderkey"), cols2)
+
+      // write-gated SQL is rejected by the validator, as an error PAYLOAD
+      val (vc, verr) = call(port, "/execute",
+        Some("""{"df_id":"orders","sql":"DROP TABLE df"}"""))
+      assert(vc == 200 && verr.contains("\"error\""), verr)
+
+      // error contract: missing df_id → 400; cache miss → 404
+      assert(call(port, "/df_utils/df_summary", Some("{}"))._1 == 400)
+      assert(call(port, "/df_utils/df_summary",
+        Some("""{"df_id":"nope"}"""))._1 == 404)
+      assert(call(port, "/execute", Some("{}"))._1 == 400)
+    } finally api.stop()
+  }
+
+  test("/query streams the agent chain as SSE stage events + result") {
+    val script = Map(
+      "expert_selector" -> Seq(
+        "requires_dataset: true\nexpert: Data Analyst\nconfidence: 9"),
+      "analyst_selector" -> Seq(
+        "analyst: Data Analyst DF\nintent: count orders per month of 1995"),
+      "planner" -> Seq(
+        "plan:\n- filter 1995\n- bucket by month\nsql: |\n" +
+          "SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n " +
+          "FROM df WHERE year(o_orderdate) = 1995 GROUP BY 1 ORDER BY 1"),
+      "summarizer" -> Seq("Orders peaked mid-1995."))
+    val api = new ExecutorApi(new EngineSession(spark),
+      llm = Some(new graft.lifecycle.Agents.ScriptedLlm(script)))
+    val port = api.start()
+    try {
+      call(port, "/upload_dataset",
+        Some(s"""{"df_id":"df","path":"$sf/orders.parquet"}"""))
+
+      // guards first: absent question → 400, unknown df → 404
+      assert(call(port, "/query", Some("""{"df_id":"df"}"""))._1 == 400)
+      assert(call(port, "/query",
+        Some("""{"question":"q","df_id":"nope"}"""))._1 == 404)
+
+      val (qc, stream) = call(port, "/query",
+        Some("""{"question":"How many orders per month in 1995?","df_id":"df"}"""))
+      assert(qc == 200, stream)
+      // SSE framing: one stage event per chain LLM call, in chain order
+      val events = "event: (\\w+)".r.findAllMatchIn(stream)
+        .map(_.group(1)).toSeq
+      assert(events == Seq("stage", "stage", "stage", "stage", "result"), events)
+      val stages = "\"stage\":\"(\\w+)\"".r.findAllMatchIn(stream)
+        .map(_.group(1)).toSeq
+      assert(stages == Seq("expert_selector", "analyst_selector", "planner",
+        "summarizer"), stages)
+      // the result event carries the 12-month preview and the summary
+      assert(stream.contains("\"summary\":\"Orders peaked mid-1995.\""), stream)
+      assert("\\{\"month\":".r.findAllIn(stream).length == 12, stream)
+    } finally api.stop()
+  }
+
+  test("/submit_rank stores the chain; the next query replays from memory") {
+    val script = Map(
+      "expert_selector" -> Seq(
+        "requires_dataset: true\nexpert: Data Analyst\nconfidence: 9"),
+      "analyst_selector" -> Seq(
+        "analyst: Data Analyst DF\nintent: count orders per month of 1995"),
+      "planner" -> Seq(
+        "plan:\n- filter 1995\n- bucket by month\nsql: |\n" +
+          "SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n " +
+          "FROM df WHERE year(o_orderdate) = 1995 GROUP BY 1 ORDER BY 1"),
+      "summarizer" -> Seq("Orders peaked mid-1995."))
+    val mem = new graft.lifecycle.EpisodicMemory(spark)
+    val api = new ExecutorApi(new EngineSession(spark),
+      llm = Some(new graft.lifecycle.Agents.ScriptedLlm(script)),
+      memory = Some(mem))
+    val port = api.start()
+    try {
+      // rank before any chain → 404; then run a chain
+      assert(call(port, "/submit_rank", Some("""{"rank":8}"""))._1 == 404)
+      call(port, "/upload_dataset",
+        Some(s"""{"df_id":"df","path":"$sf/orders.parquet"}"""))
+      val (c1, s1) = call(port, "/query",
+        Some("""{"question":"How many orders per month in 1995?","df_id":"df"}"""))
+      assert(c1 == 200 && s1.contains("\"stage\":\"planner\""), s1)
+
+      // a rank below the threshold does not store
+      val (_, low) = call(port, "/submit_rank", Some("""{"rank":3}"""))
+      assert(low.contains("\"stored\":false") && mem.size == 0, low)
+      // step 11: rank >= MinRank stores through the rank-dedup gate
+      val (rc, stored) = call(port, "/submit_rank", Some("""{"rank":8}"""))
+      assert(rc == 200 && stored.contains("\"stored\":true") && mem.size == 1,
+        stored)
+
+      // same intent again: the memory hit skips the Planner entirely
+      val (c2, s2) = call(port, "/query",
+        Some("""{"question":"How many orders per month in 1995?","df_id":"df"}"""))
+      assert(c2 == 200 && !s2.contains("\"stage\":\"planner\""), s2)
+      assert("\\{\"month\":".r.findAllIn(s2).length == 12, s2)
+    } finally api.stop()
+  }
+}
