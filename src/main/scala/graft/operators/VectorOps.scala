@@ -678,9 +678,16 @@ object VectorOps {
       .collect().map(_.getInt(0)).toSeq
     val idx = s.read.parquet(s"$path/index")
       .filter(col("cid").isin(cells: _*))
+    // format-aware like append/delete: a quantized index stores `code`
+    // (SQ8 bytes) instead of `v`, scored by the fused byte-loop — the
+    // batch serving path must not force an 8x-bigger full-precision index
+    val score =
+      if (idx.columns.contains("code")) { Sq8.register(s)
+        expr("cosine_sim_q8(code, qv)") }
+      else expr("cosine_sim(qv, v)")
     qCells.join(idx, Seq("cid"))
       .select(col("qid"), col("vec_id"), col("cid"),
-        round(expr("cosine_sim(qv, v)"), 6).as("sim"))
+        round(score, 6).as("sim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))))
       .filter(col("rn") <= k)

@@ -350,6 +350,21 @@ class ScaleOpsSpec extends SparkSpec {
     val afterDelete = VectorOps.ivfProbeQ8(spark, pathQ, v1, 2, 10)
       .collect().map(_.getLong(0)).toSet
     assert(!afterDelete.contains(70001L) && afterDelete.contains(1L))
+
+    // batch serving path is format-aware too: over the quantized index it
+    // scores codes with the fused byte loop and returns the same
+    // neighbors as the single-probe form (same centroids, same round-6
+    // cell ranking policy on both paths)
+    val queries = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("v"))
+    val batch = VectorOps.ivfProbeBatch(queries, pathQ, probes = 2, k = 10)
+      .collect().groupBy(_.getLong(0))
+    qids.foreach { q =>
+      val v = e.filter(col("vec_id") === q).collect()(0).getSeq[Double](2)
+      val single = VectorOps.ivfProbeQ8(spark, pathQ, v, 2, 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(batch(q).map(_.getLong(1)).toSet == single, s"qid $q")
+    }
   }
 
   test("GraftExtensions registers cosine_sim via injectFunction") {
