@@ -575,6 +575,80 @@ object VectorOps {
     * collect this operator is allowed), then exact-score ONLY the top-p
     * cells' partitions. The `isin` on the partition column is what turns
     * the probe into directory pruning. */
+  /** Periodic RE-TRAIN of the at-rest index — the drift repair the
+    * [[appendToIvfIndex]] scaladoc defers to ("recall degrading gracefully
+    * as centroids drift" between "periodic re-train+rebuild cycles").
+    * Reads the index's OWN rows (decoding SQ8 codes when quantized — the
+    * codes ARE the stored data, so retraining on them is exact w.r.t. what
+    * probes will scan), grows the cell count toward √n when the corpus has
+    * outgrown it — new seeds are the vectors FARTHEST from their current
+    * centroid (deterministic: lowest assignment sim, vec_id tie-break),
+    * which splits exactly the worst-covered regions — then runs
+    * warm-started Lloyd passes and rewrites centroids + index in the
+    * stored format. Cells no vector chooses vanish in the update step
+    * (standard Lloyd); the write path is the usual lock-fenced overwrite.
+    * Each Lloyd pass is one broadcast assignment + one (cid, dim) shuffle;
+    * the corpus itself shuffles only in the final partitioned rewrite.
+    * Monotone objective improvement is asserted via [[ivfObjective]]. */
+  def retrainIvfIndex(s: SparkSession, path: String, iters: Int = 2): Unit =
+    MaintenanceLock.withLock(s, path) {
+      import s.implicits._
+      CosineSimilarity.register(s)
+      val idx = s.read.parquet(s"$path/index")
+      val quantized = idx.columns.contains("code")
+      if (quantized) Sq8.register(s)
+      // eager checkpoints: both inputs are re-read AFTER their directories
+      // are overwritten below — the lineage must not reach back to disk
+      val e = (if (quantized)
+          idx.select(col("vec_id"), expr("sq8_decode(code)").as("v"))
+        else idx.select(col("vec_id"), col("v")))
+        .localCheckpoint(eager = true)
+      var cent = s.read.parquet(s"$path/centroids").select(col("cid"), col("c"))
+        .localCheckpoint(eager = true)
+      val kCur = cent.count().toInt
+      val kTarget = math.max(kCur, math.sqrt(e.count().toDouble).toInt)
+      if (kTarget > kCur) {
+        val maxCid = cent.agg(max("cid")).collect()(0).getInt(0)
+        // bounded collect: ≤ √n seed rows — centroid-table-scale metadata
+        val seeds = kmeansAssign(e, cent)
+          .orderBy(asc("sim"), col("vec_id")).limit(kTarget - kCur)
+          .select(col("vec_id"), col("v")).collect()
+          .zipWithIndex.map { case (r, i) =>
+            (maxCid + 1 + i, r.getSeq[Double](1)) }.toSeq
+        cent = cent.union(seeds.toDF("cid", "c"))
+      }
+      for (_ <- 1 to iters) {
+        cent = kmeansAssign(e, cent)
+          .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy("cid", "i").agg(avg("x").as("cx"))
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(i, cx))), t -> t.cx)")
+            .as("c"))
+          .localCheckpoint(eager = false)
+      }
+      cent = cent.localCheckpoint(eager = true)
+      cent.write.mode("overwrite").parquet(s"$path/centroids")
+      val assigned = assignToCells(e, cent)
+      val rows =
+        if (!quantized) assigned
+        else assigned.select(col("vec_id"),
+          expr("sq8_encode(v)").as("code"), col("cid"))
+      rows.write.mode("overwrite").partitionBy("cid").parquet(s"$path/index")
+    }
+
+  /** Mean assignment cosine over the index — Lloyd's objective, exposed so
+    * retrain improvement is a measured assertion, not an eyeball. */
+  def ivfObjective(s: SparkSession, path: String): Double = {
+    CosineSimilarity.register(s)
+    val idx = s.read.parquet(s"$path/index")
+    val e =
+      if (idx.columns.contains("code")) { Sq8.register(s)
+        idx.select(col("vec_id"), expr("sq8_decode(code)").as("v")) }
+      else idx.select(col("vec_id"), col("v"))
+    val cent = s.read.parquet(s"$path/centroids").select(col("cid"), col("c"))
+    kmeansAssign(e, cent).agg(avg("sim")).collect()(0).getDouble(0)
+  }
+
   def ivfProbe(s: SparkSession, path: String, probe: Seq[Double],
       probes: Int = 2, k: Int = 10): DataFrame = {
     CosineSimilarity.register(s)

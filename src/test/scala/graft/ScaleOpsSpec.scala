@@ -367,6 +367,44 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF retrain re-centers drifted cells and grows K toward sqrt(n)") {
+    import graft.operators.VectorOps
+    val e = VectorOps.vecsCheckpointed(spark, sf)
+    val n = e.count()
+    val kTarget = math.max(8, math.sqrt(n.toDouble).toInt)
+    val path = "target/ivf_retrain"
+    val pathQ = "target/ivf_retrain_q8"
+    Seq(path, pathQ).foreach(p =>
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively())
+
+    // deliberately under-provisioned index: 4 cells for a √n≈kTarget corpus
+    VectorOps.writeIvfIndex(e, K = 4, path)
+    val obj0 = VectorOps.ivfObjective(spark, path)
+    VectorOps.retrainIvfIndex(spark, path, iters = 2)
+    val obj1 = VectorOps.ivfObjective(spark, path)
+    assert(obj1 > obj0, s"objective did not improve: $obj0 -> $obj1")
+    val kAfter = spark.read.parquet(s"$path/centroids").count()
+    assert(kAfter > 4 && kAfter <= kTarget, s"k=$kAfter target=$kTarget")
+
+    // probe contract survives the rewrite: pruning + self-hit
+    val v1 = e.filter(col("vec_id") === 1).collect()(0).getSeq[Double](2)
+    val probe = VectorOps.ivfProbe(spark, path, v1, probes = 2, k = 10)
+    assert("PartitionFilters: \\[[^\\]]*cid#\\d+ IN \\(".r
+      .findFirstIn(probe.queryExecution.executedPlan.toString).nonEmpty)
+    assert(probe.collect().map(_.getLong(0)).contains(1L))
+
+    // quantized index retrains in place: format preserved, objective up
+    // (sq8 re-encode of a decoded vector is an identity — the max-abs
+    // element always quantizes to ±127, so the recovered scale is exact)
+    VectorOps.writeIvfIndexQ8(e, K = 4, pathQ)
+    val q0 = VectorOps.ivfObjective(spark, pathQ)
+    VectorOps.retrainIvfIndex(spark, pathQ, iters = 2)
+    assert(spark.read.parquet(s"$pathQ/index").columns.contains("code"))
+    assert(VectorOps.ivfObjective(spark, pathQ) > q0)
+    assert(VectorOps.ivfProbeQ8(spark, pathQ, v1, 2, 10)
+      .collect().map(_.getLong(0)).contains(1L))
+  }
+
   test("GraftExtensions registers cosine_sim via injectFunction") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(e) // must not throw
