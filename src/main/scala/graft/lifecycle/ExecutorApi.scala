@@ -27,6 +27,10 @@ import graft.sources.{Sources, TableCache}
   *                                    path not multipart — the engine reads
   *                                    distributed storage, it does not spool
   *                                    uploads through the driver)
+  *   POST /file_utils/...             aux-dataset registry + per-path
+  *                                    inspectors (ibid:379-562; registry
+  *                                    instead of multipart spooling — see
+  *                                    the aux section below)
   *   POST /df_utils/compute_df_sample head(100) records  (ibid:252-275, I4)
   *   POST /df_utils/df_to_string      row-25 head + summary (ibid:280-310, I2)
   *   POST /df_utils/df_summary        per-column profile   (ibid:313-353, I1)
@@ -86,6 +90,16 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
       }))
     srv.createContext("/query", query _)
     srv.createContext("/submit_rank", handler(submitRank))
+    srv.createContext("/file_utils/upload_aux_dataset", handler(auxUpload))
+    srv.createContext("/file_utils/remove_aux_dataset", handler(auxRemove))
+    srv.createContext("/file_utils/aux_datasets_to_string",
+      handler(auxPerPath(_, "Head:\n", df =>
+        Profile.renderTable(df))))
+    srv.createContext("/file_utils/get_aux_datasets_columns",
+      handler(auxPerPath(_, "Columns:\n", df =>
+        df.columns.mkString(", "))))
+    srv.createContext("/file_utils/compute_aux_dataset_sample",
+      handler(auxSampleHtml))
     srv.setExecutor(null) // caller-thread dispatch; the engine is the work
     srv.start()
     server = Some(srv)
@@ -111,7 +125,23 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
       case Left(msg) => (200, err(msg))
       case Right(result) =>
         dfId.foreach { id => cache.put(id, result); session.bind(id, result) }
-        (200, recordsJson(result, limit = 100))
+        // optional declarative plot (the reference's /execute returns
+        // rendered matplotlib PNGs, code_executor_api.py:119-131; the
+        // engine's §1.1 deviation emits a Vega-Lite spec instead): flat
+        // keys plot_type/plot_x/plot_ys(csv)/plot_title ride in the body
+        val plotSpec = HttpLlm.extractField(body, "plot_type").map { t =>
+          PlotSpec.toVegaLite(PlotSpec.Plot2d(
+            plotType = t,
+            x = HttpLlm.extractField(body, "plot_x").getOrElse(""),
+            ys = HttpLlm.extractField(body, "plot_ys")
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              .getOrElse(Nil),
+            title = HttpLlm.extractField(body, "plot_title").getOrElse("")),
+            result)
+        }
+        val base = recordsJson(result, limit = 100)
+        (200, plotSpec.fold(base)(vl =>
+          base.dropRight(1) + s""","plot_spec":$vl}"""))
     }
   }
 
@@ -225,6 +255,80 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
     }
   }
 
+  // ---- aux datasets (code_executor_api.py:379-562) ----
+  // The reference spools multipart uploads onto the executor's disk and
+  // deletes them on request; the engine reads distributed storage by PATH,
+  // so upload/remove maintain a path REGISTRY (nothing is copied, nothing
+  // is deleted from storage) while the inspection endpoints take explicit
+  // file_paths exactly like the reference's.
+
+  private val auxPaths = scala.collection.mutable.LinkedHashSet.empty[String]
+
+  private def auxUpload(body: String): (Int, String) =
+    HttpLlm.extractField(body, "path") match {
+      case None | Some("") => (400, err("No path provided"))
+      case Some(p) =>
+        // validate the path is readable NOW (schema fetch only) so a bad
+        // registration fails at upload time like the reference's save would
+        if (p.endsWith(".csv")) Sources.csvColumns(session.spark, p)
+        else Sources.parquetSchema(session.spark, p)
+        auxPaths += p
+        (200, s"""{"message":"Auxiliary dataset registered.","filepath":${jstr(p)}}""")
+    }
+
+  private def auxRemove(body: String): (Int, String) =
+    HttpLlm.extractField(body, "file_path") match {
+      case None | Some("") => (400, err("file_path is required"))
+      case Some(p) if auxPaths.remove(p) =>
+        (200, """{"message":"Auxiliary dataset removed."}""")
+      case _ => (404, err("File not found on executor."))
+    }
+
+  /** Shared per-path framing of the aux inspectors: `i.\nPath: p\n<label>
+    * <rendered>` joined by blank lines, per-path errors inline (the
+    * reference's exact degradation — one bad path never fails the batch). */
+  private def auxPerPath(body: String, label: String,
+      render: DataFrame => String): (Int, String) =
+    strArrayField(body, "file_paths") match {
+      case None => (400, err("file_paths must be a list"))
+      case Some(Nil) => (200, """{"data":"No auxiliary datasets provided."}""")
+      case Some(paths) =>
+        val n = numField(body, "num_rows").getOrElse(5L).toInt
+        val parts = paths.zipWithIndex.map { case (p, i) =>
+          val head = s"${i + 1}.\nPath: $p\n"
+          try head + label + render(auxRead(p, n))
+          catch { case e: Exception =>
+            head + "Error: " + Lifecycle.condense(
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName)) }
+        }
+        (200, s"""{"data":${jstr(parts.mkString("\n\n"))}}""")
+    }
+
+  /** compute_aux_dataset_sample: one HTML table per path
+    * (code_executor_api.py:519-562), errors as single-cell tables. */
+  private def auxSampleHtml(body: String): (Int, String) =
+    strArrayField(body, "file_paths") match {
+      case None => (400, err("file_paths must be a list"))
+      case Some(paths) =>
+        val n = numField(body, "num_rows").getOrElse(100L).toInt
+        val htmls = (if (paths.isEmpty)
+          Seq("<table><tr><th>Error</th></tr><tr><td>No auxiliary dataset paths provided.</td></tr></table>")
+        else paths.map { p =>
+          try Sources.toHtml(auxRead(p, n), n)
+          catch { case e: Exception =>
+            "<table><tr><th>Error</th></tr><tr><td>" + Lifecycle.condense(
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName)) +
+              "</td></tr></table>" }
+        }).map(jstr).mkString("[", ",", "]")
+        (200, s"""{"html_results":$htmls}""")
+    }
+
+  private def auxRead(path: String, n: Int): DataFrame =
+    if (path.endsWith(".csv")) Sources.csvPreview(session.spark, path, n)
+    else if (path.endsWith(".parquet") || path.endsWith(".pq"))
+      Sources.parquetPreview(session.spark, path, n)
+    else throw new IllegalArgumentException("Unsupported file format")
+
   // ---- plumbing ----
 
   private def handler(f: String => (Int, String)):
@@ -276,6 +380,45 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
   private def err(msg: String): String = s"""{"error":${jstr(msg)}}"""
 
   private def jstr(s: String): String = HttpLlm.jsonStr(s)
+
+  /** First `"name": ["a", "b", ...]` array of strings in the payload;
+    * None when the key is absent or its value is not an array. Same
+    * escape discipline as [[HttpLlm.extractFields]]. */
+  private def strArrayField(json: String, name: String): Option[Seq[String]] = {
+    val key = "\"" + name + "\""
+    var at = json.indexOf(key)
+    while (at >= 0) {
+      var i = at + key.length
+      while (i < json.length && json(i).isWhitespace) i += 1
+      if (i < json.length && json(i) == ':') {
+        i += 1
+        while (i < json.length && json(i).isWhitespace) i += 1
+        if (i >= json.length || json(i) != '[') return None
+        i += 1
+        val out = Seq.newBuilder[String]
+        while (i < json.length && json(i) != ']') {
+          if (json(i) == '"') {
+            i += 1
+            val b = new StringBuilder
+            while (i < json.length && json(i) != '"') {
+              if (json(i) == '\\' && i + 1 < json.length) {
+                b.append(json(i + 1) match {
+                  case 'n' => '\n'; case 'r' => '\r'; case 't' => '\t'
+                  case c => c
+                })
+                i += 2
+              } else { b.append(json(i)); i += 1 }
+            }
+            i += 1
+            out += b.toString
+          } else i += 1
+        }
+        return Some(out.result())
+      }
+      at = json.indexOf(key, at + 1)
+    }
+    None
+  }
 
   /** First integer-valued `"name": N` in the payload (the body scanner in
     * [[HttpLlm]] reads string values only). */

@@ -128,6 +128,56 @@ class ExecutorApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("file_utils aux endpoints and /execute plot_spec") {
+    val api = new ExecutorApi(new EngineSession(spark))
+    val port = api.start()
+    try {
+      // registry contract: register validates readability; remove is 404
+      // once gone (nothing on storage is ever deleted)
+      val (uc, up) = call(port, "/file_utils/upload_aux_dataset",
+        Some(s"""{"path":"$sf/nation.parquet"}"""))
+      assert(uc == 200 && up.contains("\"filepath\""), up)
+      assert(call(port, "/file_utils/remove_aux_dataset",
+        Some(s"""{"file_path":"$sf/nation.parquet"}"""))._1 == 200)
+      assert(call(port, "/file_utils/remove_aux_dataset",
+        Some(s"""{"file_path":"$sf/nation.parquet"}"""))._1 == 404)
+
+      // per-path framing with the reference's inline-error degradation
+      val (tc, ts) = call(port, "/file_utils/aux_datasets_to_string",
+        Some(s"""{"file_paths":["$sf/nation.parquet","/nope.txt"],"num_rows":3}"""))
+      assert(tc == 200 && ts.contains("1.\\nPath: "), ts)
+      assert(ts.contains("n_name"), ts)
+      assert(ts.contains("2.\\nPath: /nope.txt\\nError:"), ts)
+
+      val (_, cs) = call(port, "/file_utils/get_aux_datasets_columns",
+        Some(s"""{"file_paths":["$sf/nation.parquet"]}"""))
+      assert(cs.contains("Columns:") && cs.contains("n_nationkey"), cs)
+
+      val (_, hs) = call(port, "/file_utils/compute_aux_dataset_sample",
+        Some(s"""{"file_paths":["$sf/region.parquet"]}"""))
+      assert(hs.contains("\"html_results\":[") && hs.contains("<table"), hs)
+
+      // list-shape guards: missing list → 400, empty list → message
+      assert(call(port, "/file_utils/aux_datasets_to_string",
+        Some("{}"))._1 == 400)
+      assert(call(port, "/file_utils/aux_datasets_to_string",
+        Some("""{"file_paths":[]}"""))._2
+        .contains("No auxiliary datasets provided."))
+
+      // /execute with a declarative plot request: the result preview rides
+      // with a Vega-Lite spec over the SAME result frame
+      call(port, "/upload_dataset",
+        Some(s"""{"df_id":"orders","path":"$sf/orders.parquet"}"""))
+      val (ec, res) = call(port, "/execute", Some(
+        """{"df_id":"orders","plot_type":"bar","plot_x":"status",""" +
+          """"plot_ys":"n","plot_title":"Orders by status",""" +
+          """"sql":"SELECT o_orderstatus AS status, count(*) AS n """ +
+          """FROM df GROUP BY o_orderstatus ORDER BY status"}"""))
+      assert(ec == 200 && res.contains("\"plot_spec\":{"), res)
+      assert(res.contains("\"mark\"") && res.contains("Orders by status"), res)
+    } finally api.stop()
+  }
+
   test("/submit_rank stores the chain; the next query replays from memory") {
     val script = Map(
       "expert_selector" -> Seq(
