@@ -223,17 +223,20 @@ object ScaleProbe {
     // scale (at toy scale scheduling dominates; the bytes ratio is the
     // 100 TB number). Seeding is untimed; one warm probe per index
     // absorbs codegen/JIT before the timed run.
-    def sq8Secs(d: String, tag: String): (Double, Double, Long, Long) = {
+    def sq8Secs(d: String, tag: String)
+        : (Double, Double, Double, Long, Long, Long) = {
       import graft.operators.VectorOps
       val e = Tables.load(spark, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .localCheckpoint(eager = true)
       val k = math.max(8, math.sqrt(e.count().toDouble).toInt)
       val pF = s"$out/sq8_full_$tag"; val pQ = s"$out/sq8_q8_$tag"
-      Seq(pF, pQ).foreach(p =>
+      val pP = s"$out/sq8_pq_$tag"
+      Seq(pF, pQ, pP).foreach(p =>
         new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively())
       VectorOps.writeIvfIndex(e, k, pF)
       VectorOps.writeIvfIndexQ8(e, k, pQ)
+      VectorOps.writeIvfPqIndex(e, k, pP)
       def bytes(p: String): Long = {
         def walk(f: java.io.File): Long =
           if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
@@ -248,7 +251,8 @@ object ScaleProbe {
       }
       val tF = timed(VectorOps.ivfProbe(spark, pF, probe, probes = 2).count())
       val tQ = timed(VectorOps.ivfProbeQ8(spark, pQ, probe, probes = 2).count())
-      (tF, tQ, bytes(pF), bytes(pQ))
+      val tP = timed(VectorOps.ivfProbePq(spark, pP, probe, probes = 2).count())
+      (tF, tQ, tP, bytes(pF), bytes(pQ), bytes(pP))
     }
     def time(fn: (SparkSession, String) => DataFrame, d: String): Double = {
       fn(spark, d).count() // warm: codegen/JIT for this plan shape
@@ -285,12 +289,15 @@ object ScaleProbe {
       } else Seq.empty
     val sq8Rows =
       if (nameFilter.exists(f => "sq8_probe".contains(f))) {
-        val (f1, q1, bf1, bq1) = sq8Secs(base, "1x")
-        val (fN, qN, bfN, bqN) = sq8Secs(out, "nx")
+        val (f1, q1, p1, bf1, bq1, bp1) = sq8Secs(base, "1x")
+        val (fN, qN, pN, bfN, bqN, bpN) = sq8Secs(out, "nx")
         Seq(("ivf_probe_full", f1, fN, fN / f1),
           ("ivf_probe_q8", q1, qN, qN / q1),
+          ("ivf_probe_pq", p1, pN, pN / p1),
           ("sq8_bytes_ratio", bf1.toDouble / bq1, bfN.toDouble / bqN,
-            (bfN.toDouble / bqN) / (bf1.toDouble / bq1)))
+            (bfN.toDouble / bqN) / (bf1.toDouble / bq1)),
+          ("pq_bytes_ratio", bf1.toDouble / bp1, bfN.toDouble / bpN,
+            (bfN.toDouble / bpN) / (bf1.toDouble / bp1)))
       } else Seq.empty
     val qs = (rows ++ appendRows ++ sq8Rows).map { case (n, t1, tN, r) =>
       f""""$n":{"t1x":$t1%.3f,"t${copies}x":$tN%.3f,"ratio":$r%.2f}"""

@@ -784,6 +784,138 @@ object VectorOps {
     ivfProbe(s, path, probe, probes = 2, k = 10)
   }
 
+  /** Train PQ codebooks DISTRIBUTED: per-subspace Lloyd's run as one plan
+    * over (mi, subvector) rows — all M subspaces train simultaneously
+    * (subspace id rides in the grouping key, so M never multiplies the
+    * number of shuffles: each iteration is one broadcast assignment + one
+    * (mi, k, dim) partial-agg shuffle, same shape as [[kmeansCentroids]]).
+    * Returns the flat [(mi, k, d)] codebook — M·Kc·dsub doubles of driver
+    * metadata (1,024 values at M=8, Kc=16, dim=64). Codes whose cell
+    * empties during training keep their SEED value (harmless: nothing
+    * encodes to them). L2 objective per the PQ paper; deterministic
+    * first-Kc seed + lower-code tie-break, the repo's k-means policy. */
+  private[graft] def trainPqCodebooks(e: DataFrame, m: Int = 8, kc: Int = 16,
+      iters: Int = 3): Array[Double] = {
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by M=$m")
+    val dsub = dim / m
+    val subs = e.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), mi -> slice(v, mi * $dsub + 1, $dsub))"))
+        .as(Seq("mi", "sub")))
+      .localCheckpoint(eager = false)
+    var cb = subs.filter(col("vec_id") < kc)
+      .select(col("mi"), col("vec_id").cast("int").as("k"), col("sub").as("c"))
+      .localCheckpoint(eager = false)
+    val flat = new Array[Double](m * kc * dsub)
+    def overlay(rows: Array[org.apache.spark.sql.Row]): Unit =
+      rows.foreach { r =>
+        val base = (r.getInt(0) * kc + r.getInt(1)) * dsub
+        val c = r.getSeq[Double](2)
+        var d = 0
+        while (d < dsub) { flat(base + d) = c(d); d += 1 }
+      }
+    overlay(cb.collect()) // seed fill (bounded: M·Kc rows)
+    for (_ <- 1 to iters) {
+      // argmin via min(struct(d2, k, sub)) — lexicographic struct min with
+      // the lower-code tie-break, and crucially a PARTIAL aggregate: the
+      // n·M·Kc candidate expansion combines map-side to n·M rows before
+      // the shuffle (a row_number window here would shuffle the whole
+      // expansion — the same reasoning that keeps W4's rank two-pass)
+      cb = subs.join(broadcast(cb), Seq("mi"))
+        .select(col("vec_id"), col("mi"), struct(
+          expr("aggregate(zip_with(sub, c, (a, b) -> (a - b) * (a - b)), " +
+            "0D, (acc, x) -> acc + x)").as("d2"),
+          col("k"), col("sub")).as("cand"))
+        .groupBy("vec_id", "mi").agg(min("cand").as("best"))
+        .select(col("mi"), col("best.k").as("k"),
+          posexplode(col("best.sub")).as(Seq("i", "x")))
+        .groupBy("mi", "k", "i").agg(avg("x").as("cx"))
+        .groupBy("mi", "k")
+        .agg(expr("transform(array_sort(collect_list(struct(i, cx))), t -> t.cx)")
+          .as("c"))
+        .localCheckpoint(eager = false)
+    }
+    overlay(cb.collect()) // trained fill (same bound)
+    flat
+  }
+
+  /** At-rest IVF-PQ index — the serving tier past [[writeIvfIndexQ8]]:
+    * coarse cells as pruned directories (identical layout to the other
+    * index writers), rows carrying the M-byte PQ code for the ADC
+    * shortlist pass PLUS the SQ8 code for the exact refine stage (FAISS's
+    * IVFPQ+refine shape). At M=8 the shortlist scan reads an 8 B column —
+    * 64x less than raw doubles — and the refine touches only
+    * k·overfetch rows. Codebook + geometry persist in `pq_codebook`. */
+  def writeIvfPqIndex(e0: DataFrame, K: Int, path: String, m: Int = 8,
+      kc: Int = 16): Unit =
+    MaintenanceLock.withLock(e0.sparkSession, path) {
+      val s = e0.sparkSession
+      import s.implicits._
+      CosineSimilarity.register(s); Sq8.register(s); graft.functions.Pq.register(s)
+      val e = e0.localCheckpoint(eager = false)
+      val cb = trainPqCodebooks(e, m, kc)
+      Seq((m, kc, cb.toSeq)).toDF("m", "kc", "codebook")
+        .write.mode("overwrite").parquet(s"$path/pq_codebook")
+      val cent = e.filter(col("vec_id") < K)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+      cent.write.mode("overwrite").parquet(s"$path/centroids")
+      assignToCells(e, cent)
+        .select(col("vec_id"),
+          call_function("pq_encode", col("v"), typedLit(cb),
+            lit(m), lit(kc)).as("code_pq"),
+          expr("sq8_encode(v)").as("code"),
+          col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/index")
+    }
+
+  /** Probe the IVF-PQ index: coarse cells prune the scan, the ADC pass
+    * ranks every surviving row with M byte-indexed adds against the
+    * query's LUTs (built driver-side from the stored codebook — M·Kc
+    * doubles, ‖q‖ folded in), the top k·overfetch shortlist is reranked
+    * EXACTLY on the SQ8 codes, and the final top-k is round-6 like every
+    * probe in this file. No full-precision float math touches the scan. */
+  def ivfProbePq(s: SparkSession, path: String, probe: Seq[Double],
+      probes: Int = 2, k: Int = 10, overfetch: Int = 5): DataFrame = {
+    CosineSimilarity.register(s); Sq8.register(s); graft.functions.Pq.register(s)
+    val meta = s.read.parquet(s"$path/pq_codebook").head()
+    val m = meta.getInt(0); val kc = meta.getInt(1)
+    val cb = meta.getSeq[Double](2).toArray
+    val dim = probe.length; val dsub = dim / m
+    val qnorm = math.sqrt(probe.map(x => x * x).sum)
+    val dotLut = new Array[Double](m * kc)
+    val normLut = new Array[Double](m * kc)
+    var mi = 0
+    while (mi < m) {
+      var ki = 0
+      while (ki < kc) {
+        var dot = 0.0; var n2 = 0.0; var d = 0
+        while (d < dsub) {
+          val c = cb((mi * kc + ki) * dsub + d)
+          dot += probe(mi * dsub + d) * c
+          n2 += c * c
+          d += 1
+        }
+        dotLut(mi * kc + ki) = if (qnorm == 0) 0.0 else dot / qnorm
+        normLut(mi * kc + ki) = n2
+        ki += 1
+      }
+      mi += 1
+    }
+    val topCells = topCellsFor(s, path, probe, probes)
+    s.read.parquet(s"$path/index")
+      .filter(col("cid").isin(topCells: _*))
+      .select(col("vec_id"), col("cid"), col("code"),
+        call_function("pq_adc_sim", col("code_pq"), typedLit(dotLut),
+          typedLit(normLut), lit(kc)).as("adc"))
+      .orderBy(desc("adc"), col("vec_id"))
+      .limit(k * overfetch)
+      .select(col("vec_id"), col("cid"),
+        round(call_function("cosine_sim_q8", col("code"),
+          typedLit(probe.toArray)), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
   /** O3/F10 over SQ8-QUANTIZED vectors: the [[cosineTopK]] shape scored
     * through [[graft.functions.Sq8Encode]] + [[graft.functions.CosineSimQ8]]
     * — encode and score fuse into one whole-stage-codegen pass reading the

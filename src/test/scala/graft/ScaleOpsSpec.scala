@@ -367,6 +367,45 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: byte-indexed ADC shortlist + SQ8 refine keeps recall") {
+    import graft.operators.VectorOps
+    val e = VectorOps.vecsCheckpointed(spark, sf)
+    val pathF = "target/ivf_pq_full_cmp"
+    val pathP = "target/ivf_pq"
+    Seq(pathF, pathP).foreach(p =>
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively())
+    VectorOps.writeIvfIndex(e, K = 8, pathF)
+    VectorOps.writeIvfPqIndex(e, K = 8, pathP)
+
+    // the ADC column is 8 bytes/row; the whole PQ index (incl. the SQ8
+    // refine column) must still undercut the full-precision index
+    def bytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(s"$p/index"))
+    }
+    assert(bytes(pathP) * 3 < bytes(pathF),
+      s"pq ${bytes(pathP)} vs full ${bytes(pathF)}")
+
+    // recall@10 vs the full-precision probe across queries, and the plan
+    // still prunes to the probed cells
+    val qids = Seq(1L, 7L, 23L, 40L, 77L)
+    val recalls = qids.map { q =>
+      val v = e.filter(col("vec_id") === q).collect()(0).getSeq[Double](2)
+      val full = VectorOps.ivfProbe(spark, pathF, v, probes = 2, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      val pq = VectorOps.ivfProbePq(spark, pathP, v, probes = 2, k = 10)
+      assert("PartitionFilters: \\[[^\\]]*cid#\\d+ IN \\(".r
+        .findFirstIn(pq.queryExecution.executedPlan.toString).nonEmpty)
+      val got = pq.collect().map(_.getLong(0)).toSet
+      assert(got.contains(q), s"query $q does not top-hit itself")
+      full.intersect(got).size.toDouble / full.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.8, s"mean recall@10 vs full precision = $recall")
+  }
+
   test("IVF retrain re-centers drifted cells and grows K toward sqrt(n)") {
     import graft.operators.VectorOps
     val e = VectorOps.vecsCheckpointed(spark, sf)
