@@ -117,6 +117,17 @@ object OperatingPoint {
     clamp(pow2Ceil(math.min(n / 1024L, 1L << 12)), 16, 1 << 12)
   }
 
+  /** PQ codebook size per subspace (IVF-PQ ADC serving): k-means needs
+    * enough training points per centroid to generalize (public practice —
+    * FAISS warns below ~39 points/centroid and recommends 256 entries only
+    * for large corpora), so Kc grows with n between the fixture-measured
+    * 16 (2k vectors ≈ 125 points/centroid) and the byte-code ceiling 256,
+    * holding ≥64 training points per centroid: one doubling of Kc per
+    * doubling of corpus past the anchor. M stays at dim/8 granularity —
+    * subspace width is geometry (dim must divide), not corpus size. */
+  def pqCodebookSize(n: Long): Int =
+    clamp(16 << extraBits(n, 2000L), 16, math.min(256, (n / 64L).toInt max 16))
+
   /** Join-strategy knob for the banded self-joins: once the banded side
     * (n·bands rows carrying the dim-double vector) outgrows a
     * broadcast-friendly size, the self-join must be a shuffle join — both

@@ -510,13 +510,27 @@ object VectorOps {
       val cent = s.read.parquet(s"$path/centroids")
         .select(col("cid"), col("c"))
       val assigned = assignToCells(batch, cent)
-      // match the stored row format: a quantized index gets encoded rows
+      // match the stored row format: quantized indexes get encoded rows,
+      // and a PQ index ALSO gets ADC codes from its stored codebook — an
+      // append that omitted a column would silently diverge the parquet
+      // schema and read back as nulls under the ADC scan
+      val cols = s.read.parquet(s"$path/index").columns
       val rows =
-        if (!s.read.parquet(s"$path/index").columns.contains("code")) assigned
+        if (!cols.contains("code")) assigned
         else {
           Sq8.register(s)
-          assigned.select(col("vec_id"),
+          val q8 = assigned.select(col("vec_id"), col("v"),
             expr("sq8_encode(v)").as("code"), col("cid"))
+          if (!cols.contains("code_pq")) q8.drop("v")
+          else {
+            graft.functions.Pq.register(s)
+            val meta = s.read.parquet(s"$path/pq_codebook").head()
+            q8.select(col("vec_id"),
+              call_function("pq_encode", col("v"),
+                typedLit(meta.getSeq[Double](2).toArray),
+                lit(meta.getInt(0)), lit(meta.getInt(1))).as("code_pq"),
+              col("code"), col("cid"))
+          }
         }
       rows.write.mode("append").partitionBy("cid").parquet(s"$path/index")
     }
@@ -598,11 +612,14 @@ object VectorOps {
       val quantized = idx.columns.contains("code")
       if (quantized) Sq8.register(s)
       // eager checkpoints: both inputs are re-read AFTER their directories
-      // are overwritten below — the lineage must not reach back to disk
+      // are overwritten below — the lineage must not reach back to disk.
+      // `payload` keeps every stored column verbatim (SQ8 code, PQ code —
+      // neither changes when only cell boundaries move), so the rewrite
+      // recomputes ONLY the cid and can never drop a format column
+      val payload = idx.drop("cid").localCheckpoint(eager = true)
       val e = (if (quantized)
-          idx.select(col("vec_id"), expr("sq8_decode(code)").as("v"))
-        else idx.select(col("vec_id"), col("v")))
-        .localCheckpoint(eager = true)
+          payload.select(col("vec_id"), expr("sq8_decode(code)").as("v"))
+        else payload.select(col("vec_id"), col("v")))
       var cent = s.read.parquet(s"$path/centroids").select(col("cid"), col("c"))
         .localCheckpoint(eager = true)
       val kCur = cent.count().toInt
@@ -628,12 +645,9 @@ object VectorOps {
       }
       cent = cent.localCheckpoint(eager = true)
       cent.write.mode("overwrite").parquet(s"$path/centroids")
-      val assigned = assignToCells(e, cent)
-      val rows =
-        if (!quantized) assigned
-        else assigned.select(col("vec_id"),
-          expr("sq8_encode(v)").as("code"), col("cid"))
-      rows.write.mode("overwrite").partitionBy("cid").parquet(s"$path/index")
+      assignToCells(e, cent).select(col("vec_id"), col("cid"))
+        .join(payload, Seq("vec_id"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/index")
     }
 
   /** Mean assignment cosine over the index — Lloyd's objective, exposed so
@@ -847,14 +861,18 @@ object VectorOps {
     * 64x less than raw doubles — and the refine touches only
     * k·overfetch rows. Codebook + geometry persist in `pq_codebook`. */
   def writeIvfPqIndex(e0: DataFrame, K: Int, path: String, m: Int = 8,
-      kc: Int = 16): Unit =
+      kc: Int = 0): Unit =
     MaintenanceLock.withLock(e0.sparkSession, path) {
       val s = e0.sparkSession
       import s.implicits._
       CosineSimilarity.register(s); Sq8.register(s); graft.functions.Pq.register(s)
       val e = e0.localCheckpoint(eager = false)
-      val cb = trainPqCodebooks(e, m, kc)
-      Seq((m, kc, cb.toSeq)).toDF("m", "kc", "codebook")
+      // kc <= 0 → corpus-derived (the AUTO convention): codebook size is a
+      // scale knob like every other in this library, not a pinned constant
+      val kcUse =
+        if (kc > 0) kc else OperatingPoint.pqCodebookSize(e.count())
+      val cb = trainPqCodebooks(e, m, kcUse)
+      Seq((m, kcUse, cb.toSeq)).toDF("m", "kc", "codebook")
         .write.mode("overwrite").parquet(s"$path/pq_codebook")
       val cent = e.filter(col("vec_id") < K)
         .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
@@ -862,7 +880,7 @@ object VectorOps {
       assignToCells(e, cent)
         .select(col("vec_id"),
           call_function("pq_encode", col("v"), typedLit(cb),
-            lit(m), lit(kc)).as("code_pq"),
+            lit(m), lit(kcUse)).as("code_pq"),
           expr("sq8_encode(v)").as("code"),
           col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(s"$path/index")

@@ -278,99 +278,84 @@ object Streams {
     * (a non-empty corpus) before attaching. Appends are synchronized and
     * the artifact's [[graft.operators.MaintenanceLock]] fences concurrent
     * writers: single-writer maintenance is the contract. */
-  final class ClusterIndexSink(path: String) {
-    import graft.operators.ClusterIndex
+  /** The durable commit-log shared by the streaming index sinks: batchId
+    * MARKERS (a marker means "fully applied"), PENDING batch copies (the
+    * durable intent a crashed fold is repaired from), and the compact
+    * `seen_ids` duplicate-submission sidecar with its loss-tolerant
+    * compaction. Factored so [[ClusterIndexSink]] and [[IvfIndexSink]]
+    * cannot drift on the protocol while differing only in their fold. */
+  private[streaming] final class StreamCommitLog(indexPath: String,
+      idCol: String) {
     import org.apache.hadoop.fs.{FileSystem, Path}
     import org.apache.spark.sql.SaveMode
 
-    private val commitsDir = new Path(s"$path/_stream_commits")
-    private val seenIdsDir = new Path(commitsDir, "seen_ids")
-    private def marker(batchId: Long) = new Path(commitsDir, s"batch-$batchId")
-    private def pending(batchId: Long) =
-      new Path(commitsDir, s"pending-$batchId")
+    val commitsDir = new Path(s"$indexPath/_stream_commits")
+    val seenIdsDir = new Path(commitsDir, "seen_ids")
+    def marker(batchId: Long) = new Path(commitsDir, s"batch-$batchId")
+    def pending(batchId: Long) = new Path(commitsDir, s"pending-$batchId")
 
     /** Sidecar file count that triggers compaction — small enough that
       * the per-batch anti-join never reads an unbounded file listing,
       * large enough that compaction is amortized over many batches. */
     private val CompactAfterFiles = 64
 
-    private def fs(s: SparkSession): FileSystem =
+    def fs(s: SparkSession): FileSystem =
       commitsDir.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-    /** The streamed-ids sidecar as a one-column (doc_id) frame. */
-    private def seenIds(s: SparkSession): DataFrame =
+    /** The streamed-ids sidecar as a one-column frame. */
+    def seenIds(s: SparkSession): DataFrame =
       if (fs(s).exists(seenIdsDir))
-        s.read.parquet(seenIdsDir.toString).select("doc_id")
-      else s.range(0).select(col("id").as("doc_id"))
+        s.read.parquet(seenIdsDir.toString).select(idCol)
+      else s.range(0).select(col("id").as(idCol))
 
-    /** The duplicate-submission guard's plan, exposed for the spec that
-      * asserts it probes the compact sidecar, never the label artifact. */
-    private[graft] def freshDocs(batch: DataFrame): DataFrame =
-      batch.select(col("doc_id"), col("text"))
-        .dropDuplicates("doc_id")
-        .join(seenIds(batch.sparkSession), Seq("doc_id"), "left_anti")
+    /** Anti-join a deduplicated batch against the sidecar — bounded by the
+      * STREAMED id count, never the index artifact. */
+    def fresh(batch: DataFrame): DataFrame =
+      batch.dropDuplicates(idCol)
+        .join(seenIds(batch.sparkSession), Seq(idCol), "left_anti")
 
-    /** One microbatch fold; also the direct entry for parity tests. */
-    def processBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
-      val s = batch0.sparkSession
-      val f = fs(s)
-      repairPending(s, f) // close any crashed fold before taking new work
-      if (f.exists(marker(batchId))) return // redelivery of an applied batch
-      if (batch0.isEmpty) return
-      val fresh = freshDocs(batch0).localCheckpoint(eager = true)
-      if (fresh.head(1).nonEmpty) {
-        // durable intent FIRST: the fold below can crash mid-rewrite, and
-        // the repair path must be able to re-run the exact same batch
-        fresh.write.mode(SaveMode.Overwrite)
-          .parquet(pending(batchId).toString)
-        foldPending(s, f, batchId)
-      } else {
-        f.mkdirs(commitsDir)
-        f.create(marker(batchId)).close() // nothing to fold, batch applied
-      }
+    /** Record a fold's ids; call BEFORE the marker so a marker always
+      * means fully recorded (a crash between them at worst duplicates
+      * sidecar rows — anti-join semantics unaffected). */
+    def recordIds(df: DataFrame): Unit = {
+      df.select(idCol).write.mode(SaveMode.Append).parquet(seenIdsDir.toString)
+      compactSeenIds(df.sparkSession)
     }
 
-    /** Fold a durable pending batch and commit it: append → sidecar ids →
-      * marker → drop pending. Ids land before the marker so a marker
-      * always means fully recorded; a crash between them re-runs the fold
-      * (idempotent) and at worst duplicates sidecar rows (anti-join
-      * semantics are unaffected). */
-    private def foldPending(s: SparkSession, f: FileSystem,
-        batchId: Long): Unit = {
-      val docs = s.read.parquet(pending(batchId).toString)
-      ClusterIndex.append(docs, path)
-      docs.select("doc_id").write.mode(SaveMode.Append)
-        .parquet(seenIdsDir.toString)
-      compactSeenIds(s, f)
+    def commit(s: SparkSession, batchId: Long): Unit = {
+      val f = fs(s)
+      f.mkdirs(commitsDir)
       f.create(marker(batchId)).close()
       f.delete(pending(batchId), true)
     }
 
-    /** Re-run every pending batch whose marker is missing (a crashed
-      * fold), oldest first; drop pending dirs whose marker landed but
-      * whose cleanup didn't. */
-    private def repairPending(s: SparkSession, f: FileSystem): Unit = {
-      if (!f.exists(commitsDir)) return
-      val orphans = Option(f.listStatus(commitsDir)).toSeq.flatten
+    /** Pending batchIds whose marker is missing (crashed folds), oldest
+      * first; pendings whose marker landed are cleaned up here. */
+    def orphans(s: SparkSession): Seq[Long] = {
+      val f = fs(s)
+      if (!f.exists(commitsDir)) return Nil
+      Option(f.listStatus(commitsDir)).toSeq.flatten
         .map(_.getPath).filter(_.getName.startsWith("pending-"))
         .map(p => p.getName.stripPrefix("pending-").toLong)
         .sorted
-      orphans.foreach { id =>
-        if (f.exists(marker(id))) f.delete(pending(id), true)
-        else foldPending(s, f, id)
-      }
+        .filter { id =>
+          if (f.exists(marker(id))) { f.delete(pending(id), true); false }
+          else true
+        }
     }
 
     /** Rewrite the sidecar as one file once it fragments past
-      * [[CompactAfterFiles]]. Loss-tolerant by design (see class doc), so
-      * plain write-aside + swap suffices — no staged-rename protocol. */
-    private def compactSeenIds(s: SparkSession, f: FileSystem): Unit = {
+      * [[CompactAfterFiles]]. Loss-tolerant by design (a lost sidecar row
+      * only costs re-probe work downstream), so plain write-aside + swap
+      * suffices — no staged-rename protocol. */
+    private def compactSeenIds(s: SparkSession): Unit = {
+      val f = fs(s)
       val files = Option(f.listStatus(seenIdsDir)).toSeq.flatten
         .count(_.getPath.getName.endsWith(".parquet"))
       if (files <= CompactAfterFiles) return
       val tmp = new Path(commitsDir, "seen_ids_compact_tmp")
       f.delete(tmp, true)
-      s.read.parquet(seenIdsDir.toString).select("doc_id").distinct()
+      s.read.parquet(seenIdsDir.toString).select(idCol).distinct()
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       f.delete(seenIdsDir, true)
@@ -378,10 +363,121 @@ object Streams {
         throw new java.io.IOException(
           s"sidecar compaction: rename $tmp -> $seenIdsDir failed")
     }
+  }
+
+  final class ClusterIndexSink(path: String) {
+    import graft.operators.ClusterIndex
+    import org.apache.hadoop.fs.FileSystem
+    import org.apache.spark.sql.SaveMode
+
+    private val log = new StreamCommitLog(path, "doc_id")
+
+    private def fs(s: SparkSession): FileSystem = log.fs(s)
+
+    /** The duplicate-submission guard's plan, exposed for the spec that
+      * asserts it probes the compact sidecar, never the label artifact. */
+    private[graft] def freshDocs(batch: DataFrame): DataFrame =
+      log.fresh(batch.select(col("doc_id"), col("text")))
+
+    /** One microbatch fold; also the direct entry for parity tests. */
+    def processBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
+      val s = batch0.sparkSession
+      val f = fs(s)
+      repairPending(s) // close any crashed fold before taking new work
+      if (f.exists(log.marker(batchId))) return // redelivery of applied batch
+      if (batch0.isEmpty) return
+      val fresh = freshDocs(batch0).localCheckpoint(eager = true)
+      if (fresh.head(1).nonEmpty) {
+        // durable intent FIRST: the fold below can crash mid-rewrite, and
+        // the repair path must be able to re-run the exact same batch
+        fresh.write.mode(SaveMode.Overwrite)
+          .parquet(log.pending(batchId).toString)
+        foldPending(s, batchId)
+      } else {
+        log.commit(s, batchId) // nothing to fold, batch applied
+      }
+    }
+
+    /** Fold a durable pending batch and commit it: append → sidecar ids →
+      * marker → drop pending. Re-runs are idempotent because
+      * [[graft.operators.ClusterIndex.append]] absorbs resubmitted doc_ids
+      * (force-touch), so the repair path simply folds again. */
+    private def foldPending(s: SparkSession, batchId: Long): Unit = {
+      val docs = s.read.parquet(log.pending(batchId).toString)
+      ClusterIndex.append(docs, path)
+      log.recordIds(docs)
+      log.commit(s, batchId)
+    }
+
+    /** Re-run every pending batch whose marker is missing (a crashed
+      * fold), oldest first. */
+    private def repairPending(s: SparkSession): Unit =
+      log.orphans(s).foreach(id => foldPending(s, id))
 
     /** Attach to a document stream of (doc_id, text) rows. */
     def attach(docs: DataFrame): StreamingQuery =
       docs.writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          processBatch(b.toDF(), id))
+        .start()
+  }
+
+  /** Streaming maintenance of the AT-REST IVF index — the vector twin of
+    * [[ClusterIndexSink]]: each microbatch of (vec_id, v) rows appends
+    * through the format-aware [[graft.operators.VectorOps.appendToIvfIndex]]
+    * (full-precision, SQ8, and IVF-PQ indexes all take the same stream).
+    *
+    * Same commit-log protocol, different repair: IVF append is NOT
+    * idempotent (a re-append lands duplicate rows), so a crashed fold is
+    * repaired by DELETING the pending batch's vec_ids from the index
+    * (removing whatever partial append survived — a no-op when the crash
+    * hit before any rows landed) and then re-appending from the durable
+    * pending copy. Delete-then-append from the same durable input makes
+    * the fold idempotent even though the underlying append is not; the
+    * happy path never pays the delete. The index must be seeded by one of
+    * the writers before attaching; single-writer maintenance per the
+    * [[graft.operators.MaintenanceLock]] contract. */
+  final class IvfIndexSink(path: String) {
+    import graft.operators.VectorOps
+    import org.apache.spark.sql.SaveMode
+
+    private val log = new StreamCommitLog(path, "vec_id")
+
+    /** The duplicate-submission guard, sidecar-bounded like the sink's. */
+    private[graft] def freshVecs(batch: DataFrame): DataFrame =
+      log.fresh(batch.select(col("vec_id"), col("v")))
+
+    def processBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
+      val s = batch0.sparkSession
+      repairPending(s)
+      if (log.fs(s).exists(log.marker(batchId))) return
+      if (batch0.isEmpty) return
+      val fresh = freshVecs(batch0).localCheckpoint(eager = true)
+      if (fresh.head(1).nonEmpty) {
+        fresh.write.mode(SaveMode.Overwrite)
+          .parquet(log.pending(batchId).toString)
+        foldPending(s, batchId, repair = false)
+      } else log.commit(s, batchId)
+    }
+
+    private def foldPending(s: SparkSession, batchId: Long,
+        repair: Boolean): Unit = {
+      val vecs = s.read.parquet(log.pending(batchId).toString)
+      // only the repair path pays the delete scan: a fresh fold cannot
+      // have landed rows yet, a crashed one may have landed any prefix
+      if (repair) VectorOps.deleteFromIvfIndex(vecs.select("vec_id"), path)
+      VectorOps.appendToIvfIndex(vecs, path)
+      log.recordIds(vecs)
+      log.commit(s, batchId)
+    }
+
+    private def repairPending(s: SparkSession): Unit =
+      log.orphans(s).foreach(id => foldPending(s, id, repair = true))
+
+    /** Attach to a vector stream of (vec_id, v) rows. */
+    def attach(vectors: DataFrame): StreamingQuery =
+      vectors.writeStream
         .outputMode(OutputMode.Append())
         .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
           processBatch(b.toDF(), id))

@@ -33,6 +33,16 @@ class OperatingPointSpec extends SparkSpec {
     assert(OperatingPoint.simhashChunkBits(5300L << 20) == 10)
   }
 
+  test("pq codebook size: doubles with corpus, >=64 points/centroid, cap 256") {
+    assert(OperatingPoint.pqCodebookSize(200) == 16)     // floor
+    assert(OperatingPoint.pqCodebookSize(2000) == 16)    // anchor
+    assert(OperatingPoint.pqCodebookSize(5000) == 32)
+    assert(OperatingPoint.pqCodebookSize(20000) == 128)
+    assert(OperatingPoint.pqCodebookSize(200000) == 256) // byte-code ceiling
+    // the training-density guard: growth can never outrun 64 points/code
+    assert(OperatingPoint.pqCodebookSize(8000) <= 8000 / 64)
+  }
+
   test("cluster index parts: ~1k docs/bucket in pow2 steps, floor 64, cap 64k") {
     assert(OperatingPoint.clusterIndexParts(530) == 64)     // fixture floor
     assert(OperatingPoint.clusterIndexParts(65536) == 64)   // 64k docs = 64 buckets
