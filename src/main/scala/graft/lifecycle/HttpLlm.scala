@@ -19,7 +19,8 @@ import java.nio.charset.StandardCharsets
   * [[Agents.ScriptedLlm]]; HttpLlmSpec exercises this adapter against a
   * local wire-shape stub, so tests never need egress.
   */
-final class HttpLlmClient(baseUrl: String, apiKey: String, model: String,
+final class HttpLlmClient(private[graft] val baseUrl: String,
+    apiKey: String, model: String,
     timeoutMs: Int = 60000) extends Agents.LlmClient {
 
   private def open(stage: String, prompt: String,

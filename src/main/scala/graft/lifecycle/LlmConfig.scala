@@ -117,28 +117,56 @@ object LlmConfig {
       mkClient: Binding => Agents.LlmClient): Dispatch =
     new Dispatch(default, bindings.map { case (stage, b) => stage -> mkClient(b) })
 
+  /** Public default base URL per OpenAI-COMPATIBLE provider name — the
+    * reference's full provider-module roster beyond the three distinct
+    * wire shapes (models/: deepseek_models.py:19, openrouter_models.py:18,
+    * vllm_models.py:17, gemini_models_openai.py:18, ollama_models.py:9;
+    * groq/mistral ship the same chat-completions contract on their
+    * published endpoints). All of these speak the one chat-completions
+    * wire [[HttpLlmClient]] implements — the provider name picks the
+    * endpoint, not a new adapter. */
+  private[graft] val OpenAiCompatibleBases: Map[String, String] = Map(
+    "openai" -> "https://api.openai.com/v1",
+    "deepseek" -> "https://api.deepseek.com",
+    "groq" -> "https://api.groq.com/openai/v1",
+    "mistral" -> "https://api.mistral.ai/v1",
+    "openrouter" -> "https://openrouter.ai/api/v1",
+    "gemini-openai" -> "https://generativelanguage.googleapis.com/v1beta/openai",
+    "ollama" -> "http://localhost:11434/v1",
+    "vllm" -> "http://localhost:8000/v1",
+    "local" -> "http://localhost:8000/v1")
+
   /** Environment wiring: GRAFT_LLM_CONFIG holds the agent_configs JSON;
     * per-stage clients inherit the default's base-url/key unless the
-    * binding overrides them (an "anthropic" binding defaults to the
-    * public Messages endpoint instead of the chat-completions base, whose
-    * /v1 path component belongs to a different wire). None when no
-    * default client can be built (no GRAFT_LLM_API_KEY), same inert
-    * contract as [[HttpLlm.fromEnv]]. */
+    * binding overrides them. Provider routing covers the reference's
+    * whole models/ roster: "anthropic" and "gemini"/"google" get their
+    * distinct wire adapters (whose endpoints are not the chat-completions
+    * base — the /v1 path component belongs to a different contract), and
+    * every other known name resolves its PUBLIC default endpoint from
+    * [[OpenAiCompatibleBases]] over the shared chat-completions client.
+    * None when no default client can be built (no GRAFT_LLM_API_KEY),
+    * same inert contract as [[HttpLlm.fromEnv]]. */
   def fromEnv(env: String => Option[String] = sys.env.get): Option[Dispatch] =
     HttpLlm.fromEnv(env).map { default =>
       val base = env("GRAFT_LLM_BASE_URL").getOrElse("https://api.openai.com/v1")
       val key = env("GRAFT_LLM_API_KEY").getOrElse("")
       val bindings = env("GRAFT_LLM_CONFIG").map(parse).getOrElse(Map.empty)
-      dispatch(default, bindings, b =>
-        if (b.provider.contains("anthropic"))
-          new AnthropicLlmClient(
-            b.baseUrl.getOrElse("https://api.anthropic.com"),
-            b.apiKey.getOrElse(key), b.model)
-        else if (b.provider.exists(p => p == "gemini" || p == "google"))
-          new GeminiLlmClient(
-            b.baseUrl.getOrElse("https://generativelanguage.googleapis.com"),
-            b.apiKey.getOrElse(key), b.model)
-        else new HttpLlmClient(
-          b.baseUrl.getOrElse(base), b.apiKey.getOrElse(key), b.model))
+      dispatch(default, bindings, b => mkDefaultClient(b, base, key))
     }
+
+  /** The provider → client routing shared by [[fromEnv]] and tests. */
+  private[graft] def mkDefaultClient(b: Binding, base: String,
+      key: String): Agents.LlmClient =
+    if (b.provider.contains("anthropic"))
+      new AnthropicLlmClient(
+        b.baseUrl.getOrElse("https://api.anthropic.com"),
+        b.apiKey.getOrElse(key), b.model)
+    else if (b.provider.exists(p => p == "gemini" || p == "google"))
+      new GeminiLlmClient(
+        b.baseUrl.getOrElse("https://generativelanguage.googleapis.com"),
+        b.apiKey.getOrElse(key), b.model)
+    else new HttpLlmClient(
+      b.baseUrl.orElse(b.provider.flatMap(OpenAiCompatibleBases.get))
+        .getOrElse(base),
+      b.apiKey.getOrElse(key), b.model)
 }

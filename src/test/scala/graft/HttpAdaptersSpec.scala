@@ -272,6 +272,42 @@ class HttpAdaptersSpec extends SparkSpec {
     }
   }
 
+  test("LlmConfig: every reference provider routes to its wire + endpoint") {
+    import graft.lifecycle.{AnthropicLlmClient, GeminiLlmClient, LlmConfig}
+    def mk(provider: String, baseUrl: Option[String] = None) =
+      LlmConfig.mkDefaultClient(
+        LlmConfig.Binding("m", baseUrl = baseUrl, provider = Some(provider)),
+        base = "http://default/v1", key = "k")
+    // distinct wire shapes get their own adapters
+    assert(mk("anthropic").isInstanceOf[AnthropicLlmClient])
+    assert(mk("gemini").isInstanceOf[GeminiLlmClient])
+    assert(mk("google").isInstanceOf[GeminiLlmClient])
+    // the rest of the reference's models/ roster is OpenAI-compatible:
+    // the provider name resolves its PUBLIC default endpoint
+    val expect = Map(
+      "deepseek" -> "https://api.deepseek.com",
+      "groq" -> "https://api.groq.com/openai/v1",
+      "mistral" -> "https://api.mistral.ai/v1",
+      "openrouter" -> "https://openrouter.ai/api/v1",
+      "gemini-openai" ->
+        "https://generativelanguage.googleapis.com/v1beta/openai",
+      "ollama" -> "http://localhost:11434/v1",
+      "vllm" -> "http://localhost:8000/v1",
+      "local" -> "http://localhost:8000/v1")
+    expect.foreach { case (p, url) =>
+      mk(p) match {
+        case c: HttpLlmClient => assert(c.baseUrl == url, p)
+        case other => fail(s"$p routed to ${other.getClass}")
+      }
+    }
+    // an explicit base_url beats the provider default; an unknown provider
+    // inherits the session default base
+    assert(mk("groq", Some("http://my-gw/v1"))
+      .asInstanceOf[HttpLlmClient].baseUrl == "http://my-gw/v1")
+    assert(mk("something-else")
+      .asInstanceOf[HttpLlmClient].baseUrl == "http://default/v1")
+  }
+
   test("Gemini adapter: generateContent wire shape and SSE finish-chunk delta") {
     import graft.lifecycle.GeminiLlmClient
     var seenBody = ""
