@@ -16,6 +16,9 @@ object PlanAudit {
         // v7: the at-rest IVF probe — PartitionFilters on the index scan
         // is the line to look for
         "v7_ivf_at_rest",
+        // v9: the SQ8 quantized scan — encode+score must sit in ONE
+        // whole-stage-codegen project over the scan, probe broadcast
+        "v9_sq8_topk",
         // c1: the composed curation funnel — hash joins only, both filters
         // below the final projection, no materialization between stages
         // downstream of the cluster labels

@@ -37,9 +37,17 @@ case class PqEncode(left: Expression, right: Expression, m: Int, kc: Int)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "pq_encode"
 
-  // left: array<double> vector; right: flat codebook array<double> of
-  // length m*kc*dsub laid out [(mi, k, d)] — assignment is L2 argmin per
-  // subspace (the PQ training objective; ties break to the lower code)
+  // a float-typed vector column (raw embeddings) must be read with
+  // getFloat — ArrayData.getDouble on a float-backed array reads the
+  // wrong bytes SILENTLY (same trap Sq8Encode/CosineSimQ8 guard against)
+  private def isFloatArr: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // left: array<double|float> vector; right: flat codebook array<double>
+  // of length m*kc*dsub laid out [(mi, k, d)] — assignment is L2 argmin
+  // per subspace (the PQ training objective; ties break to the lower code)
   override def nullSafeEval(v: Any, cb: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val c = cb.asInstanceOf[ArrayData]
@@ -51,8 +59,9 @@ case class PqEncode(left: Expression, right: Expression, m: Int, kc: Int)
       while (k < kc) {
         var d2 = 0.0; var d = 0
         while (d < dsub) {
-          val diff = a.getDouble(mi * dsub + d) -
-            c.getDouble((mi * kc + k) * dsub + d)
+          val x = if (isFloatArr) a.getFloat(mi * dsub + d).toDouble
+                  else a.getDouble(mi * dsub + d)
+          val diff = x - c.getDouble((mi * kc + k) * dsub + d)
           d2 += diff * diff
           d += 1
         }
@@ -72,6 +81,9 @@ case class PqEncode(left: Expression, right: Expression, m: Int, kc: Int)
       val d = ctx.freshName("d"); val d2 = ctx.freshName("d2")
       val diff = ctx.freshName("diff"); val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
+      val get =
+        if (isFloatArr) s"(double) $a.getFloat($mi * $dsub + $d)"
+        else s"$a.getDouble($mi * $dsub + $d)"
       s"""
          |int $dsub = $a.numElements() / $m;
          |byte[] $out = new byte[$m];
@@ -80,7 +92,7 @@ case class PqEncode(left: Expression, right: Expression, m: Int, kc: Int)
          |  for (int $k = 0; $k < $kc; $k++) {
          |    double $d2 = 0.0;
          |    for (int $d = 0; $d < $dsub; $d++) {
-         |      double $diff = $a.getDouble($mi * $dsub + $d)
+         |      double $diff = $get
          |        - $c.getDouble(($mi * $kc + $k) * $dsub + $d);
          |      $d2 += $diff * $diff;
          |    }

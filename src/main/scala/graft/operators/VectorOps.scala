@@ -808,17 +808,38 @@ object VectorOps {
     * empties during training keep their SEED value (harmless: nothing
     * encodes to them). L2 objective per the PQ paper; deterministic
     * first-Kc seed + lower-code tie-break, the repo's k-means policy. */
+  /** Training-set ceiling for PQ codebooks: assignment work per Lloyd pass
+    * is rows·M·Kc candidate distances, so training on the full corpus goes
+    * corpus-linear×Kc for no accuracy gain — k-means saturates long before
+    * 64k samples at Kc ≤ 256 (≥256 samples/centroid), and training on a
+    * bounded sample then encoding everything is standard PQ practice
+    * (FAISS trains on a subsample for exactly this reason). */
+  private val PqMaxTrain = 65536L
+
   private[graft] def trainPqCodebooks(e: DataFrame, m: Int = 8, kc: Int = 16,
       iters: Int = 3): Array[Double] = {
     val dim = e.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by M=$m")
     val dsub = dim / m
-    val subs = e.select(col("vec_id"), posexplode(expr(
+    val n = e.count()
+    // deterministic 1-in-ceil(n/cap) thinning by id hash — reproducible,
+    // engine-portable, and unbiased for hash-distributed ids
+    val eTrain =
+      if (n <= PqMaxTrain) e
+      else e.filter(
+        pmod(xxhash64(col("vec_id")), lit((n / PqMaxTrain + 1))) === 0)
+    val subs = eTrain.select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), mi -> slice(v, mi * $dsub + 1, $dsub))"))
         .as(Seq("mi", "sub")))
       .localCheckpoint(eager = false)
-    var cb = subs.filter(col("vec_id") < kc)
-      .select(col("mi"), col("vec_id").cast("int").as("k"), col("sub").as("c"))
+    // seeds from the FULL corpus (the deterministic first-Kc convention) —
+    // the training sample may have thinned any particular vec_id out
+    var cb = e.filter(col("vec_id") < kc)
+      .select(posexplode(expr(
+          s"transform(sequence(0, ${m - 1}), mi -> slice(v, mi * $dsub + 1, $dsub))"))
+          .as(Seq("mi", "sub")),
+        col("vec_id").cast("int").as("k"))
+      .select(col("mi"), col("k"), col("sub").as("c"))
       .localCheckpoint(eager = false)
     val flat = new Array[Double](m * kc * dsub)
     def overlay(rows: Array[org.apache.spark.sql.Row]): Unit =

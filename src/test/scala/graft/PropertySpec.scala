@@ -120,4 +120,95 @@ class PropertySpec extends SparkSpec {
       .agg(min("s")).collect()(0).getDouble(0)
     assert(self > 1.0 - 1e-9)
   }
+
+  test("sq8: roundtrip within half a step, re-encode is an identity, " +
+      "quantized cosine tracks exact — random signs and magnitudes") {
+    graft.functions.Sq8.register(spark)
+    graft.functions.CosineSimilarity.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // magnitudes spanning 1e-6..1e6, signs mixed, plus an all-zero vector
+    val vecs = (Seq.tabulate(200) { i =>
+      val rnd = new scala.util.Random(i)
+      val mag = math.pow(10.0, rnd.nextInt(13) - 6)
+      (i.toLong, Seq.fill(16)((rnd.nextDouble() * 2 - 1) * mag))
+    } :+ ((200L, Seq.fill(16)(0.0)))).toDF("i", "v")
+    val bad = vecs.select(col("v"),
+        expr("sq8_decode(sq8_encode(v))").as("w"),
+        expr("array_max(transform(v, x -> abs(x)))").as("scale"))
+      .select(expr(
+        "aggregate(zip_with(v, w, (a, b) -> abs(a - b)), 0D, " +
+          "(acc, d) -> greatest(acc, d))").as("maxerr"), col("scale"))
+      .filter(col("maxerr") > col("scale") / 254.0 + lit(1e-18)).count()
+    assert(bad == 0, s"$bad vectors exceed the half-step roundtrip bound")
+    // re-encode stability: the CODES are an identity (the max-abs element
+    // always lands on ±127, so integer codes re-round to themselves); the
+    // 8-byte scale header may shift one ulp ((127·s)/127 double-rounds),
+    // which changes no decoded value beyond that ulp — so compare codes
+    // exactly and scales relatively. (Nothing at rest depends on binary
+    // identity: retrainIvfIndex preserves stored payloads verbatim.)
+    val reenc = vecs.select(
+        expr("substring(sq8_encode(sq8_decode(sq8_encode(v))), 9)").as("r2"),
+        expr("substring(sq8_encode(v), 9)").as("r1"),
+        expr("sq8_decode(sq8_encode(v))").as("w"), col("v")).collect()
+    reenc.foreach { r =>
+      assert(r.getAs[Array[Byte]](0).toSeq == r.getAs[Array[Byte]](1).toSeq,
+        "codes changed on re-encode")
+      val s1 = r.getSeq[Double](3).map(math.abs).max
+      val s2 = r.getSeq[Double](2).map(math.abs).max
+      assert(s1 == 0.0 && s2 == 0.0 ||
+        math.abs(s2 - s1) <= math.ulp(s1), s"scale drifted: $s1 vs $s2")
+    }
+    // quantized-vs-exact cosine error small at uniform per-vector scale
+    val probe = Seq.fill(16)(0.5)
+    val worst = vecs.filter(col("i") =!= 200)
+      .select(abs(expr(s"cosine_sim_q8(sq8_encode(v), " +
+        s"array(${probe.map(_ + "D").mkString(",")})) - " +
+        s"cosine_sim(v, array(${probe.map(_ + "D").mkString(",")}))")).as("d"))
+      .agg(max("d")).collect()(0).getDouble(0)
+    assert(worst < 0.03, s"worst quantized-cosine error $worst")
+  }
+
+  test("pq: codes stay below kc and ADC matches the driver-side LUT sum") {
+    graft.functions.Pq.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = 4; val kc = 4; val dsub = 4
+    val rnd = new scala.util.Random(7)
+    val cb = Array.fill(m * kc * dsub)(rnd.nextDouble() * 2 - 1)
+    val vecs = Seq.tabulate(100) { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Seq.fill(m * dsub)(r.nextDouble() * 2 - 1))
+    }.toDF("i", "v")
+    val q = Seq.fill(m * dsub)(0.3)
+    val qnorm = math.sqrt(q.map(x => x * x).sum)
+    val dotLut = new Array[Double](m * kc)
+    val normLut = new Array[Double](m * kc)
+    for (mi <- 0 until m; ki <- 0 until kc) {
+      var dot = 0.0; var n2 = 0.0
+      for (d <- 0 until dsub) {
+        val c = cb((mi * kc + ki) * dsub + d)
+        dot += q(mi * dsub + d) * c; n2 += c * c
+      }
+      dotLut(mi * kc + ki) = dot / qnorm; normLut(mi * kc + ki) = n2
+    }
+    val rows = vecs.select(col("i"),
+        call_function("pq_encode", col("v"), typedLit(cb),
+          lit(m), lit(kc)).as("code"))
+      .select(col("i"), col("code"),
+        call_function("pq_adc_sim", col("code"), typedLit(dotLut),
+          typedLit(normLut), lit(kc)).as("adc"))
+      .collect()
+    rows.foreach { r =>
+      val code = r.getAs[Array[Byte]](1)
+      assert(code.length == m && code.forall(b => (b & 0xff) < kc), r.toString)
+      // driver recomputation of the same ADC formula
+      var dot = 0.0; var n2 = 0.0
+      code.zipWithIndex.foreach { case (b, mi) =>
+        dot += dotLut(mi * kc + (b & 0xff)); n2 += normLut(mi * kc + (b & 0xff))
+      }
+      val want = if (n2 == 0) 0.0 else dot / math.sqrt(n2)
+      assert(math.abs(r.getDouble(2) - want) < 1e-12, s"adc mismatch: $r vs $want")
+    }
+  }
 }

@@ -405,6 +405,20 @@ class ScaleOpsSpec extends SparkSpec {
     val recall = recalls.sum / recalls.size
     assert(recall >= 0.8, s"mean recall@10 vs full precision = $recall")
 
+    // a float-typed vector column encodes identically to its double cast
+    // (ArrayData.getDouble on a float-backed array reads wrong bytes
+    // silently — the guard must pick getFloat)
+    graft.functions.Pq.register(spark)
+    val fr = spark.sql(
+      """SELECT
+        | pq_encode(cast(array(1.0, 2.0) as array<float>),
+        |   cast(array(9.0, 9.0, 1.0, 2.0) as array<double>), 1, 2) AS cf,
+        | pq_encode(cast(array(1.0, 2.0) as array<double>),
+        |   cast(array(9.0, 9.0, 1.0, 2.0) as array<double>), 1, 2) AS cd
+        |""".stripMargin).head()
+    assert(fr.getAs[Array[Byte]](0).toSeq == fr.getAs[Array[Byte]](1).toSeq)
+    assert(fr.getAs[Array[Byte]](0)(0) == 1, "nearest code must be code 1")
+
     // lifecycle over the PQ index: an append must carry BOTH code columns
     // (a missing column would silently diverge the parquet schema and
     // read back as nulls under the ADC scan); a retrain moves only cells
@@ -501,8 +515,8 @@ class ScaleOpsSpec extends SparkSpec {
     assert(probe.collect().map(_.getLong(0)).contains(1L))
 
     // quantized index retrains in place: format preserved, objective up
-    // (sq8 re-encode of a decoded vector is an identity — the max-abs
-    // element always quantizes to ±127, so the recovered scale is exact)
+    // (retrain never re-encodes — stored payload columns are carried
+    // verbatim; only the cell assignment is recomputed from the decode)
     VectorOps.writeIvfIndexQ8(e, K = 4, pathQ)
     val q0 = VectorOps.ivfObjective(spark, pathQ)
     VectorOps.retrainIvfIndex(spark, pathQ, iters = 2)
