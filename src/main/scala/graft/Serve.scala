@@ -16,6 +16,8 @@ import graft.lifecycle.{EngineSession, EpisodicMemory, ExecutorApi, LlmConfig}
   *                          "no LLM client configured" and every other
   *                          endpoint works (the inert-adapter contract)
   *   GRAFT_MEMORY_DIR       parquet dir for episodic-memory persistence
+  *   GRAFT_THREADS_DIR      conversation-thread JSON dir
+  *                          (default target/threads)
   *
   * Usage: sbt "runMain graft.Serve"   (Ctrl-C to stop)
   */
@@ -41,8 +43,10 @@ object Serve {
       try m.load(dir) catch { case _: Exception => () } // first run: empty
       m
     }
+    val store = new graft.lifecycle.SessionStore(java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_THREADS_DIR", "target/threads")))
     val api = new ExecutorApi(session, cacheSize = 8,
-      llm = LlmConfig.fromEnv(), memory = memory)
+      llm = LlmConfig.fromEnv(), memory = memory, store = Some(store))
     val port = api.start(sys.env.get("GRAFT_SERVE_PORT").map(_.toInt)
       .getOrElse(8086))
     println(s"graft executor api listening on 127.0.0.1:$port " +

@@ -27,6 +27,10 @@ import graft.sources.{Sources, TableCache}
   *                                    path not multipart — the engine reads
   *                                    distributed storage, it does not spool
   *                                    uploads through the driver)
+  *   GET/POST /get_threads, /load_thread/<id>, /new_conversation,
+  *        /search_threads             the thread surface (app.py:1062-1469)
+  *                                    over [[SessionStore]]; /query with a
+  *                                    thread_id records + persists turns
   *   POST /file_utils/...             aux-dataset registry + per-path
   *                                    inspectors (ibid:379-562; registry
   *                                    instead of multipart spooling — see
@@ -55,7 +59,8 @@ import graft.sources.{Sources, TableCache}
   */
 final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
     llm: Option[Agents.LlmClient] = None,
-    memory: Option[EpisodicMemory] = None) {
+    memory: Option[EpisodicMemory] = None,
+    store: Option[SessionStore] = None) {
 
   private val cache = new TableCache(cacheSize)
   private var server: Option[HttpServer] = None
@@ -90,6 +95,10 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
       }))
     srv.createContext("/query", query _)
     srv.createContext("/submit_rank", handler(submitRank))
+    srv.createContext("/get_threads", handler(_ => getThreads))
+    srv.createContext("/load_thread/", handlerWithPath(loadThread))
+    srv.createContext("/new_conversation", handler(_ => newConversation))
+    srv.createContext("/search_threads", handler(searchThreads))
     srv.createContext("/file_utils/upload_aux_dataset", handler(auxUpload))
     srv.createContext("/file_utils/remove_aux_dataset", handler(auxRemove))
     srv.createContext("/file_utils/aux_datasets_to_string",
@@ -207,20 +216,36 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
             text
           }
         }
+        // conversation recording: with a thread_id (app.py:927-944 ties
+        // every /query to one) the question and outcome land in the
+        // session store and persist — restarts restore the thread
+        val threadId = HttpLlm.extractField(body, "thread_id")
+        def record(role: String, content: String): Unit =
+          for { st <- store; tid <- threadId } {
+            st.append(tid, role, content); st.save(tid)
+          }
+        record("user", q)
         try {
           val r = Agents.converse(session, tap, q, dfId, memory)
           if (r.repair.df.nonEmpty) lastChain = Some((dfId, r))
           r.repair.df match {
-            case Some(d) => emit("result",
-              recordsJson(d).dropRight(1) +
-                s""","summary":${r.summary.map(jstr).getOrElse("null")}""" +
-                s""","attempts":${r.repair.attempts}}""")
-            case None => emit("error",
-              err(r.repair.errors.lastOption.getOrElse("no result")))
+            case Some(d) =>
+              record("assistant", r.summary.getOrElse(""))
+              emit("result",
+                recordsJson(d).dropRight(1) +
+                  s""","summary":${r.summary.map(jstr).getOrElse("null")}""" +
+                  s""","attempts":${r.repair.attempts}}""")
+            case None =>
+              val msg = r.repair.errors.lastOption.getOrElse("no result")
+              record("assistant", "error: " + msg)
+              emit("error", err(msg))
           }
         } catch {
-          case e: Exception => emit("error", err(Lifecycle.condense(
-            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))))
+          case e: Exception =>
+            val msg = Lifecycle.condense(
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+            record("assistant", "error: " + msg)
+            emit("error", err(msg))
         }
         out.close()
         ex.close()
@@ -252,6 +277,64 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
             rank = rank))
         }
         (200, s"""{"stored":$stored,"rank":$rank}""")
+    }
+  }
+
+  // ---- conversation threads (web_app/app.py:1062-1469) ----
+  // The reference's thread surface over [[SessionStore]]: list stored +
+  // live threads, load one (restoring from disk), open a fresh one, and
+  // substring-search across message content. /query participates when the
+  // body carries a thread_id: the question and the outcome are appended
+  // and the thread persisted, so a conversation survives restarts
+  // (storage_manager.py store/restore).
+
+  private def withStore(f: SessionStore => (Int, String)): (Int, String) =
+    store match {
+      case None => (200, err("no session store configured"))
+      case Some(st) => f(st)
+    }
+
+  private def allThreadIds(st: SessionStore): Seq[String] =
+    (st.threadIds ++ st.liveThreadIds).distinct.sorted
+
+  private def getThreads: (Int, String) = withStore { st =>
+    val rows = allThreadIds(st).map { id =>
+      st.restore(id)
+      val ms = st.messages(id)
+      s"""{"thread_id":${jstr(id)},"n_messages":${ms.length},""" +
+        s""""preview":${jstr(ms.headOption.map(_.content.take(80)).getOrElse(""))}}"""
+    }
+    (200, s"""{"threads":${rows.mkString("[", ",", "]")}}""")
+  }
+
+  private def loadThread(path: String, body: String): (Int, String) =
+    withStore { st =>
+      val id = path.stripPrefix("/load_thread/")
+      if (id.isEmpty || id.contains("/")) (400, err("thread id required"))
+      else {
+        st.restore(id)
+        val ms = st.messages(id)
+        if (ms.isEmpty) (404, err("thread not found"))
+        else (200, s"""{"thread_id":${jstr(id)},"messages":${
+          ms.map(m => s"""{"role":${jstr(m.role)},"content":${jstr(m.content)}}""")
+            .mkString("[", ",", "]")}}""")
+      }
+    }
+
+  private def newConversation: (Int, String) = withStore { _ =>
+    (200, s"""{"thread_id":${jstr("thread-" +
+      java.util.UUID.randomUUID().toString.take(8))}}""")
+  }
+
+  private def searchThreads(body: String): (Int, String) = withStore { st =>
+    val q = HttpLlm.extractField(body, "query").getOrElse("")
+    if (q.isEmpty) (400, err("No query provided"))
+    else {
+      val hits = allThreadIds(st).filter { id =>
+        st.restore(id)
+        st.messages(id).exists(_.content.toLowerCase.contains(q.toLowerCase))
+      }
+      (200, s"""{"threads":${hits.map(jstr).mkString("[", ",", "]")}}""")
     }
   }
 
@@ -330,6 +413,22 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
     else throw new IllegalArgumentException("Unsupported file format")
 
   // ---- plumbing ----
+
+  /** [[handler]] variant that also passes the request path (for
+    * path-parameter endpoints like /load_thread/<id>). */
+  private def handlerWithPath(f: (String, String) => (Int, String)):
+      com.sun.net.httpserver.HttpHandler = (ex: HttpExchange) => {
+    val (code, json) =
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        f(ex.getRequestURI.getPath, body)
+      } catch {
+        case e: Exception => (200, err(Lifecycle.condense(
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName))))
+      }
+    respond(ex, code, json)
+  }
 
   private def handler(f: String => (Int, String)):
       com.sun.net.httpserver.HttpHandler = (ex: HttpExchange) => {

@@ -98,4 +98,9 @@ final class SessionStore(root: Path) {
     else Files.list(root).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json")).toSeq.sorted
+
+  /** Threads alive in memory (appended this process), persisted or not —
+    * the union with [[threadIds]] is the full thread listing the web
+    * surface serves (app.py:1062-1150 lists stored chains). */
+  def liveThreadIds: Seq[String] = threads.keys.toSeq.sorted
 }

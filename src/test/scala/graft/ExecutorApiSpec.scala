@@ -178,6 +178,65 @@ class ExecutorApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("thread surface: record via /query, list, load, search, persist") {
+    val script = Map(
+      "expert_selector" -> Seq(
+        "requires_dataset: true\nexpert: Data Analyst\nconfidence: 9"),
+      "analyst_selector" -> Seq(
+        "analyst: Data Analyst DF\nintent: count orders per month of 1995"),
+      "planner" -> Seq(
+        "plan:\n- filter 1995\n- bucket by month\nsql: |\n" +
+          "SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n " +
+          "FROM df WHERE year(o_orderdate) = 1995 GROUP BY 1 ORDER BY 1"),
+      "summarizer" -> Seq("Orders peaked mid-1995."))
+    val dir = java.nio.file.Paths.get("target/api_threads")
+    new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
+    def mkApi(st: graft.lifecycle.SessionStore) = new ExecutorApi(
+      new EngineSession(spark),
+      llm = Some(new graft.lifecycle.Agents.ScriptedLlm(script)),
+      store = Some(st))
+    val api = mkApi(new graft.lifecycle.SessionStore(dir))
+    val port = api.start()
+    try {
+      // fresh conversation id
+      val (nc, nb) = call(port, "/new_conversation", Some("{}"))
+      assert(nc == 200 && nb.contains("\"thread_id\""), nb)
+      val tid = "\"thread_id\":\"([^\"]+)\"".r
+        .findFirstMatchIn(nb).get.group(1)
+
+      // a /query with the thread_id records user + assistant turns
+      call(port, "/upload_dataset",
+        Some(s"""{"df_id":"df","path":"$sf/orders.parquet"}"""))
+      val (qc, _) = call(port, "/query", Some(
+        s"""{"question":"How many orders per month in 1995?","df_id":"df","thread_id":"$tid"}"""))
+      assert(qc == 200)
+
+      val (lc, lt) = call(port, s"/load_thread/$tid", Some("{}"))
+      assert(lc == 200 && lt.contains("\"role\":\"user\"") &&
+        lt.contains("\"role\":\"assistant\"") &&
+        lt.contains("Orders peaked mid-1995."), lt)
+      val (gc, gt) = call(port, "/get_threads", None)
+      assert(gc == 200 && gt.contains(s"\"thread_id\":\"$tid\"") &&
+        gt.contains("\"n_messages\":2"), gt)
+      // substring search over message content, case-insensitive; and a miss
+      val (sc2, hits) = call(port, "/search_threads",
+        Some("""{"query":"peaked MID-1995"}"""))
+      assert(sc2 == 200 && hits.contains(tid), hits)
+      assert(!call(port, "/search_threads",
+        Some("""{"query":"zebra unicorns"}"""))._2.contains(tid))
+      assert(call(port, "/load_thread/nope", Some("{}"))._1 == 404)
+
+      // persistence: a NEW store over the same dir restores the thread
+      api.stop()
+      val api2 = mkApi(new graft.lifecycle.SessionStore(dir))
+      val port2 = api2.start()
+      try {
+        val (rc, rt) = call(port2, s"/load_thread/$tid", Some("{}"))
+        assert(rc == 200 && rt.contains("Orders peaked mid-1995."), rt)
+      } finally api2.stop()
+    } finally api.stop()
+  }
+
   test("/submit_rank stores the chain; the next query replays from memory") {
     val script = Map(
       "expert_selector" -> Seq(
