@@ -129,7 +129,16 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
     val sql = HttpLlm.extractField(body, "sql").getOrElse("")
     if (sql.isEmpty) return (400, err("No sql provided"))
     val dfId = HttpLlm.extractField(body, "df_id")
-    dfId.flatMap(cache.get).foreach(df => session.bind("df", df))
+    dfId.foreach { id =>
+      cache.get(id) match {
+        case Some(df) => session.bind("df", df)
+        // a miss must NOT fall through to whatever `df` a previous request
+        // bound — that would silently query another caller's table (the
+        // reference execs with df=None and fails in user code; the SQL
+        // surface can fail up front instead)
+        case None => return (404, err("DataFrame not found in cache"))
+      }
+    }
     session.runValidatedSql(sql) match {
       case Left(msg) => (200, err(msg))
       case Right(result) =>
