@@ -481,13 +481,26 @@ object VectorOps {
   private def rankCells(e: DataFrame, cent: DataFrame, key: String,
       topN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    e.crossJoin(broadcast(cent))
+    val scored = e.crossJoin(broadcast(cent))
       .select(col(key), col("v"), col("cid"),
         round(expr("cosine_sim(v, c)"), 6).as("csim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(key).orderBy(desc("csim"), col("cid"))))
-      .filter(col("rn") <= topN)
-      .select(col(key), col("v"), col("cid"))
+    if (topN == 1)
+      // the assignment case (index build/append/retrain — the bulk paths)
+      // as a PARTIAL aggregate: max(struct(csim, -cid, v)) is the same
+      // (csim desc, cid asc) order the window form ranks by, but it
+      // combines map-side, so the n·K candidate expansion collapses to
+      // n rows BEFORE the shuffle — at 100x the window form was measured
+      // shuffling the full expansion (2.8B rows for 2M vectors, K=√n)
+      scored.select(col(key),
+          struct(col("csim"), (-col("cid")).as("ncid"), col("v")).as("cand"))
+        .groupBy(key).agg(max("cand").as("best"))
+        .select(col(key), col("best.v").as("v"), (-col("best.ncid")).as("cid"))
+    else
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(key).orderBy(desc("csim"), col("cid"))))
+        .filter(col("rn") <= topN)
+        .select(col(key), col("v"), col("cid"))
   }
 
   /** Nearest-existing-centroid assignment of a (vec_id, v) frame. */
