@@ -79,17 +79,21 @@ object VectorOps {
   private val KmK = 8; private val KmIters = 3
 
   /** One cosine-argmax assignment pass: every vector joined to its single
-    * best centroid (broadcast of K centroids, no shuffle of the corpus). */
+    * best centroid (broadcast of K centroids, no shuffle of the corpus).
+    * The argmax is a max-over-struct PARTIAL aggregate — (sim desc, cid
+    * asc via negation), combining map-side so the n·K candidate expansion
+    * collapses to n rows before the shuffle (the same rewrite
+    * [[rankCells]]'s topN=1 path carries; a row_number window here was
+    * measured shuffling the full expansion at the 100x probe scale). */
   private[graft] def kmeansAssign(e: DataFrame,
-      centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      centroids: DataFrame): DataFrame =
     e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("cid"),
-        expr("cosine_sim(v, c)").as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("sim"), col("cid"))))
-      .filter(col("rn") === 1)
-  }
+      .select(col("vec_id"), struct(
+        expr("cosine_sim(v, c)").as("sim"),
+        (-col("cid")).as("ncid"), col("v")).as("cand"))
+      .groupBy("vec_id").agg(max("cand").as("best"))
+      .select(col("vec_id"), col("best.v").as("v"),
+        (-col("best.ncid")).as("cid"), col("best.sim").as("sim"))
 
   /** Lloyd's centroids after `iters` update steps from the deterministic
     * first-K seed (iters = 0 returns the seed itself). Exposed for the
