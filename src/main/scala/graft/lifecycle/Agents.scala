@@ -117,7 +117,8 @@ object Agents {
       table: String, memory: Option[EpisodicMemory] = None,
       storeRank: Long = 0,
       research: Map[String, String => String] = Map.empty,
-      feedback: Option[UserContext.FeedbackChannel] = None): ChainResult = {
+      feedback: Option[UserContext.FeedbackChannel] = None,
+      planning: Boolean = false): ChainResult = {
     val df = es.current(table).getOrElse(
       throw new IllegalArgumentException(s"unknown table $table"))
     val profile = Profile.summaryString(df)
@@ -146,7 +147,7 @@ object Agents {
         val promptGen = new PromptTemplates.CodeGenPromptGenerator(
           PromptTemplates.SparkDefaults)
         parsePlan(llm.complete("planner", promptGen.generatePrompt(
-          PromptTemplates.Params(analyst = analyst.analyst, planning = false,
+          PromptTemplates.Params(analyst = analyst.analyst, planning = planning,
             model = "default", planOrContext = question,
             dataframeHead = profile, task = analyst.intent))))
     }

@@ -95,6 +95,12 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
       }))
     srv.createContext("/query", query _)
     srv.createContext("/submit_rank", handler(submitRank))
+    srv.createContext("/update_ontology", handler(updateOntology))
+    srv.createContext("/get_ontology_state", handler(_ => (200,
+      s"""{"current_state":${ontologyTtl.nonEmpty}}""")))
+    srv.createContext("/update_planning", handler(updatePlanning))
+    srv.createContext("/get_planning_state", handler(_ => (200,
+      s"""{"planning":$planning}""")))
     srv.createContext("/get_threads", handler(_ => getThreads))
     srv.createContext("/load_thread/", handlerWithPath(loadThread))
     srv.createContext("/new_conversation", handler(_ => newConversation))
@@ -234,8 +240,24 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
             st.append(tid, role, content); st.save(tid)
           }
         record("user", q)
+        // active ontology: distill it for THIS question through the
+        // dataframe_inspector stage (I6 front-end; the tap makes the
+        // distiller call visible as a stage event like every other) and
+        // stream the resulting data model — distill failures are events,
+        // the chain itself still runs
+        for (ttl <- ontologyTtl) {
+          val profile = cache.get(dfId)
+            .map(df => Profile.summaryString(df)).getOrElse("")
+          Ontology.distillTtl(tap, ttl, profile, q) match {
+            case Right(model) => emit("ontology",
+              s"""{"nodes":${model.nodes.length},""" +
+                s""""mermaid":${jstr(Ontology.toMermaid(model))}}""")
+            case Left(e) => emit("ontology", err(e))
+          }
+        }
         try {
-          val r = Agents.converse(session, tap, q, dfId, memory)
+          val r = Agents.converse(session, tap, q, dfId, memory,
+            planning = planning)
           if (r.repair.df.nonEmpty) lastChain = Some((dfId, r))
           r.repair.df match {
             case Some(d) =>
@@ -286,6 +308,45 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
             rank = rank))
         }
         (200, s"""{"stored":$stored,"rank":$rank}""")
+    }
+  }
+
+  // ---- preferences: ontology + planning (app.py:430-564) ----
+  // The reference uploads a .ttl file and rebuilds its instance with the
+  // path; the engine takes the TTL CONTENT, validates it through the I6
+  // parser at update time (a bad ontology fails the update, not a later
+  // query), and /query distills it per-question through the
+  // dataframe_inspector stage into an `ontology` SSE event. The planning
+  // toggle selects the plan-first Planner template (app.py:430-470).
+
+  private var ontologyTtl: Option[String] = None
+  private var planning = false
+
+  private def updateOntology(body: String): (Int, String) =
+    HttpLlm.extractField(body, "ttl") match {
+      case Some(ttl) if ttl.nonEmpty =>
+        Ontology.parseTtl(ttl) match {
+          case Left(e) => (400, err(e))
+          case Right(o) =>
+            ontologyTtl = Some(ttl)
+            (200, s"""{"message":"Ontology updated.","current_state":true,""" +
+              s""""classes":${o.classes.length},"properties":${o.properties.length}}""")
+        }
+      // the reference's explicit-clear contract: ontology_path = ""
+      case _ if HttpLlm.extractField(body, "ontology_path").contains("") =>
+        ontologyTtl = None
+        (200, """{"message":"Ontology cleared.","current_state":false}""")
+      case _ => (400,
+        err("must include ttl content or clear via ontology_path"))
+    }
+
+  private def updatePlanning(body: String): (Int, String) = {
+    val v = "\"planning\"\\s*:\\s*(true|false)".r.findFirstMatchIn(body)
+    v match {
+      case None => (400, err("No planning boolean provided"))
+      case Some(m) =>
+        planning = m.group(1) == "true"
+        (200, s"""{"planning":$planning}""")
     }
   }
 

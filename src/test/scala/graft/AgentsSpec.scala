@@ -58,6 +58,21 @@ class AgentsSpec extends SparkSpec {
     assert(r.summary.contains("Orders peaked mid-1995."))
   }
 
+  test("planning=true routes the Planner through the plan-first template") {
+    val rec = new Recording(new Agents.ScriptedLlm(fixtures(false)))
+    Agents.converse(session(), rec,
+      "How many orders per month in 1995?", "orders", planning = true)
+    val plannerPrompt = rec.calls.find(_._1 == "planner").get._2
+    assert(plannerPrompt.contains(
+      "implement the provided analysis plan"), plannerPrompt.take(200))
+    // and the default remains the no-plan template
+    val rec2 = new Recording(new Agents.ScriptedLlm(fixtures(false)))
+    Agents.converse(session(), rec2,
+      "How many orders per month in 1995?", "orders")
+    assert(!rec2.calls.find(_._1 == "planner").get._2
+      .contains("implement the provided analysis plan"))
+  }
+
   test("e2e chain: invalid SQL goes through the repair loop once") {
     val r = Agents.converse(session(), new Agents.ScriptedLlm(fixtures(true)),
       "How many orders per month in 1995?", "orders")

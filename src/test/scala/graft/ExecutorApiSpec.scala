@@ -237,6 +237,78 @@ class ExecutorApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("ontology + planning preferences shape the /query chain") {
+    val distilled = "```yaml\ncontainers:\n  - name: activity\n" +
+      "    columns: [activity_id, user_id]\n  - name: events\n" +
+      "    columns: [event_id, user_id]\nlinks:\n  - from: events\n" +
+      "    to: activity\n    on: user_id\nfunctions:\n" +
+      "  - pace_min_per_km\n```"
+    val script = Map(
+      "expert_selector" -> Seq(
+        "requires_dataset: true\nexpert: Data Analyst\nconfidence: 9"),
+      "analyst_selector" -> Seq(
+        "analyst: Data Analyst DF\nintent: count orders per month of 1995"),
+      "dataframe_inspector" -> Seq(distilled),
+      "planner" -> Seq(
+        "plan:\n- filter 1995\nsql: |\n" +
+          "SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n " +
+          "FROM df WHERE year(o_orderdate) = 1995 GROUP BY 1 ORDER BY 1"),
+      "summarizer" -> Seq("Orders peaked mid-1995."))
+    val api = new ExecutorApi(new EngineSession(spark),
+      llm = Some(new graft.lifecycle.Agents.ScriptedLlm(script)))
+    val port = api.start()
+    try {
+      // planning toggle round-trip (app.py:430-482)
+      assert(call(port, "/get_planning_state", None)._2
+        .contains("\"planning\":false"))
+      assert(call(port, "/update_planning",
+        Some("""{"planning":true}"""))._2.contains("\"planning\":true"))
+      assert(call(port, "/get_planning_state", None)._2
+        .contains("\"planning\":true"))
+      assert(call(port, "/update_planning", Some("{}"))._1 == 400)
+
+      // ontology update validates AT UPDATE TIME; bad TTL never sticks
+      assert(call(port, "/update_ontology",
+        Some("""{"ttl":"ex:Broken a owl:Class"}"""))._1 == 400)
+      assert(call(port, "/get_ontology_state", None)._2
+        .contains("\"current_state\":false"))
+      val ttl =
+        """@prefix ex: <http://example.org/fitness#> .
+          |@prefix owl: <http://www.w3.org/2002/07/owl#> .
+          |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+          |ex:Activity a owl:Class ;
+          |  rdfs:label "Recorded activity session" .
+          |ex:Event a owl:Class .
+          |ex:hasEvent a owl:ObjectProperty ;
+          |  rdfs:domain ex:Activity ;
+          |  rdfs:range ex:Event .
+          |""".stripMargin
+      val (oc, ob) = call(port, "/update_ontology",
+        Some(s"""{"ttl":${graft.lifecycle.HttpLlm.jsonStr(ttl)}}"""))
+      assert(oc == 200 && ob.contains("\"classes\":2"), ob)
+      assert(call(port, "/get_ontology_state", None)._2
+        .contains("\"current_state\":true"))
+
+      // /query now distills the ontology per question: the inspector call
+      // shows up as a stage event and the data model streams as an
+      // `ontology` event ahead of the chain
+      call(port, "/upload_dataset",
+        Some(s"""{"df_id":"df","path":"$sf/orders.parquet"}"""))
+      val (qc, stream) = call(port, "/query",
+        Some("""{"question":"How many orders per month in 1995?","df_id":"df"}"""))
+      assert(qc == 200, stream)
+      assert(stream.contains("\"stage\":\"dataframe_inspector\""), stream)
+      assert(stream.contains("event: ontology"), stream)
+      assert(stream.contains("graph TD") &&
+        stream.contains("events -->|user_id| activity"), stream)
+      assert(stream.contains("\"summary\":\"Orders peaked mid-1995.\""), stream)
+
+      // explicit clear, the reference's ontology_path="" contract
+      assert(call(port, "/update_ontology",
+        Some("""{"ontology_path":""}"""))._2.contains("\"current_state\":false"))
+    } finally api.stop()
+  }
+
   test("/submit_rank stores the chain; the next query replays from memory") {
     val script = Map(
       "expert_selector" -> Seq(
