@@ -230,54 +230,6 @@ object Streams {
         .start()
   }
 
-  /** Streaming maintenance of the AT-REST duplicate-cluster index: each
-    * microbatch of (doc_id, text) documents is folded into the persisted
-    * label artifact through the SAME incremental operator the batch gates
-    * pin ([[graft.operators.ClusterIndex.append]]) — new docs probe the
-    * stored band index, only touched components re-resolve, untouched
-    * buckets stay byte-identical. This is the operational chain a
-    * production ingest runs: documents arrive continuously, cluster
-    * labels stay current ON DISK, and every downstream consumer joins the
-    * artifact instead of recomputing LSH + connected components
-    * ([[NearDupAdmitSink]] is the admission-decision variant of the same
-    * idea; this one persists the full cluster structure).
-    *
-    * Correct under foreachBatch's at-least-once redelivery AND under a
-    * crash anywhere inside the fold, three layers:
-    *
-    *  1. A durable PENDING copy of each deduplicated batch is written
-    *     under `_stream_commits/pending-<batchId>` BEFORE the fold starts,
-    *     and a committed batchId MARKER after it finishes (the standard
-    *     idempotent-foreachBatch pattern). A pending dir without its
-    *     marker is a crashed fold; [[processBatch]] repairs every such
-    *     orphan on entry by RE-RUNNING the fold from the pending copy —
-    *     sound because [[graft.operators.ClusterIndex.append]] is
-    *     idempotent for resubmitted doc_ids (it force-touches their
-    *     stored components), so a re-run closes even the duplicate-visible
-    *     window a crash between rewriteBuckets' gains and swaps leaves
-    *     (stale rows of a migrated component in an unswapped bucket
-    *     alongside the new copy — the state a labels anti-join alone
-    *     would skip forever, since the new docs ARE labeled).
-    *  2. Duplicate SUBMISSIONS (the same doc arriving again in a later
-    *     batch) are dropped by an anti-join against a compact
-    *     `_stream_commits/seen_ids` sidecar — one doc_id column, appended
-    *     per committed batch — instead of scanning the full label
-    *     artifact (whose rows carry the wide shingle-hash sets) every
-    *     batch. The sidecar read is bounded by the STREAMED id count, not
-    *     the corpus. This guard is an optimization, not a correctness
-    *     layer: a miss (e.g. resubmission of a doc seeded by `write`,
-    *     which the sidecar never saw) is absorbed idempotently by the
-    *     force-touch path, at the cost of one touched component.
-    *  3. The sidecar self-compacts past [[CompactAfterFiles]] batch files
-    *     (read → single-file rewrite → swap). A crash mid-compaction can
-    *     at worst LOSE sidecar rows, which by (2) only costs work, never
-    *     correctness — the loss-tolerant shape is what keeps compaction
-    *     dependency-free.
-    *
-    * The index must be seeded by [[graft.operators.ClusterIndex.write]]
-    * (a non-empty corpus) before attaching. Appends are synchronized and
-    * the artifact's [[graft.operators.MaintenanceLock]] fences concurrent
-    * writers: single-writer maintenance is the contract. */
   /** The durable commit-log shared by the streaming index sinks: batchId
     * MARKERS (a marker means "fully applied"), PENDING batch copies (the
     * durable intent a crashed fold is repaired from), and the compact
@@ -365,6 +317,54 @@ object Streams {
     }
   }
 
+  /** Streaming maintenance of the AT-REST duplicate-cluster index: each
+    * microbatch of (doc_id, text) documents is folded into the persisted
+    * label artifact through the SAME incremental operator the batch gates
+    * pin ([[graft.operators.ClusterIndex.append]]) — new docs probe the
+    * stored band index, only touched components re-resolve, untouched
+    * buckets stay byte-identical. This is the operational chain a
+    * production ingest runs: documents arrive continuously, cluster
+    * labels stay current ON DISK, and every downstream consumer joins the
+    * artifact instead of recomputing LSH + connected components
+    * ([[NearDupAdmitSink]] is the admission-decision variant of the same
+    * idea; this one persists the full cluster structure).
+    *
+    * Correct under foreachBatch's at-least-once redelivery AND under a
+    * crash anywhere inside the fold, three layers:
+    *
+    *  1. A durable PENDING copy of each deduplicated batch is written
+    *     under `_stream_commits/pending-<batchId>` BEFORE the fold starts,
+    *     and a committed batchId MARKER after it finishes (the standard
+    *     idempotent-foreachBatch pattern). A pending dir without its
+    *     marker is a crashed fold; [[processBatch]] repairs every such
+    *     orphan on entry by RE-RUNNING the fold from the pending copy —
+    *     sound because [[graft.operators.ClusterIndex.append]] is
+    *     idempotent for resubmitted doc_ids (it force-touches their
+    *     stored components), so a re-run closes even the duplicate-visible
+    *     window a crash between rewriteBuckets' gains and swaps leaves
+    *     (stale rows of a migrated component in an unswapped bucket
+    *     alongside the new copy — the state a labels anti-join alone
+    *     would skip forever, since the new docs ARE labeled).
+    *  2. Duplicate SUBMISSIONS (the same doc arriving again in a later
+    *     batch) are dropped by an anti-join against a compact
+    *     `_stream_commits/seen_ids` sidecar — one doc_id column, appended
+    *     per committed batch — instead of scanning the full label
+    *     artifact (whose rows carry the wide shingle-hash sets) every
+    *     batch. The sidecar read is bounded by the STREAMED id count, not
+    *     the corpus. This guard is an optimization, not a correctness
+    *     layer: a miss (e.g. resubmission of a doc seeded by `write`,
+    *     which the sidecar never saw) is absorbed idempotently by the
+    *     force-touch path, at the cost of one touched component.
+    *  3. The sidecar self-compacts past [[CompactAfterFiles]] batch files
+    *     (read → single-file rewrite → swap). A crash mid-compaction can
+    *     at worst LOSE sidecar rows, which by (2) only costs work, never
+    *     correctness — the loss-tolerant shape is what keeps compaction
+    *     dependency-free.
+    *
+    * The index must be seeded by [[graft.operators.ClusterIndex.write]]
+    * (a non-empty corpus) before attaching. Appends are synchronized and
+    * the artifact's [[graft.operators.MaintenanceLock]] fences concurrent
+    * writers: single-writer maintenance is the contract. */
   final class ClusterIndexSink(path: String) {
     import graft.operators.ClusterIndex
     import org.apache.hadoop.fs.FileSystem
