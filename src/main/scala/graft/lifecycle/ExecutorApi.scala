@@ -60,7 +60,8 @@ import graft.sources.{Sources, TableCache}
 final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
     llm: Option[Agents.LlmClient] = None,
     memory: Option[EpisodicMemory] = None,
-    store: Option[SessionStore] = None) {
+    store: Option[SessionStore] = None,
+    dataDir: java.nio.file.Path = java.nio.file.Paths.get("target/executor_api")) {
 
   private val cache = new TableCache(cacheSize)
   private var server: Option[HttpServer] = None
@@ -95,6 +96,8 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
       }))
     srv.createContext("/query", query _)
     srv.createContext("/submit_rank", handler(submitRank))
+    srv.createContext("/storage/favourites", handler(storeFavourite))
+    srv.createContext("/download_generated_dataset", download _)
     srv.createContext("/update_ontology", handler(updateOntology))
     srv.createContext("/get_ontology_state", handler(_ => (200,
       s"""{"current_state":${ontologyTtl.nonEmpty}}""")))
@@ -308,6 +311,73 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
             rank = rank))
         }
         (200, s"""{"stored":$stored,"rank":$rank}""")
+    }
+  }
+
+  /** /storage/favourites: persist a favourited solution as JSON under
+    * `<dataDir>/favourites/<thread_id>/<chain_id>.json`
+    * (app.py:1012-1060 — same per-chain overwrite-on-refave layout). */
+  private def storeFavourite(body: String): (Int, String) = {
+    val threadId = HttpLlm.extractField(body, "thread_id").getOrElse("")
+    val chainId = HttpLlm.extractField(body, "chain_id").getOrElse("")
+    if (threadId.isEmpty || chainId.isEmpty ||
+        threadId.contains("/") || chainId.contains("/"))
+      return (400, err("thread_id and chain_id required"))
+    val rank = numField(body, "rank").getOrElse(0L)
+    val task = HttpLlm.extractField(body, "task").getOrElse("")
+    val content = HttpLlm.extractField(body, "content").getOrElse("")
+    val dir = dataDir.resolve("favourites").resolve(threadId)
+    java.nio.file.Files.createDirectories(dir)
+    val file = dir.resolve(s"$chainId.json")
+    java.nio.file.Files.writeString(file,
+      s"""{"thread_id":${jstr(threadId)},"chain_id":${jstr(chainId)},""" +
+        s""""rank":$rank,"task":${jstr(task)},"content":${jstr(content)}}""")
+    (200, s"""{"message":"Solution saved to favourites","filename":${
+      jstr(file.toString)}}""")
+  }
+
+  /** /download_generated_dataset?df_id=...&max_rows=N — the engine form of
+    * the reference's file download (app.py:1361-1431): rather than spooling
+    * a generated file through the driver, the cached TABLE streams out as
+    * CSV through `toLocalIterator` — the driver holds one partition at a
+    * time, never the result (the 100 TB-safe download shape). `max_rows`
+    * caps the export (default 1M). */
+  private def download(ex: HttpExchange): Unit = {
+    val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+      .split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+    params.get("df_id").filter(_.nonEmpty) match {
+      case None => respond(ex, 400, err("Missing 'df_id' query parameter."))
+      case Some(id) => cache.get(id) match {
+        case None => respond(ex, 404, err("DataFrame not found in cache"))
+        case Some(df) =>
+          val maxRows = params.get("max_rows").flatMap(_.toLongOption)
+            .getOrElse(1000000L)
+          def csvField(v: Any): String = {
+            val s = if (v == null) "" else v.toString
+            if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+              "\"" + s.replace("\"", "\"\"") + "\""
+            else s
+          }
+          ex.getResponseHeaders.set("Content-Type", "text/csv")
+          ex.getResponseHeaders.set("Content-Disposition",
+            s"attachment;filename=$id.csv")
+          ex.sendResponseHeaders(200, 0)
+          val out = ex.getResponseBody
+          out.write((df.columns.map(csvField).mkString(",") + "\n")
+            .getBytes(StandardCharsets.UTF_8))
+          val it = df.limit(
+            math.min(maxRows, Int.MaxValue.toLong).toInt).toLocalIterator()
+          while (it.hasNext) {
+            val r = it.next()
+            out.write((df.columns.indices.map(i => csvField(r.get(i)))
+              .mkString(",") + "\n").getBytes(StandardCharsets.UTF_8))
+          }
+          out.close()
+          ex.close()
+      }
     }
   }
 

@@ -237,6 +237,40 @@ class ExecutorApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("favourites persist per chain; download streams the table as CSV") {
+    val dataDir = java.nio.file.Paths.get("target/api_data")
+    new scala.reflect.io.Directory(dataDir.toFile).deleteRecursively()
+    val api = new ExecutorApi(new EngineSession(spark), dataDir = dataDir)
+    val port = api.start()
+    try {
+      // favourite write + per-chain overwrite (one file per chain_id)
+      val (fc, fb) = call(port, "/storage/favourites",
+        Some("""{"thread_id":"t1","chain_id":"c1","rank":8,"task":"monthly orders","content":"SELECT 1"}"""))
+      assert(fc == 200 && fb.contains("Solution saved"), fb)
+      call(port, "/storage/favourites",
+        Some("""{"thread_id":"t1","chain_id":"c1","rank":9,"task":"updated","content":"SELECT 2"}"""))
+      val files = dataDir.resolve("favourites/t1").toFile.listFiles()
+      assert(files.length == 1 && files.head.getName == "c1.json")
+      val saved = java.nio.file.Files.readString(files.head.toPath)
+      assert(saved.contains("\"rank\":9") && saved.contains("updated"), saved)
+      assert(call(port, "/storage/favourites", Some("{}"))._1 == 400)
+
+      // download: header + rows stream as CSV, bounded by max_rows
+      call(port, "/upload_dataset",
+        Some(s"""{"df_id":"orders","path":"$sf/orders.parquet"}"""))
+      val (dc, csv) = call(port, "/download_generated_dataset?df_id=orders", None)
+      assert(dc == 200, csv)
+      val lines = csv.split("\n")
+      assert(lines.head.startsWith("o_orderkey,"), lines.head)
+      assert(lines.length == 1501, s"${lines.length} lines")
+      val (cc, capped) = call(port,
+        "/download_generated_dataset?df_id=orders&max_rows=10", None)
+      assert(cc == 200 && capped.split("\n").length == 11)
+      assert(call(port, "/download_generated_dataset", None)._1 == 400)
+      assert(call(port, "/download_generated_dataset?df_id=nope", None)._1 == 404)
+    } finally api.stop()
+  }
+
   test("ontology + planning preferences shape the /query chain") {
     val distilled = "```yaml\ncontainers:\n  - name: activity\n" +
       "    columns: [activity_id, user_id]\n  - name: events\n" +
