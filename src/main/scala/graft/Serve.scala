@@ -38,7 +38,8 @@ object Serve {
     // validator's relation allow-list admits the corpus tables in /execute
     Tables.all.foreach(t => session.bind(t, Tables.load(spark, sfDir, t)))
 
-    val memory = sys.env.get("GRAFT_MEMORY_DIR").map { dir =>
+    val memoryDir = sys.env.get("GRAFT_MEMORY_DIR")
+    val memory = memoryDir.map { dir =>
       val m = new EpisodicMemory(spark)
       try m.load(dir) catch { case _: Exception => () } // first run: empty
       m
@@ -46,7 +47,8 @@ object Serve {
     val store = new graft.lifecycle.SessionStore(java.nio.file.Paths.get(
       sys.env.getOrElse("GRAFT_THREADS_DIR", "target/threads")))
     val api = new ExecutorApi(session, cacheSize = 8,
-      llm = LlmConfig.fromEnv(), memory = memory, store = Some(store))
+      llm = LlmConfig.fromEnv(), memory = memory, store = Some(store),
+      memoryDir = memoryDir)
     val port = api.start(sys.env.get("GRAFT_SERVE_PORT").map(_.toInt)
       .getOrElse(8086))
     println(s"graft executor api listening on 127.0.0.1:$port " +

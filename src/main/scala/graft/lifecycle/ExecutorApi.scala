@@ -61,7 +61,8 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
     llm: Option[Agents.LlmClient] = None,
     memory: Option[EpisodicMemory] = None,
     store: Option[SessionStore] = None,
-    dataDir: java.nio.file.Path = java.nio.file.Paths.get("target/executor_api")) {
+    dataDir: java.nio.file.Path = java.nio.file.Paths.get("target/executor_api"),
+    memoryDir: Option[String] = None) {
 
   private val cache = new TableCache(cacheSize)
   private var server: Option[HttpServer] = None
@@ -309,6 +310,10 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
             intent = r.analyst.intent, dataDescr = profile,
             plan = r.plan.steps.map("- " + _).mkString("\n"), sql = r.plan.sql,
             rank = rank))
+          // learning must survive restarts: persist after every store
+          // (the store is conversational metadata, bounded small — one
+          // overwrite is the right durability shape)
+          memoryDir.foreach(mem.save)
         }
         (200, s"""{"stored":$stored,"rank":$rank}""")
     }

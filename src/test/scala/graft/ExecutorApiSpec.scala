@@ -355,9 +355,11 @@ class ExecutorApiSpec extends SparkSpec {
           "FROM df WHERE year(o_orderdate) = 1995 GROUP BY 1 ORDER BY 1"),
       "summarizer" -> Seq("Orders peaked mid-1995."))
     val mem = new graft.lifecycle.EpisodicMemory(spark)
+    val memDir = "target/api_memory"
+    new scala.reflect.io.Directory(new java.io.File(memDir)).deleteRecursively()
     val api = new ExecutorApi(new EngineSession(spark),
       llm = Some(new graft.lifecycle.Agents.ScriptedLlm(script)),
-      memory = Some(mem))
+      memory = Some(mem), memoryDir = Some(memDir))
     val port = api.start()
     try {
       // rank before any chain → 404; then run a chain
@@ -375,6 +377,10 @@ class ExecutorApiSpec extends SparkSpec {
       val (rc, stored) = call(port, "/submit_rank", Some("""{"rank":8}"""))
       assert(rc == 200 && stored.contains("\"stored\":true") && mem.size == 1,
         stored)
+      // learning persisted: a fresh memory over the same dir restores it
+      val reloaded = new graft.lifecycle.EpisodicMemory(spark)
+      reloaded.load(memDir)
+      assert(reloaded.size == 1)
 
       // same intent again: the memory hit skips the Planner entirely
       val (c2, s2) = call(port, "/query",
