@@ -97,6 +97,7 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
       }))
     srv.createContext("/query", query _)
     srv.createContext("/submit_rank", handler(submitRank))
+    srv.createContext("/metrics", handler(_ => metrics))
     srv.createContext("/storage/favourites", handler(storeFavourite))
     srv.createContext("/download_generated_dataset", download _)
     srv.createContext("/update_ontology", handler(updateOntology))
@@ -228,9 +229,18 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
             .getBytes(StandardCharsets.UTF_8))
           out.flush()
         }
+        chainSeq += 1
+        val chainId = s"chain-$chainSeq"
         val tap = new Agents.LlmClient {
           def complete(stage: String, prompt: String): String = {
+            val t0 = System.nanoTime()
             val text = client.complete(stage, prompt)
+            callLogs.synchronized {
+              callLogs += Telemetry.CallLog(chainId, stage, "default",
+                graft.operators.RegexTokenizer.countTokens(prompt).toLong,
+                graft.operators.RegexTokenizer.countTokens(text).toLong,
+                (System.nanoTime() - t0) / 1e9)
+            }
             emit("stage", s"""{"stage":${jstr(stage)},"text":${jstr(text)}}""")
             text
           }
@@ -317,6 +327,31 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
         }
         (200, s"""{"stored":$stored,"rank":$rank}""")
     }
+  }
+
+  // A11 telemetry for the chat surface: every tapped LLM call logs
+  // (chain, stage, tokens, wall time) — the reference's log_manager cost
+  // accounting (log_manager.py:82-122), token counts via the engine's
+  // tokenizer seam rather than a provider SDK
+  private val callLogs =
+    scala.collection.mutable.Buffer.empty[Telemetry.CallLog]
+  private var chainSeq = 0
+
+  /** /metrics: per-stage roll-up of the recorded LLM calls, computed
+    * through the engine's own aggregation surface (Telemetry.toDF +
+    * groupBy — the A11 contract that telemetry IS a query). */
+  private def metrics: (Int, String) = {
+    val logs = callLogs.synchronized(callLogs.toSeq)
+    if (logs.isEmpty) return (200, """{"data":[],"columns":[]}""")
+    import org.apache.spark.sql.functions.{count, lit, round, sum}
+    val perStage = Telemetry.toDF(session.spark, logs)
+      .groupBy("agent")
+      .agg(count(lit(1)).as("n_calls"),
+        sum("promptTokens").as("prompt_tokens"),
+        sum("completionTokens").as("completion_tokens"),
+        round(sum("elapsedS"), 3).as("elapsed_s"))
+      .orderBy("agent")
+    (200, recordsJson(perStage))
   }
 
   /** /storage/favourites: persist a favourited solution as JSON under

@@ -387,6 +387,15 @@ class ExecutorApiSpec extends SparkSpec {
         Some("""{"question":"How many orders per month in 1995?","df_id":"df"}"""))
       assert(c2 == 200 && !s2.contains("\"stage\":\"planner\""), s2)
       assert("\\{\"month\":".r.findAllIn(s2).length == 12, s2)
+
+      // A11 telemetry: per-stage roll-up of the tapped calls — chain 1
+      // called the planner once, chain 2 (memory hit) did not, so the
+      // planner row shows exactly one call across both chains
+      val (mc, mj) = call(port, "/metrics", None)
+      assert(mc == 200, mj)
+      assert(mj.contains("\"agent\":\"planner\",\"n_calls\":1"), mj)
+      assert(mj.contains("\"agent\":\"expert_selector\",\"n_calls\":2"), mj)
+      assert(mj.contains("\"prompt_tokens\""), mj)
     } finally api.stop()
   }
 }
