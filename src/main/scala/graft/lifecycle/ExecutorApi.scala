@@ -253,6 +253,21 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
           for { st <- store; tid <- threadId } {
             st.append(tid, role, content); st.save(tid)
           }
+        // follow-up context: the thread's PRIOR turns (already bounded by
+        // SessionStore's conversation window — the reference's
+        // message_manager eviction) ride into the chain ahead of the
+        // question, so "and per region?" style follow-ups see what they
+        // follow. Captured BEFORE recording the current turn.
+        val qInContext = (store, threadId) match {
+          case (Some(st), Some(tid)) =>
+            st.restore(tid)
+            val prior = st.messages(tid)
+            if (prior.isEmpty) q
+            else "PRIOR CONVERSATION:\n" + prior.map(m =>
+              s"${m.role}: ${m.content}").mkString("\n") +
+              s"\n\nQUESTION: $q"
+          case _ => q
+        }
         record("user", q)
         // active ontology: distill it for THIS question through the
         // dataframe_inspector stage (I6 front-end; the tap makes the
@@ -270,7 +285,7 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
           }
         }
         try {
-          val r = Agents.converse(session, tap, q, dfId, memory,
+          val r = Agents.converse(session, tap, qInContext, dfId, memory,
             planning = planning)
           if (r.repair.df.nonEmpty) lastChain = Some((dfId, r))
           r.repair.df match {

@@ -191,9 +191,15 @@ class ExecutorApiSpec extends SparkSpec {
       "summarizer" -> Seq("Orders peaked mid-1995."))
     val dir = java.nio.file.Paths.get("target/api_threads")
     new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
+    val prompts = scala.collection.mutable.Buffer.empty[(String, String)]
     def mkApi(st: graft.lifecycle.SessionStore) = new ExecutorApi(
       new EngineSession(spark),
-      llm = Some(new graft.lifecycle.Agents.ScriptedLlm(script)),
+      llm = Some(new graft.lifecycle.Agents.LlmClient {
+        private val inner = new graft.lifecycle.Agents.ScriptedLlm(script)
+        def complete(stage: String, prompt: String): String = {
+          prompts += ((stage, prompt)); inner.complete(stage, prompt)
+        }
+      }),
       store = Some(st))
     val api = mkApi(new graft.lifecycle.SessionStore(dir))
     val port = api.start()
@@ -225,6 +231,19 @@ class ExecutorApiSpec extends SparkSpec {
       assert(!call(port, "/search_threads",
         Some("""{"query":"zebra unicorns"}"""))._2.contains(tid))
       assert(call(port, "/load_thread/nope", Some("{}"))._1 == 404)
+
+      // a FOLLOW-UP on the same thread sees the prior turns: the chain's
+      // prompts carry the windowed conversation ahead of the new question
+      // (the first query's prompts did not — the thread was empty)
+      assert(!prompts.exists(_._2.contains("PRIOR CONVERSATION")), "fresh")
+      prompts.clear()
+      val (fc2, _) = call(port, "/query", Some(
+        s"""{"question":"And which month peaked?","df_id":"df","thread_id":"$tid"}"""))
+      assert(fc2 == 200)
+      val expertPrompt = prompts.find(_._1 == "expert_selector").get._2
+      assert(expertPrompt.contains("PRIOR CONVERSATION"), expertPrompt.take(200))
+      assert(expertPrompt.contains("Orders peaked mid-1995."), expertPrompt)
+      assert(expertPrompt.contains("QUESTION: And which month peaked?"))
 
       // persistence: a NEW store over the same dir restores the thread
       api.stop()
