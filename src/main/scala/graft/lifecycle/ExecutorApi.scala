@@ -108,6 +108,11 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
       s"""{"planning":$planning}""")))
     srv.createContext("/get_threads", handler(_ => getThreads))
     srv.createContext("/load_thread/", handlerWithPath(loadThread))
+    srv.createContext("/delete_chain/", handlerWithPath(deleteChain))
+    srv.createContext("/submit_feedback", handler(submitFeedback))
+    srv.createContext("/get_vector_db_status", handler(_ => (200,
+      s"""{"enabled":${memory.nonEmpty},"records":${
+        memory.map(_.size).getOrElse(0)}}""")))
     srv.createContext("/new_conversation", handler(_ => newConversation))
     srv.createContext("/search_threads", handler(searchThreads))
     srv.createContext("/file_utils/upload_aux_dataset", handler(auxUpload))
@@ -515,6 +520,35 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
             .mkString("[", ",", "]")}}""")
       }
     }
+
+  /** /delete_chain/<thread_id>: drop the thread from memory and disk
+    * (app.py:1271-1311; the engine's threads are chain-granular). */
+  private def deleteChain(path: String, body: String): (Int, String) =
+    withStore { st =>
+      val id = path.stripPrefix("/delete_chain/")
+      if (id.isEmpty || id.contains("/")) (400, err("thread id required"))
+      else if (st.delete(id)) (200, """{"message":"Chain deleted."}""")
+      else (404, err("thread not found"))
+    }
+
+  /** /submit_feedback: persist user feedback as JSON under
+    * `<dataDir>/feedback/` (app.py:1318-1359 — flat append-only records). */
+  private def submitFeedback(body: String): (Int, String) = {
+    val text = HttpLlm.extractField(body, "feedback").getOrElse("")
+    if (text.isEmpty) return (400, err("No feedback provided"))
+    val rating = numField(body, "rating").getOrElse(0L)
+    val dir = dataDir.resolve("feedback")
+    java.nio.file.Files.createDirectories(dir)
+    val file = dir.resolve(s"feedback-${feedbackSeq.incrementAndGet()}.json")
+    java.nio.file.Files.writeString(file,
+      s"""{"feedback":${jstr(text)},"rating":$rating}""")
+    (200, s"""{"message":"Feedback submitted.","filename":${jstr(file.toString)}}""")
+  }
+
+  // seeded past any existing records so restarts append, never overwrite
+  private val feedbackSeq = new java.util.concurrent.atomic.AtomicLong(
+    Option(dataDir.resolve("feedback").toFile.listFiles())
+      .map(_.length.toLong).getOrElse(0L))
 
   private def newConversation: (Int, String) = withStore { _ =>
     (200, s"""{"thread_id":${jstr("thread-" +

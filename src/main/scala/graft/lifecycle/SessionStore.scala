@@ -103,4 +103,13 @@ final class SessionStore(root: Path) {
     * the union with [[threadIds]] is the full thread listing the web
     * surface serves (app.py:1062-1150 lists stored chains). */
   def liveThreadIds: Seq[String] = threads.keys.toSeq.sorted
+
+  /** Remove a thread from memory AND disk (app.py:1271-1311 delete_chain).
+    * Returns false when the thread existed in neither. */
+  def delete(threadId: String): Boolean = {
+    val hadLive = threads.remove(threadId).nonEmpty
+    val p = root.resolve(s"$threadId.json")
+    val hadFile = Files.deleteIfExists(p)
+    hadLive || hadFile
+  }
 }

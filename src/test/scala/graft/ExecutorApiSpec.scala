@@ -232,6 +232,17 @@ class ExecutorApiSpec extends SparkSpec {
         Some("""{"query":"zebra unicorns"}"""))._2.contains(tid))
       assert(call(port, "/load_thread/nope", Some("{}"))._1 == 404)
 
+      // delete_chain removes memory + disk; a reload then 404s
+      val (nc2, nb2) = call(port, "/new_conversation", Some("{}"))
+      val tid2 = "\"thread_id\":\"([^\"]+)\"".r
+        .findFirstMatchIn(nb2).get.group(1)
+      call(port, "/query", Some(
+        s"""{"question":"How many orders per month in 1995?","df_id":"df","thread_id":"$tid2"}"""))
+      assert(call(port, s"/load_thread/$tid2", Some("{}"))._1 == 200)
+      assert(call(port, s"/delete_chain/$tid2", Some("{}"))._1 == 200)
+      assert(call(port, s"/load_thread/$tid2", Some("{}"))._1 == 404)
+      assert(call(port, s"/delete_chain/$tid2", Some("{}"))._1 == 404)
+
       // a FOLLOW-UP on the same thread sees the prior turns: the chain's
       // prompts carry the windowed conversation ahead of the new question
       // (the first query's prompts did not — the thread was empty)
@@ -273,6 +284,16 @@ class ExecutorApiSpec extends SparkSpec {
       val saved = java.nio.file.Files.readString(files.head.toPath)
       assert(saved.contains("\"rank\":9") && saved.contains("updated"), saved)
       assert(call(port, "/storage/favourites", Some("{}"))._1 == 400)
+
+      // feedback records append-only; the vector-db status reports memory
+      val (fbc, fbb) = call(port, "/submit_feedback",
+        Some("""{"feedback":"great answer","rating":5}"""))
+      assert(fbc == 200 && fbb.contains("feedback-1.json"), fbb)
+      call(port, "/submit_feedback", Some("""{"feedback":"second","rating":3}"""))
+      assert(dataDir.resolve("feedback").toFile.listFiles().length == 2)
+      assert(call(port, "/submit_feedback", Some("{}"))._1 == 400)
+      assert(call(port, "/get_vector_db_status", None)._2
+        .contains("\"enabled\":false"))
 
       // download: header + rows stream as CSV, bounded by max_rows
       call(port, "/upload_dataset",
