@@ -545,10 +545,16 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
     (200, s"""{"message":"Feedback submitted.","filename":${jstr(file.toString)}}""")
   }
 
-  // seeded past any existing records so restarts append, never overwrite
+  // seeded past the HIGHEST existing record index (not the file count —
+  // after deletions a count-based seed lands inside the surviving range
+  // and overwrites a record) so restarts append, never overwrite
   private val feedbackSeq = new java.util.concurrent.atomic.AtomicLong(
     Option(dataDir.resolve("feedback").toFile.listFiles())
-      .map(_.length.toLong).getOrElse(0L))
+      .map(_.flatMap(f =>
+        "feedback-([0-9]+)\\.json".r.findFirstMatchIn(f.getName)
+          .map(_.group(1).toLong))
+        .foldLeft(0L)(math.max))
+      .getOrElse(0L))
 
   private def newConversation: (Int, String) = withStore { _ =>
     (200, s"""{"thread_id":${jstr("thread-" +

@@ -322,10 +322,18 @@ object Multimodal {
           "-i", in.toString, "-vf", "fps=1", "-frames:v", MaxFrames.toString,
           "-f", "image2", dir.resolve("frame%03d.jpg").toString)
           .redirectErrorStream(true).start()
-        p.getInputStream.readAllBytes() // drain so ffmpeg can't block
+        // drain on a daemon thread: a blocking readAllBytes here would run
+        // BEFORE the timed waitFor, so an ffmpeg that stalls without
+        // closing stdout would hang the task and the kill could never fire
+        val drain = new Thread(() =>
+          try p.getInputStream.readAllBytes()
+          catch { case _: java.io.IOException => () })
+        drain.setDaemon(true)
+        drain.start()
         if (!p.waitFor(KillAfterSec, java.util.concurrent.TimeUnit.SECONDS)) {
           p.destroyForcibly(); return None
         }
+        drain.join(1000)
         val frames = java.nio.file.Files.list(dir).iterator().asScala
           .filter(_.getFileName.toString.startsWith("frame"))
           .toSeq.sortBy(_.getFileName.toString)

@@ -125,8 +125,13 @@ object OperatingPoint {
     * holding ≥64 training points per centroid: one doubling of Kc per
     * doubling of corpus past the anchor. M stays at dim/8 granularity —
     * subspace width is geometry (dim must divide), not corpus size. */
-  def pqCodebookSize(n: Long): Int =
-    clamp(16 << extraBits(n, 2000L), 16, math.min(256, (n / 64L).toInt max 16))
+  def pqCodebookSize(n: Long): Int = {
+    // shift capped at the ceiling's exponent (256 = 16 << 4): an uncapped
+    // `16 << extraBits` wraps past 2^31 around n ≈ 2.7e11 — the 100 TB
+    // embedding-corpus regime — and the clamp would collapse to the FLOOR
+    val kcRaw = 16 << math.min(4, extraBits(n, 2000L))
+    clamp(kcRaw, 16, math.min(256L, math.max(16L, n / 64L)).toInt)
+  }
 
   /** Join-strategy knob for the banded self-joins: once the banded side
     * (n·bands rows carrying the dim-double vector) outgrows a

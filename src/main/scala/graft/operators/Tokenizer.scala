@@ -86,12 +86,15 @@ final class BpeTokenizer(ranks: Map[(String, String), Int]) extends Tokenizer {
 
 object Tokenizer {
 
-  /** Parse a GPT-2-format merges file already read into lines (`#`-prefixed
-    * and blank lines skipped; rank = surviving line order). Exposed for
-    * specs; [[fromMergesFile]] is the path form. */
+  /** Parse a GPT-2-format merges file already read into lines (the
+    * `#version` header and blank lines skipped; rank = surviving line
+    * order). Only the version header is treated as a comment — a merge
+    * whose FIRST SYMBOL is a literal '#' is a legitimate line in real
+    * GPT-2 merges files and must keep its rank. Exposed for specs;
+    * [[fromMergesFile]] is the path form. */
   def fromMergesLines(lines: Iterator[String]): BpeTokenizer = {
     val ranks = lines.map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .filter(l => l.nonEmpty && !l.startsWith("#version"))
       .zipWithIndex
       .map { case (l, i) =>
         val sp = l.indexOf(' ')

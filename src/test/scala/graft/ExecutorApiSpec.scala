@@ -292,6 +292,19 @@ class ExecutorApiSpec extends SparkSpec {
       call(port, "/submit_feedback", Some("""{"feedback":"second","rating":3}"""))
       assert(dataDir.resolve("feedback").toFile.listFiles().length == 2)
       assert(call(port, "/submit_feedback", Some("{}"))._1 == 400)
+      // restart seeding is max-index-based: with feedback-1 deleted a
+      // count-based seed would write feedback-2.json again and overwrite
+      java.nio.file.Files.delete(dataDir.resolve("feedback/feedback-1.json"))
+      val api3 = new ExecutorApi(new EngineSession(spark), dataDir = dataDir)
+      val port3 = api3.start()
+      try {
+        val (_, fb3) = call(port3, "/submit_feedback",
+          Some("""{"feedback":"after restart","rating":4}"""))
+        assert(fb3.contains("feedback-3.json"), fb3)
+        val second = java.nio.file.Files.readString(
+          dataDir.resolve("feedback/feedback-2.json"))
+        assert(second.contains("second"), second)
+      } finally api3.stop()
       assert(call(port, "/get_vector_db_status", None)._2
         .contains("\"enabled\":false"))
 

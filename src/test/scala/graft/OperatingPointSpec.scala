@@ -41,6 +41,11 @@ class OperatingPointSpec extends SparkSpec {
     assert(OperatingPoint.pqCodebookSize(200000) == 256) // byte-code ceiling
     // the training-density guard: growth can never outrun 64 points/code
     assert(OperatingPoint.pqCodebookSize(8000) <= 8000 / 64)
+    // 100 TB regime: an uncapped 16<<extraBits wraps Int past n≈2.7e11
+    // and would collapse the derivation to the FLOOR at exactly the scale
+    // the ceiling exists for
+    assert(OperatingPoint.pqCodebookSize(300000000000L) == 256)
+    assert(OperatingPoint.pqCodebookSize(Long.MaxValue / 2) == 256)
   }
 
   test("cluster index parts: ~1k docs/bucket in pow2 steps, floor 64, cap 64k") {

@@ -43,6 +43,14 @@ class TokenizerSpec extends SparkSpec {
     }
   }
 
+  test("only the #version header is a comment — a '#'-symbol merge keeps its rank") {
+    // real GPT-2 merges files contain lines whose first symbol is a
+    // literal '#'; a blanket '#'-prefix filter would silently drop them
+    val tok = Tokenizer.fromMergesLines(Iterator("#version: 0.2", "# #"))
+    assert(tok.tokenize("##") == Seq("##"))
+    assert(tok.tokenize("###") == Seq("##", "#"))
+  }
+
   test("regex default matches t5's count column row-for-row") {
     val docs = Q.documents(spark, sf)
     val viaSeam = Tokenizer.tokenCountWith(docs, RegexTokenizer)
