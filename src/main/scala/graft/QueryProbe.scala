@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Focused single-query timing harness: `runMain graft.QueryProbe <name>
+  * [sfDir] [runs]` times one SparkEntry query repeatedly under the Bench
+  * defaults (median of N is the number to trust — single runs drift ±20%
+  * on this box, BASELINE.md §4). For A/B-ing one operator's plan variants
+  * without paying a full Bench sweep.
+  */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = SparkEntry.queries(name)
+    fn(spark, sfDir).count() // warmup (codegen + JIT + footers)
+    val times = (1 to runs).map { i =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"$name run $i: $dt%.3f s ($n rows)")
+      dt
+    }.sorted
+    println(f"$name median: ${times(times.length / 2)}%.3f s " +
+      f"spread: ${times.last - times.head}%.3f s")
+    spark.stop()
+  }
+}

@@ -110,6 +110,7 @@ object SparkEntry {
     "t8_repetition" -> TextOps.repetition,
     "t9_pii_redaction" -> TextOps.piiRedaction,
     "t10_domain_caps" -> TextOps.domainCaps,
+    "t11_sequence_pack" -> TextOps.sequencePack,
     "c2_mixture_weights" -> TextOps.mixtureWeights,
     // dedup pipeline (D-ops + MinHash/LSH/SimHash)
     "dd1_exact_dedup" -> DedupOps.exactDedup,
@@ -120,6 +121,7 @@ object SparkEntry {
     "dd6_simhash_pairs" -> DedupOps.simhashPairs,
     "dd7_dup_clusters" -> DedupOps.dupClusters,
     "dd8_cluster_retention" -> DedupOps.clusterRetention,
+    "dd9_span_grams" -> DedupOps.spanGrams,
     "c1_curation_funnel" -> DedupOps.curationFunnel,
     // multimodal plumbing (binary payload + typed metadata + stub decode)
     "mm1_media_features" -> ((s, d) => Multimodal.featureFrame(s, d)
@@ -491,6 +493,7 @@ object SparkEntry {
     "t8_repetition" -> TextOps.oracle("t8_repetition"),
     "t9_pii_redaction" -> TextOps.oracle("t9_pii_redaction"),
     "t10_domain_caps" -> TextOps.oracle("t10_domain_caps"),
+    "t11_sequence_pack" -> TextOps.oracle("t11_sequence_pack"),
     "c2_mixture_weights" -> TextOps.oracle("c2_mixture_weights"),
     "dd1_exact_dedup" -> DedupOps.exactDedupOracle,
     "dd2_minhash_bands" -> DedupOps.minhashBandsOracle,
@@ -500,6 +503,7 @@ object SparkEntry {
     "dd6_simhash_pairs" -> DedupOps.simhashPairsOracle,
     "dd7_dup_clusters" -> DedupOps.dupClustersOracle,
     "dd8_cluster_retention" -> DedupOps.clusterRetentionOracle,
+    "dd9_span_grams" -> DedupOps.spanGramsOracle,
     "c1_curation_funnel" -> DedupOps.curationFunnelOracle,
     "v5_ivf_assign" -> VectorOps.kmeansIvfAssignOracle,
     "v6_rp_lsh_neardup" -> VectorOps.rpLshNearDupOracle,

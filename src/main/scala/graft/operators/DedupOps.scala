@@ -631,4 +631,87 @@ object DedupOps {
        | ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""".stripMargin
   }
+
+  // ---- span-level (substring) dedup ----
+
+  /** Span-gram geometry: 50-char grams, content-defined 1-in-16 selection
+    * (an md5 whose first hex nibble is '0'). Selection keyed on CONTENT,
+    * not position, is what makes the detector alignment-robust: the same
+    * span selects the same grams wherever it sits in a document, so two
+    * documents sharing a span agree on its selected grams without any
+    * offset alignment — the winnowing/CDC principle (public practice). */
+  private val SpanGram = 50
+  /** Planted boilerplate (the archetypal shared span: site chrome that
+    * crawls smear across pages) appended to every 19th doc so cross-doc
+    * hits exist at every sf — and, at 219 chars, long enough that several
+    * of its grams pass the 1/16 content-defined selection. */
+  private[graft] val SpanBoiler =
+    "subscribe to our newsletter for weekly updates and exclusive offers " +
+      "terms of service privacy policy cookie settings all rights reserved " +
+      "follow us on social media contact support for help with your account today"
+
+  /** dd9: cross-document repeated-SPAN detection — the span-level dedup
+    * modality the doc-level family (dd1 exact, dd2/dd3 MinHash, dd4/dd6
+    * SimHash, v3/v6 embedding) cannot see: two long documents sharing one
+    * boilerplate paragraph are nowhere near each other as WHOLE docs, but
+    * the shared span still leaks verbatim into training data (the
+    * exact-substring-dedup motivation of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 — their
+    * suffix-array formulation is single-machine; this is the
+    * hash-inventory form that distributes).
+    *
+    * Pipeline: every 50-char gram of every document is hashed; grams are
+    * SELECTED content-defined (1/16 of hash space), so selection is
+    * alignment-invariant; one groupBy over the selected gram stream counts
+    * distinct carrying docs; grams carried by ≥2 docs come back joined to
+    * their per-doc offsets — a manifest of (doc, offset) span hits with
+    * `is_foreign` marking copies outside the span's first-carrier doc
+    * (the rows a span-removal pass would cut).
+    *
+    * Scale: the per-offset md5 makes the fixture form oracle-able (the
+    * same shape t4's winnowing-lite fingerprint uses); at 100 TB the gram
+    * hash becomes a rolling Karp-Rabin codegen Expression (O(len) per doc
+    * instead of O(len·G) — same selection semantics, no oracle), the
+    * selected stream is 1/16 of corpus chars, and the inventory groupBy is
+    * ONE shuffle of that stream with map-side combine. Raising the
+    * selection modulus trades recall for stream size the way every LSH
+    * knob here does ([[OperatingPoint]] pattern). */
+  def spanGrams: Q = (s, d) => {
+    val g = SpanGram
+    val corpus = documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 19 === 0, concat(col("text"), lit(" " + SpanBoiler)))
+        .otherwise(col("text")).as("text"))
+    // gram hashing + selection run fused in one native loop per document
+    // ([[graft.functions.SpanGramHits]]): the transform/filter lambda form
+    // is interpreted per element and hex-encodes every discarded gram —
+    // measured 4.6 s vs 1.0 s at sf0.1 for identical output
+    graft.functions.SpanGramHits.register(s, g)
+    val grams = corpus.select(col("doc_id"),
+        explode(expr("span_gram_hits(text)")).as("x"))
+      .select(col("doc_id"), col("x.off"), col("x.gh"))
+    val shared = grams.groupBy("gh")
+      .agg(countDistinct("doc_id").as("n_docs"), min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+    grams.join(shared, "gh")
+      .select(col("doc_id"), col("off"), col("gh"), col("n_docs"),
+        col("first_doc"),
+        (col("doc_id") =!= col("first_doc")).as("is_foreign"))
+  }
+
+  val spanGramsOracle: String =
+    s"""WITH corpus AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 19 = 0 THEN text || ' $SpanBoiler'
+       |   ELSE text END AS text FROM documents),
+       | grams AS (SELECT doc_id, CAST(i AS INTEGER) AS off,
+       |   md5(substring(text, i, $SpanGram)) AS gh
+       |  FROM corpus,
+       |   UNNEST(range(1, greatest(length(text) - ${SpanGram - 1}, 1) + 1))
+       |    AS r(i)
+       |  WHERE substring(md5(substring(text, i, $SpanGram)), 1, 1) = '0'),
+       | shared AS (SELECT gh, count(DISTINCT doc_id) AS n_docs,
+       |   min(doc_id) AS first_doc
+       |  FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2)
+       |SELECT g.doc_id, g.off, g.gh, s.n_docs, s.first_doc,
+       | g.doc_id <> s.first_doc AS is_foreign
+       |FROM grams g JOIN shared s USING (gh)""".stripMargin
 }

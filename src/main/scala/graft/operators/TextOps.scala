@@ -322,9 +322,71 @@ object TextOps {
       .drop("total_docs")
   }
 
+  /** t11 packing geometry: training-sequence token capacity and the shard
+    * count the fixture gate pins (production derives shards from the
+    * cluster's parallelism — see [[sequencePack]]'s scale note). */
+  private[graft] val PackSeqLen = 2048
+  private[graft] val PackShards = 8
+
+  /** t11: sequence packing — the concat-and-chunk step that turns a curated
+    * corpus into fixed-capacity training sequences (GPT-style pretraining
+    * packing, public practice: documents are concatenated in a fixed order
+    * and the token stream is cut every L tokens, so sequences are full by
+    * construction and a document can straddle a cut). The output is the
+    * packing MANIFEST every downstream loader needs: for each document its
+    * token count, its start offset in the shard's token stream, the
+    * sequence its first token lands in, and how many sequences it spans
+    * (straddle count) — deterministic integer arithmetic end to end.
+    *
+    * Scale shape: a GLOBAL concatenation order would be a single-partition
+    * window — the one shape this library never ships. Packing is instead
+    * per-SHARD (shard = doc_id mod S here; any corpus hash works): each
+    * shard's running-offset cumsum is an independent window partition, so
+    * the plan is one hash shuffle on the shard key and S-way parallel
+    * cumsums, and sequences are shard-local (seq ids only need to be
+    * unique within a shard — loaders consume shards independently, the
+    * same reason production packers shard first). At 100 TB, S scales with
+    * the cluster (thousands of shards ≈ thousands of independent packing
+    * streams); the fixture pins S=8 so the DuckDB oracle mirrors the exact
+    * geometry. The reference has no packing surface (training-data
+    * extension). */
+  def sequencePack: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$BpeTokenRegex', 0)"))
+          .as("n_tokens"))
+      .withColumn("shard", (col("doc_id") % PackShards).cast("int"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("start_off",
+        coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("start_off") / PackSeqLen))
+      .withColumn("n_seqs",
+        when(col("n_tokens") === 0, lit(1L)).otherwise(
+          floor((col("start_off") + col("n_tokens") - lit(1)) / PackSeqLen)
+            - col("seq_id") + lit(1)))
+      .select("doc_id", "shard", "n_tokens", "start_off", "seq_id", "n_seqs")
+  }
+
   // ---- DuckDB oracle SQL ----
 
   val oracle: Map[String, String] = Map(
+    "t11_sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(doc_id % 8 AS INTEGER) AS shard,
+         |  CAST(len(regexp_extract_all(text, '$BpeTokenRegex')) AS INTEGER)
+         |   AS n_tokens
+         | FROM documents),
+         | o AS (SELECT *, CAST(COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (
+         |    PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |   AS start_off FROM t)
+         |SELECT doc_id, shard, n_tokens, start_off,
+         | CAST(floor(start_off / 2048.0) AS BIGINT) AS seq_id,
+         | CASE WHEN n_tokens = 0 THEN CAST(1 AS BIGINT)
+         |  ELSE CAST(floor((start_off + n_tokens - 1) / 2048.0) AS BIGINT)
+         |   - CAST(floor(start_off / 2048.0) AS BIGINT) + 1 END AS n_seqs
+         |FROM o""".stripMargin,
     "t10_domain_caps" ->
       """SELECT * FROM (SELECT doc_id, source, n_chars,
         |  CAST(row_number() OVER (PARTITION BY source

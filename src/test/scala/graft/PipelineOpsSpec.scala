@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
-import graft.operators.{Relational, TextOps, VectorOps}
+import graft.operators.{DedupOps, Relational, TextOps, VectorOps}
 
 /** Invariants for the round-2 pipeline operators (beyond the DuckDB
   * hash-match): structural properties that must hold at any scale. */
@@ -150,6 +150,78 @@ class PipelineOpsSpec extends SparkSpec {
     }
     // oversample flag is exactly weight > 1
     rows.foreach(r => assert(r.getBoolean(6) == (r.getDouble(5) > 1.0)))
+  }
+
+  test("t11 sequence pack: shard-local offsets are exact prefix sums, no single-partition window") {
+    val df = TextOps.sequencePack(spark, sf)
+    // the packing cumsum must partition by shard — a global concatenation
+    // order would plan a SinglePartition exchange, the anti-pattern the
+    // operator exists to avoid
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+    val rows = df.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // within each shard, offsets in doc_id order are the exclusive prefix
+    // sum of token counts: contiguous, gapless packing
+    rows.groupBy(_._2).values.foreach { g =>
+      val inOrder = g.sortBy(_._1)
+      var off = 0L
+      inOrder.foreach { case (_, _, n, start, seqId, nSeqs) =>
+        assert(start == off, s"offset gap at $start vs $off")
+        assert(seqId == start / TextOps.PackSeqLen)
+        val lastTok = if (n == 0) start else start + n - 1
+        assert(nSeqs == math.max(1L,
+          lastTok / TextOps.PackSeqLen - seqId + 1))
+        off += n
+      }
+    }
+    // straddling documents exist at this sf (the manifest's reason to
+    // carry n_seqs at all) and every count is positive
+    assert(rows.exists(_._6 > 1))
+    assert(rows.forall(_._6 >= 1))
+  }
+
+  test("dd9 span grams: planted boilerplate detected alignment-free across docs") {
+    val rows = DedupOps.spanGrams(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty, "no shared span grams found — planted boilerplate missed")
+    // per gram: n_docs counts distinct carriers, first_doc is the min
+    // carrier, is_foreign flags exactly the non-first carriers
+    rows.groupBy(_._3).values.foreach { g =>
+      val docs = g.map(_._1).distinct.sorted
+      assert(docs.length >= 2)
+      g.foreach { case (doc, _, _, n, fd, foreign) =>
+        assert(n == docs.length && fd == docs.head && foreign == (doc != fd))
+      }
+    }
+    // alignment robustness — the reason selection is content-defined: the
+    // SAME gram is found at DIFFERENT offsets in different docs (the
+    // planted boilerplate starts wherever each host doc happens to end)
+    assert(rows.groupBy(_._3).values.exists(g => g.map(_._2).distinct.length >= 2))
+  }
+
+  test("span gram expression matches the SQL lambda form, incl. non-ASCII and short docs") {
+    import spark.implicits._
+    val boiler = "x" * 60
+    val docs = Seq(
+      (1L, "short"),                              // shorter than one gram
+      (2L, ("the quick brown fox " * 20) + boiler),
+      (3L, ("lorem ipsum dolor sit amet " * 15) + boiler),
+      (4L, "héllo wörld ünïcode çhars — " * 12)   // multi-byte fallback path
+    ).toDF("doc_id", "text")
+    graft.functions.SpanGramHits.register(spark, 50)
+    val viaExpr = docs.select(col("doc_id"),
+        explode(expr("span_gram_hits(text)")).as("x"))
+      .select(col("doc_id"), col("x.off"), col("x.gh"))
+    val viaSql = docs.select(col("doc_id"),
+        explode(expr(
+          """filter(transform(sequence(1, greatest(length(text) - 49, 1)),
+            | i -> struct(i AS off, md5(substring(text, i, 50)) AS gh)),
+            | x -> substring(x.gh, 1, 1) = '0')""".stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.off"), col("x.gh"))
+    assert(viaExpr.exceptAll(viaSql).isEmpty && viaSql.exceptAll(viaExpr).isEmpty)
+    assert(viaExpr.count() > 0) // the fixture actually exercises selection
   }
 
   test("s3 session windows agree with w8 sessionize on session count per user") {
