@@ -111,7 +111,9 @@ object SparkEntry {
     "t9_pii_redaction" -> TextOps.piiRedaction,
     "t10_domain_caps" -> TextOps.domainCaps,
     "t11_sequence_pack" -> TextOps.sequencePack,
+    "t12_split_assign" -> TextOps.splitAssign,
     "c2_mixture_weights" -> TextOps.mixtureWeights,
+    "c3_quality_lr" -> TextOps.qualityLr,
     // dedup pipeline (D-ops + MinHash/LSH/SimHash)
     "dd1_exact_dedup" -> DedupOps.exactDedup,
     "dd2_minhash_bands" -> DedupOps.minhashBands,
@@ -122,6 +124,7 @@ object SparkEntry {
     "dd7_dup_clusters" -> DedupOps.dupClusters,
     "dd8_cluster_retention" -> DedupOps.clusterRetention,
     "dd9_span_grams" -> DedupOps.spanGrams,
+    "dd10_span_scrub" -> DedupOps.spanScrub,
     "c1_curation_funnel" -> DedupOps.curationFunnel,
     // multimodal plumbing (binary payload + typed metadata + stub decode)
     "mm1_media_features" -> ((s, d) => Multimodal.featureFrame(s, d)
@@ -494,7 +497,9 @@ object SparkEntry {
     "t9_pii_redaction" -> TextOps.oracle("t9_pii_redaction"),
     "t10_domain_caps" -> TextOps.oracle("t10_domain_caps"),
     "t11_sequence_pack" -> TextOps.oracle("t11_sequence_pack"),
+    "t12_split_assign" -> TextOps.oracle("t12_split_assign"),
     "c2_mixture_weights" -> TextOps.oracle("c2_mixture_weights"),
+    "c3_quality_lr" -> TextOps.oracle("c3_quality_lr"),
     "dd1_exact_dedup" -> DedupOps.exactDedupOracle,
     "dd2_minhash_bands" -> DedupOps.minhashBandsOracle,
     "dd3_lsh_jaccard_pairs" -> DedupOps.lshJaccardPairsOracle,
@@ -504,6 +509,7 @@ object SparkEntry {
     "dd7_dup_clusters" -> DedupOps.dupClustersOracle,
     "dd8_cluster_retention" -> DedupOps.clusterRetentionOracle,
     "dd9_span_grams" -> DedupOps.spanGramsOracle,
+    "dd10_span_scrub" -> DedupOps.spanScrubOracle,
     "c1_curation_funnel" -> DedupOps.curationFunnelOracle,
     "v5_ivf_assign" -> VectorOps.kmeansIvfAssignOracle,
     "v6_rp_lsh_neardup" -> VectorOps.rpLshNearDupOracle,

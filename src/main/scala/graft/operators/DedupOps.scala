@@ -698,6 +698,29 @@ object DedupOps {
         (col("doc_id") =!= col("first_doc")).as("is_foreign"))
   }
 
+  /** dd9's 100 TB form: the identical inventory pipeline over
+    * [[graft.functions.RollingGramHits]] — O(len) Karp-Rabin gram hashing
+    * instead of O(len·G) per-window md5. Hash values differ from the md5
+    * form so there is no DuckDB oracle; PipelineOpsSpec gates it on the
+    * boiler fixture (every planted carrier pair agrees on the shared
+    * span's grams) and ScaleProbe A/Bs it against [[spanGrams]]. */
+  def spanGramsRolling: Q = (s, d) => {
+    val corpus = documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 19 === 0, concat(col("text"), lit(" " + SpanBoiler)))
+        .otherwise(col("text")).as("text"))
+    graft.functions.RollingGramHits.register(s, SpanGram, 4)
+    val grams = corpus.select(col("doc_id"),
+        explode(expr("rolling_gram_hits(text)")).as("x"))
+      .select(col("doc_id"), col("x.off"), col("x.gh"))
+    val shared = grams.groupBy("gh")
+      .agg(countDistinct("doc_id").as("n_docs"), min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+    grams.join(shared, "gh")
+      .select(col("doc_id"), col("off"), col("gh"), col("n_docs"),
+        col("first_doc"),
+        (col("doc_id") =!= col("first_doc")).as("is_foreign"))
+  }
+
   val spanGramsOracle: String =
     s"""WITH corpus AS (SELECT doc_id,
        |  CASE WHEN doc_id % 19 = 0 THEN text || ' $SpanBoiler'
@@ -714,4 +737,99 @@ object DedupOps {
        |SELECT g.doc_id, g.off, g.gh, s.n_docs, s.first_doc,
        | g.doc_id <> s.first_doc AS is_foreign
        |FROM grams g JOIN shared s USING (gh)""".stripMargin
+
+  /** dd10: span SCRUB — the removal pass [[spanGrams]]'s manifest exists
+    * for (Lee et al. cut the duplicated substrings, not the documents).
+    * Foreign gram hits are merged gaps-and-islands into disjoint char
+    * intervals [a, b) per doc (overlapping/adjacent 50-char windows of one
+    * shared span collapse to one interval), the intervals are cut from the
+    * text, and the result row carries the cut accounting plus an md5 of the
+    * cleaned text so the oracle pins the SURGERY, not just the counts.
+    *
+    * Scale shape: the hit stream is the 1/16-selected shared-gram subset —
+    * tiny next to the corpus — so both windows (running-max island break,
+    * island id cumsum) and the interval groupBy run over hits only; the one
+    * corpus-sized operation is the final join of per-doc interval ARRAYS
+    * back to text (hash join on doc_id; the interval side is
+    * affected-docs-only and broadcastable). Only affected docs are
+    * returned — the unaffected corpus never shuffles. The cut itself is one
+    * `aggregate` lambda walking the sorted intervals left to right, O(len)
+    * per doc. Invariant pinned by PipelineOpsSpec: clean_len =
+    * length(text) − chars_cut, and no scrubbed doc retains the planted
+    * boilerplate. */
+  def spanScrub: Q = (s, d) => {
+    val g = SpanGram
+    val corpus = documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 19 === 0, concat(col("text"), lit(" " + SpanBoiler)))
+        .otherwise(col("text")).as("text"))
+    val hits = spanGrams(s, d).filter(col("is_foreign"))
+      .select(col("doc_id"), col("off"))
+    val w = Window.partitionBy("doc_id").orderBy("off")
+    val ivs = hits
+      .withColumn("prev_end", max(col("off") + g)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        (col("prev_end").isNull || col("off") > col("prev_end")).cast("int"))
+      .withColumn("isl", sum("brk").over(w))
+      .groupBy("doc_id", "isl")
+      .agg(min("off").as("a"), (max("off") + g).as("b"))
+    val perDoc = ivs.groupBy("doc_id").agg(
+      sort_array(collect_list(struct(col("a"), col("b")))).as("ivs"),
+      count(lit(1)).cast("int").as("n_cut_spans"),
+      sum(col("b") - col("a")).cast("long").as("chars_cut"))
+    corpus.join(perDoc, "doc_id")
+      .withColumn("clean_text", expr(
+        """aggregate(ivs,
+          |  named_struct('t', cast('' as string), 'p', 1),
+          |  (acc, iv) -> named_struct(
+          |    't', concat(acc.t, substring(text, acc.p, iv.a - acc.p)),
+          |    'p', iv.b),
+          |  acc -> concat(acc.t,
+          |    substring(text, acc.p, greatest(length(text) - acc.p + 1, 0))))"""
+          .stripMargin))
+      .select(col("doc_id"), col("n_cut_spans"), col("chars_cut"),
+        length(col("clean_text")).as("clean_len"),
+        md5(col("clean_text")).as("clean_md5"))
+  }
+
+  val spanScrubOracle: String =
+    s"""WITH corpus AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 19 = 0 THEN text || ' $SpanBoiler'
+       |   ELSE text END AS text FROM documents),
+       | grams AS (SELECT doc_id, CAST(i AS INTEGER) AS off,
+       |   md5(substring(text, i, $SpanGram)) AS gh
+       |  FROM corpus,
+       |   UNNEST(range(1, greatest(length(text) - ${SpanGram - 1}, 1) + 1))
+       |    AS r(i)
+       |  WHERE substring(md5(substring(text, i, $SpanGram)), 1, 1) = '0'),
+       | shared AS (SELECT gh, min(doc_id) AS first_doc FROM grams
+       |  GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+       | hits AS (SELECT g.doc_id, g.off FROM grams g
+       |  JOIN shared s USING (gh) WHERE g.doc_id <> s.first_doc),
+       | brks AS (SELECT doc_id, off,
+       |   CASE WHEN max(off + $SpanGram) OVER (PARTITION BY doc_id
+       |      ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |     IS NULL OR off > max(off + $SpanGram) OVER (PARTITION BY doc_id
+       |      ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    THEN 1 ELSE 0 END AS brk FROM hits),
+       | isl AS (SELECT doc_id, off, sum(brk) OVER (PARTITION BY doc_id
+       |    ORDER BY off) AS isl FROM brks),
+       | ivs AS (SELECT doc_id, isl, min(off) AS a,
+       |   max(off) + $SpanGram AS b FROM isl GROUP BY doc_id, isl),
+       | segs AS (SELECT doc_id,
+       |   COALESCE(lag(b) OVER (PARTITION BY doc_id ORDER BY a), 1) AS p,
+       |   a AS q FROM ivs
+       |  UNION ALL
+       |  SELECT i.doc_id, max(i.b) AS p, max(length(c.text)) + 1 AS q
+       |  FROM ivs i JOIN corpus c USING (doc_id) GROUP BY i.doc_id),
+       | clean AS (SELECT s.doc_id,
+       |   string_agg(substring(c.text, s.p, greatest(s.q - s.p, 0)),
+       |     '' ORDER BY s.p) AS clean_text
+       |  FROM segs s JOIN corpus c USING (doc_id) GROUP BY s.doc_id),
+       | acct AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_cut_spans,
+       |   CAST(sum(b - a) AS BIGINT) AS chars_cut FROM ivs GROUP BY doc_id)
+       |SELECT a.doc_id, a.n_cut_spans, a.chars_cut,
+       | CAST(length(cl.clean_text) AS INTEGER) AS clean_len,
+       | md5(cl.clean_text) AS clean_md5
+       |FROM acct a JOIN clean cl USING (doc_id)""".stripMargin
 }

@@ -368,6 +368,49 @@ object TextOps {
       .select("doc_id", "shard", "n_tokens", "start_off", "seq_id", "n_seqs")
   }
 
+  /** t12: deterministic train/val/test split assignment — hash of the doc
+    * id (salted so it is INDEPENDENT of t6's sampling buckets: the same
+    * md5-prefix arithmetic on a different key must not correlate decisions
+    * across operators) into 1000 buckets, carved 98/1/1. Hash-based
+    * assignment is the only split that survives a distributed pipeline:
+    * it is reproducible run-to-run, stable under re-partitioning and
+    * corpus append (a new doc's split never depends on what else is in
+    * the batch), and leakage-free by construction — `rand()`-based splits
+    * are none of these. Narrow map-side projection; no shuffle. */
+  def splitAssign: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(concat('split:', cast(doc_id as string))), " +
+          "1, 12), 16, 10) as bigint) % 1000"))
+      .withColumn("split",
+        when(col("bucket") < 980, "train")
+          .when(col("bucket") < 990, "val").otherwise("test"))
+      .select("doc_id", "lang", "bucket", "split")
+
+  /** c3: model-based quality filtering — a linear classifier over the t3
+    * feature columns (the fastText/logistic-regression quality-filter
+    * stage of public pipelines: CCNet, FineWeb). Weights are fixed config
+    * here (a trained model would load them the same way); the decision
+    * thresholds the LINEAR score — the sigmoid is monotone, so `z >= 0`
+    * is exactly `p >= 0.5` without engine-divergent `exp` in the hash
+    * path. Same narrow scan-speed shape as t3: the features never leave
+    * the projection, so at 100 TB this runs at scan speed with column
+    * pruning down to (doc_id, text). */
+  def qualityLr: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"),
+        least(size(col("words")).cast("double") / 100.0, lit(1.0))
+          .as("f_len"),
+        uniqRatio(col("words")).as("f_uniq"),
+        least(stopRatio(col("words")) * 5.0, lit(1.0)).as("f_stop"),
+        round(length(regexp_replace(col("text"), " ", "")) /
+          size(col("words")).cast("double"), 6).as("f_awl"))
+      .withColumn("z", round(lit(-2.1) + col("f_len") * 1.6 +
+        col("f_uniq") * 1.8 + col("f_stop") * 1.1 - col("f_awl") * 0.1, 8))
+      .withColumn("keep", col("z") >= 0)
+      .select("doc_id", "f_len", "f_uniq", "f_stop", "f_awl", "z", "keep")
+
   // ---- DuckDB oracle SQL ----
 
   val oracle: Map[String, String] = Map(
@@ -519,6 +562,33 @@ object TextOps {
         |FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
         | < CASE lang WHEN 'en' THEN 60 WHEN 'fr' THEN 30 ELSE 10 END""".stripMargin,
+    "t12_split_assign" ->
+      """SELECT doc_id, lang,
+        | ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |   ::BIGINT % 1000 AS bucket,
+        | CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |    1, 12))::BIGINT % 1000 < 980 THEN 'train'
+        |  WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |    1, 12))::BIGINT % 1000 < 990 THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "c3_quality_lr" ->
+      """SELECT doc_id, f_len, f_uniq, f_stop, f_awl,
+        | round(-2.1 + f_len * 1.6 + f_uniq * 1.8 + f_stop * 1.1
+        |   - f_awl * 0.1, 8) AS z,
+        | round(-2.1 + f_len * 1.6 + f_uniq * 1.8 + f_stop * 1.1
+        |   - f_awl * 0.1, 8) >= 0 AS keep
+        |FROM (SELECT doc_id,
+        |  least(CAST(len(words) AS DOUBLE) / 100.0, 1.0) AS f_len,
+        |  round(len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 6)
+        |    AS f_uniq,
+        |  least(round(len(list_filter(words,
+        |     w -> w IN ('the','a','of','and','to','in','is'))) /
+        |    CAST(len(words) AS DOUBLE), 6) * 5.0, 1.0) AS f_stop,
+        |  round(length(regexp_replace(text, ' ', '', 'g')) /
+        |    CAST(len(words) AS DOUBLE), 6) AS f_awl
+        | FROM (SELECT doc_id, text, string_split(text, ' ') AS words
+        |  FROM documents))""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_hash,
         | list_min(list_transform(range(1, greatest(length(text)-7, 1) + 1),

@@ -224,6 +224,157 @@ class PipelineOpsSpec extends SparkSpec {
     assert(viaExpr.count() > 0) // the fixture actually exercises selection
   }
 
+  test("dd10 span scrub: interval surgery equals an independent char-mask rebuild") {
+    import spark.implicits._
+    val g = 50
+    // independent ground truth: mark every char covered by a foreign hit
+    // window [off, off+50) and keep the unmarked chars — character-mask
+    // semantics vs the operator's merged-interval surgery
+    val corpus = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id",
+        s"CASE WHEN doc_id % 19 = 0 THEN concat(text, ' ${DedupOps.SpanBoiler}') ELSE text END AS text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val foreign = DedupOps.spanGrams(spark, sf).filter(col("is_foreign"))
+      .select("doc_id", "off").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val out = DedupOps.spanScrub(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getString(4)))
+    assert(out.nonEmpty, "no docs scrubbed — planted boilerplate missed")
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.map(_._1).toSet == foreign.keySet)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { case (doc, nSpans, charsCut, cleanLen, cleanMd5) =>
+      val text = corpus(doc)
+      val cut = Array.fill(text.length)(false)
+      foreign(doc).foreach { off => // off is 1-indexed
+        (off - 1 until math.min(off - 1 + g, text.length))
+          .foreach(cut(_) = true)
+      }
+      val expected = text.zipWithIndex.collect {
+        case (c, i) if !cut(i) => c
+      }.mkString
+      assert(cleanLen == expected.length, s"doc $doc clean_len")
+      assert(cleanLen == text.length - charsCut, s"doc $doc accounting")
+      assert(nSpans >= 1 && charsCut >= g, s"doc $doc cut size")
+      val hex = md.digest(expected.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(cleanMd5 == hex, s"doc $doc clean text md5")
+    }
+  }
+
+  test("rolling gram hits: rolling == direct polynomial recompute at every offset") {
+    import spark.implicits._
+    def fmix(h0: Long): Long = {
+      var h = h0
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^ (h >>> 33)
+    }
+    def direct(s: String, g: Int, selBits: Int): Seq[(Int, Long)] =
+      (if (s.length < g) Seq(s) else s.sliding(g).toSeq).zipWithIndex.flatMap {
+        case (w, i) =>
+          val f = fmix(w.foldLeft(0L)((h, c) => h * 1000003L + c))
+          if ((f & ((1L << selBits) - 1)) == 0L) Some((i + 1, f)) else None
+      }
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 6L).map(id => (id,
+      (0 until 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)) :+
+      (7L, "tiny") :+ (8L, "ünïcode çhars rolled over the char päth " * 12)
+    graft.functions.RollingGramHits.register(spark, 13, 2)
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), explode(expr("rolling_gram_hits(text)")).as("x"))
+      .select(col("doc_id"), col("x.off"), col("x.gh")).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    docs.foreach { case (id, text) =>
+      val want = direct(text, 13, 2).toSet
+      assert(got.getOrElse(id, Set.empty) == want, s"doc $id")
+      // the fixture must actually exercise selection somewhere
+    }
+    assert(got.values.map(_.size).sum > 0)
+  }
+
+  test("dd9 rolling form: same inventory invariants, ~1/16 selection, ascii/unicode agree") {
+    // the planted boilerplate is detected by the rolling form too, with
+    // the same manifest invariants as the md5 form
+    val rows = DedupOps.spanGramsRolling(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty, "rolling form missed the planted boilerplate")
+    rows.groupBy(_._3).values.foreach { g =>
+      val docs = g.map(_._1).distinct.sorted
+      assert(docs.length >= 2)
+      g.foreach { case (doc, _, _, n, fd, foreign) =>
+        assert(n == docs.length && fd == docs.head && foreign == (doc != fd))
+      }
+    }
+    assert(rows.groupBy(_._3).values.exists(g => g.map(_._2).distinct.length >= 2))
+    // selection rate: 1-in-16 content-defined, so the selected fraction
+    // over the corpus sits near 1/16 (loose 2x bounds)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, explode}
+    val docs = Tables.load(spark, sf, "documents")
+    graft.functions.RollingGramHits.register(spark, 50, 4)
+    val nSel = docs.select(explode(expr("rolling_gram_hits(text)")))
+      .count().toDouble
+    val nTot = docs.selectExpr("greatest(length(text) - 49, 1) AS n")
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+      .toDouble
+    assert(nSel / nTot > 1.0 / 32 && nSel / nTot < 1.0 / 8,
+      s"selection rate ${nSel / nTot}")
+    // a span shared between an all-ASCII doc and a doc whose text ALSO
+    // holds multi-byte chars hashes identically from both code paths
+    val span = "this exact fifty-plus character span is shared verbatim ok"
+    val pair = Seq((1L, s"prefix one $span suffix"),
+      (2L, s"präfix zwölf ün $span another")).toDF("doc_id", "text")
+    val shared = pair
+      .select(col("doc_id"), explode(expr("rolling_gram_hits(text)")).as("x"))
+      .groupBy("x.gh").count().filter(col("count") >= 2).count()
+    assert(shared >= 1, "ascii and unicode paths disagree on a shared span")
+  }
+
+  test("t12 split assign: deterministic, append-stable, 98/1/1 carve") {
+    val a = TextOps.splitAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).sortBy(_._1)
+    val b = TextOps.splitAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).sortBy(_._1)
+    assert(a.sameElements(b), "split assignment is not deterministic")
+    val bySplit = a.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test") ||
+      bySplit.keySet == Set("train", "val") || bySplit.keySet == Set("train"))
+    assert(bySplit("train").toDouble / a.length > 0.9)
+    a.foreach { case (_, bucket, split) =>
+      val want = if (bucket < 980) "train" else if (bucket < 990) "val"
+        else "test"
+      assert(split == want)
+    }
+    // append-stability: a doc's split must not depend on the rest of the
+    // corpus — recompute over a half-corpus view and compare
+    val half = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 2 === 0)
+    half.createOrReplaceTempView("half_docs")
+    val halfAssign = TextOps.splitAssign(spark, sf)
+      .join(half.select("doc_id"), "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val full = a.map(t => t._1 -> t._3).toMap
+    halfAssign.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
+  test("c3 quality lr: bounded features, keep thresholds the linear score") {
+    val r = TextOps.qualityLr(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val Seq(fl, fu, fs) = Seq(1, 2, 3).map(row.getDouble)
+      val z = row.getDouble(5); val keep = row.getBoolean(6)
+      assert(fl >= 0 && fl <= 1 && fu >= 0 && fu <= 1 && fs >= 0 && fs <= 1)
+      assert(!z.isNaN && !z.isInfinite)
+      assert(keep == (z >= 0))
+    }
+    // the filter must actually separate: both classes present at sf0.001
+    assert(r.exists(_.getBoolean(6)) && r.exists(!_.getBoolean(6)))
+  }
+
   test("s3 session windows agree with w8 sessionize on session count per user") {
     val s3 = Relational.sessionWindowAgg(spark, sf)
       .groupBy("user_id").count().collect()
