@@ -111,7 +111,17 @@ object ScaleProbe {
       // round 8: per-domain caps — the synth copies multiply every domain's
       // docs Nx over the same 20 sources, i.e. exactly the mega-domain
       // growth the partial WindowGroupLimit bounds map-side
-      "t10_domain_caps")
+      "t10_domain_caps",
+      // round 8: packing manifest (S-way sharded cumsum windows — the probe
+      // shows the shard key holds the window parallel as docs grow) and the
+      // span-gram inventory + scrub (gram stream and inventory shuffle both
+      // scale with corpus chars; the scrub's surgery only touches affected
+      // docs). NOTE the synthetic copies share every copied doc's text, so
+      // at Nx EVERY doc is an (N-1)-way span carrier — the shared-gram
+      // stream grows ~N·c vs the real-corpus ~N; these rows bound the
+      // WORST-case inventory, and the md5-vs-rolling A/B below isolates
+      // the hashing cost from that fixture artifact
+      "t11_sequence_pack", "dd9_span_grams", "dd10_span_scrub")
       .map(n => (n, SparkEntry.queries(n), SparkEntry.queries(n)))
     import graft.operators.{Profile, RankDedup, VectorOps}
     // profile first-touch: exact vs sketched (HLL++) distinct counts over
@@ -168,7 +178,15 @@ object ScaleProbe {
         graft.operators.TextOps.decontaminationAutoQ,
         graft.operators.TextOps.decontaminationAutoQ),
       ("profile_summary_exact", profileQ(false), profileQ(false)),
-      ("profile_summary_approx", profileQ(true), profileQ(true)))
+      ("profile_summary_approx", profileQ(true), profileQ(true)),
+      // dd9's hashing A/B: per-window md5 (O(len·G), the oracle form) vs
+      // the Karp-Rabin rolling form (O(len)) over the SAME inventory
+      // pipeline — the ratio-of-ratios shows how much of dd9's scale cost
+      // is hashing (which the rolling form removes) vs inventory shuffle
+      // (which it shares)
+      ("dd9_span_grams_rolling",
+        graft.operators.DedupOps.spanGramsRolling,
+        graft.operators.DedupOps.spanGramsRolling))
     // ClusterIndex.append at 1x vs Nx corpus: the fold's cost contract is
     // batch + touched buckets — and the corpus-derived layout
     // (OperatingPoint.clusterIndexParts / bandIndexBuckets) holds bucket

@@ -758,12 +758,26 @@ object DedupOps {
     * length(text) − chars_cut, and no scrubbed doc retains the planted
     * boilerplate. */
   def spanScrub: Q = (s, d) => {
-    val g = SpanGram
     val corpus = documents(s, d).select(col("doc_id"),
       when(col("doc_id") % 19 === 0, concat(col("text"), lit(" " + SpanBoiler)))
         .otherwise(col("text")).as("text"))
     val hits = spanGrams(s, d).filter(col("is_foreign"))
       .select(col("doc_id"), col("off"))
+    cutSpans(corpus, hits, SpanGram)
+      .select(col("doc_id"), col("n_cut_spans"), col("chars_cut"),
+        length(col("clean_text")).as("clean_len"),
+        md5(col("clean_text")).as("clean_md5"))
+  }
+
+  /** The span-surgery core shared by dd10 and [[SpanIndex.probeScrub]]:
+    * merge `(doc_id, off)` hit windows of width `g` gaps-and-islands into
+    * disjoint [a, b) char intervals, cut them from `corpus`'s text with one
+    * left-to-right `aggregate` walk, and return the affected docs as
+    * (doc_id, n_cut_spans, chars_cut, clean_text). Both windows and the
+    * interval groupBy run over the HIT stream only; the corpus joins once
+    * on doc_id against the affected-docs interval arrays. */
+  private[operators] def cutSpans(corpus: DataFrame, hits: DataFrame,
+      g: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("off")
     val ivs = hits
       .withColumn("prev_end", max(col("off") + g)
@@ -787,9 +801,7 @@ object DedupOps {
           |  acc -> concat(acc.t,
           |    substring(text, acc.p, greatest(length(text) - acc.p + 1, 0))))"""
           .stripMargin))
-      .select(col("doc_id"), col("n_cut_spans"), col("chars_cut"),
-        length(col("clean_text")).as("clean_len"),
-        md5(col("clean_text")).as("clean_md5"))
+      .select("doc_id", "n_cut_spans", "chars_cut", "clean_text")
   }
 
   val spanScrubOracle: String =
