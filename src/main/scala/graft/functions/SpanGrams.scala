@@ -204,3 +204,121 @@ object RollingGramHits {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => RollingGramHits(exprs.head, gramLen, selBits), "scala_udf")
 }
+
+/** WINNOWED gram selection — the deterministic-coverage form the at-rest
+  * span index stores ([[graft.operators.SpanIndex]]). Independent
+  * 1-in-2^k selection ([[RollingGramHits]]) leaves geometric gaps between
+  * selected grams: with p=1/16 a gap longer than the gram itself occurs a
+  * few percent of the time per junction, so a scrub driven by those hits
+  * can leave slivers of a shared span standing (observed in SpanIndexSpec
+  * before this form existed). Winnowing (Schleimer, Wilkerson & Aiken,
+  * SIGMOD 2003 — the MOSS fingerprinting scheme) instead selects, for
+  * every window of `window` consecutive gram hashes, the RIGHTMOST
+  * minimal hash. Guarantees that follow:
+  *  - every window of `window` grams contributes ≥1 selection, so within
+  *    a span shared by two docs, consecutive selected offsets are at most
+  *    `window` apart — and with window < gramLen the selected gram
+  *    INTERVALS overlap, so the island merge reconstructs the span's
+  *    interior with NO gaps, deterministically;
+  *  - selection depends only on the window's hash values, so any window
+  *    fully inside a shared span selects the SAME gram in every carrier —
+  *    alignment-invariant like the 1-in-2^k form, with boundary fuzz
+  *    bounded by window-1 chars at each end of the span;
+  *  - density ≈ 2/(window+1), the winnowing paper's bound.
+  * Same Karp-Rabin rolling hash + murmur finalizer as [[RollingGramHits]];
+  * O(len) per doc via a monotonic-deque sliding minimum. Docs shorter than
+  * one window still emit their global-min gram (every doc fingerprints). */
+case class WinnowedGramHits(child: Expression, gramLen: Int, window: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("off", IntegerType, nullable = false),
+    StructField("gh", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "winnowed_gram_hits"
+
+  private val B = 1000003L
+  private val BPow: Long = {
+    var p = 1L; var i = 0
+    while (i < gramLen - 1) { p *= B; i += 1 }
+    p
+  }
+
+  @inline private def fmix(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[UTF8String]
+    val bytes = u.getBytes
+    var ascii = true
+    var i = 0
+    while (i < bytes.length && ascii) { ascii = bytes(i) >= 0; i += 1 }
+    // char accessor + length, unified over the byte fast path and the
+    // String fallback (char==byte for ASCII, so both hash identically)
+    val (charAt, n): (Int => Int, Int) =
+      if (ascii) ((j: Int) => bytes(j).toInt, bytes.length)
+      else { val s = u.toString; ((j: Int) => s.charAt(j).toInt, s.length) }
+    val count = math.max(n - gramLen + 1, 1)
+    val hs = new Array[Long](count)
+    var h = 0L
+    var j = 0
+    val firstLen = math.min(gramLen, n)
+    while (j < firstLen) { h = h * B + charAt(j); j += 1 }
+    hs(0) = fmix(h)
+    var off = 1
+    while (off < count) {
+      h = (h - charAt(off - 1) * BPow) * B + charAt(off + gramLen - 1)
+      hs(off) = fmix(h)
+      off += 1
+    }
+    // winnow: rightmost minimum of each length-`window` window, deduped
+    // by offset. Unsigned comparison so the murmur output is uniform.
+    val sel = new java.util.TreeSet[Integer]()
+    if (count <= window) {
+      var best = 0; var k = 1
+      while (k < count) {
+        if (java.lang.Long.compareUnsigned(hs(k), hs(best)) <= 0) best = k
+        k += 1
+      }
+      sel.add(best)
+    } else {
+      // monotonic deque of indices with strictly increasing hash values;
+      // ties resolve to the RIGHTMOST (newer index evicts equal hashes)
+      val deque = new Array[Int](count)
+      var head = 0; var tail = 0 // [head, tail)
+      var k = 0
+      while (k < count) {
+        while (tail > head && java.lang.Long.compareUnsigned(
+            hs(deque(tail - 1)), hs(k)) >= 0) tail -= 1
+        deque(tail) = k; tail += 1
+        if (deque(head) <= k - window) head += 1
+        if (k >= window - 1) sel.add(deque(head))
+        k += 1
+      }
+    }
+    val hits = new Array[Any](sel.size())
+    val it = sel.iterator()
+    var w = 0
+    while (it.hasNext) {
+      val o = it.next().intValue()
+      hits(w) = org.apache.spark.sql.catalyst.InternalRow(o + 1, hs(o))
+      w += 1
+    }
+    new GenericArrayData(hits)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowedGramHits {
+  /** Register `winnowed_gram_hits(text)` with the given gram length and
+    * winnowing window. */
+  def register(spark: SparkSession, gramLen: Int, window: Int = 16,
+      name: String = "winnowed_gram_hits"): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => WinnowedGramHits(exprs.head, gramLen, window), "scala_udf")
+}

@@ -487,9 +487,12 @@ object ClusterIndex {
     * their rows clustered one-task-per-bucket (`repartition(partCol)` —
     * each bucket's rows land in a single task, so the partitioned write
     * emits ONE file per bucket), and swap them in via [[rewriteBuckets]].
-    * Shared with the IVF index's `cid=` cells. */
+    * Shared with the IVF index's `cid=` cells. `dedupe` additionally
+    * collapses exact-duplicate rows while rewriting — the span index's
+    * carrier facts tolerate crash-duplicated rows at read time and use
+    * compaction as the point where they physically disappear. */
   private[operators] def compactDir(s: SparkSession, dir: String,
-      partCol: String, maxFiles: Int): Seq[Int] = {
+      partCol: String, maxFiles: Int, dedupe: Boolean = false): Seq[Int] = {
     val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
     val fragmented = Option(fs.listStatus(new Path(dir))).toSeq.flatten
       .filter(st => st.isDirectory &&
@@ -500,11 +503,12 @@ object ClusterIndex {
             !f.getPath.getName.startsWith("_")) > maxFiles
       }
       .map(_.getPath.getName.stripPrefix(s"$partCol=").toInt)
-    if (fragmented.nonEmpty)
+    if (fragmented.nonEmpty) {
+      val rows = s.read.parquet(dir).filter(col(partCol).isin(fragmented: _*))
       rewriteBuckets(
-        s.read.parquet(dir).filter(col(partCol).isin(fragmented: _*))
-          .repartition(col(partCol)),
+        (if (dedupe) rows.distinct() else rows).repartition(col(partCol)),
         fragmented, dir, s, partCol)
+    }
     fragmented
   }
 

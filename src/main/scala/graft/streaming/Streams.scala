@@ -484,6 +484,59 @@ object Streams {
         .start()
   }
 
+  /** Streaming maintenance of the AT-REST span-gram inventory — the third
+    * sink over the shared [[StreamCommitLog]] protocol: microbatches of
+    * (doc_id, text) documents append their carrier facts through
+    * [[graft.operators.SpanIndex.append]], so ingest-time boilerplate
+    * scrubbing ([[graft.operators.SpanIndex.probeScrub]]) always probes a
+    * current inventory. Repair is the SIMPLEST of the three sinks:
+    * SpanIndex.append is idempotent BY ITSELF (its docs/-commit guard skips
+    * already-committed ids, and the duplicate carrier rows a crashed fold
+    * can leave are read-harmless and collapsed by compaction), so a
+    * crashed fold is repaired by just re-running it — no delete pass
+    * (IVF), no force-touch re-resolution (cluster index). */
+  final class SpanIndexSink(path: String) {
+    import graft.operators.SpanIndex
+    import org.apache.spark.sql.SaveMode
+
+    private val log = new StreamCommitLog(path, "doc_id")
+
+    /** Duplicate-submission guard, sidecar-bounded like the other sinks'. */
+    private[graft] def freshDocs(batch: DataFrame): DataFrame =
+      log.fresh(batch.select(col("doc_id"), col("text")))
+
+    def processBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
+      val s = batch0.sparkSession
+      repairPending(s)
+      if (log.fs(s).exists(log.marker(batchId))) return
+      if (batch0.isEmpty) return
+      val fresh = freshDocs(batch0).localCheckpoint(eager = true)
+      if (fresh.head(1).nonEmpty) {
+        fresh.write.mode(SaveMode.Overwrite)
+          .parquet(log.pending(batchId).toString)
+        foldPending(s, batchId)
+      } else log.commit(s, batchId)
+    }
+
+    private def foldPending(s: SparkSession, batchId: Long): Unit = {
+      val docs = s.read.parquet(log.pending(batchId).toString)
+      SpanIndex.append(docs, path)
+      log.recordIds(docs)
+      log.commit(s, batchId)
+    }
+
+    private def repairPending(s: SparkSession): Unit =
+      log.orphans(s).foreach(id => foldPending(s, id))
+
+    /** Attach to a document stream of (doc_id, text) rows. */
+    def attach(docs: DataFrame): StreamingQuery =
+      docs.writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          processBatch(b.toDF(), id))
+        .start()
+  }
+
   /** Drive any of the above against a bounded parquet dir through a real
     * streaming query into a memory sink; returns the sink table name. Used by
     * tests and the streaming demo — `processAllAvailable` makes it

@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, OperatingPoint, SpanIndex}
+
+/** Gates for the at-rest span-gram inventory: the artifact must equal an
+  * independently recomputed rolling-gram inventory, appends must be pure
+  * gains (no existing file touched), the ingest-time scrub must prune its
+  * probe and cut exactly the corpus-known spans, and delete/compact must
+  * preserve the inventory for every surviving doc. */
+class SpanIndexSpec extends SparkSpec {
+
+  /** The dd9 fixture corpus: boilerplate planted on every 19th doc so
+    * cross-document spans exist at sf0.001. */
+  private def corpus: DataFrame =
+    Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id",
+        s"CASE WHEN doc_id % 19 = 0 THEN concat(text, ' ${DedupOps.SpanBoiler}') " +
+          "ELSE text END AS text")
+
+  private def fresh(path: String): String = {
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    path
+  }
+
+  /** Independent inventory recompute straight from the expression — NOT
+    * through SpanIndex's own plumbing. */
+  private def directShared(docs: DataFrame): Set[(Long, Long, Long)] = {
+    graft.functions.WinnowedGramHits.register(spark, 50, 16,
+      name = "sis_direct")
+    docs.select(col("doc_id"), explode(expr("sis_direct(text)")).as("x"))
+      .groupBy(col("x.gh").as("gh"))
+      .agg(countDistinct("doc_id").as("n_docs"), min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def storedShared(path: String): Set[(Long, Long, Long)] =
+    SpanIndex.sharedGrams(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def snapshot(dir: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+  }
+
+  test("write: corpus-derived geometry; sharedGrams equals direct recompute") {
+    val path = fresh("target/span_index_write")
+    SpanIndex.write(corpus, path)
+    val m = SpanIndex.meta(spark, path)
+    val n = corpus.count()
+    assert(m.gramLen == 50 && m.window == 16 && m.n == n)
+    assert(m.gramBuckets == OperatingPoint.bandIndexBuckets(n))
+    assert(m.docBuckets == OperatingPoint.clusterIndexParts(n))
+    val direct = directShared(corpus)
+    assert(direct.nonEmpty, "fixture carries no shared spans")
+    assert(storedShared(path) == direct)
+    // every corpus doc has a commit row, even zero-gram ones
+    assert(SpanIndex.docs(spark, path).count() == n)
+    // physically partitioned by both bucket keys
+    assert(Option(new java.io.File(s"$path/grams").listFiles()).toSeq.flatten
+      .exists(_.getName.startsWith("gb=")))
+    assert(Option(new java.io.File(s"$path/docs").listFiles()).toSeq.flatten
+      .exists(_.getName.startsWith("db=")))
+  }
+
+  test("append: equals rebuild, never touches an existing file, guard skips applied ids") {
+    val half1 = corpus.filter(col("doc_id") % 2 === 0)
+    val half2 = corpus.filter(col("doc_id") % 2 === 1)
+    val incr = fresh("target/span_index_incr")
+    // geometry from the FULL corpus count so both paths hash identically
+    // (the real contract: append uses the stored geometry)
+    SpanIndex.write(half1, incr, countEstimate = Some(corpus.count()))
+    val before = snapshot(s"$incr/grams") ++ snapshot(s"$incr/docs")
+    val folded = SpanIndex.append(half2, incr)
+    assert(folded == half2.count())
+    // pure gains: every pre-append file survives byte-identical
+    val after = snapshot(s"$incr/grams") ++ snapshot(s"$incr/docs")
+    before.foreach { case (f, sig) =>
+      assert(after.get(f).contains(sig), s"append rewrote $f")
+    }
+    val full = fresh("target/span_index_full")
+    SpanIndex.write(corpus, full)
+    assert(storedShared(incr) == storedShared(full))
+    // re-append of an applied batch: guard skips every id, nothing changes
+    assert(SpanIndex.append(half2, incr) == 0L)
+    assert(snapshot(s"$incr/grams") ++ snapshot(s"$incr/docs") == after)
+  }
+
+  test("probeScrub: cuts corpus-known spans from new docs, probe prunes buckets") {
+    import spark.implicits._
+    val path = fresh("target/span_index_probe")
+    SpanIndex.write(corpus, path)
+    // a NEW doc that embeds the corpus's planted boilerplate mid-text,
+    // plus a novel doc sharing nothing
+    val boiler = DedupOps.SpanBoiler
+    val batch = Seq(
+      (900001L, s"fresh opening words here $boiler and a fresh tail"),
+      (900002L, "entirely novel content with no span shared against the " +
+        "stored corpus inventory at all, nothing to cut here today")
+    ).toDF("doc_id", "text")
+    val out = SpanIndex.probeScrub(batch, path)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("gb"),
+      s"probe does not prune the gram buckets:\n$plan")
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getLong(2), r.getString(3))).toMap
+    val (n1, cut1, clean1) = rows(900001L)
+    assert(n1 >= 1 && cut1 >= 50L, s"boiler not cut: n=$n1 chars=$cut1")
+    assert(!clean1.contains("newsletter") && !clean1.contains("cookie"),
+      s"boiler survived the scrub: $clean1")
+    assert(clean1.startsWith("fresh opening"), s"scrub cut the doc's own text: $clean1")
+    val (n2, cut2, clean2) = rows(900002L)
+    assert(n2 == 0 && cut2 == 0L)
+    assert(clean2.startsWith("entirely novel content"))
+  }
+
+  test("winnowing: gap bound inside docs, cross-doc agreement on a shared span's interior") {
+    import spark.implicits._
+    val g = 50; val w = 16
+    val rnd = new scala.util.Random(7)
+    def rndText(len: Int): String =
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val span = rndText(300)
+    val d1 = rndText(137) + span + rndText(90)
+    val d2 = rndText(211) + span + rndText(40)
+    graft.functions.WinnowedGramHits.register(spark, g, w, name = "win_t")
+    val hits = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+      .select(col("doc_id"), explode(expr("win_t(text)")).as("x"))
+      .select(col("doc_id"), col("x.off"), col("x.gh")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // 1. the winnowing guarantee inside one doc: consecutive selected
+    // offsets at most `window` apart (so cut intervals always overlap)
+    Seq(1L, 2L).foreach { id =>
+      val offs = hits.filter(_._1 == id).map(_._2).sorted
+      assert(offs.head <= w, s"doc $id first selection at ${offs.head}")
+      offs.sliding(2).foreach { case Array(a, b) =>
+        assert(b - a <= w, s"doc $id gap $a -> $b exceeds window")
+      case _ => ()
+      }
+    }
+    // 2. cross-doc agreement: within the shared span's interior (window-1
+    // fuzz at the left edge, window+gram fuzz at the right), both docs
+    // select exactly the same gram hashes
+    def interior(id: Long, start: Int): Set[Long] = {
+      val lo = start + w      // 1-indexed: first guaranteed-covered window
+      val hi = start + 300 - g - w + 1
+      hits.filter(h => h._1 == id && h._2 >= lo && h._2 <= hi)
+        .map(_._3).toSet
+    }
+    val i1 = interior(1L, 138)
+    val i2 = interior(2L, 212)
+    assert(i1.nonEmpty && i1 == i2,
+      s"shared-span interiors disagree: ${i1.size} vs ${i2.size}")
+  }
+
+  test("delete: inventory equals rebuild without victims; idempotent; others untouched") {
+    val path = fresh("target/span_index_del")
+    SpanIndex.write(corpus, path)
+    val victims = corpus.filter(col("doc_id") % 19 === 0).select("doc_id")
+    val gbs = SpanIndex.delete(victims, path)
+    assert(gbs.nonEmpty)
+    val rebuilt = fresh("target/span_index_del_ref")
+    SpanIndex.write(corpus.join(victims, Seq("doc_id"), "left_anti"), rebuilt,
+      countEstimate = Some(corpus.count()))
+    assert(storedShared(path) == storedShared(rebuilt))
+    // victims fully gone from both sub-artifacts
+    val vIds = victims.collect().map(_.getLong(0)).toSet
+    assert(SpanIndex.docs(spark, path).select("doc_id").collect()
+      .forall(r => !vIds.contains(r.getLong(0))))
+    assert(SpanIndex.grams(spark, path).select("doc_id").distinct().collect()
+      .forall(r => !vIds.contains(r.getLong(0))))
+    // idempotent re-delete: no victims found, no buckets rewritten
+    val snap = snapshot(path)
+    assert(SpanIndex.delete(victims, path).isEmpty)
+    assert(snapshot(path) == snap)
+  }
+
+  test("crash-duplicated carriers are read-harmless and collapse on compact") {
+    import spark.implicits._
+    val path = fresh("target/span_index_dup")
+    SpanIndex.write(corpus, path)
+    val want = storedShared(path)
+    // simulate a crashed append's residue: carrier rows landed twice for
+    // some docs (docs/ guard then re-folded them after the crash)
+    val m = SpanIndex.meta(spark, path)
+    val dupRows = SpanIndex.grams(spark, path)
+      .filter(col("doc_id") % 19 === 0)
+    assert(dupRows.head(1).nonEmpty)
+    dupRows.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("gb").parquet(s"$path/grams")
+    // reads see through the duplicates
+    assert(storedShared(path) == want)
+    val distinctRows = SpanIndex.grams(spark, path).distinct().count()
+    assert(SpanIndex.grams(spark, path).count() > distinctRows)
+    // compaction (threshold 0 = every bucket) physically collapses them
+    SpanIndex.compact(spark, path, maxFiles = 0)
+    assert(SpanIndex.grams(spark, path).count() == distinctRows)
+    assert(storedShared(path) == want)
+  }
+
+  test("streaming sink: waves equal one batch append; redelivery is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val half1 = corpus.filter(col("doc_id") % 2 === 0)
+    val streamed = fresh("target/span_index_stream")
+    val ref = fresh("target/span_index_stream_ref")
+    Seq(streamed, ref).foreach(p =>
+      SpanIndex.write(half1, p, countEstimate = Some(corpus.count())))
+
+    val rows = corpus.filter(col("doc_id") % 2 === 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (wave1, wave2) = rows.splitAt(rows.length / 2)
+
+    val sink = new graft.streaming.Streams.SpanIndexSink(streamed)
+    val ms = MemoryStream[(Long, String)]
+    val q = sink.attach(ms.toDF().toDF("doc_id", "text"))
+    ms.addData(wave1); q.processAllAvailable()
+    ms.addData(wave2); q.processAllAvailable()
+    ms.addData(wave2); q.processAllAvailable() // at-least-once redelivery
+    q.stop()
+
+    SpanIndex.append(corpus.filter(col("doc_id") % 2 === 1), ref)
+    assert(storedShared(streamed) == storedShared(ref))
+    // the redelivered wave left no duplicate commit rows
+    val dups = SpanIndex.docs(spark, streamed)
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(dups == 0)
+  }
+}
