@@ -221,9 +221,20 @@ object SpanIndex {
     val batchGrams = gramsOf(batch, m).localCheckpoint(eager = true)
     val batchGbs = batchGrams.select("gb").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val storedHits = grams(s, path).filter(col("gb").isin(batchGbs: _*))
-      .select("gh").distinct()
-    val hits = batchGrams.join(storedHits, Seq("gh"))
+    // Self-carrier guard: a batch doc that is ALREADY in the index would
+    // match its own stored grams and scrub its entire text. Aggregate the
+    // pruned buckets to per-gram carrier stats and count a hit only when
+    // the corpus knows the gram from someone OTHER than the probing doc:
+    // ≥2 stored carriers, or a single carrier with a different id. This
+    // also makes probeScrub correct as "scrub the stored corpus against
+    // itself" — feed stored docs back through and only truly shared spans
+    // cut (SpanIndexSpec pins both shapes).
+    val storedStats = grams(s, path).filter(col("gb").isin(batchGbs: _*))
+      .groupBy("gh").agg(countDistinct("doc_id").as("n_carriers"),
+        min("doc_id").as("one_carrier"))
+    val hits = batchGrams.join(storedStats, Seq("gh"))
+      .filter(col("n_carriers") >= 2 ||
+        col("one_carrier") =!= col("doc_id"))
       .select("doc_id", "off").dropDuplicates("doc_id", "off")
     val cut = DedupOps.cutSpans(batch.select("doc_id", "text"), hits,
       m.gramLen)

@@ -119,6 +119,41 @@ class SpanIndexSpec extends SparkSpec {
     assert(clean2.startsWith("entirely novel content"))
   }
 
+  test("probeScrub self-carrier guard: stored docs keep their own text, lose only shared spans") {
+    import spark.implicits._
+    val path = fresh("target/span_index_self")
+    // controlled corpus: A and B share one span; C's text is unique.
+    // (The parquet fixture can't pin this — its tiny vocabulary makes
+    // genuine 50-char sharing common, which the probe correctly cuts.)
+    val rnd = new scala.util.Random(11)
+    def rndText(len: Int): String =
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val span = rndText(260)
+    val aPre = rndText(120); val bPre = rndText(150)
+    val stored = Seq(
+      (1L, s"$aPre $span end-a"), (2L, s"$bPre $span end-b"),
+      (3L, rndText(300))).toDF("doc_id", "text")
+    SpanIndex.write(stored, path)
+    // feed the STORED corpus back through the probe — the dd10-at-rest
+    // shape. Every doc's own grams are in the index; without the
+    // self-carrier guard every doc would be scrubbed to nothing.
+    val out = SpanIndex.probeScrub(stored, path).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(3))).toMap
+    val (nC, cleanC) = out(3L)
+    assert(nC == 0 && cleanC.length == 300,
+      s"unique doc scrubbed by its own stored grams: n=$nC")
+    Seq(1L -> aPre, 2L -> bPre).foreach { case (id, pre) =>
+      val (n, clean) = out(id)
+      assert(n >= 1, s"stored carrier $id not scrubbed")
+      // shared-span interior gone, own prefix intact (window-1 edge fuzz
+      // never reaches back past the span start into the doc's own text)
+      assert(!clean.contains(span.substring(30, 80)),
+        s"doc $id kept the shared span")
+      assert(clean.startsWith(pre.take(100)),
+        s"doc $id lost its own text: ${clean.take(60)}")
+    }
+  }
+
   test("winnowing: gap bound inside docs, cross-doc agreement on a shared span's interior") {
     import spark.implicits._
     val g = 50; val w = 16
