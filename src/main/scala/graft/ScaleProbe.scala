@@ -233,6 +233,43 @@ object ScaleProbe {
       ClusterIndex.delete(v, idx)
       (appendSec, (System.nanoTime() - t1) / 1e9)
     }
+    // SpanIndex maintenance at 1x vs Nx corpus: same cost contract as the
+    // cluster index — append is batch-bound (pure-gains carrier writes into
+    // the batch's buckets) and the ingest scrub probes only the batch's
+    // gram buckets, so folding/probing the SAME fixed-size batch against a
+    // 1x- and an Nx-seeded index should cost about the same. Document
+    // copies are word-salted per copy (same decorrelation as the cluster
+    // probe) so the synthetic corpus doesn't make every doc an Nx-way span
+    // carrier; batches are salted as copy 0. One warm run per op absorbs
+    // codegen/JIT before the timed run.
+    def spanMaintSecs(c: Int, tag: String): (Double, Double) = {
+      import graft.operators.SpanIndex
+      val cpsC = spark.range(c).select(col("id").as("cp"))
+      val salted = Tables.load(spark, base, "documents").crossJoin(cpsC)
+        .select((col("doc_id") + col("cp") * 1000000L).as("doc_id"),
+          expr("concat_ws(' ', transform(split(text, ' '), " +
+            "w -> concat(w, 'c', cast(cp as string))))").as("text"))
+      val docsPath = s"$out/span_salted_docs_$tag"
+      salted.write.mode("overwrite").parquet(docsPath)
+      val idx = s"$out/probe_sidx_$tag"
+      new scala.reflect.io.Directory(new java.io.File(idx)).deleteRecursively()
+      SpanIndex.write(spark.read.parquet(docsPath), idx)
+      def batch(off: Long) = Tables.load(spark, base, "documents")
+        .filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + off).as("doc_id"),
+          expr("concat_ws(' ', transform(split(concat(text, ' zz qq vv'), " +
+            "' '), w -> concat(w, 'c0')))").as("text"))
+      SpanIndex.append(batch(900000000L).localCheckpoint(eager = true), idx)
+      val b = batch(910000000L).localCheckpoint(eager = true)
+      val t0 = System.nanoTime()
+      SpanIndex.append(b, idx)
+      val appendSec = (System.nanoTime() - t0) / 1e9
+      val pb = batch(920000000L).localCheckpoint(eager = true)
+      SpanIndex.probeScrub(pb, idx).count() // warm
+      val t1 = System.nanoTime()
+      SpanIndex.probeScrub(pb, idx).count()
+      (appendSec, (System.nanoTime() - t1) / 1e9)
+    }
     // SQ8 serving probe: seed a full-precision and a quantized IVF index
     // from the same (widened) embeddings with the same √n cell count, then
     // time the SAME probe against both and census index bytes. The scan
@@ -305,6 +342,13 @@ object ScaleProbe {
         Seq(("cluster_append", a1, aN, aN / a1),
           ("cluster_delete", d1, dN, dN / d1))
       } else Seq.empty
+    val spanRows =
+      if (nameFilter.exists(f => "span_maint".contains(f))) {
+        val (a1, p1) = spanMaintSecs(1, "1x")
+        val (aN, pN) = spanMaintSecs(copies, "nx")
+        Seq(("span_append", a1, aN, aN / a1),
+          ("span_probe_scrub", p1, pN, pN / p1))
+      } else Seq.empty
     val sq8Rows =
       if (nameFilter.exists(f => "sq8_probe".contains(f))) {
         val (f1, q1, p1, bf1, bq1, bp1) = sq8Secs(base, "1x")
@@ -317,7 +361,7 @@ object ScaleProbe {
           ("pq_bytes_ratio", bf1.toDouble / bp1, bfN.toDouble / bpN,
             (bfN.toDouble / bpN) / (bf1.toDouble / bp1)))
       } else Seq.empty
-    val qs = (rows ++ appendRows ++ sq8Rows).map { case (n, t1, tN, r) =>
+    val qs = (rows ++ appendRows ++ spanRows ++ sq8Rows).map { case (n, t1, tN, r) =>
       f""""$n":{"t1x":$t1%.3f,"t${copies}x":$tN%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","copies":$copies,"queries":$qs}""")
