@@ -112,6 +112,7 @@ object SparkEntry {
     "t10_domain_caps" -> TextOps.domainCaps,
     "t11_sequence_pack" -> TextOps.sequencePack,
     "t12_split_assign" -> TextOps.splitAssign,
+    "t13_perplexity" -> TextOps.perplexityFilter,
     "c2_mixture_weights" -> TextOps.mixtureWeights,
     "c3_quality_lr" -> TextOps.qualityLr,
     // dedup pipeline (D-ops + MinHash/LSH/SimHash)
@@ -498,6 +499,7 @@ object SparkEntry {
     "t10_domain_caps" -> TextOps.oracle("t10_domain_caps"),
     "t11_sequence_pack" -> TextOps.oracle("t11_sequence_pack"),
     "t12_split_assign" -> TextOps.oracle("t12_split_assign"),
+    "t13_perplexity" -> TextOps.oracle("t13_perplexity"),
     "c2_mixture_weights" -> TextOps.oracle("c2_mixture_weights"),
     "c3_quality_lr" -> TextOps.oracle("c3_quality_lr"),
     "dd1_exact_dedup" -> DedupOps.exactDedupOracle,

@@ -411,6 +411,47 @@ object TextOps {
       .withColumn("keep", col("z") >= 0)
       .select("doc_id", "f_len", "f_uniq", "f_stop", "f_awl", "z", "keep")
 
+  /** t13: perplexity filtering — the CCNet-stage language-model filter
+    * (Wenzek et al. 2020 score docs with a KenLM model and keep the
+    * low-perplexity head; FineWeb and friends inherit the shape). The
+    * model here is a corpus-trained unigram LM with add-one smoothing and
+    * a rare-word OOV floor (count < 2 words fall out of the vocab), which
+    * is the seam a real pipeline fills with its trained model — the
+    * DATAFLOW is the graded part: model building is one token groupBy,
+    * scoring joins a BROADCAST model against the token stream (the model
+    * is vocab-sized, never corpus-sized), and the per-doc reduce sums
+    * INTEGER-SCALED log-probs (round(ln·1e6) as bigint) so the aggregate
+    * is exact and order-independent — a double sum would hash-diverge on
+    * partition order. avg surprisal thresholds the keep decision (exp is
+    * monotone, so this IS the perplexity cut without exp in the hash
+    * path, same discipline as c3). */
+  def perplexityFilter: Q = (s, d) => {
+    val docs = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val tokens = docs.select(explode(col("words")).as("w"))
+    val totals = tokens.agg(count(lit(1)).as("n"),
+      countDistinct("w").as("v"))
+    val model = tokens.groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .crossJoin(broadcast(totals))
+      .select(col("w"), expr(
+        "cast(round(ln((c + 1) / cast(n + v as double)) * 1e6) as bigint)")
+        .as("lp"))
+    val oov = totals.select(expr(
+      "cast(round(ln(1.0 / cast(n + v as double)) * 1e6) as bigint)")
+      .as("oov_lp"))
+    docs.select(col("doc_id"), size(col("words")).as("n_words"),
+        explode(col("words")).as("w"))
+      .join(broadcast(model), Seq("w"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy("doc_id", "n_words")
+      .agg(sum(coalesce(col("lp"), col("oov_lp"))).as("sum_lp"),
+        sum(when(col("lp").isNull, 1).otherwise(0)).cast("int").as("n_oov"))
+      .select(col("doc_id"), col("n_words"), col("n_oov"),
+        round(-col("sum_lp") / 1e6 / col("n_words"), 6).as("avg_surprisal"))
+      .withColumn("keep", col("avg_surprisal") <= 7.0)
+  }
+
   // ---- DuckDB oracle SQL ----
 
   val oracle: Map[String, String] = Map(
@@ -562,6 +603,30 @@ object TextOps {
         |FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
         | < CASE lang WHEN 'en' THEN 60 WHEN 'fr' THEN 30 ELSE 10 END""".stripMargin,
+    "t13_perplexity" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        | tot AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM w),
+        | model AS (SELECT w,
+        |   CAST(round(ln((count(*) + 1) /
+        |     CAST((SELECT n + v FROM tot) AS DOUBLE)) * 1e6) AS BIGINT)
+        |    AS lp
+        |  FROM w GROUP BY w HAVING count(*) >= 2),
+        | oov AS (SELECT CAST(round(ln(1.0 /
+        |    CAST((SELECT n + v FROM tot) AS DOUBLE)) * 1e6) AS BIGINT)
+        |   AS oov_lp),
+        | nd AS (SELECT doc_id,
+        |   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
+        |  FROM documents),
+        | scored AS (SELECT w.doc_id,
+        |   sum(COALESCE(m.lp, (SELECT oov_lp FROM oov))) AS sum_lp,
+        |   CAST(sum(CASE WHEN m.lp IS NULL THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS n_oov
+        |  FROM w LEFT JOIN model m USING (w) GROUP BY w.doc_id)
+        |SELECT nd.doc_id, nd.n_words, s.n_oov,
+        | round(-s.sum_lp / 1e6 / nd.n_words, 6) AS avg_surprisal,
+        | round(-s.sum_lp / 1e6 / nd.n_words, 6) <= 7.0 AS keep
+        |FROM nd JOIN scored s USING (doc_id)""".stripMargin,
     "t12_split_assign" ->
       """SELECT doc_id, lang,
         | ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12))

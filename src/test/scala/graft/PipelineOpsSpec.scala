@@ -375,6 +375,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.exists(_.getBoolean(6)) && r.exists(!_.getBoolean(6)))
   }
 
+  test("t13 perplexity: broadcast model, exact integer reduce, classes split") {
+    val out = TextOps.perplexityFilter(spark, sf)
+    // the token-stream scoring join must broadcast the vocab-sized model,
+    // never shuffle the token stream against it
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"model join not broadcast:\n$plan")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val surprisal = r.getDouble(3)
+      assert(surprisal > 0 && !surprisal.isNaN && !surprisal.isInfinite)
+      assert(r.getBoolean(4) == (surprisal <= 7.0))
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= r.getInt(1))
+    }
+    // the fixture's tiny vocabulary repeats every word, so no OOV rows
+    // exist here — the OOV floor is exercised by the coalesce in every
+    // row's plan and the oracle hash-checks the full scoring arithmetic
+  }
+
   test("s3 session windows agree with w8 sessionize on session count per user") {
     val s3 = Relational.sessionWindowAgg(spark, sf)
       .groupBy("user_id").count().collect()
