@@ -115,6 +115,7 @@ object SparkEntry {
     "t13_perplexity" -> TextOps.perplexityFilter,
     "c2_mixture_weights" -> TextOps.mixtureWeights,
     "c3_quality_lr" -> TextOps.qualityLr,
+    "c4_mixture_apply" -> TextOps.mixtureApply,
     // dedup pipeline (D-ops + MinHash/LSH/SimHash)
     "dd1_exact_dedup" -> DedupOps.exactDedup,
     "dd2_minhash_bands" -> DedupOps.minhashBands,
@@ -502,6 +503,7 @@ object SparkEntry {
     "t13_perplexity" -> TextOps.oracle("t13_perplexity"),
     "c2_mixture_weights" -> TextOps.oracle("c2_mixture_weights"),
     "c3_quality_lr" -> TextOps.oracle("c3_quality_lr"),
+    "c4_mixture_apply" -> TextOps.oracle("c4_mixture_apply"),
     "dd1_exact_dedup" -> DedupOps.exactDedupOracle,
     "dd2_minhash_bands" -> DedupOps.minhashBandsOracle,
     "dd3_lsh_jaccard_pairs" -> DedupOps.lshJaccardPairsOracle,

@@ -98,13 +98,18 @@ object SpanIndex {
   private def dbOf(docBuckets: Int) =
     pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)).cast("int")
 
-  /** A corpus batch's carrier rows under the stored geometry. */
+  /** A corpus batch's carrier rows under the stored geometry. The
+    * registered function name carries the geometry: registration is
+    * session-global and DataFrames analyze lazily, so a fixed name would
+    * let a second index with different (gramLen, window) silently rebind
+    * an earlier probe's plan to the wrong geometry. */
   private def gramsOf(corpus: DataFrame, m: Meta): DataFrame = {
     val s = corpus.sparkSession
+    val fn = s"span_gram_hits_g${m.gramLen}_w${m.window}"
     graft.functions.WinnowedGramHits.register(s, m.gramLen, m.window,
-      name = "span_index_gram_hits")
+      name = fn)
     corpus.select(col("doc_id"),
-        explode(expr("span_index_gram_hits(text)")).as("x"))
+        explode(expr(s"$fn(text)")).as("x"))
       .select(col("doc_id"), col("x.off").as("off"), col("x.gh").as("gh"))
       .withColumn("gb", gbOf(m.gramBuckets))
   }

@@ -322,6 +322,33 @@ object TextOps {
       .drop("total_docs")
   }
 
+  /** c4: APPLY the mixture — materialize [[mixtureWeights]]'s per-language
+    * weights into an actual resampled corpus manifest: weight w replicates
+    * each doc floor(w) times plus one more for a deterministic hash-bucket
+    * fraction of docs (bucket < frac·1000), so langs with w > 1 oversample
+    * to their target share and langs with w < 1 downsample — without
+    * `rand()`, so the epoch mixture is reproducible run-to-run and stable
+    * under re-partitioning (same discipline as t12's splits; the salt is
+    * independent of both t6's and t12's). The join against the lang-level
+    * weights BROADCASTS (5 rows); the explode emits copy rows map-side.
+    * Downstream, [[sequencePack]] consumes exactly this manifest shape. */
+  def mixtureApply: Q = (s, d) => {
+    val weights = mixtureWeights(s, d).select(col("lang"), col("weight"))
+    documents(s, d).select(col("doc_id"), col("lang"))
+      .join(broadcast(weights), Seq("lang"))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(concat('mix:', cast(doc_id as string))), " +
+          "1, 12), 16, 10) as bigint) % 1000"))
+      .withColumn("n_copies",
+        (floor(col("weight")) +
+          when(col("bucket") <
+            round((col("weight") - floor(col("weight"))) * 1000), 1)
+            .otherwise(0)).cast("int"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("weight"), col("n_copies"),
+        explode(expr("sequence(0, n_copies - 1)")).as("copy_idx"))
+  }
+
   /** t11 packing geometry: training-sequence token capacity and the shard
     * count the fixture gate pins (production derives shards from the
     * cluster's parallelism — see [[sequencePack]]'s scale note). */
@@ -603,6 +630,28 @@ object TextOps {
         |FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
         | < CASE lang WHEN 'en' THEN 60 WHEN 'fr' THEN 30 ELSE 10 END""".stripMargin,
+    "c4_mixture_apply" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents
+        |  GROUP BY lang),
+        | total AS (SELECT sum(n_docs) AS total_docs FROM counts),
+        | w AS (SELECT lang,
+        |   round(CAST(CASE lang WHEN 'en' THEN 0.40 WHEN 'zh' THEN 0.15
+        |     WHEN 'es' THEN 0.15 WHEN 'de' THEN 0.15 WHEN 'fr' THEN 0.15
+        |     ELSE 0.0 END AS DOUBLE)
+        |    / round(n_docs / CAST(total_docs AS DOUBLE), 6), 6) AS weight
+        |  FROM counts, total),
+        | j AS (SELECT d.doc_id, d.lang, w.weight,
+        |   ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 12))
+        |     ::BIGINT % 1000 AS bucket
+        |  FROM documents d JOIN w USING (lang)),
+        | c AS (SELECT doc_id, lang, weight,
+        |   CAST(floor(weight) + CASE WHEN bucket <
+        |      round((weight - floor(weight)) * 1000) THEN 1 ELSE 0 END
+        |    AS INTEGER) AS n_copies FROM j)
+        |SELECT doc_id, lang, weight, n_copies, CAST(r.i AS INTEGER)
+        |  AS copy_idx
+        |FROM c, UNNEST(range(0, n_copies)) AS r(i)
+        |WHERE n_copies > 0""".stripMargin,
     "t13_perplexity" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |  FROM documents),

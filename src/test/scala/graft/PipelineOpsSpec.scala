@@ -394,6 +394,26 @@ class PipelineOpsSpec extends SparkSpec {
     // row's plan and the oracle hash-checks the full scoring arithmetic
   }
 
+  test("c4 mixture apply: resampled shares land on target, deterministic") {
+    val out = TextOps.mixtureApply(spark, sf).cache()
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = byLang.values.sum.toDouble
+    val target = Map("en" -> 0.40, "zh" -> 0.15, "es" -> 0.15,
+      "de" -> 0.15, "fr" -> 0.15)
+    target.foreach { case (lang, share) =>
+      byLang.get(lang).foreach { n =>
+        assert(math.abs(n / total - share) < 0.02,
+          s"$lang resampled share ${n / total} vs target $share")
+      }
+    }
+    // deterministic: the same manifest row set on a second run
+    val a = out.collect().map(_.toString).sorted
+    val b = TextOps.mixtureApply(spark, sf).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    out.unpersist()
+  }
+
   test("s3 session windows agree with w8 sessionize on session count per user") {
     val s3 = Relational.sessionWindowAgg(spark, sf)
       .groupBy("user_id").count().collect()
