@@ -453,11 +453,17 @@ object TextOps {
     * monotone, so this IS the perplexity cut without exp in the hash
     * path, same discipline as c3). */
   def perplexityFilter: Q = (s, d) => {
-    val docs = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-    val tokens = docs.select(explode(col("words")).as("w"))
-    val totals = tokens.agg(count(lit(1)).as("n"),
-      countDistinct("w").as("v"))
+    val (model, oov) = unigramModel(documents(s, d))
+    surprisalScored(documents(s, d).select("doc_id", "text"), model, oov)
+  }
+
+  /** The t13 model: (word → scaled logprob) plus the OOV floor, built from
+    * any (doc_id, text) corpus. Vocab-sized frames — the broadcast side of
+    * every scoring join. */
+  private[graft] def unigramModel(corpus: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val tokens = corpus.select(explode(split(col("text"), " ")).as("w"))
+    val totals = tokens.agg(count(lit(1)).as("n"), countDistinct("w").as("v"))
     val model = tokens.groupBy("w").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .crossJoin(broadcast(totals))
@@ -467,8 +473,18 @@ object TextOps {
     val oov = totals.select(expr(
       "cast(round(ln(1.0 / cast(n + v as double)) * 1e6) as bigint)")
       .as("oov_lp"))
-    docs.select(col("doc_id"), size(col("words")).as("n_words"),
-        explode(col("words")).as("w"))
+    (model, oov)
+  }
+
+  /** t13's scoring half over any (doc_id, text) frame — stateless w.r.t.
+    * the corpus once the model frames exist, so the SAME call scores a
+    * `readStream` of arriving documents against a static pre-trained
+    * model (curation-on-ingest; StreamsSpec proves parity with batch). */
+  private[graft] def surprisalScored(docs: DataFrame, model: DataFrame,
+      oov: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_words"),
+        explode(split(col("text"), " ")).as("w"))
       .join(broadcast(model), Seq("w"), "left")
       .crossJoin(broadcast(oov))
       .groupBy("doc_id", "n_words")
@@ -477,7 +493,6 @@ object TextOps {
       .select(col("doc_id"), col("n_words"), col("n_oov"),
         round(-col("sum_lp") / 1e6 / col("n_words"), 6).as("avg_surprisal"))
       .withColumn("keep", col("avg_surprisal") <= 7.0)
-  }
 
   // ---- DuckDB oracle SQL ----
 

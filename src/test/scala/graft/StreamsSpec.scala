@@ -239,6 +239,28 @@ class StreamsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming surprisal scoring against a static model matches batch t13") {
+    implicit val sqlCtx = spark.sqlContext
+    // model pre-trained on the batch corpus; documents then ARRIVE as a
+    // stream and are scored by the same call — curation on ingest
+    val corpus = Tables.load(spark, sf, "documents")
+    val (model, oov) = graft.operators.TextOps.unigramModel(corpus)
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(corpus.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq)
+    Streams.runToMemory(spark,
+      graft.operators.TextOps.surprisalScored(
+        ms.toDF().toDF("doc_id", "text"), model, oov),
+      "surprisal_parity")
+    val got = spark.sql("SELECT * FROM surprisal_parity")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    val want = graft.operators.TextOps.perplexityFilter(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization matches window-based batch count") {
     val ev = eventsBatch.as[Streams.Event]
     // closed sessions + one open session per user == batch session count
