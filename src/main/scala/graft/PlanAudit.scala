@@ -22,7 +22,12 @@ object PlanAudit {
         // c1: the composed curation funnel — hash joins only, both filters
         // below the final projection, no materialization between stages
         // downstream of the cluster labels
-        "c1_curation_funnel")
+        "c1_curation_funnel",
+        // round-8 continuation: dd10's windows must run over the hit
+        // stream only (doc_id partitioning, never SinglePartition); t13's
+        // model join must be a BroadcastHashJoin against the token stream;
+        // c4's lang-weight join likewise broadcasts with a map-side explode
+        "dd10_span_scrub", "t13_perplexity", "c4_mixture_apply")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

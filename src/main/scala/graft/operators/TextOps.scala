@@ -322,6 +322,43 @@ object TextOps {
       .drop("total_docs")
   }
 
+  /** t14: content-defined chunking — the CDC/rsync boundary rule applied
+    * to RAG/dedup chunking: a chunk ends wherever the hash of the last 16
+    * chars opens with two zero hex nibbles (1/256 of hash space → mean
+    * chunk ≈ 256 chars). Unlike F9's fixed word windows, boundaries are
+    * ALIGNMENT-INVARIANT: editing a doc's head reflows only the chunks up
+    * to the first boundary after the edit, and the same passage embedded
+    * in two documents chunks identically past its first interior boundary
+    * — which is what makes chunk-level dedup and incremental re-embedding
+    * work (the same content-defined principle as dd9's gram selection;
+    * FastCDC is the production form of this rule). Narrow per-doc
+    * map-side transform, no shuffle; at 100 TB the boundary hash
+    * graduates to the rolling form like dd9's
+    * ([[graft.functions.RollingGramHits]] machinery). */
+  def cdcChunks: Q = (s, d) => cdcChunksOf(documents(s, d))
+
+  /** The t14 chunker over any (doc_id, text) frame — stateless, so the
+    * same call chunks a stream or a test fixture. */
+  private[graft] def cdcChunksOf(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), col("text"), expr(
+        """filter(transform(sequence(16, greatest(length(text), 16)),
+          | i -> CASE WHEN i <= length(text) AND
+          |   substring(md5(substring(text, i - 15, 16)), 1, 2) = '00'
+          |  THEN i ELSE -1 END), x -> x > 0)""".stripMargin).as("bs"))
+      .select(col("doc_id"), col("text"), expr(
+        """filter(zip_with(concat(array(0), bs),
+          |   concat(bs, array(length(text))),
+          |  (p, e) -> named_struct('a', p + 1, 'b', e)),
+          | seg -> seg.b >= seg.a)""".stripMargin).as("segs"))
+      .select(col("doc_id"),
+        posexplode(col("segs")).as(Seq("chunk_idx", "seg")), col("text"))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("seg.a").as("start"),
+        (col("seg.b") - col("seg.a") + 1).as("chunk_len"),
+        md5(expr("substring(text, seg.a, seg.b - seg.a + 1)"))
+          .as("chunk_md5"))
+
   /** c4: APPLY the mixture — materialize [[mixtureWeights]]'s per-language
     * weights into an actual resampled corpus manifest: weight w replicates
     * each doc floor(w) times plus one more for a deterministic hash-bucket
@@ -645,6 +682,28 @@ object TextOps {
         |FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
         | < CASE lang WHEN 'en' THEN 60 WHEN 'fr' THEN 30 ELSE 10 END""".stripMargin,
+    "t14_cdc_chunks" ->
+      """WITH b AS (SELECT doc_id, CAST(i AS INTEGER) AS i
+        |  FROM documents,
+        |   UNNEST(range(16, greatest(length(text), 16) + 1)) AS r(i)
+        |  WHERE i <= length(text)
+        |   AND substring(md5(substring(text, i - 15, 16)), 1, 2) = '00'),
+        | mx AS (SELECT doc_id, max(i) AS mx FROM b GROUP BY doc_id),
+        | seg AS (
+        |  SELECT doc_id,
+        |    COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+        |     AS a, i AS b FROM b
+        |  UNION ALL
+        |  SELECT d.doc_id, COALESCE(m.mx, 0) + 1,
+        |    CAST(length(d.text) AS INTEGER)
+        |  FROM documents d LEFT JOIN mx m USING (doc_id)
+        |  WHERE length(d.text) >= COALESCE(m.mx, 0) + 1)
+        |SELECT s.doc_id,
+        | CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY s.a) - 1
+        |  AS INTEGER) AS chunk_idx,
+        | s.a AS start, s.b - s.a + 1 AS chunk_len,
+        | md5(substring(d.text, s.a, s.b - s.a + 1)) AS chunk_md5
+        |FROM seg s JOIN documents d USING (doc_id)""".stripMargin,
     "c4_mixture_apply" ->
       """WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents
         |  GROUP BY lang),

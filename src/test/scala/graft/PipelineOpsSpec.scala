@@ -394,6 +394,41 @@ class PipelineOpsSpec extends SparkSpec {
     // row's plan and the oracle hash-checks the full scoring arithmetic
   }
 
+  test("t14 cdc chunks: exact tiling per doc, boundaries alignment-invariant") {
+    import spark.implicits._
+    val out = TextOps.cdcChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    val lens = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "length(text) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // chunks tile each document exactly: contiguous, in order, full cover
+    out.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 1, s"doc $doc first chunk start")
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, l1, _), (_, _, s2, _, _)) =>
+          assert(s2 == s1 + l1, s"doc $doc gap at chunk start $s2")
+        case _ => ()
+      }
+      val last = sorted.last
+      assert(last._3 + last._4 - 1 == lens(doc), s"doc $doc cover")
+    }
+    // alignment invariance: the same passage embedded after different
+    // prefixes chunks identically past its first interior boundary
+    val rnd = new scala.util.Random(5)
+    def t(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = t(1500)
+    val pair = Seq((1L, t(83) + shared), (2L, t(211) + shared))
+      .toDF("doc_id", "text")
+    val chunks = graft.operators.TextOps.cdcChunksOf(pair).collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    val h1 = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = chunks.filter(_._1 == 2L).map(_._2).toSet
+    assert((h1 & h2).nonEmpty,
+      "no shared chunks across aligned-differently docs — CDC broken")
+  }
+
   test("c4 mixture apply: resampled shares land on target, deterministic") {
     val out = TextOps.mixtureApply(spark, sf).cache()
     val byLang = out.groupBy("lang").count().collect()
