@@ -117,6 +117,7 @@ object SparkEntry {
     "c2_mixture_weights" -> TextOps.mixtureWeights,
     "c3_quality_lr" -> TextOps.qualityLr,
     "c4_mixture_apply" -> TextOps.mixtureApply,
+    "c5_curation_pipeline" -> TextOps.curationPipeline,
     // dedup pipeline (D-ops + MinHash/LSH/SimHash)
     "dd1_exact_dedup" -> DedupOps.exactDedup,
     "dd2_minhash_bands" -> DedupOps.minhashBands,
@@ -506,6 +507,7 @@ object SparkEntry {
     "c2_mixture_weights" -> TextOps.oracle("c2_mixture_weights"),
     "c3_quality_lr" -> TextOps.oracle("c3_quality_lr"),
     "c4_mixture_apply" -> TextOps.oracle("c4_mixture_apply"),
+    "c5_curation_pipeline" -> TextOps.oracle("c5_curation_pipeline"),
     "dd1_exact_dedup" -> DedupOps.exactDedupOracle,
     "dd2_minhash_bands" -> DedupOps.minhashBandsOracle,
     "dd3_lsh_jaccard_pairs" -> DedupOps.lshJaccardPairsOracle,

@@ -322,6 +322,37 @@ object TextOps {
       .drop("total_docs")
   }
 
+  /** c5: the model-based curation chain in ONE Catalyst plan — the
+    * FineWeb/CCNet tail of the funnel that c1 (heuristics + LSH dedup)
+    * does not cover: classifier keep (c3's linear quality score) AND
+    * LM-perplexity keep (t13's surprisal cut) gate the corpus, survivors
+    * get their t12 split, and the result rolls up per (split, lang) with
+    * the token budget and the corpus-level surprisal computed from the
+    * UNROUNDED integer log-prob sums (exact bigint aggregation — no
+    * float-order hash risk crossing the roll-up). One declarative plan:
+    * both model joins broadcast, the only wide operations are the
+    * per-doc score groupBy and the final small roll-up — no
+    * materialization barrier between stages, so Catalyst pipelines the
+    * filters into the scans at any scale. */
+  def curationPipeline: Q = (s, d) => {
+    val docs = documents(s, d)
+    val (model, oov) = unigramModel(docs)
+    val quality = qualityLrOf(docs).filter(col("keep")).select("doc_id")
+    val scored = surprisalAgg(docs.select("doc_id", "text"), model, oov)
+      .withColumn("avg_surprisal",
+        round(-col("sum_lp") / 1e6 / col("n_words"), 6))
+      .filter(col("avg_surprisal") <= 7.0)
+    val kept = quality.join(scored, "doc_id")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    withSplit(kept).groupBy("split", "lang")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_words").cast("long")).as("sum_words"),
+        sum(col("sum_lp")).as("sum_lp"))
+      .select(col("split"), col("lang"), col("n_docs"), col("sum_words"),
+        round(-col("sum_lp") / 1e6 / col("sum_words"), 6)
+          .as("avg_surprisal"))
+  }
+
   /** t14: content-defined chunking — the CDC/rsync boundary rule applied
     * to RAG/dedup chunking: a chunk ends wherever the hash of the last 16
     * chars opens with two zero hex nibbles (1/256 of hash space → mean
@@ -442,14 +473,16 @@ object TextOps {
     * the batch), and leakage-free by construction — `rand()`-based splits
     * are none of these. Narrow map-side projection; no shuffle. */
   def splitAssign: Q = (s, d) =>
-    documents(s, d)
-      .withColumn("bucket", expr(
+    withSplit(documents(s, d)).select("doc_id", "lang", "bucket", "split")
+
+  /** The t12 bucket + split columns over any frame with a doc_id. */
+  private[graft] def withSplit(df: DataFrame): DataFrame =
+    df.withColumn("bucket", expr(
         "cast(conv(substring(md5(concat('split:', cast(doc_id as string))), " +
           "1, 12), 16, 10) as bigint) % 1000"))
       .withColumn("split",
         when(col("bucket") < 980, "train")
           .when(col("bucket") < 990, "val").otherwise("test"))
-      .select("doc_id", "lang", "bucket", "split")
 
   /** c3: model-based quality filtering — a linear classifier over the t3
     * feature columns (the fastText/logistic-regression quality-filter
@@ -460,8 +493,10 @@ object TextOps {
     * path. Same narrow scan-speed shape as t3: the features never leave
     * the projection, so at 100 TB this runs at scan speed with column
     * pruning down to (doc_id, text). */
-  def qualityLr: Q = (s, d) =>
-    documents(s, d)
+  def qualityLr: Q = (s, d) => qualityLrOf(documents(s, d))
+
+  private[graft] def qualityLrOf(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
       .select(col("doc_id"),
         least(size(col("words")).cast("double") / 100.0, lit(1.0))
@@ -519,6 +554,16 @@ object TextOps {
     * model (curation-on-ingest; StreamsSpec proves parity with batch). */
   private[graft] def surprisalScored(docs: DataFrame, model: DataFrame,
       oov: DataFrame): DataFrame =
+    surprisalAgg(docs, model, oov)
+      .select(col("doc_id"), col("n_words"), col("n_oov"),
+        round(-col("sum_lp") / 1e6 / col("n_words"), 6).as("avg_surprisal"))
+      .withColumn("keep", col("avg_surprisal") <= 7.0)
+
+  /** The exact-integer half of the scoring: (doc_id, n_words, n_oov,
+    * sum_lp) — kept separate so c5's roll-up can aggregate the UNROUNDED
+    * bigint sums across docs and stay order-independent. */
+  private[graft] def surprisalAgg(docs: DataFrame, model: DataFrame,
+      oov: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         size(split(col("text"), " ")).as("n_words"),
         explode(split(col("text"), " ")).as("w"))
@@ -527,9 +572,6 @@ object TextOps {
       .groupBy("doc_id", "n_words")
       .agg(sum(coalesce(col("lp"), col("oov_lp"))).as("sum_lp"),
         sum(when(col("lp").isNull, 1).otherwise(0)).cast("int").as("n_oov"))
-      .select(col("doc_id"), col("n_words"), col("n_oov"),
-        round(-col("sum_lp") / 1e6 / col("n_words"), 6).as("avg_surprisal"))
-      .withColumn("keep", col("avg_surprisal") <= 7.0)
 
   // ---- DuckDB oracle SQL ----
 
@@ -682,6 +724,52 @@ object TextOps {
         |FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
         | < CASE lang WHEN 'en' THEN 60 WHEN 'fr' THEN 30 ELSE 10 END""".stripMargin,
+    "c5_curation_pipeline" ->
+      """WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS words
+        |  FROM documents),
+        | qual AS (SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |   least(CAST(len(words) AS DOUBLE) / 100.0, 1.0) AS f_len,
+        |   round(len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 6)
+        |     AS f_uniq,
+        |   least(round(len(list_filter(words,
+        |      w -> w IN ('the','a','of','and','to','in','is'))) /
+        |     CAST(len(words) AS DOUBLE), 6) * 5.0, 1.0) AS f_stop,
+        |   round(length(regexp_replace(text, ' ', '', 'g')) /
+        |     CAST(len(words) AS DOUBLE), 6) AS f_awl
+        |  FROM ws)
+        |  WHERE round(-2.1 + f_len * 1.6 + f_uniq * 1.8 + f_stop * 1.1
+        |    - f_awl * 0.1, 8) >= 0),
+        | w AS (SELECT doc_id, unnest(words) AS w FROM ws),
+        | tot AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM w),
+        | model AS (SELECT w,
+        |   CAST(round(ln((count(*) + 1) /
+        |     CAST((SELECT n + v FROM tot) AS DOUBLE)) * 1e6) AS BIGINT)
+        |    AS lp
+        |  FROM w GROUP BY w HAVING count(*) >= 2),
+        | scored AS (SELECT w.doc_id,
+        |   CAST(max(len(ws.words)) AS INTEGER) AS n_words,
+        |   sum(COALESCE(m.lp, (SELECT CAST(round(ln(1.0 /
+        |     CAST((SELECT n + v FROM tot) AS DOUBLE)) * 1e6) AS BIGINT))))
+        |    AS sum_lp
+        |  FROM w LEFT JOIN model m USING (w)
+        |  JOIN ws ON ws.doc_id = w.doc_id
+        |  GROUP BY w.doc_id
+        |  HAVING round(-sum(COALESCE(m.lp, (SELECT CAST(round(ln(1.0 /
+        |     CAST((SELECT n + v FROM tot) AS DOUBLE)) * 1e6) AS BIGINT))))
+        |    / 1e6 / CAST(max(len(ws.words)) AS INTEGER), 6) <= 7.0),
+        | kept AS (SELECT s.doc_id, s.n_words, s.sum_lp, d.lang,
+        |   ('0x' || substr(md5('split:' || CAST(s.doc_id AS VARCHAR)),
+        |     1, 12))::BIGINT % 1000 AS bucket
+        |  FROM scored s JOIN qual q USING (doc_id)
+        |  JOIN documents d ON d.doc_id = s.doc_id)
+        |SELECT CASE WHEN bucket < 980 THEN 'train'
+        |  WHEN bucket < 990 THEN 'val' ELSE 'test' END AS split,
+        | lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_words) AS BIGINT) AS sum_words,
+        | round(-sum(sum_lp) / 1e6 / CAST(sum(n_words) AS BIGINT), 6)
+        |  AS avg_surprisal
+        |FROM kept GROUP BY 1, 2""".stripMargin,
     "t14_cdc_chunks" ->
       """WITH b AS (SELECT doc_id, CAST(i AS INTEGER) AS i
         |  FROM documents,

@@ -429,6 +429,24 @@ class PipelineOpsSpec extends SparkSpec {
       "no shared chunks across aligned-differently docs — CDC broken")
   }
 
+  test("c5 curation pipeline: one plan, model broadcast, keeps a strict subset") {
+    val out = TextOps.curationPipeline(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model scoring join not broadcast:\n$plan")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val total = Tables.load(spark, sf, "documents").count()
+    val kept = rows.map(_.getLong(2)).sum
+    assert(kept > 0 && kept < total,
+      s"filter chain kept $kept of $total — gates not engaging")
+    rows.foreach { r =>
+      assert(Set("train", "val", "test")(r.getString(0)))
+      val s = r.getDouble(4)
+      assert(s > 0 && s <= 7.0, s"roll-up surprisal $s out of the kept range")
+    }
+  }
+
   test("c4 mixture apply: resampled shares land on target, deterministic") {
     val out = TextOps.mixtureApply(spark, sf).cache()
     val byLang = out.groupBy("lang").count().collect()
