@@ -121,7 +121,14 @@ object ScaleProbe {
       // stream grows ~N·c vs the real-corpus ~N; these rows bound the
       // WORST-case inventory, and the md5-vs-rolling A/B below isolates
       // the hashing cost from that fixture artifact
-      "t11_sequence_pack", "dd9_span_grams", "dd10_span_scrub")
+      "t11_sequence_pack", "dd9_span_grams", "dd10_span_scrub",
+      // round-8 continuation: the model-based curation family — t13/c5
+      // shuffle the token stream once for the per-doc score and broadcast
+      // the vocab-sized model (vocab grows ~log with corpus, so the
+      // broadcast stays small); t12/c3/t14 are scan-speed map-side ops;
+      // c4's copies explode map-side after a 5-row broadcast
+      "t12_split_assign", "c3_quality_lr", "t13_perplexity",
+      "t14_cdc_chunks", "c4_mixture_apply", "c5_curation_pipeline")
       .map(n => (n, SparkEntry.queries(n), SparkEntry.queries(n)))
     import graft.operators.{Profile, RankDedup, VectorOps}
     // profile first-touch: exact vs sketched (HLL++) distinct counts over

@@ -97,6 +97,65 @@ object SpanGramHits {
       name, exprs => SpanGramHits(exprs.head, gramLen), "scala_udf")
 }
 
+/** CDC boundary positions for t14 (TextOps.cdcChunks): every 1-indexed
+  * position `i` in [window, len] where `md5(substring(text, i-window+1,
+  * window))` opens with two zero hex nibbles (first digest byte == 0;
+  * 1/256 of hash space → mean chunk ≈ 256 chars) — identical semantics to
+  * the SQL lambda form the DuckDB oracle evaluates, fused into one loop
+  * per document for the same reason as [[SpanGramHits]]: the interpreted
+  * transform/filter form allocates a struct and hex string per POSITION
+  * and measured 12.9 s at sf0.1; this form reuses one MessageDigest over
+  * byte windows with no hex encoding at all (the selection test reads the
+  * raw first byte). Non-ASCII falls back to char-correct slicing. */
+case class CdcBoundaries(child: Expression, window: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[UTF8String]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val bytes = u.getBytes
+    var ascii = true
+    var i = 0
+    while (i < bytes.length && ascii) { ascii = bytes(i) >= 0; i += 1 }
+    if (ascii) {
+      val n = bytes.length
+      var end = window
+      while (end <= n) {
+        md.update(bytes, end - window, window)
+        if (md.digest()(0) == 0) out += end
+        end += 1
+      }
+    } else {
+      val s = u.toString
+      val n = s.length
+      var end = window
+      while (end <= n) {
+        val d = md.digest(s.substring(end - window, end)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (d(0) == 0) out += end
+        end += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcBoundaries {
+  /** Register `cdc_boundaries(text)` with the given window length. */
+  def register(spark: SparkSession, window: Int,
+      name: String = "cdc_boundaries"): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => CdcBoundaries(exprs.head, window), "scala_udf")
+}
+
 /** The 100 TB form of [[SpanGramHits]]: a Karp-Rabin ROLLING hash makes
   * gram hashing O(len) per document instead of O(len·G) — at G=50 that is
   * the difference between hashing the corpus once and hashing it fifty

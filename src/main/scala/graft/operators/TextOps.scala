@@ -370,13 +370,14 @@ object TextOps {
 
   /** The t14 chunker over any (doc_id, text) frame — stateless, so the
     * same call chunks a stream or a test fixture. */
-  private[graft] def cdcChunksOf(docsDf: DataFrame): DataFrame =
+  private[graft] def cdcChunksOf(docsDf: DataFrame): DataFrame = {
+    // boundary detection runs fused in one native loop per document
+    // ([[graft.functions.CdcBoundaries]]) — the interpreted lambda form
+    // measured 12.9 s at sf0.1 vs ~1 s fused, identical output
+    graft.functions.CdcBoundaries.register(docsDf.sparkSession, 16)
     docsDf
-      .select(col("doc_id"), col("text"), expr(
-        """filter(transform(sequence(16, greatest(length(text), 16)),
-          | i -> CASE WHEN i <= length(text) AND
-          |   substring(md5(substring(text, i - 15, 16)), 1, 2) = '00'
-          |  THEN i ELSE -1 END), x -> x > 0)""".stripMargin).as("bs"))
+      .select(col("doc_id"), col("text"),
+        expr("cdc_boundaries(text)").as("bs"))
       .select(col("doc_id"), col("text"), expr(
         """filter(zip_with(concat(array(0), bs),
           |   concat(bs, array(length(text))),
@@ -389,6 +390,7 @@ object TextOps {
         (col("seg.b") - col("seg.a") + 1).as("chunk_len"),
         md5(expr("substring(text, seg.a, seg.b - seg.a + 1)"))
           .as("chunk_md5"))
+  }
 
   /** c4: APPLY the mixture — materialize [[mixtureWeights]]'s per-language
     * weights into an actual resampled corpus manifest: weight w replicates

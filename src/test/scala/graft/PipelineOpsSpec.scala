@@ -429,6 +429,24 @@ class PipelineOpsSpec extends SparkSpec {
       "no shared chunks across aligned-differently docs — CDC broken")
   }
 
+  test("cdc boundary expression matches the SQL lambda form, incl. non-ASCII and short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "tiny"),                                   // shorter than one window
+      (2L, ("the quick brown fox jumps over it " * 40)),
+      (3L, "héllo wörld ünïcode çhars everywhere " * 30)  // multi-byte path
+    ).toDF("doc_id", "text")
+    graft.functions.CdcBoundaries.register(spark, 16, name = "cdc_t")
+    val viaExpr = docs.select(col("doc_id"),
+        explode(expr("cdc_t(text)")).as("i"))
+    val viaSql = docs.select(col("doc_id"), explode(expr(
+      """filter(transform(sequence(16, greatest(length(text), 16)),
+        | i -> CASE WHEN i <= length(text) AND
+        |   substring(md5(substring(text, i - 15, 16)), 1, 2) = '00'
+        |  THEN i ELSE -1 END), x -> x > 0)""".stripMargin)).as("i"))
+    assert(viaExpr.exceptAll(viaSql).isEmpty && viaSql.exceptAll(viaExpr).isEmpty)
+  }
+
   test("c5 curation pipeline: one plan, model broadcast, keeps a strict subset") {
     val out = TextOps.curationPipeline(spark, sf)
     val plan = out.queryExecution.executedPlan.toString
