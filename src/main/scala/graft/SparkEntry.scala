@@ -94,6 +94,7 @@ object SparkEntry {
     "v3_neardup_embeddings" -> VectorOps.nearDupPairs,
     "v4_knn_join" -> VectorOps.knnJoin,
     "v5_kmeans_ivf" -> VectorOps.kmeansIvf,
+    "v10_mmr_rerank" -> VectorOps.mmrRerank,
     "v5_ivf_assign" -> VectorOps.kmeansIvfAssign,
     "v6_rp_lsh_neardup" -> VectorOps.rpLshNearDup,
     "v7_ivf_at_rest" -> VectorOps.ivfAtRest,
@@ -147,7 +148,7 @@ object SparkEntry {
     * vs the brute-force ground truth plus Lloyd's-convergence invariants,
     * and `v5_ivf_assign` hash-checks the shared non-iterative machinery
     * (fixed-centroid assignment + probe) against DuckDB. */
-  val rowsOnlyQueries: Set[String] = Set("v5_kmeans_ivf")
+  val rowsOnlyQueries: Set[String] = Set("v5_kmeans_ivf", "v10_mmr_rerank")
 
   def oracleSql: Map[String, String] = Map(
     "p1_scan_projection" ->

@@ -42,6 +42,67 @@ object VectorOps {
       .limit(10)
   }
 
+  /** Greedy Maximal Marginal Relevance over a bounded candidate list —
+    * the DIVERSIFIED rerank every retrieval serving stack runs after the
+    * ANN shortlist (Carbonell & Goldstein, SIGIR 1998): pick, k times, the
+    * candidate maximizing λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s),
+    * so near-duplicates of an already-selected result are penalized out.
+    * Deterministic tie-break on (score desc, vec_id asc). Driver-side by
+    * design: candidates are the k·overfetch shortlist a distributed probe
+    * produced (the same bounded-collect contract as every top-k here) and
+    * the pairwise term needs all-selected state — at N≈100 this is
+    * microseconds; the DISTRIBUTED part of serving stays the candidate
+    * generation. λ=1 degenerates to plain top-k (spec-pinned). */
+  private[graft] def mmrSelect(cands: Seq[(Long, Array[Double], Double)],
+      k: Int, lam: Double): Seq[(Long, Double, Double)] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Double], Double, Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val scored = remaining.map { c =>
+        val penalty =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => cos(c._2, s._2)).max
+        (c, lam * c._3 - (1 - lam) * penalty)
+      }
+      val (best, score) = scored.minBy { case ((id, _, _), sc) => (-sc, id) }
+      selected += ((best._1, best._2, best._3, score))
+      remaining -= best
+    }
+    selected.toSeq.map(t => (t._1, t._3, t._4))
+  }
+
+  /** v10: MMR-diversified top-10 from the brute-force top-20 shortlist of
+    * probe vec 0, λ=0.7. Rows-only gate (greedy argmax with selected-set
+    * state has no tractable SQL oracle); VectorGateSpec pins λ=1 parity
+    * with [[cosineTopK]] and the diversity property on a planted
+    * near-duplicate fixture. */
+  def mmrRerank: Q = (s, d) => {
+    val e = vecs(s, d)
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("p"))
+    val shortlist = e.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("v"),
+        round(expr("cosine_sim(v, p)"), 6).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(20)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val picked = mmrSelect(shortlist.toSeq, 10, 0.7)
+    import s.implicits._
+    picked.zipWithIndex
+      .map { case ((id, sim, score), i) =>
+        (i + 1, id, sim, math.rint(score * 1e6) / 1e6) }
+      .toDF("rank", "vec_id", "sim", "mmr_score")
+  }
+
   /** IVF-style ANN: per-cell centroids → probe top-2 cells → exact top-10
     * within those cells only. Centroid build is one shuffle; probing is a
     * broadcast of 2 cell ids. */

@@ -67,4 +67,34 @@ class VectorGateSpec extends SparkSpec {
     assert(cent.length == 8, s"expected 8 centroids, got ${cent.length}")
     assert(cent.forall(_.getSeq[Double](1).length == 64))
   }
+
+  test("mmr: lambda=1 equals plain top-k; near-dup of a selected result is deferred") {
+    // candidates: c1 most relevant, c2 a near-duplicate of c1 with the
+    // second-best relevance, c3/c4 distinct directions
+    def unit(xs: Double*): Array[Double] = {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      xs.map(_ / n).toArray
+    }
+    val c1 = unit(1.0, 0.02, 0.0)
+    val c2 = unit(1.0, 0.00, 0.02) // cos(c1,c2) ≈ 0.999…
+    val c3 = unit(0.2, 1.0, 0.0)
+    val c4 = unit(0.2, 0.0, 1.0)
+    val cands = Seq((1L, c1, 0.95), (2L, c2, 0.94),
+      (3L, c3, 0.60), (4L, c4, 0.55))
+    // λ=1: pure relevance order, exactly the plain top-k
+    val plain = VectorOps.mmrSelect(cands, 3, 1.0).map(_._1)
+    assert(plain == Seq(1L, 2L, 3L))
+    // λ=0.5: after c1 is selected, c2's redundancy penalty (~0.5·1.0)
+    // drops it below the distinct directions — diversity wins
+    val diverse = VectorOps.mmrSelect(cands, 3, 0.5).map(_._1)
+    assert(diverse.head == 1L && !diverse.tail.take(1).contains(2L),
+      s"near-duplicate selected second: $diverse")
+    assert(diverse.toSet.subsetOf(Set(1L, 2L, 3L, 4L)) && diverse.size == 3)
+    // deterministic
+    assert(VectorOps.mmrSelect(cands, 3, 0.5) == VectorOps.mmrSelect(cands, 3, 0.5))
+    // the query shape: 10 ranked rows, ranks 1..10, sims within shortlist
+    val q = VectorOps.mmrRerank(spark, sf).collect()
+    assert(q.length == 10 && q.map(_.getInt(0)).toSeq == (1 to 10))
+    assert(q.map(_.getLong(1)).distinct.length == 10)
+  }
 }
