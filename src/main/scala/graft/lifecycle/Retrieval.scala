@@ -74,6 +74,36 @@ final class Retriever(spark: SparkSession,
     retrieveDF(question, k).collect().toSeq.map(r =>
       Retrieved(r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
 
+  /** MMR-diversified retrieve: overfetch 3k candidates WITH their
+    * embeddings, then greedy-select k via
+    * [[graft.operators.VectorOps.mmrSelect]] — near-duplicate chunks (the
+    * same boilerplate indexed from two pages) stop crowding the context
+    * window the answer prompt is built from. λ=1 degenerates to
+    * [[retrieve]] (RetrievalOntologySpec pins it). */
+  def retrieveDiverse(question: String, k: Int = 6,
+      lambda: Double = 0.7): Seq[Retrieved] = {
+    val idx = index.getOrElse(
+      throw new IllegalStateException("indexCorpus must run before retrieve"))
+    val qv = typedLit(embedder.embed(question))
+    val cands = idx.select(col("doc_id"), col("chunk_idx"), col("chunk"),
+        col("emb"),
+        round(call_function("cosine_sim", col("emb"), qv), 6).as("sim"))
+      .orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))
+      .limit(3 * k)
+      .collect()
+    // key candidates by shortlist position so mmrSelect's long id maps
+    // back to the full row (doc_id alone is not unique across chunks)
+    val byPos = cands.zipWithIndex.map { case (r, i) => (i.toLong, r) }.toMap
+    val picked = graft.operators.VectorOps.mmrSelect(
+      byPos.toSeq.sortBy(_._1).map { case (i, r) =>
+        (i, r.getSeq[Double](3).toArray, r.getDouble(4)) },
+      k, lambda)
+    picked.map { case (i, sim, _) =>
+      val r = byPos(i)
+      Retrieved(r.getLong(0), r.getInt(1), r.getString(2), sim)
+    }
+  }
+
   /** The composed agent tool: retrieve top-k chunks, hand them to the
     * search-summarizer stage as numbered context, return both (the
     * reference formats retrieved chunks into the QA prompt the same way,

@@ -57,6 +57,25 @@ class RetrievalOntologySpec extends SparkSpec {
     intercept[IllegalStateException] { new Retriever(spark).saveIndex("x") }
   }
 
+  test("diversified retrieve: lambda=1 equals plain top-k; duplicate chunks deferred") {
+    // docs 1 and 2 are verbatim duplicates (indexed boilerplate); doc 3 is
+    // a distinct topic that still shares a query term
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta " * 20),
+      (2L, "alpha beta gamma delta " * 20),
+      (3L, "alpha omega sigma tau " * 20)).toDF("doc_id", "text")
+    val r = new Retriever(spark)
+    r.indexCorpus(corpus)
+    val q = "alpha beta gamma"
+    assert(r.retrieveDiverse(q, k = 3, lambda = 1.0) == r.retrieve(q, k = 3))
+    // at diversity-weighted lambda the near-duplicate chunk defers: the
+    // top-2 diversified hits span BOTH topics instead of the duplicate pair
+    val div = r.retrieveDiverse(q, k = 2, lambda = 0.5)
+    assert(div.length == 2)
+    assert(div.map(_.chunk).distinct.length == 2,
+      s"duplicate chunk pair survived diversification: $div")
+  }
+
   test("retrieval rerank plans as broadcast-free top-k (v1 shape)") {
     val r = new Retriever(spark)
     r.indexCorpus(Seq((1L, "alpha beta gamma " * 30)).toDF("doc_id", "text"))
