@@ -537,6 +537,73 @@ object Streams {
         .start()
   }
 
+  /** The full curation-ingest loop over the span inventory: each
+    * microbatch is SCRUBBED against the index as it stood before the
+    * batch ([[graft.operators.SpanIndex.probeScrub]] — corpus-known
+    * boilerplate is cut from the new docs), the cleaned rows land under
+    * `outPath/batch-<id>/`, and THEN the raw batch folds into the index
+    * ([[graft.operators.SpanIndex.append]]) so every later batch sees
+    * this one's spans. Scrub-before-append is a correctness requirement,
+    * not a style choice: after the append, the batch's own intra-batch
+    * duplicates would count as ≥2 stored carriers and a REPLAYED fold
+    * would cut spans the original did not — so the repair path reuses the
+    * already-written per-batch output when it exists (its parquet
+    * `_SUCCESS` is the completion marker; the overwrite is idempotent
+    * otherwise) and only re-runs the idempotent append. Intra-batch span
+    * dedup is deliberately NOT this sink's job — that is dd9/dd10's batch
+    * pass; the ingest cut handles what the CORPUS already carries. */
+  final class ScrubIngestSink(indexPath: String, outPath: String) {
+    import graft.operators.SpanIndex
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.SaveMode
+
+    private val log = new StreamCommitLog(indexPath, "doc_id")
+
+    private def cleanedDir(batchId: Long) = s"$outPath/batch-$batchId"
+
+    def processBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
+      val s = batch0.sparkSession
+      repairPending(s)
+      if (log.fs(s).exists(log.marker(batchId))) return
+      if (batch0.isEmpty) return
+      val fresh = log.fresh(batch0.select(col("doc_id"), col("text")))
+        .localCheckpoint(eager = true)
+      if (fresh.head(1).nonEmpty) {
+        fresh.write.mode(SaveMode.Overwrite)
+          .parquet(log.pending(batchId).toString)
+        foldPending(s, batchId)
+      } else log.commit(s, batchId)
+    }
+
+    private def foldPending(s: SparkSession, batchId: Long): Unit = {
+      val docs = s.read.parquet(log.pending(batchId).toString)
+      val done = new Path(cleanedDir(batchId), "_SUCCESS")
+      if (!done.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .exists(done)) {
+        // scrub against the PRE-append index state (see class doc)
+        SpanIndex.probeScrub(docs, indexPath)
+          .write.mode(SaveMode.Overwrite).parquet(cleanedDir(batchId))
+      }
+      SpanIndex.append(docs, indexPath)
+      log.recordIds(docs)
+      log.commit(s, batchId)
+    }
+
+    private def repairPending(s: SparkSession): Unit =
+      log.orphans(s).foreach(id => foldPending(s, id))
+
+    /** All cleaned batches as one frame. */
+    def cleaned(s: SparkSession): DataFrame =
+      s.read.parquet(s"$outPath/batch-*")
+
+    def attach(docs: DataFrame): StreamingQuery =
+      docs.writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          processBatch(b.toDF(), id))
+        .start()
+  }
+
   /** Drive any of the above against a bounded parquet dir through a real
     * streaming query into a memory sink; returns the sink table name. Used by
     * tests and the streaming demo — `processAllAvailable` makes it

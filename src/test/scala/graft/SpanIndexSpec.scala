@@ -238,6 +238,67 @@ class SpanIndexSpec extends SparkSpec {
     assert(storedShared(path) == want)
   }
 
+  test("scrub-ingest sink: later waves lose earlier waves' spans; replay reuses scrub output") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val idx = fresh("target/span_scrub_ingest_idx")
+    val out = fresh("target/span_scrub_ingest_out")
+    val rnd = new scala.util.Random(23)
+    def t(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val boiler = t(300)
+    // seed: an index must exist before the sink attaches
+    SpanIndex.write(Seq((1L, t(200) + " " + boiler)).toDF("doc_id", "text"),
+      idx)
+
+    val sink = new graft.streaming.Streams.ScrubIngestSink(idx, out)
+    val ms = MemoryStream[(Long, String)]
+    val q = sink.attach(ms.toDF().toDF("doc_id", "text"))
+    // wave 1: a novel doc AND a doc carrying the seeded boiler
+    val w1Novel = t(250)
+    ms.addData(Seq((10L, w1Novel), (11L, t(90) + " " + boiler + " tail")))
+    q.processAllAvailable()
+    // wave 2: a doc carrying wave 1's novel text — the index has folded
+    // wave 1, so the ingest scrub now cuts it
+    ms.addData(Seq((20L, t(70) + " " + w1Novel + " more")))
+    q.processAllAvailable()
+    ms.addData(Seq((20L, t(70) + " " + w1Novel + " more"))) // redelivery
+    q.processAllAvailable()
+    q.stop()
+
+    val cleaned = sink.cleaned(spark).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(3))).toMap
+    assert(cleaned.keySet == Set(10L, 11L, 20L))
+    // wave 1: novel doc untouched; seeded-boiler carrier scrubbed
+    assert(cleaned(10L)._1 == 0 && cleaned(10L)._2 == w1Novel)
+    assert(cleaned(11L)._1 >= 1 &&
+      !cleaned(11L)._2.contains(boiler.substring(40, 90)))
+    // wave 2: wave 1's text is now corpus-known and cut
+    assert(cleaned(20L)._1 >= 1 &&
+      !cleaned(20L)._2.contains(w1Novel.substring(40, 90)))
+    // the index itself holds all five docs
+    assert(SpanIndex.docs(spark, idx).count() == 4)
+
+    // crash-replay determinism: simulate wave 2's fold crashing AFTER its
+    // scrub output and append landed but BEFORE the marker — the repair
+    // must NOT re-scrub (the batch's own grams are in the index now, so a
+    // fresh scrub would cut differently); it must reuse the written output
+    val fs = new org.apache.hadoop.fs.Path(s"$idx/_stream_commits")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((20L, t(70) + " " + w1Novel + " more")).toDF("doc_id", "text")
+      .write.mode("overwrite")
+      .parquet(s"$idx/_stream_commits/pending-1")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_stream_commits/batch-1"),
+      false)
+    sink.processBatch(Seq.empty[(Long, String)].toDF("doc_id", "text"), 99L)
+    val after = sink.cleaned(spark).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(3))).toMap
+    assert(after == cleaned, "replay re-scrubbed an already-folded batch")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx/_stream_commits/batch-1")), "repair did not re-commit")
+  }
+
   test("streaming sink: waves equal one batch append; redelivery is a no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
