@@ -775,7 +775,12 @@ object DedupOps {
     * left-to-right `aggregate` walk, and return the affected docs as
     * (doc_id, n_cut_spans, chars_cut, clean_text). Both windows and the
     * interval groupBy run over the HIT stream only; the corpus joins once
-    * on doc_id against the affected-docs interval arrays. */
+    * on doc_id against the affected-docs interval arrays. One accounting
+    * nuance: `chars_cut` sums merged WINDOW extents [a, b), so for a doc
+    * shorter than one gram whose whole-text hash matched, it reports the
+    * window size rather than the (smaller) removed char count — clean_len
+    * is exact either way (the substring arithmetic clamps), and the dd10
+    * oracle computes the identical sum, so the two engines agree. */
   private[operators] def cutSpans(corpus: DataFrame, hits: DataFrame,
       g: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("off")
