@@ -286,7 +286,10 @@ object RollingGramHits {
   *  - density ≈ 2/(window+1), the winnowing paper's bound.
   * Same Karp-Rabin rolling hash + murmur finalizer as [[RollingGramHits]];
   * O(len) per doc via a monotonic-deque sliding minimum. Docs shorter than
-  * one window still emit their global-min gram (every doc fingerprints). */
+  * one window still emit their global-min gram (every NON-EMPTY doc
+  * fingerprints; zero-length text emits nothing — a shared empty-string
+  * fingerprint would make all empty docs mutual span carriers and let a
+  * scrub report chars_cut > doc length). */
 case class WinnowedGramHits(child: Expression, gramLen: Int, window: Int)
     extends UnaryExpression with CodegenFallback {
 
@@ -320,6 +323,11 @@ case class WinnowedGramHits(child: Expression, gramLen: Int, window: Int)
     val (charAt, n): (Int => Int, Int) =
       if (ascii) ((j: Int) => bytes(j).toInt, bytes.length)
       else { val s = u.toString; ((j: Int) => s.charAt(j).toInt, s.length) }
+    // Zero-length text carries no span: without this guard the count
+    // clamp below would fingerprint the empty string (fmix(0)), making
+    // every empty doc a mutual carrier of one hot gram — and a scrub
+    // would then report chars_cut > doc length on a 0-length doc.
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
     val count = math.max(n - gramLen + 1, 1)
     val hs = new Array[Long](count)
     var h = 0L

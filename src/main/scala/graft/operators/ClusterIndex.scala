@@ -386,9 +386,14 @@ object ClusterIndex {
     val m = meta(s, path)
     require(m.bandBuckets > 0,
       "delete requires a bucketed band index; rebuild with ClusterIndex.write")
-    val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
-      .distinct().localCheckpoint(eager = true)
     val oldLabels = labels(s, path)
+    // cast the victim ids to the STORED doc_id type, not a hard long:
+    // labels are joined by value (no type-dependent hash routing here),
+    // but a long cast on a UUID-string corpus would null every victim
+    // and the takedown would silently match nothing
+    val ids = docIds.select(
+        col("doc_id").cast(oldLabels.schema("doc_id").dataType).as("doc_id"))
+      .distinct().localCheckpoint(eager = true)
     // victims materialize BEFORE any rewrite: their stored hs rows are the
     // only way back to their band keys once labels change
     val victims = oldLabels.join(ids, Seq("doc_id"))

@@ -98,6 +98,29 @@ object SpanIndex {
   private def dbOf(docBuckets: Int) =
     pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)).cast("int")
 
+  /** The artifact's doc_id contract is LongType, enforced at EVERY entry
+    * point (write/append/probeScrub/delete): `db` routing hashes doc_id
+    * with xxhash64, which is TYPE-dependent in Spark (int, long and
+    * string values hash differently), so a batch folded under one type
+    * and a takedown probing under another would look in `db` buckets the
+    * victims never landed in — a silently-empty delete. Integral ids
+    * widen to long (hash-identical thereafter); non-integral ids (e.g.
+    * UUID strings) are rejected loudly — map them to a surrogate long
+    * upstream rather than letting the cast null them out. */
+  private def withLongDocId(df: DataFrame): DataFrame =
+    df.schema("doc_id").dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType =>
+        df.withColumn("doc_id", col("doc_id").cast("long"))
+      case other => throw new IllegalArgumentException(
+        s"SpanIndex requires an integral doc_id (got $other): xxhash64 " +
+          "bucket routing is type-dependent, so a non-long id would land " +
+          "in db buckets delete() never probes. Map string ids to a " +
+          "surrogate long before indexing.")
+    }
+
   /** A corpus batch's carrier rows under the stored geometry. The
     * registered function name carries the geometry: registration is
     * session-global and DataFrames analyze lazily, so a fixed name would
@@ -138,16 +161,17 @@ object SpanIndex {
       require(window < gramLen, s"winnowing window $window must be < gram " +
         s"length $gramLen for the scrub's overlap guarantee to hold")
       val s = corpus.sparkSession
-      val n = math.max(1L, countEstimate.getOrElse(corpus.count()))
+      val c = withLongDocId(corpus.select("doc_id", "text"))
+      val n = math.max(1L, countEstimate.getOrElse(c.count()))
       val m = Meta(gramLen, window, OperatingPoint.bandIndexBuckets(n),
         OperatingPoint.clusterIndexParts(n), n)
       // meta first: data files must never exist without the geometry that
       // hashed them (a crash mid-write is repaired by re-running write)
       writeMeta(s, path, m)
-      val grams = gramsOf(corpus, m).localCheckpoint(eager = false)
+      val grams = gramsOf(c, m).localCheckpoint(eager = false)
       grams.write.mode(SaveMode.Overwrite).partitionBy("gb")
         .parquet(s"$path/grams")
-      docsOf(corpus.select("doc_id").distinct(), grams, m)
+      docsOf(c.select("doc_id").distinct(), grams, m)
         .write.mode(SaveMode.Overwrite).partitionBy("db")
         .parquet(s"$path/docs")
     }
@@ -192,8 +216,9 @@ object SpanIndex {
     MaintenanceLock.withLock(batch.sparkSession, path) {
       val s = batch.sparkSession
       val m = meta(s, path)
-      val fresh = batch.select("doc_id", "text").dropDuplicates("doc_id")
-        .join(freshIds(s, path, m, batch.select("doc_id").distinct()),
+      val b = withLongDocId(batch.select("doc_id", "text"))
+      val fresh = b.dropDuplicates("doc_id")
+        .join(freshIds(s, path, m, b.select("doc_id").distinct()),
           Seq("doc_id"))
         .localCheckpoint(eager = true)
       val nFresh = fresh.count()
@@ -223,7 +248,11 @@ object SpanIndex {
   def probeScrub(batch: DataFrame, path: String): DataFrame = {
     val s = batch.sparkSession
     val m = meta(s, path)
-    val batchGrams = gramsOf(batch, m).localCheckpoint(eager = true)
+    // dedupe mirrors append: duplicate doc_id rows would explode their
+    // grams twice and the final left join would emit duplicated output
+    val b = withLongDocId(batch.select("doc_id", "text"))
+      .dropDuplicates("doc_id")
+    val batchGrams = gramsOf(b, m).localCheckpoint(eager = true)
     val batchGbs = batchGrams.select("gb").distinct()
       .collect().map(_.getInt(0)).toSeq
     // Self-carrier guard: a batch doc that is ALREADY in the index would
@@ -241,9 +270,8 @@ object SpanIndex {
       .filter(col("n_carriers") >= 2 ||
         col("one_carrier") =!= col("doc_id"))
       .select("doc_id", "off").dropDuplicates("doc_id", "off")
-    val cut = DedupOps.cutSpans(batch.select("doc_id", "text"), hits,
-      m.gramLen)
-    batch.select("doc_id", "text").join(cut, Seq("doc_id"), "left")
+    val cut = DedupOps.cutSpans(b, hits, m.gramLen)
+    b.join(cut, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_cut_spans"), lit(0)).as("n_cut_spans"),
         coalesce(col("chars_cut"), lit(0L)).as("chars_cut"),
@@ -264,7 +292,7 @@ object SpanIndex {
     MaintenanceLock.withLock(victimIds.sparkSession, path) {
       val s = victimIds.sparkSession
       val m = meta(s, path)
-      val ids = victimIds.select(col("doc_id").cast("long").as("doc_id"))
+      val ids = withLongDocId(victimIds.select("doc_id"))
         .distinct().withColumn("db", dbOf(m.docBuckets))
         .localCheckpoint(eager = true)
       val victimDbs = ids.select("db").distinct()

@@ -592,9 +592,9 @@ object Streams {
     private def repairPending(s: SparkSession): Unit =
       log.orphans(s).foreach(id => foldPending(s, id))
 
-    /** All cleaned batches as one frame. */
-    def cleaned(s: SparkSession): DataFrame =
-      s.read.parquet(s"$outPath/batch-*")
+    /** All cleaned batches as one frame — [[Streams.cleanedCorpus]] over
+      * this sink's output dir. */
+    def cleaned(s: SparkSession): DataFrame = cleanedCorpus(s, outPath)
 
     def attach(docs: DataFrame): StreamingQuery =
       docs.writeStream
@@ -602,6 +602,37 @@ object Streams {
         .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
           processBatch(b.toDF(), id))
         .start()
+  }
+
+  /** The scrubbed-corpus CONSUMER CONTRACT: one stable table over a
+    * [[ScrubIngestSink]]'s per-batch output dirs. Unions exactly the
+    * COMMITTED batches — dirs whose parquet write finished (Spark's
+    * `_SUCCESS` marker; the sink never rewrites a batch dir once that
+    * marker exists, so a committed dir's content is final even while the
+    * batch's index append is still being crash-repaired). A crashed
+    * batch's partial dir is excluded until its replay recommits it, and
+    * an outPath with no committed batches yet returns an EMPTY frame
+    * with the scrub schema instead of a path-not-found error — so a
+    * downstream curation job can point at the dir unconditionally. */
+  def cleanedCorpus(s: SparkSession, outPath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types._
+    val root = new Path(outPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val committed =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter(p => p.getName.startsWith("batch-") &&
+          fs.exists(new Path(p, "_SUCCESS")))
+        .map(_.toString)
+    if (committed.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_cut_spans", IntegerType),
+          StructField("chars_cut", LongType),
+          StructField("clean_text", StringType))))
+    else s.read.parquet(committed.sorted: _*)
   }
 
   /** Drive any of the above against a bounded parquet dir through a real

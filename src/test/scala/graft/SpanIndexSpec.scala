@@ -277,7 +277,7 @@ class SpanIndexSpec extends SparkSpec {
     // wave 2: wave 1's text is now corpus-known and cut
     assert(cleaned(20L)._1 >= 1 &&
       !cleaned(20L)._2.contains(w1Novel.substring(40, 90)))
-    // the index itself holds all five docs
+    // the index itself holds all four docs (seed doc 1 + docs 10, 11, 20)
     assert(SpanIndex.docs(spark, idx).count() == 4)
 
     // crash-replay determinism: simulate wave 2's fold crashing AFTER its
@@ -328,5 +328,75 @@ class SpanIndexSpec extends SparkSpec {
     val dups = SpanIndex.docs(spark, streamed)
       .groupBy("doc_id").count().filter(col("count") > 1).count()
     assert(dups == 0)
+  }
+
+  test("doc_id contract: int ids route like longs; string ids rejected loudly") {
+    import spark.implicits._
+    val path = fresh("target/span_index_idtype")
+    // build under IntegerType ids, then take down under LongType ids —
+    // the normalized routing must find the victims' db buckets
+    val ints = corpus.limit(40)
+      .select(col("doc_id").cast("int").as("doc_id"), col("text"))
+    SpanIndex.write(ints, path)
+    assert(SpanIndex.docs(spark, path).schema("doc_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val victims = ints.limit(3).select(col("doc_id").cast("long").as("doc_id"))
+    val victimSet = victims.collect().map(_.getLong(0)).toSet
+    SpanIndex.delete(victims, path)
+    val left = SpanIndex.docs(spark, path).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(left.intersect(victimSet).isEmpty, "takedown missed victims")
+    assert(left.nonEmpty)
+    // non-integral ids would hash into unreachable buckets: fail loudly
+    val err = intercept[IllegalArgumentException] {
+      SpanIndex.append(Seq(("u-1", "some text")).toDF("doc_id", "text"), path)
+    }
+    assert(err.getMessage.contains("integral doc_id"))
+  }
+
+  test("probeScrub: duplicate batch rows collapse; empty text neither cuts nor carries") {
+    import spark.implicits._
+    val path = fresh("target/span_index_dupempty")
+    SpanIndex.write(corpus.limit(60), path)
+    val boiler = DedupOps.SpanBoiler
+    val batch = Seq(
+        (900L, s"fresh prose that nobody stored before $boiler"),
+        (900L, s"fresh prose that nobody stored before $boiler"), // dup row
+        (901L, ""), (902L, "")) // two empty docs: no mutual fmix(0) gram
+      .toDF("doc_id", "text")
+    val out = SpanIndex.probeScrub(batch, path).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out.size == 3, "duplicate doc_id rows were not collapsed")
+    assert(out(900L)._1 >= 1 && !out(900L)._3.contains(boiler))
+    // empty docs pass through untouched: zero cuts, zero chars, and the
+    // clean_len = length - chars_cut identity holds (chars_cut ≤ length)
+    Seq(901L, 902L).foreach { id =>
+      assert(out(id) == ((0, 0L, "")), s"empty doc $id was scrubbed")
+    }
+  }
+
+  test("cleanedCorpus: empty dir yields empty frame; uncommitted batch dirs excluded") {
+    import graft.streaming.Streams
+    import spark.implicits._
+    val out = fresh("target/span_cleaned_view")
+    // no batch has ever committed: empty frame with the scrub schema,
+    // not a path-not-found error
+    val empty = Streams.cleanedCorpus(spark, out)
+    assert(empty.columns.toSeq ==
+      Seq("doc_id", "n_cut_spans", "chars_cut", "clean_text"))
+    assert(empty.count() == 0)
+    // one committed batch + one crashed batch (no _SUCCESS): the view
+    // serves exactly the committed rows
+    val good = Seq((1L, 0, 0L, "kept")).toDF(
+      "doc_id", "n_cut_spans", "chars_cut", "clean_text")
+    good.write.parquet(s"$out/batch-0")
+    good.withColumn("doc_id", lit(2L)).write.parquet(s"$out/batch-1")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/batch-1/_SUCCESS"), false)
+    val got = Streams.cleanedCorpus(spark, out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L), "crashed batch leaked into the consumer view")
   }
 }
