@@ -277,6 +277,106 @@ object ScaleProbe {
       SpanIndex.probeScrub(pb, idx).count()
       (appendSec, (System.nanoTime() - t1) / 1e9)
     }
+    // Rebucket probe: price the geometry step-up at 1x vs Nx index size,
+    // and show the artifact is back at its batch-bound design point
+    // afterwards. The rebucket itself is an honest FULL rewrite — cost is
+    // expected ~linear in index size, amortized across the doublings of
+    // appends it buys — so its row documents the price, while the
+    // post-rebucket append/scrub rows carry the flat-ratio claim. Each
+    // timed rebucket is preceded by a warm one to a DIFFERENT target
+    // geometry (both are real rewrites; the first absorbs codegen/JIT).
+    def clusterRebucketSecs(c: Int, tag: String): (Double, Double, Double) = {
+      import graft.operators.ClusterIndex
+      val cpsC = spark.range(c).select(col("id").as("cp"))
+      val salted = Tables.load(spark, base, "documents").crossJoin(cpsC)
+        .select((col("doc_id") + col("cp") * 1000000L).as("doc_id"),
+          expr("concat_ws(' ', transform(split(text, ' '), " +
+            "w -> concat(w, 'c', cast(cp as string))))").as("text"))
+      val docsPath = s"$out/rebucket_docs_$tag"
+      salted.write.mode("overwrite").parquet(docsPath)
+      val idx = s"$out/rebucket_cidx_$tag"
+      new scala.reflect.io.Directory(new java.io.File(idx)).deleteRecursively()
+      val seeded = spark.read.parquet(docsPath)
+      ClusterIndex.write(seeded, idx)
+      val n = ClusterIndex.meta(spark, idx).n
+      def batch(off: Long) = Tables.load(spark, base, "documents")
+        .filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + off).as("doc_id"),
+          expr("concat_ws(' ', transform(split(concat(text, ' zz qq vv'), " +
+            "' '), w -> concat(w, 'c0')))").as("text"))
+      // design-point append (warm + timed) on the freshly-derived geometry
+      ClusterIndex.append(batch(900000000L).localCheckpoint(eager = true), idx)
+      val b1 = batch(910000000L).localCheckpoint(eager = true)
+      val tD = System.nanoTime()
+      ClusterIndex.append(b1, idx)
+      val designAppend = (System.nanoTime() - tD) / 1e9
+      // drift the geometry away (warm rewrite), then TIME the production
+      // step: rebucket with the REAL count, landing back exactly on the
+      // design geometry the OperatingPoint derives
+      ClusterIndex.rebucket(spark, idx, Some(n * 16))
+      val t0 = System.nanoTime()
+      ClusterIndex.rebucket(spark, idx)
+      val rebucketSec = (System.nanoTime() - t0) / 1e9
+      val b2 = batch(920000000L).localCheckpoint(eager = true)
+      val t1 = System.nanoTime()
+      ClusterIndex.append(b2, idx)
+      (designAppend, rebucketSec, (System.nanoTime() - t1) / 1e9)
+    }
+    def spanRebucketSecs(c: Int, tag: String): (Double, Double, Double) = {
+      import graft.operators.SpanIndex
+      val cpsC = spark.range(c).select(col("id").as("cp"))
+      val salted = Tables.load(spark, base, "documents").crossJoin(cpsC)
+        .select((col("doc_id") + col("cp") * 1000000L).as("doc_id"),
+          expr("concat_ws(' ', transform(split(text, ' '), " +
+            "w -> concat(w, 'c', cast(cp as string))))").as("text"))
+      val docsPath = s"$out/rebucket_span_docs_$tag"
+      salted.write.mode("overwrite").parquet(docsPath)
+      val idx = s"$out/rebucket_sidx_$tag"
+      new scala.reflect.io.Directory(new java.io.File(idx)).deleteRecursively()
+      SpanIndex.write(spark.read.parquet(docsPath), idx)
+      val n = SpanIndex.meta(spark, idx).n
+      def batch(off: Long) = Tables.load(spark, base, "documents")
+        .filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + off).as("doc_id"),
+          expr("concat_ws(' ', transform(split(concat(text, ' zz qq vv'), " +
+            "' '), w -> concat(w, 'c0')))").as("text"))
+      // design-point scrub (warm + timed) on the freshly-derived geometry
+      val pb = batch(920000000L).localCheckpoint(eager = true)
+      SpanIndex.probeScrub(pb, idx).count() // warm
+      val tD = System.nanoTime()
+      SpanIndex.probeScrub(pb, idx).count()
+      val designScrub = (System.nanoTime() - tD) / 1e9
+      // drift away (warm rewrite), then TIME the production step back to
+      // the real-count design geometry
+      SpanIndex.rebucket(spark, idx, Some(n * 16))
+      val t0 = System.nanoTime()
+      SpanIndex.rebucket(spark, idx)
+      val rebucketSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      SpanIndex.probeScrub(pb, idx).count()
+      (designScrub, rebucketSec, (System.nanoTime() - t1) / 1e9)
+    }
+    // IVF retrain probe: seed the index with the K of a 16x-smaller corpus
+    // (the index that grew via appends and drifted off K ≈ √n), then time
+    // retrainIvfIndex — which grows K back to √n with warm-started Lloyd —
+    // and measure the objective (mean assignment cosine) improvement. One
+    // retrain per index (it mutates the artifact); write + objective warm
+    // the shared plan shapes beforehand.
+    def ivfRetrainSecs(d: String, tag: String): (Double, Double) = {
+      import graft.operators.VectorOps
+      val e = Tables.load(spark, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .localCheckpoint(eager = true)
+      val kSmall = math.max(8, math.sqrt(e.count() / 16.0).toInt)
+      val p = s"$out/retrain_idx_$tag"
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+      VectorOps.writeIvfIndex(e, kSmall, p)
+      val objBefore = VectorOps.ivfObjective(spark, p)
+      val t0 = System.nanoTime()
+      VectorOps.retrainIvfIndex(spark, p)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, VectorOps.ivfObjective(spark, p) - objBefore)
+    }
     // SQ8 serving probe: seed a full-precision and a quantized IVF index
     // from the same (widened) embeddings with the same √n cell count, then
     // time the SAME probe against both and census index bytes. The scan
@@ -356,6 +456,26 @@ object ScaleProbe {
         Seq(("span_append", a1, aN, aN / a1),
           ("span_probe_scrub", p1, pN, pN / p1))
       } else Seq.empty
+    val rebucketRows =
+      if (nameFilter.exists(f => "rebucket".contains(f))) {
+        val (cd1, cr1, ca1) = clusterRebucketSecs(1, "1x")
+        val (cdN, crN, caN) = clusterRebucketSecs(copies, "nx")
+        val (sd1, sr1, sp1) = spanRebucketSecs(1, "1x")
+        val (sdN, srN, spN) = spanRebucketSecs(copies, "nx")
+        Seq(("cluster_append_design", cd1, cdN, cdN / cd1),
+          ("cluster_rebucket", cr1, crN, crN / cr1),
+          ("cluster_append_postrebucket", ca1, caN, caN / ca1),
+          ("span_scrub_design", sd1, sdN, sdN / sd1),
+          ("span_rebucket", sr1, srN, srN / sr1),
+          ("span_scrub_postrebucket", sp1, spN, spN / sp1))
+      } else Seq.empty
+    val retrainRows =
+      if (nameFilter.exists(f => "ivf_retrain".contains(f))) {
+        val (r1, g1) = ivfRetrainSecs(base, "1x")
+        val (rN, gN) = ivfRetrainSecs(out, "nx")
+        Seq(("ivf_retrain", r1, rN, rN / r1),
+          ("ivf_retrain_obj_gain", g1, gN, if (g1 != 0) gN / g1 else 0.0))
+      } else Seq.empty
     val sq8Rows =
       if (nameFilter.exists(f => "sq8_probe".contains(f))) {
         val (f1, q1, p1, bf1, bq1, bp1) = sq8Secs(base, "1x")
@@ -368,7 +488,8 @@ object ScaleProbe {
           ("pq_bytes_ratio", bf1.toDouble / bp1, bfN.toDouble / bpN,
             (bfN.toDouble / bpN) / (bf1.toDouble / bp1)))
       } else Seq.empty
-    val qs = (rows ++ appendRows ++ spanRows ++ sq8Rows).map { case (n, t1, tN, r) =>
+    val qs = (rows ++ appendRows ++ spanRows ++ rebucketRows ++ retrainRows ++
+        sq8Rows).map { case (n, t1, tN, r) =>
       f""""$n":{"t1x":$t1%.3f,"t${copies}x":$tN%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","copies":$copies,"queries":$qs}""")

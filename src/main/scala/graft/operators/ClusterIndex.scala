@@ -140,6 +140,7 @@ object ClusterIndex {
       countEstimate: Option[Long] = None): Unit =
     MaintenanceLock.withLock(corpus.sparkSession, path) {
       val s = corpus.sparkSession
+      repairGeometry(s, path) // a stale rebucket marker must not outlive us
       val n = math.max(1L, countEstimate.getOrElse(corpus.count()))
       val m = IndexMeta(OperatingPoint.clusterIndexParts(n),
         OperatingPoint.bandIndexBuckets(n), n)
@@ -239,6 +240,7 @@ object ClusterIndex {
 
   private def appendLocked(newCorpus: DataFrame, path: String): Seq[Int] = {
     val s = newCorpus.sparkSession
+    repairGeometry(s, path)
     val m = meta(s, path)
     // eager: nd feeds candidate probing, verify lookup, and attrs below
     val nd = DedupOps.lshDocsOf(newCorpus).localCheckpoint(eager = true)
@@ -383,6 +385,7 @@ object ClusterIndex {
 
   private def deleteLocked(docIds: DataFrame, path: String): Seq[Int] = {
     val s = docIds.sparkSession
+    repairGeometry(s, path)
     val m = meta(s, path)
     require(m.bandBuckets > 0,
       "delete requires a bucketed band index; rebuild with ClusterIndex.write")
@@ -475,6 +478,7 @@ object ClusterIndex {
   def compact(s: SparkSession, path: String,
       maxFiles: Int = 4): Map[String, Seq[Int]] =
     MaintenanceLock.withLock(s, path) {
+      repairGeometry(s, path)
       val m = meta(s, path)
       Map(
         "labels" -> compactDir(s, s"$path/labels", "part", maxFiles),
@@ -516,6 +520,91 @@ object ClusterIndex {
     }
     fragmented
   }
+
+  private val RebucketDirs = Seq("labels", "edges", "bands")
+
+  private def promoteStagedMeta(s: SparkSession, path: String): () => Unit =
+    () => {
+      val staging = GeometrySwap.stagingPath(path)
+      val stagedMeta = new Path(staging, "_meta")
+      // meta() falls back to LegacyMeta on a missing file — promoting
+      // that would silently downgrade the artifact's geometry
+      require(stagedMeta.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(stagedMeta), s"rebucket commit without a staged _meta at $staging")
+      writeMeta(s, path, meta(s, staging))
+    }
+
+  /** Converge a crashed [[rebucket]] before touching the artifact — one
+    * `exists` probe when healthy. Called by every locked maintenance op. */
+  private def repairGeometry(s: SparkSession, path: String): Unit =
+    GeometrySwap.repair(s, path, RebucketDirs, promoteStagedMeta(s, path))
+
+  /** Re-bucket policy trigger: true when the geometry derived from the
+    * CURRENT corpus size differs from the stored `_meta` one. The
+    * [[OperatingPoint]] derivations move in power-of-two steps (one step
+    * per corpus doubling in the growth regime), so this flips exactly when
+    * the corpus has drifted past one doubling of the stored design point —
+    * the point where per-bucket volume is 2x the target and appends/probes
+    * start paying for it. Check it on the same cadence as [[compact]]. */
+  def geometryDrifted(s: SparkSession, path: String,
+      countEstimate: Option[Long] = None): Boolean = {
+    val m = meta(s, path)
+    val n = math.max(1L, countEstimate.getOrElse(labels(s, path).count()))
+    OperatingPoint.clusterIndexParts(n) != m.numParts ||
+      OperatingPoint.bandIndexBuckets(n) != m.bandBuckets
+  }
+
+  /** Geometry step-up — the sixth lifecycle operation beside [[write]],
+    * [[append]], [[delete]], [[compact]] and the streaming sink. Appends
+    * deliberately pin the STORED `_meta` geometry (hashing consistency),
+    * so an index seeded at corpus size n keeps its bucket counts while the
+    * corpus grows past them — per-bucket volume drifts off the
+    * ~1k-docs-per-bucket [[OperatingPoint]] design point and every later
+    * probe/rewrite quietly pays the difference. Rebucket re-derives the
+    * bucket counts from the CURRENT corpus size and rewrites the whole
+    * artifact under them via the staged-swap protocol ([[GeometrySwap]]:
+    * full staging build → commit marker → dir swaps → `_meta` promoted
+    * LAST), under the single-writer fence. Row content is untouched — only
+    * the partition-column values (`part`, `bkb`) are recomputed — and the
+    * rewrite re-clusters one task per bucket, so a rebucket is also a full
+    * compaction. A legacy flat band dir (pre-`_meta`, `bandBuckets == 0`)
+    * is upgraded to the bucketed layout. No-op (returns the stored meta)
+    * when the derived geometry already matches. Unlike the fixed-geometry
+    * bucket rewrites, readers are NOT safe concurrent with the swap —
+    * schedule rebucket in a quiesced maintenance window; a crash at any
+    * step converges via the repair every maintenance op runs on entry. */
+  def rebucket(s: SparkSession, path: String,
+      countEstimate: Option[Long] = None): IndexMeta =
+    MaintenanceLock.withLock(s, path) {
+      repairGeometry(s, path)
+      val old = meta(s, path)
+      val n = math.max(1L, countEstimate.getOrElse(labels(s, path).count()))
+      val nm = IndexMeta(OperatingPoint.clusterIndexParts(n),
+        OperatingPoint.bandIndexBuckets(n), n)
+      if (nm.numParts == old.numParts && nm.bandBuckets == old.bandBuckets) old
+      else {
+        val staging = GeometrySwap.stagingPath(path)
+        labels(s, path).drop("part")
+          .withColumn("part", partOf(col("component"), nm.numParts))
+          .repartition(col("part"))
+          .write.mode(SaveMode.Overwrite).partitionBy("part")
+          .parquet(s"$staging/labels")
+        s.read.parquet(s"$path/edges").drop("part")
+          .withColumn("part", partOf(col("component"), nm.numParts))
+          .repartition(col("part"))
+          .write.mode(SaveMode.Overwrite).partitionBy("part")
+          .parquet(s"$staging/edges")
+        // select, not drop: a legacy flat band dir has no bkb to drop
+        s.read.parquet(s"$path/bands").select("doc_id", "bk")
+          .withColumn("bkb", bkbOf(nm.bandBuckets))
+          .repartition(col("bkb"))
+          .write.mode(SaveMode.Overwrite).partitionBy("bkb")
+          .parquet(s"$staging/bands")
+        writeMeta(s, staging, nm)
+        GeometrySwap.commit(s, path, RebucketDirs, promoteStagedMeta(s, path))
+        nm
+      }
+    }
 
   /** Replace exactly the affected `part=` bucket dirs (and append staged
     * files to any other bucket the rows hash into), two-phase: stage the

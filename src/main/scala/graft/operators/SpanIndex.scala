@@ -161,6 +161,7 @@ object SpanIndex {
       require(window < gramLen, s"winnowing window $window must be < gram " +
         s"length $gramLen for the scrub's overlap guarantee to hold")
       val s = corpus.sparkSession
+      repairGeometry(s, path) // a stale rebucket marker must not outlive us
       val c = withLongDocId(corpus.select("doc_id", "text"))
       val n = math.max(1L, countEstimate.getOrElse(c.count()))
       val m = Meta(gramLen, window, OperatingPoint.bandIndexBuckets(n),
@@ -215,6 +216,7 @@ object SpanIndex {
   def append(batch: DataFrame, path: String): Long =
     MaintenanceLock.withLock(batch.sparkSession, path) {
       val s = batch.sparkSession
+      repairGeometry(s, path)
       val m = meta(s, path)
       val b = withLongDocId(batch.select("doc_id", "text"))
       val fresh = b.dropDuplicates("doc_id")
@@ -291,6 +293,7 @@ object SpanIndex {
   def delete(victimIds: DataFrame, path: String): Seq[Int] =
     MaintenanceLock.withLock(victimIds.sparkSession, path) {
       val s = victimIds.sparkSession
+      repairGeometry(s, path)
       val m = meta(s, path)
       val ids = withLongDocId(victimIds.select("doc_id"))
         .distinct().withColumn("db", dbOf(m.docBuckets))
@@ -328,9 +331,83 @@ object SpanIndex {
   def compact(s: SparkSession, path: String,
       maxFiles: Int = 4): Map[String, Seq[Int]] =
     MaintenanceLock.withLock(s, path) {
+      repairGeometry(s, path)
       Map(
         "grams" -> ClusterIndex.compactDir(s, s"$path/grams", "gb", maxFiles,
           dedupe = true),
         "docs" -> ClusterIndex.compactDir(s, s"$path/docs", "db", maxFiles))
+    }
+
+  private val RebucketDirs = Seq("grams", "docs")
+
+  private def promoteStagedMeta(s: SparkSession, path: String): () => Unit =
+    () => writeMeta(s, path, meta(s, GeometrySwap.stagingPath(path)))
+
+  /** Converge a crashed [[rebucket]] before touching the artifact — one
+    * `exists` probe when healthy. Called by every locked maintenance op
+    * (not by the lockless read-only [[probeScrub]], which like every
+    * reader must be quiesced across a rebucket window). */
+  private def repairGeometry(s: SparkSession, path: String): Unit =
+    GeometrySwap.repair(s, path, RebucketDirs, promoteStagedMeta(s, path))
+
+  /** Re-bucket policy trigger, mirroring
+    * [[ClusterIndex.geometryDrifted]]: true once the corpus has drifted
+    * past one doubling of the stored design point (the bucket derivations
+    * step in powers of two). Check on the [[compact]] cadence. */
+  def geometryDrifted(s: SparkSession, path: String,
+      countEstimate: Option[Long] = None): Boolean = {
+    val m = meta(s, path)
+    val n = math.max(1L, countEstimate.getOrElse(docs(s, path).count()))
+    OperatingPoint.bandIndexBuckets(n) != m.gramBuckets ||
+      OperatingPoint.clusterIndexParts(n) != m.docBuckets
+  }
+
+  /** Geometry step-up — the sixth lifecycle op, [[ClusterIndex.rebucket]]'s
+    * counterpart. Appends pin the stored `_meta` bucket counts forever, so
+    * a long-lived index drifts off the [[OperatingPoint]]
+    * ~1k-docs-per-bucket growth law; rebucket re-derives BOTH bucket
+    * counts from the CURRENT doc count and rewrites the artifact under
+    * them via the shared staged-swap protocol ([[GeometrySwap]]: staging
+    * build → commit marker → dir swaps → `_meta` LAST), lock-fenced and
+    * crash-convergent. Only partition routing changes: carrier facts
+    * (gh, doc_id, off) are geometry-independent and re-emitted DISTINCT
+    * (crash-duplicated rows collapse, as in [[compact]]); each doc's
+    * `gbs` reverse index is re-derived from its carriers' NEW gram
+    * buckets; stored `n_grams` (the append-time truth) is preserved. The
+    * FINGERPRINT geometry (gramLen, window) is content-derived and
+    * deliberately untouched — changing it needs the original text, which
+    * the artifact does not store; that is a full [[write]]. Readers must
+    * be quiesced across the swap. No-op when the derived geometry already
+    * matches the stored one. */
+  def rebucket(s: SparkSession, path: String,
+      countEstimate: Option[Long] = None): Meta =
+    MaintenanceLock.withLock(s, path) {
+      repairGeometry(s, path)
+      val old = meta(s, path)
+      val n = math.max(1L, countEstimate.getOrElse(docs(s, path).count()))
+      val nm = Meta(old.gramLen, old.window, OperatingPoint.bandIndexBuckets(n),
+        OperatingPoint.clusterIndexParts(n), n)
+      if (nm.gramBuckets == old.gramBuckets &&
+          nm.docBuckets == old.docBuckets) old
+      else {
+        val staging = GeometrySwap.stagingPath(path)
+        val g = grams(s, path).select("gh", "doc_id", "off").distinct()
+          .withColumn("gb", gbOf(nm.gramBuckets))
+          .localCheckpoint(eager = false) // feeds the write AND the gbs agg
+        g.repartition(col("gb")).write.mode(SaveMode.Overwrite)
+          .partitionBy("gb").parquet(s"$staging/grams")
+        val newGbs = g.groupBy("doc_id")
+          .agg(sort_array(collect_set(col("gb"))).as("new_gbs"))
+        docs(s, path).select("doc_id", "n_grams").dropDuplicates("doc_id")
+          .join(newGbs, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("new_gbs"), array().cast("array<int>")).as("gbs"))
+          .withColumn("db", dbOf(nm.docBuckets))
+          .repartition(col("db")).write.mode(SaveMode.Overwrite)
+          .partitionBy("db").parquet(s"$staging/docs")
+        writeMeta(s, staging, nm)
+        GeometrySwap.commit(s, path, RebucketDirs, promoteStagedMeta(s, path))
+        nm
+      }
     }
 }

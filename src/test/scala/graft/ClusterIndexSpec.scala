@@ -483,4 +483,116 @@ class ClusterIndexSpec extends SparkSpec {
     assert(ClusterIndex.delete(victimIds.toDF("doc_id"), pathDel).isEmpty)
     assert(labelSet(pathDel) == labelSet(pathRef))
   }
+
+  private def bandSet(path: String): Set[(Long, String)] =
+    spark.read.parquet(s"$path/bands").select("doc_id", "bk")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("rebucket: parity, appends use the new geometry, no-op when matched") {
+    val pathRe = "target/cluster_index_rebucket"
+    val pathRef = "target/cluster_index_rebucket_ref"
+    Seq(pathRe, pathRef).foreach(p =>
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively())
+    Seq(pathRe, pathRef).foreach(p => ClusterIndex.write(base, p))
+
+    // at the stored design point nothing has drifted and rebucket no-ops
+    assert(!ClusterIndex.geometryDrifted(spark, pathRe))
+    val m0 = ClusterIndex.meta(spark, pathRe)
+    val filesBefore = snapshot(s"$pathRe/labels")
+    assert(ClusterIndex.rebucket(spark, pathRe) == m0)
+    assert(snapshot(s"$pathRe/labels") == filesBefore, "no-op rewrote files")
+
+    // a corpus 10x past the design point derives a bigger geometry
+    val grown = 140000L
+    assert(ClusterIndex.geometryDrifted(spark, pathRe,
+      countEstimate = Some(grown)))
+    val labBefore = labelSet(pathRe)
+    val bandsBefore = bandSet(pathRe)
+    val nm = ClusterIndex.rebucket(spark, pathRe, countEstimate = Some(grown))
+    assert(nm.numParts == OperatingPoint.clusterIndexParts(grown) &&
+      nm.bandBuckets == OperatingPoint.bandIndexBuckets(grown))
+    assert(nm.numParts > m0.numParts && nm.bandBuckets > m0.bandBuckets)
+    assert(ClusterIndex.meta(spark, pathRe) == nm, "_meta not promoted")
+    // row content is untouched — only partition routing changed
+    assert(labelSet(pathRe) == labBefore)
+    assert(bandSet(pathRe) == bandsBefore)
+    // every row sits in the bucket the NEW geometry derives for it
+    val misrouted = ClusterIndex.labels(spark, pathRe)
+      .filter(col("part") =!= pmod(xxhash64(col("component")),
+        lit(nm.numParts.toLong)).cast("int")).count()
+    assert(misrouted == 0, "labels not re-routed to the new parts")
+    // no rebucket residue
+    Seq(".rebucket-staging", ".rebucket-commit", ".rebucket-retired")
+      .foreach(d => assert(!new java.io.File(s"$pathRe/$d").exists(), d))
+
+    // the artifact stays fully maintainable: an append after the rebucket
+    // equals the same append on a never-rebucketed index
+    assert(ClusterIndex.append(appendBatch, pathRe).nonEmpty)
+    assert(ClusterIndex.append(appendBatch, pathRef).nonEmpty)
+    assert(labelSet(pathRe) == labelSet(pathRef),
+      "append after rebucket diverged from append without it")
+    // and the appended band rows landed under the NEW bucket count
+    val maxBkb = spark.read.parquet(s"$pathRe/bands")
+      .agg(max("bkb")).head().getInt(0)
+    assert(maxBkb >= m0.bandBuckets,
+      "appended bands still routed with the old geometry")
+  }
+
+  test("rebucket crash windows roll forward; legacy flat bands upgrade") {
+    import graft.operators.GeometrySwap
+    val path = "target/cluster_index_rebucket_crash"
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    ClusterIndex.write(base, path)
+    val lab0 = labelSet(path)
+    val bands0 = bandSet(path)
+    val grown = 140000L
+    val want = ClusterIndex.IndexMeta(OperatingPoint.clusterIndexParts(grown),
+      OperatingPoint.bandIndexBuckets(grown), grown)
+
+    // crash with the commit marker durable but nothing swapped: the next
+    // maintenance op's entry repair must roll the rebucket FORWARD
+    GeometrySwap.failpoint.set("after-marker")
+    try intercept[IllegalStateException] {
+      ClusterIndex.rebucket(spark, path, countEstimate = Some(grown))
+    } finally GeometrySwap.failpoint.set(null)
+    assert(ClusterIndex.compact(spark, path).nonEmpty) // entry repair runs
+    assert(ClusterIndex.meta(spark, path) == want)
+    assert(labelSet(path) == lab0 && bandSet(path) == bands0)
+
+    // crash with every dir swapped but the OLD _meta still live: repair
+    // must promote the staged meta (reads under old meta would misprune)
+    val path2 = "target/cluster_index_rebucket_crash2"
+    new scala.reflect.io.Directory(new java.io.File(path2)).deleteRecursively()
+    ClusterIndex.write(base, path2)
+    GeometrySwap.failpoint.set("after-swap")
+    try intercept[IllegalStateException] {
+      ClusterIndex.rebucket(spark, path2, countEstimate = Some(grown))
+    } finally GeometrySwap.failpoint.set(null)
+    // converge via a second rebucket call (any maintenance op would do)
+    assert(ClusterIndex.rebucket(spark, path2,
+      countEstimate = Some(grown)) == want)
+    assert(ClusterIndex.meta(spark, path2) == want)
+    assert(labelSet(path2) == lab0 && bandSet(path2) == bands0)
+
+    // legacy upgrade: a pre-_meta artifact (flat bands, bandBuckets == 0)
+    // rebuckets into the modern layout and becomes delete-capable
+    val path3 = "target/cluster_index_rebucket_legacy"
+    new scala.reflect.io.Directory(new java.io.File(path3)).deleteRecursively()
+    ClusterIndex.write(base, path3)
+    val flat = spark.read.parquet(s"$path3/bands").select("doc_id", "bk")
+      .collect()
+    import spark.implicits._
+    spark.createDataset(flat.map(r => (r.getLong(0), r.getString(1))))
+      .toDF("doc_id", "bk")
+      .write.mode("overwrite").parquet(s"$path3/bands")
+    new java.io.File(s"$path3/_meta").delete()
+    assert(ClusterIndex.meta(spark, path3).bandBuckets == 0)
+    val n3 = ClusterIndex.labels(spark, path3).count()
+    val m3 = ClusterIndex.rebucket(spark, path3)
+    assert(m3.bandBuckets > 0 && m3.n == n3)
+    assert(bandSet(path3) == bands0)
+    // delete requires a bucketed band index — the upgrade unlocked it
+    val someVictims = base.limit(3).select("doc_id")
+    assert(ClusterIndex.delete(someVictims, path3).nonEmpty)
+  }
 }

@@ -376,6 +376,74 @@ class SpanIndexSpec extends SparkSpec {
     }
   }
 
+  test("rebucket: inventory parity, delete finds victims via re-derived gbs, scrub unchanged") {
+    val path = fresh("target/span_index_rebucket")
+    val pathRef = fresh("target/span_index_rebucket_ref")
+    Seq(path, pathRef).foreach(p => SpanIndex.write(corpus, p))
+    val m0 = SpanIndex.meta(spark, path)
+
+    // no drift at the design point; rebucket is a no-op
+    assert(!SpanIndex.geometryDrifted(spark, path))
+    assert(SpanIndex.rebucket(spark, path) == m0)
+
+    // 100x the design point: both bucket counts step up
+    val grown = 140000L
+    assert(SpanIndex.geometryDrifted(spark, path, countEstimate = Some(grown)))
+    val sharedBefore = storedShared(path)
+    val nm = SpanIndex.rebucket(spark, path, countEstimate = Some(grown))
+    assert(nm.gramLen == m0.gramLen && nm.window == m0.window,
+      "rebucket must never touch the fingerprint geometry")
+    assert(nm.gramBuckets == OperatingPoint.bandIndexBuckets(grown) &&
+      nm.docBuckets == OperatingPoint.clusterIndexParts(grown))
+    assert(nm.gramBuckets > m0.gramBuckets && nm.docBuckets > m0.docBuckets)
+    assert(SpanIndex.meta(spark, path) == nm)
+    assert(storedShared(path) == sharedBefore, "inventory changed")
+    // carrier rows re-routed to the new gram buckets
+    val misrouted = SpanIndex.grams(spark, path)
+      .filter(col("gb") =!= pmod(col("gh"), lit(nm.gramBuckets.toLong))
+        .cast("int")).count()
+    assert(misrouted == 0)
+
+    // the scrub serves identical results through the new geometry
+    import spark.implicits._
+    val probe = Seq(
+        (800L, s"never indexed prose with planted ${DedupOps.SpanBoiler} tail"),
+        (801L, "wholly novel text that matches nothing stored"))
+      .toDF("doc_id", "text")
+    def scrubOf(p: String) = SpanIndex.probeScrub(probe, p).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(3))).toMap
+    assert(scrubOf(path) == scrubOf(pathRef), "scrub diverged after rebucket")
+
+    // delete prunes via the RE-DERIVED gbs reverse index: victims must
+    // disappear from both docs/ and grams/ under the new geometry
+    val victims = corpus.filter(col("doc_id") % 19 === 0).limit(3)
+      .select("doc_id")
+    val victimSet = victims.collect().map(_.getLong(0)).toSet
+    assert(victimSet.nonEmpty)
+    assert(SpanIndex.delete(victims, path).nonEmpty)
+    SpanIndex.delete(victims, pathRef)
+    assert(SpanIndex.grams(spark, path).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet.intersect(victimSet).isEmpty,
+      "delete after rebucket left victim carriers behind")
+    assert(storedShared(path) == storedShared(pathRef),
+      "post-delete inventory diverged between rebucketed and reference")
+
+    // crash window: dirs swapped but old _meta live — append's entry
+    // repair must promote the staged meta before folding the batch
+    import graft.operators.GeometrySwap
+    val path2 = fresh("target/span_index_rebucket_crash")
+    SpanIndex.write(corpus, path2)
+    GeometrySwap.failpoint.set("after-swap")
+    try intercept[IllegalStateException] {
+      SpanIndex.rebucket(spark, path2, countEstimate = Some(grown))
+    } finally GeometrySwap.failpoint.set(null)
+    SpanIndex.append(Seq((850L, "a fresh doc arriving mid-repair"))
+      .toDF("doc_id", "text"), path2)
+    assert(SpanIndex.meta(spark, path2).gramBuckets == nm.gramBuckets)
+    assert(SpanIndex.docs(spark, path2).filter(col("doc_id") === 850L)
+      .count() == 1)
+  }
+
   test("cleanedCorpus: empty dir yields empty frame; uncommitted batch dirs excluded") {
     import graft.streaming.Streams
     import spark.implicits._
