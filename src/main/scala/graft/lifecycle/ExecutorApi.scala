@@ -62,7 +62,8 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
     memory: Option[EpisodicMemory] = None,
     store: Option[SessionStore] = None,
     dataDir: java.nio.file.Path = java.nio.file.Paths.get("target/executor_api"),
-    memoryDir: Option[String] = None) {
+    memoryDir: Option[String] = None,
+    callLogCap: Int = 10000) {
 
   private val cache = new TableCache(cacheSize)
   private var server: Option[HttpServer] = None
@@ -125,6 +126,11 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
         df.columns.mkString(", "))))
     srv.createContext("/file_utils/compute_aux_dataset_sample",
       handler(auxSampleHtml))
+    srv.createContext("/get_chain_preview/", handlerWithPath(chainPreview))
+    srv.createContext("/remove_primary_dataset",
+      handler(removePrimaryDataset))
+    srv.createContext("/get_primary_dataset_preview", handler(primaryPreview))
+    srv.createContext("/get_dataset_preview", handler(datasetPreview))
     srv.setExecutor(null) // caller-thread dispatch; the engine is the work
     srv.start()
     server = Some(srv)
@@ -240,12 +246,10 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
           def complete(stage: String, prompt: String): String = {
             val t0 = System.nanoTime()
             val text = client.complete(stage, prompt)
-            callLogs.synchronized {
-              callLogs += Telemetry.CallLog(chainId, stage, "default",
-                graft.operators.RegexTokenizer.countTokens(prompt).toLong,
-                graft.operators.RegexTokenizer.countTokens(text).toLong,
-                (System.nanoTime() - t0) / 1e9)
-            }
+            recordCall(Telemetry.CallLog(chainId, stage, "default",
+              graft.operators.RegexTokenizer.countTokens(prompt).toLong,
+              graft.operators.RegexTokenizer.countTokens(text).toLong,
+              (System.nanoTime() - t0) / 1e9))
             emit("stage", s"""{"stage":${jstr(stage)},"text":${jstr(text)}}""")
             text
           }
@@ -352,24 +356,60 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
   // A11 telemetry for the chat surface: every tapped LLM call logs
   // (chain, stage, tokens, wall time) — the reference's log_manager cost
   // accounting (log_manager.py:82-122), token counts via the engine's
-  // tokenizer seam rather than a provider SDK
+  // tokenizer seam rather than a provider SDK. BOUNDED like the
+  // reference's 5 MB x 3 rotation (log_manager.py:125-192): the newest
+  // `callLogCap` calls stay individually queryable; older entries roll
+  // into per-agent totals on eviction, so a server alive for millions of
+  // calls holds O(cap + agents) memory while /metrics aggregates keep
+  // every call's mass.
   private val callLogs =
-    scala.collection.mutable.Buffer.empty[Telemetry.CallLog]
+    new scala.collection.mutable.ArrayDeque[Telemetry.CallLog]()
+  // agent -> (n_calls, prompt_tokens, completion_tokens, elapsed_s)
+  private val rolledTotals =
+    scala.collection.mutable.Map.empty[String, (Long, Long, Long, Double)]
   private var chainSeq = 0
+
+  private[graft] def callLogSize: Int = callLogs.synchronized(callLogs.length)
+
+  private[graft] def recordCall(cl: Telemetry.CallLog): Unit =
+    callLogs.synchronized {
+      callLogs.append(cl)
+      while (callLogs.length > callLogCap) {
+        val old = callLogs.removeHead()
+        val (n, p, c, e) = rolledTotals.getOrElse(old.agent, (0L, 0L, 0L, 0.0))
+        rolledTotals(old.agent) = (n + 1, p + old.promptTokens,
+          c + old.completionTokens, e + old.elapsedS)
+      }
+    }
 
   /** /metrics: per-stage roll-up of the recorded LLM calls, computed
     * through the engine's own aggregation surface (Telemetry.toDF +
-    * groupBy — the A11 contract that telemetry IS a query). */
+    * groupBy — the A11 contract that telemetry IS a query). The live ring
+    * and the rotation totals union before the final roll-up, so totals
+    * are exact across evictions. */
   private def metrics: (Int, String) = {
-    val logs = callLogs.synchronized(callLogs.toSeq)
-    if (logs.isEmpty) return (200, """{"data":[],"columns":[]}""")
+    val (logs, rolled) = callLogs.synchronized(
+      (callLogs.toSeq, rolledTotals.toMap))
+    if (logs.isEmpty && rolled.isEmpty)
+      return (200, """{"data":[],"columns":[]}""")
     import org.apache.spark.sql.functions.{count, lit, round, sum}
-    val perStage = Telemetry.toDF(session.spark, logs)
+    import session.spark.implicits._
+    val live = Telemetry.toDF(session.spark, logs)
       .groupBy("agent")
-      .agg(count(lit(1)).as("n_calls"),
+      .agg(count(lit(1)).cast("long").as("n_calls"),
         sum("promptTokens").as("prompt_tokens"),
         sum("completionTokens").as("completion_tokens"),
-        round(sum("elapsedS"), 3).as("elapsed_s"))
+        sum("elapsedS").as("elapsed_raw"))
+    val rolledDf = rolled.toSeq
+      .map { case (a, (n, p, c, e)) => (a, n, p, c, e) }
+      .toDF("agent", "n_calls", "prompt_tokens", "completion_tokens",
+        "elapsed_raw")
+    val perStage = live.unionByName(rolledDf)
+      .groupBy("agent")
+      .agg(sum("n_calls").as("n_calls"),
+        sum("prompt_tokens").as("prompt_tokens"),
+        sum("completion_tokens").as("completion_tokens"),
+        round(sum("elapsed_raw"), 3).as("elapsed_s"))
       .orderBy("agent")
     (200, recordsJson(perStage))
   }
@@ -646,6 +686,146 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
     else if (path.endsWith(".parquet") || path.endsWith(".pq"))
       Sources.parquetPreview(session.spark, path, n)
     else throw new IllegalArgumentException("Unsupported file format")
+
+  // ---- dataset management + preview routes (app.py:620-663, 823-926) ----
+
+  /** The reference's double-encoded preview envelope: `dataframe_html` is a
+    * STRING holding `{"type":"dataframe","data":<html>}` (app.py:835-837 —
+    * json.dumps nested inside jsonify), preserved verbatim so a reference
+    * front-end parses our responses unchanged. */
+  private def dfHtmlJson(html: String): String = {
+    val inner = s"""{"type":"dataframe","data":${jstr(html)}}"""
+    s"""{"dataframe_html":${jstr(inner)}}"""
+  }
+
+  private def cellTable(k: String, v: String): String =
+    s"<table><tr><th>$k</th></tr><tr><td>$v</td></tr></table>"
+
+  private def baseName(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+
+  /** /remove_primary_dataset `{"df_id": ...}` — the reference rebuilds its
+    * session instance with df=None keeping aux datasets (app.py:620-663);
+    * the engine form evicts the cached table and drops its bound view
+    * (the aux registry is untouched). 400 with the reference's message
+    * when nothing is loaded under that id. */
+  private def removePrimaryDataset(body: String): (Int, String) = {
+    val dfId = HttpLlm.extractField(body, "df_id").getOrElse("")
+    if (dfId.nonEmpty && cache.remove(dfId)) {
+      session.spark.catalog.dropTempView(dfId)
+      (200, """{"message":"Primary dataset removed successfully."}""")
+    } else (400, """{"message":"No primary dataset is currently loaded."}""")
+  }
+
+  /** /get_primary_dataset_preview `{"df_id": ...}` — head(100) of the
+    * cached table as the reference's HTML envelope. Mirrors app.py:823-860
+    * exactly in its degradation: no/unknown df_id and render failures are
+    * 200 responses carrying an Info/Error single-cell table, never 4xx
+    * (the sidebar renders whatever table it gets). */
+  private def primaryPreview(body: String): (Int, String) = {
+    val dfId = HttpLlm.extractField(body, "df_id").getOrElse("")
+    cache.get(dfId) match {
+      case None => (200, dfHtmlJson(cellTable("Info",
+        "No primary dataset is currently loaded or available.")))
+      case Some(df) =>
+        try (200, dfHtmlJson(Sources.toHtml(df, 100)))
+        catch { case e: Exception =>
+          (200, dfHtmlJson(cellTable("Error",
+            "Could not generate preview for the primary dataset: " +
+              Lifecycle.condense(Option(e.getMessage)
+                .getOrElse(e.getClass.getSimpleName)))))
+        }
+    }
+  }
+
+  /** /get_dataset_preview `{"file_path": ...}` — aux-dataset preview with
+    * the reference's authorization rule (app.py:823-926): only a path
+    * REGISTERED for this session previews; an unknown path degrades to a
+    * 200 error-table (not a 4xx), missing file_path is the one 400. */
+  private def datasetPreview(body: String): (Int, String) =
+    HttpLlm.extractField(body, "file_path") match {
+      case None | Some("") => (400,
+        """{"message":"File path is required for auxiliary dataset preview."}""")
+      case Some(p) if !auxPaths.contains(p) =>
+        (200, dfHtmlJson(cellTable("Error",
+          s"File not authorized or not found for preview: ${baseName(p)}")))
+      case Some(p) =>
+        try (200, dfHtmlJson(Sources.toHtml(auxRead(p, 100), 100)))
+        catch { case _: Exception =>
+          (200, dfHtmlJson(cellTable("Error",
+            s"Error generating preview for ${baseName(p)}.")))
+        }
+    }
+
+  /** GET /get_chain_preview/<thread_id>/<chain_id> — the thread sidebar's
+    * per-chain plot preview (app.py:1211-1269). Reads the favourited
+    * chain's stored fields and scans them for an embedded plot: the
+    * reference's `data-plotly-json` attribute forms (returned as
+    * `plotlyData`, &quot;-unescaped like the original), or the engine's
+    * own Vega-Lite `plot_spec` capture (§1.1 deviation — returned as
+    * `plotSpec`, with `hasPlotly` still the presence flag the sidebar
+    * keys on). Missing chain file → 404 with the reference's message. */
+  private def chainPreview(path: String, body: String): (Int, String) = {
+    val parts = path.stripPrefix("/get_chain_preview/").split("/")
+    if (parts.length != 2 || parts.exists(p => p.isEmpty || p.contains("..")))
+      return (400, err("thread_id and chain_id required"))
+    val (threadId, chainId) = (parts(0), parts(1))
+    val file = dataDir.resolve("favourites").resolve(threadId)
+      .resolve(s"$chainId.json")
+    if (!java.nio.file.Files.exists(file))
+      return (404, err("Chain file not found"))
+    val text = java.nio.file.Files.readString(file)
+    // the reference scans contentOutput/streamOutput/tabContent; the
+    // engine's storeFavourite writes `content` — accept all four
+    val fields = Seq("content", "contentOutput", "streamOutput", "tabContent")
+      .flatMap(f => HttpLlm.extractField(text, f)).filter(_.nonEmpty)
+    val ids = s""""threadId":${jstr(threadId)},"chainId":${jstr(chainId)}"""
+    fields.iterator.map(extractPlotly).collectFirst { case Some(p) => p } match {
+      case Some(plotly) =>
+        (200, s"""{$ids,"hasPlotly":true,"plotlyData":${jstr(plotly)}}""")
+      case None =>
+        fields.iterator.map(extractPlotSpec)
+          .collectFirst { case Some(sp) => sp } match {
+          case Some(spec) =>
+            (200, s"""{$ids,"hasPlotly":true,"plotSpec":$spec}""")
+          case None => (200, s"""{$ids,"hasPlotly":false}""")
+        }
+    }
+  }
+
+  private def extractPlotly(content: String): Option[String] = {
+    val escaped = """data-plotly-json=\\"(.*?)\\"\s""".r
+    val plain = """data-plotly-json="(.*?)"""".r
+    escaped.findFirstMatchIn(content).orElse(plain.findFirstMatchIn(content))
+      .map(_.group(1).replace("&quot;", "\""))
+  }
+
+  /** Balanced-brace extraction of an embedded `"plot_spec": {...}` value —
+    * the /execute plot capture a favourited chain carries. String-aware so
+    * braces inside the spec's own strings don't unbalance the scan. */
+  private def extractPlotSpec(content: String): Option[String] = {
+    val at = content.indexOf("\"plot_spec\":")
+    if (at < 0) return None
+    val start = content.indexOf('{', at)
+    if (start < 0) return None
+    var depth = 0; var i = start; var inStr = false; var esc = false
+    while (i < content.length) {
+      val c = content.charAt(i)
+      if (esc) esc = false
+      else if (inStr) {
+        if (c == '\\') esc = true else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return Some(content.substring(start, i + 1))
+        case _ => ()
+      }
+      i += 1
+    }
+    None
+  }
 
   // ---- plumbing ----
 

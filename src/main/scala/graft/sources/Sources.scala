@@ -176,4 +176,9 @@ final class TableCache(maxSize: Int = 1) {
 
   def size: Int = synchronized(entries.size)
   def ids: Seq[String] = synchronized(entries.keys.toSeq)
+
+  /** Evict one entry (unpersisting its cached plan); false if absent. */
+  def remove(id: String): Boolean = synchronized {
+    entries.remove(id).map(_.unpersist()).isDefined
+  }
 }

@@ -324,6 +324,105 @@ class ExecutorApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("dataset management + chain-preview routes mirror the reference contracts") {
+    val dataDir = java.nio.file.Paths.get("target/api_data_mgmt")
+    new scala.reflect.io.Directory(dataDir.toFile).deleteRecursively()
+    val api = new ExecutorApi(new EngineSession(spark), dataDir = dataDir)
+    val port = api.start()
+    try {
+      // remove with nothing loaded: the reference's 400 + message
+      val (r0, m0) = call(port, "/remove_primary_dataset",
+        Some("""{"df_id":"orders"}"""))
+      assert(r0 == 400 &&
+        m0.contains("No primary dataset is currently loaded."), m0)
+      // preview with nothing loaded degrades to a 200 Info table, not 4xx
+      val (p0, b0) = call(port, "/get_primary_dataset_preview",
+        Some("""{"df_id":"orders"}"""))
+      assert(p0 == 200 && b0.contains("dataframe_html") &&
+        b0.contains("No primary dataset"), b0)
+
+      // loaded: preview carries the double-encoded reference envelope
+      call(port, "/upload_dataset",
+        Some(s"""{"df_id":"orders","path":"$sf/orders.parquet"}"""))
+      val (p1, b1) = call(port, "/get_primary_dataset_preview",
+        Some("""{"df_id":"orders"}"""))
+      assert(p1 == 200 && b1.contains("o_orderkey"), b1)
+      assert(b1.contains("""\"type\":\"dataframe\""""),
+        "dataframe_html must be the reference's nested-JSON string")
+
+      // remove: 200 once, 400 after (and the preview degrades again)
+      val (r1, m1) = call(port, "/remove_primary_dataset",
+        Some("""{"df_id":"orders"}"""))
+      assert(r1 == 200 && m1.contains("removed successfully"), m1)
+      assert(call(port, "/remove_primary_dataset",
+        Some("""{"df_id":"orders"}"""))._1 == 400)
+      assert(call(port, "/get_primary_dataset_preview",
+        Some("""{"df_id":"orders"}"""))._2.contains("No primary dataset"))
+
+      // aux preview: missing path is the one 400; an UNREGISTERED path is
+      // the reference's 200 error-table (authorization by registry);
+      // a registered path renders
+      assert(call(port, "/get_dataset_preview", Some("{}"))._1 == 400)
+      val (a0, ab0) = call(port, "/get_dataset_preview",
+        Some(s"""{"file_path":"$sf/customer.parquet"}"""))
+      assert(a0 == 200 && ab0.contains("not authorized"), ab0)
+      call(port, "/file_utils/upload_aux_dataset",
+        Some(s"""{"path":"$sf/customer.parquet"}"""))
+      val (a1, ab1) = call(port, "/get_dataset_preview",
+        Some(s"""{"file_path":"$sf/customer.parquet"}"""))
+      assert(a1 == 200 && ab1.contains("c_custkey"), ab1)
+
+      // chain preview: 404 before any favourite; malformed path is 400
+      assert(call(port, "/get_chain_preview/t9/c9", None)._1 == 404)
+      assert(call(port, "/get_chain_preview/onlyone", None)._1 == 400)
+      // a favourited chain embedding the engine's /execute plot_spec (the
+      // nested braces exercise the balanced-brace extraction)
+      call(port, "/storage/favourites",
+        Some("""{"thread_id":"t9","chain_id":"c9","rank":5,"task":"plot",""" +
+          """"content":"chart \"plot_spec\":{\"$schema\":\"https://vega.github.io/schema/vega-lite/v5.json\",\"mark\":\"bar\",\"width\":{\"step\":2}} end"}"""))
+      val (gc, gp) = call(port, "/get_chain_preview/t9/c9", None)
+      assert(gc == 200 && gp.contains("\"hasPlotly\":true"), gp)
+      assert(gp.contains("\"plotSpec\":{") && gp.contains("vega-lite") &&
+        gp.contains("\"step\":2"), gp)
+      // the reference's own data-plotly-json attribute form, &quot;-unescaped
+      call(port, "/storage/favourites",
+        Some("""{"thread_id":"t9","chain_id":"c10","rank":5,"task":"plotly",""" +
+          """"content":"<div data-plotly-json=\"{&quot;data&quot;:[1]}\"></div>"}"""))
+      val (qc, qp) = call(port, "/get_chain_preview/t9/c10", None)
+      assert(qc == 200 && qp.contains("\"hasPlotly\":true"), qp)
+      assert(qp.contains("""{\"data\":[1]}"""), qp)
+      // a plot-less chain reports hasPlotly=false at 200
+      call(port, "/storage/favourites",
+        Some("""{"thread_id":"t9","chain_id":"c11","rank":1,"task":"sql",""" +
+          """"content":"SELECT 1"}"""))
+      val (nc, np) = call(port, "/get_chain_preview/t9/c11", None)
+      assert(nc == 200 && np.contains("\"hasPlotly\":false"), np)
+    } finally api.stop()
+  }
+
+  test("telemetry call-log is bounded; /metrics totals survive rotation") {
+    val api = new ExecutorApi(new EngineSession(spark), callLogCap = 5)
+    val port = api.start()
+    try {
+      // 12 calls across 2 agents through a cap-5 ring: 7 oldest roll up
+      (1 to 12).foreach { i =>
+        api.recordCall(graft.lifecycle.Telemetry.CallLog(s"chain-$i",
+          if (i % 2 == 0) "planner" else "coder", "default",
+          promptTokens = 100, completionTokens = 10, elapsedS = 0.5))
+      }
+      assert(api.callLogSize <= 5, s"ring grew to ${api.callLogSize}")
+      val (mc, m) = call(port, "/metrics", Some("{}"))
+      assert(mc == 200, m)
+      // every call's mass survives the eviction roll-up: 6 calls per
+      // agent, 600 prompt tokens each, 3.0s elapsed each
+      assert(m.contains("\"agent\":\"planner\"") &&
+        m.contains("\"agent\":\"coder\""), m)
+      assert("\"n_calls\":6".r.findAllIn(m).length == 2, m)
+      assert("\"prompt_tokens\":600".r.findAllIn(m).length == 2, m)
+      assert("\"elapsed_s\":3.0".r.findAllIn(m).length == 2, m)
+    } finally api.stop()
+  }
+
   test("ontology + planning preferences shape the /query chain") {
     val distilled = "```yaml\ncontainers:\n  - name: activity\n" +
       "    columns: [activity_id, user_id]\n  - name: events\n" +
