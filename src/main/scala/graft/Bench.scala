@@ -111,6 +111,10 @@ object Bench {
       s""""cluster_config":{"autoBroadcastJoinThreshold":-1,"shuffle_partitions":200},""" +
       s""""cluster_total":$ctotal,"cluster_queries":$cqs,"cluster_spread":$cspreads,"cluster_errors":$cfailed,"sf":"$sfDir"}"""
     println(json)
+    // belt-and-braces for console scrapers: a uniquely-prefixed copy of
+    // the same line — a parser can grep "BENCHJSON:" and take everything
+    // after the first colon even when log4j noise wraps the bare line
+    println(s"BENCHJSON:$json")
     // also land the line as a FILE: scraping a JSON line out of sbt/log4j
     // console interleaving is lossy (the driver's per-query map parse has
     // failed on wrapped lines), a file read is not

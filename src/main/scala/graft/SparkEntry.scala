@@ -106,6 +106,7 @@ object SparkEntry {
     "t3_quality_score" -> TextOps.qualityScore,
     "t4_fingerprint" -> TextOps.fingerprint,
     "t5_token_count" -> TextOps.tokenCount,
+    "t5_bpe_token_count" -> TextOps.tokenCountBpe,
     "t6_stratified_sample" -> TextOps.stratifiedSample,
     "t7_decontamination" -> TextOps.decontamination,
     "t8_repetition" -> TextOps.repetition,
@@ -148,7 +149,7 @@ object SparkEntry {
     * vs the brute-force ground truth plus Lloyd's-convergence invariants,
     * and `v5_ivf_assign` hash-checks the shared non-iterative machinery
     * (fixed-centroid assignment + probe) against DuckDB. */
-  val rowsOnlyQueries: Set[String] = Set("v5_kmeans_ivf", "v10_mmr_rerank")
+  val rowsOnlyQueries: Set[String] = Set("v5_kmeans_ivf")
 
   def oracleSql: Map[String, String] = Map(
     "p1_scan_projection" ->
@@ -496,6 +497,7 @@ object SparkEntry {
     "t3_quality_score" -> TextOps.oracle("t3_quality_score"),
     "t4_fingerprint" -> TextOps.oracle("t4_fingerprint"),
     "t5_token_count" -> TextOps.oracle("t5_token_count"),
+    "t5_bpe_token_count" -> TextOps.oracle("t5_bpe_token_count"),
     "t6_stratified_sample" -> TextOps.oracle("t6_stratified_sample"),
     "t7_decontamination" -> TextOps.oracle("t7_decontamination"),
     "t8_repetition" -> TextOps.oracle("t8_repetition"),
@@ -525,6 +527,7 @@ object SparkEntry {
     "v7_ivf_at_rest" -> VectorOps.ivfAtRestOracle,
     "v8_embed_clusters" -> VectorOps.embedClustersOracle,
     "v9_sq8_topk" -> VectorOps.sq8TopKOracle,
+    "v10_mmr_rerank" -> VectorOps.mmrRerankOracle,
     "mm1_media_features" ->
       """SELECT doc_id AS media_id,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -107,6 +107,28 @@ object TextOps {
       .withColumn("chars_per_token",
         round(col("n_chars") / col("n_bpe_tokens").cast("double"), 6))
 
+  /** t5 through the REAL BPE seam ([[Tokenizer.tokenCountWith]] +
+    * [[BpeTokenizer]]) with a two-rule fixture merge table, ("e","r") then
+    * ("er","s") — chosen so the greedy merge loop has a CLOSED FORM a
+    * static DuckDB oracle can compute: n_bpe_tokens = total pre-token
+    * symbols − #"er" − #"ers".
+    *
+    * Why the equivalence holds: "er" has distinct characters, so literal
+    * occurrences never overlap and each merges exactly once; both its
+    * characters are lowercase letters, so every literal "er" sits inside
+    * one `[a-z]+` pre-token (adjacency is never split by pretokenization,
+    * and the Ġ space-symbol never participates in either rule); rank
+    * order exhausts all (e,r) merges before ("er","s") is considered, so
+    * each literal "ers" then merges exactly once more. Each merge reduces
+    * the token count by one. This makes the end-to-end BPE plumbing
+    * (regex pretokenize → Ġ mapping → iterative lowest-rank merging)
+    * hash-gated against DuckDB instead of rows-only; TokenizerSpec gates
+    * the general-merge behavior the closed form does not exercise. */
+  def tokenCountBpe: Q = (s, d) =>
+    Tokenizer.tokenCountWith(
+      documents(s, d).select(col("doc_id"), col("text")),
+      Tokenizer.fromMergesLines(Iterator("#version: fixture", "e r", "er s")))
+
   /** Document fingerprinting: content hash + rolling min-hash over 8-char and
     * 16-char grams (winnowing-lite), all inside one codegen'd projection. */
   def fingerprint: Q = (s, d) =>
@@ -657,6 +679,22 @@ object TextOps {
          |  CAST(len(regexp_extract_all(text, '$BpeTokenRegex')) AS DOUBLE), 6)
          |  AS chars_per_token
          |FROM documents""".stripMargin,
+    "t5_bpe_token_count" ->
+      // the closed form of the fixture merge table (see tokenCountBpe):
+      // symbols = sum of pre-token match lengths (leading space → Ġ is
+      // 1:1); each literal "er" and each literal "ers" merges once
+      s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+         | CAST(sym - er - ers AS INTEGER) AS n_bpe_tokens,
+         | round(length(text) / CAST(sym - er - ers AS DOUBLE), 6)
+         |  AS chars_per_token
+         |FROM (SELECT doc_id, text,
+         |  coalesce(list_sum(list_transform(
+         |    regexp_extract_all(text, '$BpeTokenRegex'),
+         |    x -> length(x))), 0) AS sym,
+         |  (length(text) - length(replace(text, 'er', ''))) // 2 AS er,
+         |  (length(text) - length(replace(text, 'ers', ''))) // 3 AS ers
+         | FROM documents)""".stripMargin,
     "t9_pii_redaction" ->
       """WITH corpus AS (SELECT doc_id, text ||
         |  CASE WHEN doc_id % 13 = 0 THEN ' contact user' ||

@@ -80,10 +80,12 @@ object VectorOps {
   }
 
   /** v10: MMR-diversified top-10 from the brute-force top-20 shortlist of
-    * probe vec 0, λ=0.7. Rows-only gate (greedy argmax with selected-set
-    * state has no tractable SQL oracle); VectorGateSpec pins λ=1 parity
-    * with [[cosineTopK]] and the diversity property on a planted
-    * near-duplicate fixture. */
+    * probe vec 0, λ=0.7. Hash-gated: greedy MMR at FIXED k replays exactly
+    * as a k-step recursive CTE ([[mmrRerankOracle]] — carry the selected
+    * id-list, argmax λ·rel − (1−λ)·max-sim per step with the same
+    * (score desc, vec_id asc) tie-break). VectorGateSpec additionally pins
+    * λ=1 parity with [[cosineTopK]] and the diversity property on a
+    * planted near-duplicate fixture. */
   def mmrRerank: Q = (s, d) => {
     val e = vecs(s, d)
     val probe = e.filter(col("vec_id") === 0).select(col("v").as("p"))
@@ -99,7 +101,10 @@ object VectorOps {
     import s.implicits._
     picked.zipWithIndex
       .map { case ((id, sim, score), i) =>
-        (i + 1, id, sim, math.rint(score * 1e6) / 1e6) }
+        // HALF_UP like round() in both engines (rint's HALF_EVEN would
+        // diverge from the DuckDB oracle exactly at .5e-6 boundaries)
+        (i + 1, id, sim, BigDecimal(score)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
       .toDF("rank", "vec_id", "sim", "mmr_score")
   }
 
@@ -1070,6 +1075,47 @@ object VectorOps {
       |  AS sim
       |FROM c, p WHERE c.vec_id <> 2
       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** DuckDB replay of the v10 greedy MMR: fixed k=10 unrolls as a 10-step
+    * recursive CTE carrying the selected id-list. Each step scores every
+    * remaining shortlist member λ·rel − (1−λ)·max-sim-to-selected and
+    * takes the (score desc, vec_id asc) argmax — exactly [[mmrSelect]]'s
+    * loop. The rel sims are round(·,6) like the Spark side; the penalty
+    * cosines mirror mmrSelect's `dot / sqrt(na·nb)` form unrounded (the
+    * argmax gaps are far above double noise on the fixture); the final
+    * score rounds half-away-from-zero in both engines. */
+  val mmrRerankOracle: String =
+    """WITH RECURSIVE
+      | e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      | p AS (SELECT v AS p FROM e WHERE vec_id = 0),
+      | cand AS (SELECT vec_id, v, round(list_dot_product(v, p) /
+      |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(p, p))), 6)
+      |   AS sim FROM e, p WHERE vec_id <> 0
+      |  ORDER BY sim DESC, vec_id LIMIT 20),
+      | pair AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+      |   list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) *
+      |    list_dot_product(b.v, b.v)) AS c
+      |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+      | mmr AS (
+      |  (SELECT CAST(1 AS INTEGER) AS rnk, vec_id, sim,
+      |    0.7 * sim AS score, [vec_id] AS ids
+      |   FROM cand ORDER BY 0.7 * sim DESC, vec_id LIMIT 1)
+      |  UNION ALL
+      |  SELECT t.rnk + 1, t.s.vec_id, t.s.sim, t.s.score,
+      |    list_append(t.ids, t.s.vec_id)
+      |  FROM (
+      |   SELECT m.rnk, m.ids,
+      |    (SELECT {'vec_id': c.vec_id, 'sim': c.sim,
+      |       'score': 0.7 * c.sim - 0.3 * (SELECT max(p2.c) FROM pair p2
+      |         WHERE p2.ai = c.vec_id AND list_contains(m.ids, p2.bi))}
+      |     FROM cand c WHERE NOT list_contains(m.ids, c.vec_id)
+      |     ORDER BY 0.7 * c.sim - 0.3 * (SELECT max(p2.c) FROM pair p2
+      |         WHERE p2.ai = c.vec_id AND list_contains(m.ids, p2.bi)) DESC,
+      |       c.vec_id
+      |     LIMIT 1) AS s
+      |   FROM mmr m WHERE m.rnk < 10) t)
+      |SELECT rnk AS rank, vec_id, sim, round(score, 6) AS mmr_score
+      |FROM mmr""".stripMargin
 
   val ivfAtRestOracle: String = {
     val cos = (a: String, b: String) =>
