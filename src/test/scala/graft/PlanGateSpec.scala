@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Systemic plan-quality gate over EVERY SparkEntry query: the two
+  * patterns that silently kill a plan at 1000x the data must not appear
+  * anywhere in the bench surface, not just in the operators that were
+  * individually audited when they were written.
+  *
+  *  - A [[WindowExec]] whose required child distribution collapses to
+  *    [[SinglePartition]] (an un-partitioned `Window.orderBy`): the whole
+  *    corpus funnels through one task — the exact anti-pattern t11's
+  *    sharded cumsum and w4's two-pass rank were built to avoid, here
+  *    enforced for every query so a future edit cannot reintroduce it.
+  *  - A non-broadcast [[CartesianProductExec]]: an n x m row explosion.
+  *    Broadcast forms (BroadcastNestedLoopJoin over a one-row probe or a
+  *    bounded dim) are fine and common here; the shuffled cartesian never
+  *    is.
+  *
+  * The gate plans (not runs) each query at sf0.001 — builders that
+  * materialize driver-side shortlists (v10) or seed at-rest artifacts
+  * (v7/v9) do execute those parts, which is why the whole sweep still
+  * takes seconds, not minutes. */
+class PlanGateSpec extends SparkSpec {
+
+  private def offenders(p: SparkPlan): (Seq[String], Seq[String]) = {
+    // a Window is single-partitioned when its partition spec is empty —
+    // visible physically as a SinglePartition shuffle feeding it (or an
+    // already-single child); checking the Window's own required child
+    // distribution is the robust form across AQE re-plans
+    val windows = p.collect {
+      case w: WindowExec
+          if w.requiredChildDistribution.exists {
+            case org.apache.spark.sql.catalyst.plans.physical
+                  .AllTuples => true
+            case _ => false
+          } =>
+        w.simpleStringWithNodeId()
+    }
+    val cartesians = p.collect { case c: CartesianProductExec =>
+      c.simpleStringWithNodeId()
+    }
+    (windows, cartesians)
+  }
+
+  /** Windows over CALENDAR-cardinality rollups: w1/w2/w10 window a
+    * daily-totals frame — one row per day, bounded by the calendar
+    * (~4k rows per decade) regardless of corpus size, so their single
+    * partition holds a calendar's worth of rows, never a corpus's.
+    * Exempted BY NAME so any new un-partitioned window over corpus-
+    * cardinality data still fails loudly. */
+  private val calendarWindows =
+    Set("w1_moving_avg", "w2_pct_change", "w10_range_window")
+
+  test("no query plans a single-partition window or a shuffled cartesian product") {
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      val df =
+        try q(spark, sf)
+        catch { case e: Exception =>
+          fail(s"$name failed to build at $sf: ${e.getMessage}")
+        }
+      // sparkPlan, not executedPlan: AQE's AdaptiveSparkPlanExec is a
+      // leaf node that hides its inner plan from collect(), which would
+      // make the node-level gate silently vacuous
+      val plan = df.queryExecution.sparkPlan
+      val (wins, carts) = offenders(plan)
+      if (!calendarWindows.contains(name))
+        wins.foreach(w => bad += s"$name: single-partition window: $w")
+      carts.foreach(c => bad += s"$name: shuffled cartesian: $c")
+    }
+    assert(bad.isEmpty, bad.mkString("\n", "\n", ""))
+    // the exemption list must stay honest: every listed name still plans
+    // the single-partition window it is exempted for — a rewrite that
+    // removes it should also remove the exemption
+    calendarWindows.foreach { n =>
+      val (wins, _) = offenders(
+        SparkEntry.queries(n)(spark, sf).queryExecution.sparkPlan)
+      assert(wins.nonEmpty,
+        s"$n no longer plans a single-partition window — drop the exemption")
+    }
+  }
+
+  /** Global final aggregates legitimately use SinglePartition (the data
+    * is already one combined row per partial); this documents that the
+    * gate above is about WINDOWS, not about banning the exchange type —
+    * a5's plan carries the benign form and still passes. Also pins that
+    * the node-level sweep is NOT vacuous: it must see the sharded
+    * windows w1 genuinely plans. */
+  test("benign single-partition exchanges (global agg finals) are not flagged") {
+    val qe = SparkEntry.queries("a5_global_stats")(spark, sf).queryExecution
+    assert(qe.executedPlan.toString.contains("Exchange SinglePartition"),
+      "fixture lost its benign single-partition exchange")
+    val (wins, carts) = offenders(qe.sparkPlan)
+    assert(wins.isEmpty && carts.isEmpty)
+    // anti-vacuity: the sweep's collect must actually reach Window nodes
+    val w1 = SparkEntry.queries("w1_moving_avg")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(w1.collect { case w: WindowExec => w }.nonEmpty,
+      "plan traversal no longer reaches Window nodes — gate is vacuous")
+  }
+}
