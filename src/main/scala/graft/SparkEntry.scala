@@ -116,6 +116,7 @@ object SparkEntry {
     "t12_split_assign" -> TextOps.splitAssign,
     "t13_perplexity" -> TextOps.perplexityFilter,
     "t14_cdc_chunks" -> TextOps.cdcChunks,
+    "t15_shuffle_shard" -> TextOps.shuffleShard,
     "c2_mixture_weights" -> TextOps.mixtureWeights,
     "c3_quality_lr" -> TextOps.qualityLr,
     "c4_mixture_apply" -> TextOps.mixtureApply,
@@ -507,6 +508,7 @@ object SparkEntry {
     "t12_split_assign" -> TextOps.oracle("t12_split_assign"),
     "t13_perplexity" -> TextOps.oracle("t13_perplexity"),
     "t14_cdc_chunks" -> TextOps.oracle("t14_cdc_chunks"),
+    "t15_shuffle_shard" -> TextOps.oracle("t15_shuffle_shard"),
     "c2_mixture_weights" -> TextOps.oracle("c2_mixture_weights"),
     "c3_quality_lr" -> TextOps.oracle("c3_quality_lr"),
     "c4_mixture_apply" -> TextOps.oracle("c4_mixture_apply"),

@@ -192,10 +192,13 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
     val path = HttpLlm.extractField(body, "path").getOrElse("")
     if (dfId.isEmpty || path.isEmpty)
       return (400, err("df_id and path required"))
-    val isCsv = HttpLlm.extractField(body, "format").contains("csv") ||
-      path.endsWith(".csv")
+    val fmt = HttpLlm.extractField(body, "format")
     val df =
-      if (isCsv) Sources.csv(session.spark, path)
+      if (fmt.contains("csv") || path.endsWith(".csv"))
+        Sources.csv(session.spark, path)
+      else if (fmt.contains("jsonl") || path.endsWith(".jsonl") ||
+          path.endsWith(".json"))
+        Sources.jsonlInferred(session.spark, path)
       else Sources.parquet(session.spark, path)
     cache.put(dfId, df)
     session.bind(dfId, df)
@@ -629,6 +632,8 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
         // validate the path is readable NOW (schema fetch only) so a bad
         // registration fails at upload time like the reference's save would
         if (p.endsWith(".csv")) Sources.csvColumns(session.spark, p)
+        else if (p.endsWith(".jsonl") || p.endsWith(".json"))
+          Sources.jsonlPreview(session.spark, p, 1).schema
         else Sources.parquetSchema(session.spark, p)
         auxPaths += p
         (200, s"""{"message":"Auxiliary dataset registered.","filepath":${jstr(p)}}""")
@@ -685,6 +690,8 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
     if (path.endsWith(".csv")) Sources.csvPreview(session.spark, path, n)
     else if (path.endsWith(".parquet") || path.endsWith(".pq"))
       Sources.parquetPreview(session.spark, path, n)
+    else if (path.endsWith(".jsonl") || path.endsWith(".json"))
+      Sources.jsonlPreview(session.spark, path, n)
     else throw new IllegalArgumentException("Unsupported file format")
 
   // ---- dataset management + preview routes (app.py:620-663, 823-926) ----

@@ -508,6 +508,33 @@ object TextOps {
         when(col("bucket") < 980, "train")
           .when(col("bucket") < 990, "val").otherwise("test"))
 
+  /** t15: reproducible global shuffle + shard manifest — the step between
+    * curation and the data loader. Training wants the corpus in a
+    * pseudorandom order that is (a) reproducible across reruns and
+    * appends (no rand(): the order of a doc depends only on its id and
+    * the seed), (b) served as S shards a loader fleet can consume
+    * independently. Shuffle key = salted md5 of the doc id (the t12
+    * carve's hash family, a different salt — so shuffle order and split
+    * assignment are independent streams); shard = key mod S; pos =
+    * rank of the key within its shard. The position window partitions by
+    * shard — S-way parallel like t11's packing cumsum, never a global
+    * sort (at 100 TB, S is thousands and each shard sorts its slice;
+    * writing partitioned by `shard` then makes loader reads partition
+    * prunes). Public practice: every large-corpus trainer (GPT-3,
+    * LLaMA-family data work) shuffles documents with a seeded hash
+    * before sharding. */
+  def shuffleShard: Q = (s, d) => {
+    val S = 8
+    documents(s, d)
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(concat('shuffle42:', " +
+          "cast(doc_id as string))), 1, 12), 16, 10) as bigint)").as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(S.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("skey", "doc_id")))
+      .select("doc_id", "shard", "pos")
+  }
+
   /** c3: model-based quality filtering — a linear classifier over the t3
     * feature columns (the fastText/logistic-regression quality-filter
     * stage of public pipelines: CCNet, FineWeb). Weights are fixed config
@@ -888,6 +915,14 @@ object TextOps {
         |    1, 12))::BIGINT % 1000 < 990 THEN 'val'
         |  ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "t15_shuffle_shard" ->
+      """WITH k AS (SELECT doc_id,
+        |  ('0x' || substr(md5('shuffle42:' || CAST(doc_id AS VARCHAR)),
+        |    1, 12))::BIGINT AS skey FROM documents)
+        |SELECT doc_id, CAST(skey % 8 AS INTEGER) AS shard,
+        | CAST(row_number() OVER (PARTITION BY skey % 8
+        |   ORDER BY skey, doc_id) AS INTEGER) AS pos
+        |FROM k""".stripMargin,
     "c3_quality_lr" ->
       """SELECT doc_id, f_len, f_uniq, f_stop, f_awl,
         | round(-2.1 + f_len * 1.6 + f_uniq * 1.8 + f_stop * 1.1

@@ -39,6 +39,46 @@ object Sources {
   def parquetSchema(spark: SparkSession, path: String): StructType =
     spark.read.parquet(path).schema
 
+  /** JSONL (one JSON object per line) — the interchange format raw
+    * training-data drops arrive in; a corpus engine that reads only
+    * CSV/parquet makes every ingest pay a conversion pass first. The
+    * reference's surface stops at CSV uploads (web_app/app.py:207);
+    * this is the training-data extension's ingest grain, with the same
+    * three access levels as S1-S6.
+    *
+    * Schema discipline at scale: Spark's JSON inference is a FULL extra
+    * scan of the data before the real one. The schema form reads with
+    * zero inference (the 100 TB path — the drop's schema is part of its
+    * contract); the inferred form caps the inference scan with
+    * `samplingRatio` so interactive inspection of an unknown drop reads
+    * a slice, not the corpus. Malformed lines surface in the standard
+    * `_corrupt_record` column under PERMISSIVE mode (real drops carry
+    * them; dropping silently would bias the corpus) — filter or count
+    * them explicitly downstream. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    // the corrupt-record column only materializes when it is IN the
+    // schema — append it so malformed lines are visible, not null rows
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
+  def jsonlInferred(spark: SparkSession, path: String,
+      samplingRatio: Double = 0.01): DataFrame =
+    spark.read.option("samplingRatio", samplingRatio).json(path)
+
+  def jsonlPreview(spark: SparkSession, path: String, n: Int): DataFrame =
+    jsonlInferred(spark, path, samplingRatio = 0.01).limit(n)
+
+  /** JSONL sink: one object per line, partition-parallel like every
+    * other distributed write here. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(path)
+
   /** S8: remote-API source — fetch a CSV payload over HTTP on the driver
     * and land it as a DataFrame (the reference has generated code download
     * data ad hoc: default_prompts.yaml:288-304, 2157). Driver-side fetch is

@@ -485,6 +485,32 @@ class PipelineOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("t15 shuffle-shard: reproducible order, complete shards, append-stable keys") {
+    val a = TextOps.shuffleShard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val b = TextOps.shuffleShard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // reproducible without rand(): two runs identical
+    assert(a.toSet == b.toSet && a.length == b.length)
+    val n = Tables.load(spark, sf, "documents").count()
+    assert(a.length == n, "every doc gets exactly one manifest row")
+    // shards partition the corpus; positions are contiguous 1..|shard|
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0 until 8).toSet))
+    byShard.foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"shard $sh positions not contiguous")
+    }
+    // a doc's SHARD is a pure function of its id (append-stable routing;
+    // positions within a shard shift on append — rank is corpus-relative,
+    // the shard assignment is not)
+    val half = TextOps.shuffleShard(spark, sf)
+      .filter(col("doc_id") % 2 === 0).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fullShard = a.map(t => t._1 -> t._2).toMap
+    assert(half.forall { case (id, sh) => fullShard(id) == sh })
+  }
+
   test("s3 session windows agree with w8 sessionize on session count per user") {
     val s3 = Relational.sessionWindowAgg(spark, sf)
       .groupBy("user_id").count().collect()

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.col
 import graft.sources.{Sources, TableCache}
 
 class SourcesSpec extends SparkSpec {
@@ -53,5 +54,39 @@ class SourcesSpec extends SparkSpec {
   test("S12 html preview renders header and rows") {
     val html = Sources.toHtml(Seq((1, "a")).toDF("k", "v"))
     assert(html.contains("<th>k</th>") && html.contains("<td>a</td>"))
+  }
+
+  test("jsonl: sink/source roundtrip, schema read without inference, corrupt lines visible") {
+    import org.apache.spark.sql.types._
+    val dir = "target/sources_jsonl"
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    val docs = Seq((1L, "alpha text", "en"), (2L, "beta text", "de"))
+      .toDF("doc_id", "text", "lang")
+    Sources.writeJsonl(docs, s"$dir/out")
+    // roundtrip through inference
+    val back = Sources.jsonlInferred(spark, s"$dir/out")
+    assert(back.orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .toSeq == Seq((1L, "alpha text"), (2L, "beta text")))
+    // a raw drop with a malformed line: the schema read takes the
+    // contract schema verbatim (no inference pass) and surfaces the bad
+    // line in _corrupt_record instead of silently dropping or nulling it
+    val raw = s"$dir/drop/part.jsonl"
+    new java.io.File(s"$dir/drop").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(raw),
+      """{"doc_id": 10, "text": "good line"}
+        |{not valid json at all
+        |{"doc_id": 11, "text": "another good line"}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val read = Sources.jsonl(spark, s"$dir/drop", schema)
+    assert(read.columns.contains("_corrupt_record"))
+    val good = read.filter(col("_corrupt_record").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bad = read.filter(col("_corrupt_record").isNotNull).count()
+    assert(good == Set(10L, 11L) && bad == 1, s"good=$good bad=$bad")
+    // preview is bounded
+    assert(Sources.jsonlPreview(spark, s"$dir/out", 1).count() == 1)
   }
 }
