@@ -54,7 +54,11 @@ object Sources {
     * a slice, not the corpus. Malformed lines surface in the standard
     * `_corrupt_record` column under PERMISSIVE mode (real drops carry
     * them; dropping silently would bias the corpus) — filter or count
-    * them explicitly downstream. */
+    * them explicitly downstream, but keep at least one data column in
+    * such a query: Spark disallows plans whose only referenced column
+    * over the raw file is the corrupt-record column
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — select
+    * data columns alongside, or cache() first. */
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     // the corrupt-record column only materializes when it is IN the
     // schema — append it so malformed lines are visible, not null rows
@@ -67,12 +71,16 @@ object Sources {
       .json(path)
   }
 
+  /** Full inference by default (a sub-1.0 default silently infers an
+    * EMPTY schema on small files — sampling skips every line); pass a
+    * small `samplingRatio` explicitly when inspecting a drop too large
+    * for a full inference scan. */
   def jsonlInferred(spark: SparkSession, path: String,
-      samplingRatio: Double = 0.01): DataFrame =
+      samplingRatio: Double = 1.0): DataFrame =
     spark.read.option("samplingRatio", samplingRatio).json(path)
 
   def jsonlPreview(spark: SparkSession, path: String, n: Int): DataFrame =
-    jsonlInferred(spark, path, samplingRatio = 0.01).limit(n)
+    jsonlInferred(spark, path).limit(n)
 
   /** JSONL sink: one object per line, partition-parallel like every
     * other distributed write here. */

@@ -82,9 +82,12 @@ class SourcesSpec extends SparkSpec {
       StructField("text", StringType)))
     val read = Sources.jsonl(spark, s"$dir/drop", schema)
     assert(read.columns.contains("_corrupt_record"))
-    val good = read.filter(col("_corrupt_record").isNull)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    val bad = read.filter(col("_corrupt_record").isNotNull).count()
+    // read full rows: Spark disallows queries referencing ONLY the
+    // corrupt-record column over the raw file (the scaladoc'd pitfall)
+    val rows = read.collect()
+    val good = rows.filter(_.getAs[String]("_corrupt_record") == null)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val bad = rows.count(_.getAs[String]("_corrupt_record") != null)
     assert(good == Set(10L, 11L) && bad == 1, s"good=$good bad=$bad")
     // preview is bounded
     assert(Sources.jsonlPreview(spark, s"$dir/out", 1).count() == 1)
