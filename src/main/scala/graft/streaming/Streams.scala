@@ -615,16 +615,8 @@ object Streams {
     * with the scrub schema instead of a path-not-found error — so a
     * downstream curation job can point at the dir unconditionally. */
   def cleanedCorpus(s: SparkSession, outPath: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.types._
-    val root = new Path(outPath)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val committed =
-      if (!fs.exists(root)) Array.empty[String]
-      else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-        .filter(p => p.getName.startsWith("batch-") &&
-          fs.exists(new Path(p, "_SUCCESS")))
-        .map(_.toString)
+    val (committed, _) = cleanedDirs(s, outPath)
     if (committed.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(
@@ -633,6 +625,78 @@ object Streams {
           StructField("chars_cut", LongType),
           StructField("clean_text", StringType))))
     else s.read.parquet(committed.sorted: _*)
+  }
+
+  /** The committed batch dirs the view serves, minus any dir a committed
+    * consolidation has absorbed (its `_sources` manifest — exclusion by
+    * manifest, not by deletion, is what makes the crash window between a
+    * consolidation landing and its sources being deleted DUPLICATE-FREE),
+    * plus the absorbed-but-not-yet-deleted leftovers for the janitor. */
+  private def cleanedDirs(s: SparkSession,
+      outPath: String): (Seq[String], Seq[org.apache.hadoop.fs.Path]) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(outPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (Seq.empty, Seq.empty)
+    val committed = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("batch-") &&
+        fs.exists(new Path(p, "_SUCCESS")))
+    val absorbed = committed.filter(p => fs.exists(new Path(p, "_sources")))
+      .flatMap { p =>
+        val in = fs.open(new Path(p, "_sources"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }.toSet
+    val (leftover, live) = committed.partition(p => absorbed(p.getName))
+    (live.map(_.toString).toSeq, leftover.toSeq)
+  }
+
+  /** Consolidate a [[ScrubIngestSink]]'s per-batch output: a long-running
+    * ingest lands one dir per microbatch FOREVER, so the consumer view's
+    * path list (and the filesystem's dir count) grows without bound — the
+    * small-files problem on the streaming output path, the same disease
+    * [[graft.operators.ClusterIndex.compact]] treats at rest. This folds
+    * every currently-committed batch dir (including earlier
+    * consolidations) into ONE new committed dir and retires the sources.
+    *
+    * Crash-safe without a lock on the READ path: the consolidated rows
+    * are staged under a dot-prefixed dir (invisible to the view), its
+    * `_sources` manifest is written INSIDE, and a single rename exposes
+    * both atomically — from that instant [[cleanedCorpus]] excludes the
+    * absorbed sources by manifest, so the window where sources still
+    * exist on disk serves NO duplicates. Source deletion is the lazy
+    * janitor tail: a crash mid-delete leaves dirs the manifest already
+    * excludes, swept by the next consolidation. Run it on the same
+    * cadence as index compaction; concurrent with the SINK it must not
+    * run (the sink appends new batch dirs, which is fine, but two
+    * consolidations racing each other would double-absorb — fence it
+    * with the index's [[graft.operators.MaintenanceLock]] if scheduled).
+    * Returns the number of source dirs absorbed (0 = nothing to do). */
+  def compactCleaned(s: SparkSession, outPath: String,
+      minDirs: Int = 2): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(outPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val (live, leftover) = cleanedDirs(s, outPath)
+    // janitor: sources a previous crash left behind are already
+    // manifest-excluded — just drop them
+    leftover.foreach(p => fs.delete(p, true))
+    if (live.length < minDirs) return 0
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(root, s".consolidating-$stamp")
+    s.read.parquet(live.sorted: _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(staging.toString)
+    val names = live.map(p => new Path(p).getName)
+    val out = fs.create(new Path(staging, "_sources"), true)
+    try out.write((names.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = new Path(root, s"batch-c$stamp")
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(
+        s"consolidation aborted: rename $staging -> $target failed")
+    names.foreach(n => fs.delete(new Path(root, n), true))
+    names.length
   }
 
   /** Drive any of the above against a bounded parquet dir through a real

@@ -467,4 +467,50 @@ class SpanIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(1L), "crashed batch leaked into the consumer view")
   }
+
+  test("compactCleaned: folds committed batch dirs, duplicate-free through crash windows") {
+    import graft.streaming.Streams
+    import spark.implicits._
+    val out = fresh("target/span_cleaned_compact")
+    def mk(id: Long, dir: String): Unit =
+      Seq((id, 0, 0L, s"doc-$id")).toDF(
+        "doc_id", "n_cut_spans", "chars_cut", "clean_text")
+        .write.parquet(s"$out/$dir")
+    (0L to 2L).foreach(i => mk(i, s"batch-$i"))
+    mk(99L, "batch-99") // crashed batch: no _SUCCESS
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/batch-99/_SUCCESS"), false)
+    def view(): Set[Long] = Streams.cleanedCorpus(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(view() == Set(0L, 1L, 2L))
+    // consolidation absorbs exactly the committed dirs; the view is
+    // row-identical and the dir count collapses to one (+ the crashed dir)
+    assert(Streams.compactCleaned(spark, out) == 3)
+    assert(view() == Set(0L, 1L, 2L))
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dirs.count(_.startsWith("batch-c")) == 1, dirs.toString)
+    assert(!dirs.contains("batch-0") && dirs.contains("batch-99"), dirs)
+
+    // crash window: a consolidation landed (manifest committed) but its
+    // source dirs were not yet deleted — the manifest excludes them, so
+    // the view serves NO duplicate rows
+    mk(3L, "batch-3")
+    val before = Streams.cleanedCorpus(spark, out).count()
+    assert(before == 4)
+    assert(Streams.compactCleaned(spark, out) == 2) // c-dir + batch-3
+    // resurrect an absorbed source as the crash would leave it
+    mk(3L, "batch-3")
+    val rows = Streams.cleanedCorpus(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(rows.sorted == Seq(0L, 1L, 2L, 3L),
+      s"duplicate rows through the crash window: $rows")
+    // the next consolidation sweeps the leftover without re-absorbing it
+    Streams.compactCleaned(spark, out, minDirs = 99)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/batch-3")),
+      "janitor did not sweep the absorbed leftover")
+    assert(view() == Set(0L, 1L, 2L, 3L))
+  }
 }
