@@ -65,7 +65,11 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
     memoryDir: Option[String] = None,
     callLogCap: Int = 10000) {
 
-  private val cache = new TableCache(cacheSize)
+  // the eviction hook drops the temp view /upload_dataset bound for the
+  // id — without it every LRU eviction leaks a catalog view (and its
+  // analyzed plan) for the server's lifetime
+  private val cache = new TableCache(cacheSize,
+    onEvict = id => session.spark.catalog.dropTempView(id))
   private var server: Option[HttpServer] = None
   // the last successful /query chain, held for /submit_rank — the
   // reference completes learning asynchronously in a second request
@@ -196,9 +200,13 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
     val df =
       if (fmt.contains("csv") || path.endsWith(".csv"))
         Sources.csv(session.spark, path)
-      else if (fmt.contains("jsonl") || path.endsWith(".jsonl") ||
-          path.endsWith(".json"))
-        Sources.jsonlInferred(session.spark, path)
+      // .jsonl = line-delimited (head-probed schema, no full inference
+      // pass); .json = a standard multi-line DOCUMENT — feeding it to
+      // the line reader would silently bind an all-corrupt table
+      else if (fmt.contains("jsonl") || path.endsWith(".jsonl"))
+        Sources.jsonlAuto(session.spark, path)
+      else if (fmt.contains("json") || path.endsWith(".json"))
+        Sources.jsonDoc(session.spark, path)
       else Sources.parquet(session.spark, path)
     cache.put(dfId, df)
     session.bind(dfId, df)
@@ -632,8 +640,10 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
         // validate the path is readable NOW (schema fetch only) so a bad
         // registration fails at upload time like the reference's save would
         if (p.endsWith(".csv")) Sources.csvColumns(session.spark, p)
-        else if (p.endsWith(".jsonl") || p.endsWith(".json"))
-          Sources.jsonlPreview(session.spark, p, 1).schema
+        // head-probed: registration must stay "schema fetch only", like
+        // the csv header / parquet footer branches
+        else if (p.endsWith(".jsonl")) Sources.jsonlSchema(session.spark, p, 1)
+        else if (p.endsWith(".json")) Sources.jsonDoc(session.spark, p).schema
         else Sources.parquetSchema(session.spark, p)
         auxPaths += p
         (200, s"""{"message":"Auxiliary dataset registered.","filepath":${jstr(p)}}""")
@@ -690,8 +700,10 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
     if (path.endsWith(".csv")) Sources.csvPreview(session.spark, path, n)
     else if (path.endsWith(".parquet") || path.endsWith(".pq"))
       Sources.parquetPreview(session.spark, path, n)
-    else if (path.endsWith(".jsonl") || path.endsWith(".json"))
+    else if (path.endsWith(".jsonl"))
       Sources.jsonlPreview(session.spark, path, n)
+    else if (path.endsWith(".json"))
+      Sources.jsonDoc(session.spark, path).limit(n)
     else throw new IllegalArgumentException("Unsupported file format")
 
   // ---- dataset management + preview routes (app.py:620-663, 823-926) ----

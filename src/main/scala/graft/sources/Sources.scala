@@ -79,8 +79,38 @@ object Sources {
       samplingRatio: Double = 1.0): DataFrame =
     spark.read.option("samplingRatio", samplingRatio).json(path)
 
+  /** Bounded schema probe: infer from the first `lines` lines only. The
+    * text read stops after `lines` rows, so registering or previewing a
+    * multi-GB drop never pays the full-file inference scan the raw-path
+    * inferred read does. */
+  def jsonlSchema(spark: SparkSession, path: String,
+      lines: Int = 100): StructType = {
+    import spark.implicits._
+    spark.read.json(spark.read.text(path).limit(lines).as[String]).schema
+  }
+
+  /** Bounded preview: schema from the first lines ([[jsonlSchema]]), rows
+    * via a limit that stops the scan — neither side scans the whole file. */
   def jsonlPreview(spark: SparkSession, path: String, n: Int): DataFrame =
-    jsonlInferred(spark, path).limit(n)
+    spark.read.schema(jsonlSchema(spark, path)).json(path).limit(n)
+
+  /** Full JSONL read with the schema PROBED from the head
+    * ([[jsonlSchema]]) instead of a whole-file inference pass — the
+    * serving surface's default for `.jsonl` uploads. Lines carrying
+    * fields absent from the probed head still parse (extra fields are
+    * simply dropped under the narrower schema); pass an explicit
+    * contract schema via [[jsonl]] when completeness matters. */
+  def jsonlAuto(spark: SparkSession, path: String): DataFrame =
+    jsonl(spark, path, jsonlSchema(spark, path))
+
+  /** A standard (possibly pretty-printed, multi-line) JSON DOCUMENT —
+    * object or array — as a DataFrame. Distinct from [[jsonl]]: feeding a
+    * document to the line reader silently yields all-corrupt rows, so
+    * `.json` routes here and `.jsonl` to the line forms. multiLine parses
+    * one value per FILE (no intra-file split) — the interchange grain for
+    * configs and API dumps, not for corpora. */
+  def jsonDoc(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
 
   /** JSONL sink: one object per line, partition-parallel like every
     * other distributed write here. */
@@ -205,7 +235,13 @@ object Sources {
   * popitem(last=False) eviction). Spark twist: insert caches the plan's
   * blocks, eviction unpersists them.
   */
-final class TableCache(maxSize: Int = 1) {
+/** @param onEvict fired for every id leaving the cache (LRU overflow,
+  *   re-put, explicit remove) AFTER its plan unpersists — the hook a
+  *   server uses to release per-id resources it bound at insert time
+  *   (e.g. a catalog temp view); without it LRU evictions leak those
+  *   bindings for the server's lifetime. */
+final class TableCache(maxSize: Int = 1,
+    onEvict: String => Unit = _ => ()) {
   private val entries = mutable.LinkedHashMap.empty[String, DataFrame]
 
   def get(id: String): Option[DataFrame] = synchronized {
@@ -213,12 +249,13 @@ final class TableCache(maxSize: Int = 1) {
   }
 
   def put(id: String, df: DataFrame): Unit = synchronized {
-    entries.remove(id).foreach(_.unpersist())
+    entries.remove(id).foreach { old => old.unpersist(); onEvict(id) }
     entries.put(id, df.cache())
     while (entries.size > maxSize) {
       val (oldest, old) = entries.head
       old.unpersist()
       entries.remove(oldest)
+      onEvict(oldest)
     }
   }
 
@@ -227,6 +264,6 @@ final class TableCache(maxSize: Int = 1) {
 
   /** Evict one entry (unpersisting its cached plan); false if absent. */
   def remove(id: String): Boolean = synchronized {
-    entries.remove(id).map(_.unpersist()).isDefined
+    entries.remove(id).map { df => df.unpersist(); onEvict(id) }.isDefined
   }
 }

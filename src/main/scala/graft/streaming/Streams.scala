@@ -659,24 +659,37 @@ object Streams {
     * every currently-committed batch dir (including earlier
     * consolidations) into ONE new committed dir and retires the sources.
     *
-    * Crash-safe without a lock on the READ path: the consolidated rows
-    * are staged under a dot-prefixed dir (invisible to the view), its
-    * `_sources` manifest is written INSIDE, and a single rename exposes
-    * both atomically — from that instant [[cleanedCorpus]] excludes the
-    * absorbed sources by manifest, so the window where sources still
-    * exist on disk serves NO duplicates. Source deletion is the lazy
-    * janitor tail: a crash mid-delete leaves dirs the manifest already
-    * excludes, swept by the next consolidation. Run it on the same
-    * cadence as index compaction; concurrent with the SINK it must not
-    * run (the sink appends new batch dirs, which is fine, but two
-    * consolidations racing each other would double-absorb — fence it
-    * with the index's [[graft.operators.MaintenanceLock]] if scheduled).
+    * CRASH-safe at every step: the consolidated rows are staged under a
+    * dot-prefixed dir (invisible to the view), its `_sources` manifest
+    * is written INSIDE, and a single rename exposes both atomically —
+    * from that instant [[cleanedCorpus]] excludes the absorbed sources
+    * by manifest, so the window where sources still exist on disk
+    * serves NO duplicate rows, and a crash before the rename leaves
+    * only a dot-prefixed orphan the next run clears on entry. Source
+    * deletion is the lazy janitor tail: a crash mid-delete leaves dirs
+    * the manifest already excludes, swept by the next consolidation.
+    *
+    * Concurrency contract: a view RESOLVED while consolidation runs is
+    * duplicate-free but not existence-safe — a reader that listed the
+    * source dirs before the janitor deletes them can hit a missing
+    * path mid-scan. Like the index rebucket, this is a quiesced
+    * maintenance op: run it on the compact cadence with readers (and
+    * rival consolidations — fence via
+    * [[graft.operators.MaintenanceLock]] if scheduled) off the dir;
+    * the SINK appending new batch dirs concurrently is fine.
     * Returns the number of source dirs absorbed (0 = nothing to do). */
   def compactCleaned(s: SparkSession, outPath: String,
       minDirs: Int = 2): Int = {
     import org.apache.hadoop.fs.Path
     val root = new Path(outPath)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // a crash between the staging write and the rename strands a FULL
+    // corpus copy under .consolidating-* — restartable garbage (the
+    // rename is the commit), cleared on entry or it accumulates per crash
+    if (fs.exists(root))
+      fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.startsWith(".consolidating-"))
+        .foreach(p => fs.delete(p, true))
     val (live, leftover) = cleanedDirs(s, outPath)
     // janitor: sources a previous crash left behind are already
     // manifest-excluded — just drop them

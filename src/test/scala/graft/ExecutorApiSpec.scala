@@ -400,6 +400,34 @@ class ExecutorApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("LRU eviction drops the bound temp view; .json document upload parses") {
+    val api = new ExecutorApi(new EngineSession(spark), cacheSize = 2)
+    val port = api.start()
+    try {
+      // a pretty-printed .json DOCUMENT routes to the multiLine reader —
+      // the line reader would silently bind an all-corrupt table
+      val doc = "target/api_doc_upload.json"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(doc),
+        "[\n {\"k\": 1, \"v\": \"x\"},\n {\"k\": 2, \"v\": \"y\"}\n]\n")
+      val (jc, jb) = call(port, "/upload_dataset",
+        Some(s"""{"df_id":"conf","path":"$doc"}"""))
+      assert(jc == 200 && jb.contains("\"k\"") && jb.contains("\"v\""), jb)
+      assert(!jb.contains("_corrupt_record"), jb)
+
+      // cacheSize=2: the third upload LRU-evicts "conf" — its temp view
+      // must go with it, not leak in the catalog for the server's life
+      call(port, "/upload_dataset",
+        Some(s"""{"df_id":"orders","path":"$sf/orders.parquet"}"""))
+      assert(spark.catalog.tableExists("conf"))
+      call(port, "/upload_dataset",
+        Some(s"""{"df_id":"customer","path":"$sf/customer.parquet"}"""))
+      assert(!spark.catalog.tableExists("conf"),
+        "evicted df_id left its temp view bound")
+      assert(spark.catalog.tableExists("orders") &&
+        spark.catalog.tableExists("customer"))
+    } finally api.stop()
+  }
+
   test("telemetry call-log is bounded; /metrics totals survive rotation") {
     val api = new ExecutorApi(new EngineSession(spark), callLogCap = 5)
     val port = api.start()

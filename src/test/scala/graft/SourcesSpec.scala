@@ -91,5 +91,25 @@ class SourcesSpec extends SparkSpec {
     assert(good == Set(10L, 11L) && bad == 1, s"good=$good bad=$bad")
     // preview is bounded
     assert(Sources.jsonlPreview(spark, s"$dir/out", 1).count() == 1)
+
+    // head-probed schema: inference is bounded by the probe lines, and
+    // jsonlAuto serves the whole file under it without a full-scan
+    // inference pass
+    val probed = Sources.jsonlSchema(spark, s"$dir/out", lines = 1)
+    assert(probed.fieldNames.toSet == Set("doc_id", "lang", "text"))
+    assert(Sources.jsonlAuto(spark, s"$dir/out").count() == 2)
+
+    // a standard pretty-printed DOCUMENT is a different format: the line
+    // reader sees only corrupt rows, jsonDoc parses it
+    val docPath = s"$dir/doc/conf.json"
+    new java.io.File(s"$dir/doc").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(docPath),
+      """[
+        |  {"name": "alpha", "weight": 2},
+        |  {"name": "beta", "weight": 3}
+        |]
+        |""".stripMargin)
+    val doc = Sources.jsonDoc(spark, docPath)
+    assert(doc.columns.toSet == Set("name", "weight") && doc.count() == 2)
   }
 }
