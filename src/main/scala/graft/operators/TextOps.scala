@@ -535,6 +535,32 @@ object TextOps {
       .select("doc_id", "shard", "pos")
   }
 
+  /** c7: the corpus DATA CARD — the per-(lang, split) reporting rollup
+    * every curation pipeline publishes beside the corpus (doc counts,
+    * token/char totals, mean quality; the "datasheet" practice of Gebru
+    * et al. and every public corpus release). Composes the FACTORED
+    * pieces ([[withSplit]], the t3 formula columns) so the card can
+    * never drift from the operators it reports on. One narrow
+    * projection + one grouped aggregate — scan-speed at any corpus
+    * size, with the mean aggregated over INTEGER-scaled scores
+    * (sum of round(q·1e8) as bigint, divided once at the end) so the
+    * float total is partition-order-free and hash-stable. */
+  def dataCard: Q = (s, d) =>
+    withSplit(documents(s, d))
+      .select(col("lang"), col("split"),
+        length(col("text")).as("n_chars_doc"),
+        split(col("text"), " ").as("words"))
+      .select(col("lang"), col("split"), col("n_chars_doc"),
+        size(col("words")).as("n_words"),
+        qualityScoreCol(size(col("words")), uniqRatio(col("words")),
+          stopRatio(col("words"))).as("q"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("n_tokens"),
+        sum(col("n_chars_doc").cast("long")).as("n_chars"),
+        round(sum(round(col("q") * 1e8).cast("bigint")) / 1e8 /
+          count(lit(1)), 6).as("mean_quality"))
+
   /** c3: model-based quality filtering — a linear classifier over the t3
     * feature columns (the fastText/logistic-regression quality-filter
     * stage of public pipelines: CCNet, FineWeb). Weights are fixed config
@@ -915,6 +941,29 @@ object TextOps {
         |    1, 12))::BIGINT % 1000 < 990 THEN 'val'
         |  ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "c7_data_card" ->
+      """WITH scored AS (SELECT lang,
+        |  CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |     1, 12))::BIGINT % 1000 < 980 THEN 'train'
+        |   WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |     1, 12))::BIGINT % 1000 < 990 THEN 'val'
+        |   ELSE 'test' END AS split,
+        |  length(text) AS n_chars_doc,
+        |  CAST(len(words) AS INTEGER) AS n_words,
+        |  round(least(CAST(len(words) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |    round(len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 6)
+        |     * 0.3 +
+        |    least(round(len(list_filter(words,
+        |      w -> w IN ('the','a','of','and','to','in','is')))
+        |      / CAST(len(words) AS DOUBLE), 6) * 5.0, 1.0) * 0.3, 8) AS q
+        | FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS words
+        |       FROM documents))
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_words) AS BIGINT) AS n_tokens,
+        | CAST(sum(n_chars_doc) AS BIGINT) AS n_chars,
+        | round(CAST(sum(CAST(round(q * 1e8) AS BIGINT)) AS DOUBLE) / 1e8
+        |   / count(*), 6) AS mean_quality
+        |FROM scored GROUP BY lang, split""".stripMargin,
     "t15_shuffle_shard" ->
       """WITH k AS (SELECT doc_id,
         |  ('0x' || substr(md5('shuffle42:' || CAST(doc_id AS VARCHAR)),
