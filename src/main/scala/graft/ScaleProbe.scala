@@ -128,7 +128,11 @@ object ScaleProbe {
       // broadcast stays small); t12/c3/t14 are scan-speed map-side ops;
       // c4's copies explode map-side after a 5-row broadcast
       "t12_split_assign", "c3_quality_lr", "t13_perplexity",
-      "t14_cdc_chunks", "c4_mixture_apply", "c5_curation_pipeline")
+      "t14_cdc_chunks", "c4_mixture_apply", "c5_curation_pipeline",
+      // round 9: the shard-partitioned training-order manifest (the rank
+      // window must scale with the shard key, like t11) and the data-card
+      // rollup (one projection + one grouped agg — scan-bound)
+      "t15_shuffle_shard", "c7_data_card")
       .map(n => (n, SparkEntry.queries(n), SparkEntry.queries(n)))
     import graft.operators.{Profile, RankDedup, VectorOps}
     // profile first-touch: exact vs sketched (HLL++) distinct counts over

@@ -117,6 +117,18 @@ object OperatingPoint {
     clamp(pow2Ceil(math.min(n / 1024L, 1L << 12)), 16, 1 << 12)
   }
 
+  /** Shard count for the t15 training-order manifest
+    * ([[TextOps.shuffleShardAuto]]): the per-shard rank window and the
+    * loader fleet both parallelize at S, so S must grow with the corpus —
+    * target ~64k docs per shard (a loader's working unit: tens to a few
+    * hundred MB of text) in power-of-two steps. Floor 8 keeps fixture
+    * manifests multi-shard; cap 64k bounds the shard-dir count like
+    * [[clusterIndexParts]]. */
+  def shuffleShards(n: Long): Int = {
+    require(n > 0, s"corpus count must be positive, got $n")
+    clamp(pow2Ceil(math.min(n / 65536L, 1L << 16)), 8, 1 << 16)
+  }
+
   /** PQ codebook size per subspace (IVF-PQ ADC serving): k-means needs
     * enough training points per centroid to generalize (public practice —
     * FAISS warns below ~39 points/centroid and recommends 256 entries only

@@ -523,17 +523,30 @@ object TextOps {
     * prunes). Public practice: every large-corpus trainer (GPT-3,
     * LLaMA-family data work) shuffles documents with a seeded hash
     * before sharding. */
-  def shuffleShard: Q = (s, d) => {
-    val S = 8
-    documents(s, d)
-      .select(col("doc_id"),
+  def shuffleShard: Q = (s, d) => shuffleShardOver(documents(s, d), shards = 8)
+
+  /** Library entrypoint: shard count derived from the corpus size
+    * ([[graft.operators.OperatingPoint.shuffleShards]] — ~64k docs per
+    * shard in power-of-two steps), so the per-shard rank window and the
+    * loader fleet both scale with the corpus instead of funneling a
+    * grown corpus through a pinned-S window. The oracle-gated
+    * [[shuffleShard]] pins S=8 so the static DuckDB SQL mirrors the
+    * exact blocking structure, the same fixture-pin discipline as the
+    * LSH family. */
+  def shuffleShardAuto(df: DataFrame,
+      countEstimate: Option[Long] = None): DataFrame = {
+    val n = math.max(1L, countEstimate.getOrElse(df.count()))
+    shuffleShardOver(df, OperatingPoint.shuffleShards(n))
+  }
+
+  private[graft] def shuffleShardOver(df: DataFrame, shards: Int): DataFrame =
+    df.select(col("doc_id"),
         expr("cast(conv(substring(md5(concat('shuffle42:', " +
           "cast(doc_id as string))), 1, 12), 16, 10) as bigint)").as("skey"))
-      .withColumn("shard", pmod(col("skey"), lit(S.toLong)).cast("int"))
+      .withColumn("shard", pmod(col("skey"), lit(shards.toLong)).cast("int"))
       .withColumn("pos", row_number().over(
         Window.partitionBy("shard").orderBy("skey", "doc_id")))
       .select("doc_id", "shard", "pos")
-  }
 
   /** c7: the corpus DATA CARD — the per-(lang, split) reporting rollup
     * every curation pipeline publishes beside the corpus (doc counts,

@@ -56,6 +56,14 @@ class OperatingPointSpec extends SparkSpec {
     assert(OperatingPoint.clusterIndexParts(10000000000L) == 65536) // cap
   }
 
+  test("shuffle shards: ~64k docs/shard in pow2 steps, floor 8, cap 64k") {
+    assert(OperatingPoint.shuffleShards(500) == 8)        // fixture floor
+    assert(OperatingPoint.shuffleShards(524288) == 8)     // 8 * 64k docs
+    assert(OperatingPoint.shuffleShards(1000000) == 16)   // pow2Ceil(15)
+    assert(OperatingPoint.shuffleShards(100000000) == 2048)
+    assert(OperatingPoint.shuffleShards(100000000000L) == 65536) // cap
+  }
+
   test("band index buckets: same growth target, floor 16, cap 4096") {
     assert(OperatingPoint.bandIndexBuckets(530) == 16)      // fixture floor
     assert(OperatingPoint.bandIndexBuckets(100000) == 128)

@@ -509,6 +509,12 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val fullShard = a.map(t => t._1 -> t._2).toMap
     assert(half.forall { case (id, sh) => fullShard(id) == sh })
+    // the AUTO form equals the pinned oracle query at the anchor regime
+    // (fixture n derives the floor S=8), like the LSH auto entrypoints
+    val auto = TextOps.shuffleShardAuto(
+        Tables.load(spark, sf, "documents").select("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(auto == a.toSet)
   }
 
   test("s3 session windows agree with w8 sessionize on session count per user") {
