@@ -532,7 +532,15 @@ object TextOps {
     * grown corpus through a pinned-S window. The oracle-gated
     * [[shuffleShard]] pins S=8 so the static DuckDB SQL mirrors the
     * exact blocking structure, the same fixture-pin discipline as the
-    * LSH family. */
+    * LSH family.
+    *
+    * Stability contract: shard ROUTING is append-stable only at FIXED S —
+    * re-deriving S after the corpus crosses a pow2 boundary remaps ~half
+    * of all docs (key mod S changes). A pipeline extending a persisted
+    * manifest must pin the S the manifest was written with (pass it via
+    * [[shuffleShardOver]], the `_meta` discipline the at-rest indexes
+    * persist their geometry under) and step S up as a deliberate
+    * re-shard on the rebucket cadence, not implicitly per call. */
   def shuffleShardAuto(df: DataFrame,
       countEstimate: Option[Long] = None): DataFrame = {
     val n = math.max(1L, countEstimate.getOrElse(df.count()))
@@ -556,8 +564,15 @@ object TextOps {
     * never drift from the operators it reports on. One narrow
     * projection + one grouped aggregate — scan-speed at any corpus
     * size, with the mean aggregated over INTEGER-scaled scores
-    * (sum of round(q·1e8) as bigint, divided once at the end) so the
-    * float total is partition-order-free and hash-stable. */
+    * (sum of round(q·1e8) as bigint) so the float total is
+    * partition-order-free. The mean itself is the INTEGER quotient of
+    * that sum over the count, display-scaled by 1e-8 — no decimal
+    * rounding of a derived quotient anywhere, because a quotient's
+    * decimal expansion can land exactly on a rounding tie and Spark
+    * (decimal HALF_UP on the shortest representation) and DuckDB
+    * (binary-double rounding) resolve such ties differently; integer
+    * division is bit-identical in both engines by construction
+    * (truncating the 9th-and-beyond decimal, documented here). */
   def dataCard: Q = (s, d) =>
     withSplit(documents(s, d))
       .select(col("lang"), col("split"),
@@ -571,8 +586,11 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words").cast("long")).as("n_tokens"),
         sum(col("n_chars_doc").cast("long")).as("n_chars"),
-        round(sum(round(col("q") * 1e8).cast("bigint")) / 1e8 /
-          count(lit(1)), 6).as("mean_quality"))
+        sum(round(col("q") * 1e8).cast("bigint")).as("q_sum"))
+      .withColumn("mean_quality",
+        expr("cast(q_sum div n_docs as double) / 1e8"))
+      .select("lang", "split", "n_docs", "n_tokens", "n_chars",
+        "mean_quality")
 
   /** c3: model-based quality filtering — a linear classifier over the t3
     * feature columns (the fastText/logistic-regression quality-filter
@@ -974,8 +992,8 @@ object TextOps {
         |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_words) AS BIGINT) AS n_tokens,
         | CAST(sum(n_chars_doc) AS BIGINT) AS n_chars,
-        | round(CAST(sum(CAST(round(q * 1e8) AS BIGINT)) AS DOUBLE) / 1e8
-        |   / count(*), 6) AS mean_quality
+        | CAST(CAST(sum(CAST(round(q * 1e8) AS BIGINT)) AS BIGINT)
+        |    // count(*) AS DOUBLE) / 1e8 AS mean_quality
         |FROM scored GROUP BY lang, split""".stripMargin,
     "t15_shuffle_shard" ->
       """WITH k AS (SELECT doc_id,

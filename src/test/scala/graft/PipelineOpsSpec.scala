@@ -501,14 +501,18 @@ class PipelineOpsSpec extends SparkSpec {
       assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
         s"shard $sh positions not contiguous")
     }
-    // a doc's SHARD is a pure function of its id (append-stable routing;
-    // positions within a shard shift on append — rank is corpus-relative,
-    // the shard assignment is not)
-    val half = TextOps.shuffleShard(spark, sf)
-      .filter(col("doc_id") % 2 === 0).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // a doc's SHARD is a pure function of its id at fixed S
+    // (append-stable routing; positions within a shard shift on append —
+    // rank is corpus-relative, the shard assignment is not). The half
+    // corpus goes through the PIPELINE, not a filter of the full run —
+    // filtering the full output would compare a value with itself
+    val half = TextOps.shuffleShardOver(
+        Tables.load(spark, sf, "documents").select("doc_id")
+          .filter(col("doc_id") % 2 === 0), shards = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val fullShard = a.map(t => t._1 -> t._2).toMap
-    assert(half.forall { case (id, sh) => fullShard(id) == sh })
+    assert(half.nonEmpty &&
+      half.forall { case (id, sh) => fullShard(id) == sh })
     // the AUTO form equals the pinned oracle query at the anchor regime
     // (fixture n derives the floor S=8), like the LSH auto entrypoints
     val auto = TextOps.shuffleShardAuto(
