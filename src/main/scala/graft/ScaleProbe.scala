@@ -130,9 +130,12 @@ object ScaleProbe {
       "t12_split_assign", "c3_quality_lr", "t13_perplexity",
       "t14_cdc_chunks", "c4_mixture_apply", "c5_curation_pipeline",
       // round 9: the shard-partitioned training-order manifest (the rank
-      // window must scale with the shard key, like t11) and the data-card
-      // rollup (one projection + one grouped agg — scan-bound)
-      "t15_shuffle_shard", "c7_data_card")
+      // window must scale with the shard key, like t11), the data-card
+      // rollup (one projection + one grouped agg — scan-bound), the BPE
+      // seam (per-doc UDF merge loop — map-side), and the MMR rerank
+      // (driver-greedy over a bounded k·overfetch shortlist)
+      "t15_shuffle_shard", "c7_data_card", "t5_bpe_token_count",
+      "v10_mmr_rerank")
       .map(n => (n, SparkEntry.queries(n), SparkEntry.queries(n)))
     import graft.operators.{Profile, RankDedup, VectorOps}
     // profile first-touch: exact vs sketched (HLL++) distinct counts over
