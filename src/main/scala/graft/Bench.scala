@@ -110,11 +110,25 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$TimedRuns,"errors":$failed,""" +
       s""""cluster_config":{"autoBroadcastJoinThreshold":-1,"shuffle_partitions":200},""" +
       s""""cluster_total":$ctotal,"cluster_queries":$cqs,"cluster_spread":$cspreads,"cluster_errors":$cfailed,"sf":"$sfDir"}"""
-    println(json)
+    // The CONSOLE line must fit the harness's tail-capture window (the
+    // full ~11.5 KB line has been front-truncated three rounds running →
+    // "parsed": null). Print a compact form: per-query seconds at 4
+    // decimals, no spread maps, no per-query cluster map — ~3 KB. The
+    // full-precision everything (spreads, cluster per-query) still lands
+    // in target/bench.json below.
+    val r4 = (v: Double) =>
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs4 = defResults.map { case (k, v, _, _) => "\"" + k + "\":" + r4(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs4,"runs":$TimedRuns,"errors":$failed,""" +
+      s""""cluster_config":{"autoBroadcastJoinThreshold":-1,"shuffle_partitions":200},""" +
+      s""""cluster_total":${r4(ctotal)},"cluster_errors":$cfailed,"sf":"$sfDir"}"""
+    println(compact)
     // belt-and-braces for console scrapers: a uniquely-prefixed copy of
     // the same line — a parser can grep "BENCHJSON:" and take everything
     // after the first colon even when log4j noise wraps the bare line
-    println(s"BENCHJSON:$json")
+    println(s"BENCHJSON:$compact")
     // also land the line as a FILE: scraping a JSON line out of sbt/log4j
     // console interleaving is lossy (the driver's per-query map parse has
     // failed on wrapped lines), a file read is not

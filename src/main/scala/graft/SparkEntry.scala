@@ -101,6 +101,7 @@ object SparkEntry {
     "v8_embed_clusters" -> VectorOps.embedClusters,
     "v9_sq8_topk" -> VectorOps.sq8TopK,
     // text analysis (F6/F9 + pipeline ops)
+    "h1_html_extract" -> TextOps.htmlExtract,
     "t1_word_chunks" -> TextOps.wordChunks,
     "t2_lang_id" -> TextOps.langId,
     "t3_quality_score" -> TextOps.qualityScore,
@@ -144,14 +145,14 @@ object SparkEntry {
           org.apache.spark.sql.functions.md5(col("frame")).as("frame_md5"))),
   )
 
-  /** Queries with no SQL-expressible oracle (iterative / float-summing
-    * training loops): the driver contract records a weaker rows-only check
-    * for these; everything else MUST have an oracleSql entry. The rows-only
-    * check is NOT the only gate: VectorGateSpec holds v5 to recall@10 ≥ 0.5
-    * vs the brute-force ground truth plus Lloyd's-convergence invariants,
-    * and `v5_ivf_assign` hash-checks the shared non-iterative machinery
-    * (fixed-centroid assignment + probe) against DuckDB. */
-  val rowsOnlyQueries: Set[String] = Set("v5_kmeans_ivf")
+  /** Queries with no SQL-expressible oracle: the driver contract records a
+    * weaker rows-only check for these; everything else MUST have an
+    * oracleSql entry. EMPTY since round 10: the last member
+    * (`v5_kmeans_ivf`) gained a real hash oracle once the Lloyd loop was
+    * made bit-reproducible (integer-scaled component means +
+    * round-before-argmax, VectorOps.kmeansCentroids) and the 3 fixed
+    * iterations unrolled as chained CTEs (VectorOps.kmeansIvfOracle). */
+  val rowsOnlyQueries: Set[String] = Set.empty
 
   def oracleSql: Map[String, String] = Map(
     "p1_scan_projection" ->
@@ -494,6 +495,7 @@ object SparkEntry {
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "v3_neardup_embeddings" -> VectorOps.nearDupPairsOracle,
     "v4_knn_join" -> VectorOps.knnJoinOracle,
+    "h1_html_extract" -> TextOps.oracle("h1_html_extract"),
     "t1_word_chunks" -> TextOps.oracle("t1_word_chunks"),
     "t2_lang_id" -> TextOps.oracle("t2_lang_id"),
     "t3_quality_score" -> TextOps.oracle("t3_quality_score"),
@@ -527,6 +529,7 @@ object SparkEntry {
     "dd10_span_scrub" -> DedupOps.spanScrubOracle,
     "c1_curation_funnel" -> DedupOps.curationFunnelOracle,
     "v5_ivf_assign" -> VectorOps.kmeansIvfAssignOracle,
+    "v5_kmeans_ivf" -> VectorOps.kmeansIvfOracle,
     "v6_rp_lsh_neardup" -> VectorOps.rpLshNearDupOracle,
     "v7_ivf_at_rest" -> VectorOps.ivfAtRestOracle,
     "v8_embed_clusters" -> VectorOps.embedClustersOracle,

@@ -49,6 +49,11 @@ case class SpanGramHits(child: Expression, gramLen: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val u = v.asInstanceOf[UTF8String]
+    // zero-length text emits nothing (same guard as WinnowedGramHits).
+    // Output-identical to the clamp it replaces: the clamped empty
+    // window hashed md5("") = d41d8..., which never passes the
+    // leading-nibble selection anyway — this just makes it structural.
+    if (u.numBytes == 0) return new GenericArrayData(Array.empty[Any])
     val md = java.security.MessageDigest.getInstance("MD5")
     val hits = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.catalyst.InternalRow]
@@ -201,6 +206,11 @@ case class RollingGramHits(child: Expression, gramLen: Int, selBits: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val u = v.asInstanceOf[UTF8String]
+    // zero-length text emits NOTHING: the clamped empty window would
+    // hash to fmix(0) = 0, which always passes the (f & selMask) == 0
+    // selection, silently making every empty doc a mutual span carrier
+    // (the WinnowedGramHits guard, applied here too).
+    if (u.numBytes == 0) return new GenericArrayData(Array.empty[Any])
     val hits = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.catalyst.InternalRow]
     val bytes = u.getBytes

@@ -821,8 +821,22 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
 
   /** Balanced-brace extraction of an embedded `"plot_spec": {...}` value —
     * the /execute plot capture a favourited chain carries. String-aware so
-    * braces inside the spec's own strings don't unbalance the scan. */
-  private def extractPlotSpec(content: String): Option[String] = {
+    * braces inside the spec's own strings don't unbalance the scan. The
+    * extracted substring is spliced RAW into the preview response, and
+    * balanced braces do not imply valid JSON (a truncated or mangled
+    * favourite could hold `{"a": }`), so the candidate must round-trip
+    * through a strict JSON parse before it is returned — a malformed spec
+    * degrades to hasPlotly:false instead of a syntactically invalid
+    * response body. */
+  private def extractPlotSpec(content: String): Option[String] =
+    extractPlotSpecRaw(content).filter { cand =>
+      try {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        m.readTree(cand); true
+      } catch { case _: Exception => false }
+    }
+
+  private def extractPlotSpecRaw(content: String): Option[String] = {
     val at = content.indexOf("\"plot_spec\":")
     if (at < 0) return None
     val start = content.indexOf('{', at)

@@ -393,9 +393,20 @@ object ClusterIndex {
     // cast the victim ids to the STORED doc_id type, not a hard long:
     // labels are joined by value (no type-dependent hash routing here),
     // but a long cast on a UUID-string corpus would null every victim
-    // and the takedown would silently match nothing
-    val ids = docIds.select(
-        col("doc_id").cast(oldLabels.schema("doc_id").dataType).as("doc_id"))
+    // and the takedown would silently match nothing. A cast that nulls
+    // an id is itself a silent-empty-delete (e.g. a non-numeric string
+    // victim against a LongType index), so reject it loudly — same
+    // discipline as SpanIndex.withLongDocId.
+    val storedType = oldLabels.schema("doc_id").dataType
+    val rawIds = docIds.select(col("doc_id")).distinct()
+    val uncastable = rawIds
+      .filter(col("doc_id").isNotNull && col("doc_id").cast(storedType).isNull)
+      .count()
+    if (uncastable > 0) throw new IllegalArgumentException(
+      s"ClusterIndex.delete: $uncastable victim id(s) do not cast to the " +
+        s"stored doc_id type $storedType; the takedown would silently " +
+        "match nothing. Map the ids to the indexed type upstream.")
+    val ids = rawIds.select(col("doc_id").cast(storedType).as("doc_id"))
       .distinct().localCheckpoint(eager = true)
     // victims materialize BEFORE any rewrite: their stored hs rows are the
     // only way back to their band keys once labels change

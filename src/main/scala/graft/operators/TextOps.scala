@@ -592,6 +592,83 @@ object TextOps {
       .select("lang", "split", "n_docs", "n_tokens", "n_chars",
         "mean_quality")
 
+  // ---- h1: raw-web extraction (HTML -> clean text) ----
+
+  /** The h1 fixture: deterministic HTML synthesized IN-QUERY around each
+    * document's text, identically in both engines (the corpus tables ship
+    * plain text, and the extraction stage needs markup to earn its keep).
+    * Structure mirrors what a crawler actually hands the pipeline: a head
+    * with script+style payloads, a link-dense nav bar, an HTML comment,
+    * the body text as paragraphs (broken at ' the ' — the fixture text is
+    * space-separated words with no sentence punctuation), and an
+    * entity-bearing footer. */
+  private def htmlFixture(idCast: String): String =
+    s"""concat('<html><head><title>Doc ', $idCast, '</title>',
+       | '<script type="text/javascript">var t = "UA-', $idCast,
+       | '"; track(t);</script>',
+       | '<style>.nav a{color:#336; padding:2px}</style></head>',
+       | '<body><div id="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>',
+       | '<!-- rendered build 2024 -->',
+       | '<p>', replace(text, ' the ', ' </p><p>the '), '</p>',
+       | '<div class="footer"><a href="/terms">Terms &amp; Conditions</a> &#169; 2024</div>',
+       | '</body></html>')""".stripMargin
+
+  /** h1: raw-web extraction — HTML to clean text, the CCNet/trafilatura
+    * stage every public corpus run starts with (the grain real 100 TB
+    * crawls arrive in; the reference's own web path extracts article text
+    * before chunking, google_search.py:150-190). Four stages, all
+    * map-side narrow (scan-speed at 100 TB, no shuffle):
+    *  1. payload strip — script/style blocks and HTML comments removed
+    *     whole (lazy-quantifier regex; no backreferences, so the same
+    *     pattern runs under Java regex here and RE2 in the oracle);
+    *  2. block segmentation — closing block-level tags and <br> become
+    *     newlines, the text-flow boundaries boilerplate scoring needs;
+    *  3. per-block scoring — anchor count BEFORE tag strip (the link
+    *     signal dies with the tags), then tag strip, basic entity decode,
+    *     whitespace collapse, word count;
+    *  4. boilerplate filter — keep blocks with >= 5 words AND
+    *     links*3 <= words (link-density): the nav dies on density, the
+    *     footer and sub-5-word slivers on length — the jusText/CCNet
+    *     block heuristic in its simplest deterministic form.
+    * Output pins the SURGERY (clean_md5 over the reassembled text), not
+    * just counts. Entity decode handles the 5 predefined XML entities +
+    * nbsp; '&amp;' is decoded LAST so '&amp;lt;' does not double-decode. */
+  def htmlExtract: Q = (s, d) => {
+    val entityDecode = (x: String) =>
+      s"""replace(replace(replace(replace(replace(replace($x,
+         | '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         | '&#39;', chr(39)), '&amp;', '&')""".stripMargin
+    documents(s, d)
+      .select(col("doc_id"), expr(htmlFixture("cast(doc_id as string)")).as("html"))
+      .withColumn("h", expr(
+        """regexp_replace(regexp_replace(regexp_replace(html,
+          | '(?is)<script[^>]*>.*?</script>', ' '),
+          | '(?is)<style[^>]*>.*?</style>', ' '),
+          | '(?s)<!--.*?-->', ' ')""".stripMargin))
+      .withColumn("h", expr(
+        """regexp_replace(regexp_replace(h,
+          | '(?i)</(p|div|h1|h2|h3|h4|h5|h6|li|tr|table|blockquote)>', chr(10)),
+          | '(?i)<br[^>]*>', chr(10))""".stripMargin))
+      .withColumn("cand", expr(
+        s"""filter(transform(split(h, chr(10)), b -> struct(
+           | trim(regexp_replace(${entityDecode("regexp_replace(b, '(?s)<[^>]*>', ' ')")},
+           |   ' +', ' ')) AS clean,
+           | size(regexp_extract_all(b, '(?i)<a[ >]', 0)) AS links)),
+           | x -> x.clean != '')""".stripMargin))
+      .withColumn("scored", expr(
+        """transform(cand, x -> struct(x.clean AS clean, x.links AS links,
+          | size(regexp_extract_all(x.clean, '[A-Za-z0-9]+', 0)) AS nw))""".stripMargin))
+      .withColumn("kept", expr(
+        "filter(scored, x -> x.nw >= 5 AND x.links * 3 <= x.nw)"))
+      .select(col("doc_id"),
+        expr("cast(size(scored) as int)").as("n_blocks"),
+        expr("cast(size(kept) as int)").as("n_kept"),
+        expr("array_join(transform(kept, x -> x.clean), chr(10))").as("clean_text"))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        length(col("clean_text")).as("clean_len"),
+        md5(col("clean_text")).as("clean_md5"), col("clean_text"))
+  }
+
   /** c3: model-based quality filtering — a linear classifier over the t3
     * feature columns (the fastText/logistic-regression quality-filter
     * stage of public pipelines: CCNet, FineWeb). Weights are fixed config
@@ -684,6 +761,50 @@ object TextOps {
   // ---- DuckDB oracle SQL ----
 
   val oracle: Map[String, String] = Map(
+    "h1_html_extract" ->
+      """WITH base AS (SELECT doc_id,
+        |  concat('<html><head><title>Doc ', CAST(doc_id AS VARCHAR), '</title>',
+        |   '<script type="text/javascript">var t = "UA-', CAST(doc_id AS VARCHAR),
+        |   '"; track(t);</script>',
+        |   '<style>.nav a{color:#336; padding:2px}</style></head>',
+        |   '<body><div id="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>',
+        |   '<!-- rendered build 2024 -->',
+        |   '<p>', replace(text, ' the ', ' </p><p>the '), '</p>',
+        |   '<div class="footer"><a href="/terms">Terms &amp; Conditions</a> &#169; 2024</div>',
+        |   '</body></html>') AS html
+        | FROM documents),
+        | stripped AS (SELECT doc_id,
+        |   regexp_replace(regexp_replace(regexp_replace(html,
+        |     '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |     '(?s)<!--.*?-->', ' ', 'g') AS h FROM base),
+        | broken AS (SELECT doc_id,
+        |   regexp_replace(regexp_replace(h,
+        |     '(?i)</(p|div|h1|h2|h3|h4|h5|h6|li|tr|table|blockquote)>', chr(10), 'g'),
+        |     '(?i)<br[^>]*>', chr(10), 'g') AS h FROM stripped),
+        | blocks AS (SELECT doc_id, string_split(h, chr(10)) AS bl FROM broken),
+        | cand AS (SELECT doc_id, i AS pos,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(bl[i], '(?s)<[^>]*>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', chr(39)), '&amp;', '&'),
+        |      ' +', ' ', 'g')) AS clean,
+        |    CAST(len(regexp_extract_all(bl[i], '(?i)<a[ >]')) AS INTEGER) AS links
+        |  FROM blocks, UNNEST(range(1, len(bl)+1)) AS r(i)),
+        | scored AS (SELECT doc_id, pos, clean, links,
+        |    CAST(len(regexp_extract_all(clean, '[A-Za-z0-9]+')) AS INTEGER) AS nw
+        |  FROM cand WHERE clean <> ''),
+        | agg AS (SELECT doc_id,
+        |    CAST(count(*) AS INTEGER) AS n_blocks,
+        |    CAST(count(*) FILTER (WHERE nw >= 5 AND links*3 <= nw) AS INTEGER) AS n_kept,
+        |    coalesce(string_agg(clean, chr(10) ORDER BY pos)
+        |      FILTER (WHERE nw >= 5 AND links*3 <= nw), '') AS clean_text
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_blocks, n_kept,
+        | CAST(length(clean_text) AS INTEGER) AS clean_len,
+        | md5(clean_text) AS clean_md5, clean_text
+        |FROM agg""".stripMargin,
     "t11_sequence_pack" ->
       s"""WITH t AS (SELECT doc_id,
          |  CAST(doc_id % 8 AS INTEGER) AS shard,

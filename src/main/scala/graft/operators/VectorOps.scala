@@ -140,8 +140,13 @@ object VectorOps {
     * shuffle); the centroid update is one shuffle of (cid, dim) partial
     * sums. At 100 TB the final assignment is written as a partition column,
     * so probing top-p cells is partition pruning — the query reads p/k of
-    * the data. Iterative and float-summing, so no DuckDB oracle: the driver
-    * records the rows-only check (see SparkEntry.rowsOnlyQueries). */
+    * the data. Iterative, but NOT oracle-exempt: with integer-scaled
+    * component means ([[kmeansCentroids]]) and round-before-argmax
+    * assignment ([[kmeansAssign]]) every Lloyd step is bit-reproducible,
+    * so the DuckDB oracle ([[kmeansIvfOracle]]) replays the 3 fixed
+    * iterations as chained CTEs and the full iterated pipeline is
+    * hash-checked — the same replay trick the v10 MMR oracle used for
+    * greedy argmax, applied to Lloyd. */
   private val KmK = 8; private val KmIters = 3
 
   /** One cosine-argmax assignment pass: every vector joined to its single
@@ -150,12 +155,15 @@ object VectorOps {
     * asc via negation), combining map-side so the n·K candidate expansion
     * collapses to n rows before the shuffle (the same rewrite
     * [[rankCells]]'s topN=1 path carries; a row_number window here was
-    * measured shuffling the full expansion at the 100x probe scale). */
+    * measured shuffling the full expansion at the 100x probe scale).
+    * The similarity is round(·,6) BEFORE the argmax so the cell choice is
+    * engine-independent (the [[kmeansIvfAssign]] policy, now shared by
+    * the Lloyd loop so the iterated path is oracle-able too). */
   private[graft] def kmeansAssign(e: DataFrame,
       centroids: DataFrame): DataFrame =
     e.crossJoin(broadcast(centroids))
       .select(col("vec_id"), struct(
-        expr("cosine_sim(v, c)").as("sim"),
+        expr("round(cosine_sim(v, c), 6)").as("sim"),
         (-col("cid")).as("ncid"), col("v")).as("cand"))
       .groupBy("vec_id").agg(max("cand").as("best"))
       .select(col("vec_id"), col("best.v").as("v"),
@@ -163,14 +171,31 @@ object VectorOps {
 
   /** Lloyd's centroids after `iters` update steps from the deterministic
     * first-K seed (iters = 0 returns the seed itself). Exposed for the
-    * recall/convergence gate in VectorGateSpec. */
+    * recall/convergence gate in VectorGateSpec.
+    *
+    * HASH-STABLE by construction (what lets the iterated v5 carry a real
+    * DuckDB oracle, closing the last rows-only row): a plain avg() of
+    * double components is partition-order-dependent, so two engines (or
+    * two runs) can diverge in the last float bits and the drift compounds
+    * across iterations. Instead each component mean is
+    * `sum(round(x*1e8)::bigint) / count / 1e8` — the t13/c7 integer-sum
+    * discipline: the bigint sum is order-free and exact, and the two
+    * final divisions are IEEE-deterministic on identical operands in any
+    * engine. (No integer-quotient/`div` here — Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors, which differs on the
+    * NEGATIVE sums embedding components produce; plain double division
+    * has no tie to resolve, so it needs no quotient trick.) Assignment
+    * ties are engine-independent via round(·,6)-before-argmax in
+    * [[kmeansAssign]]. */
   private[graft] def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
     var cent = e.filter(col("vec_id") < KmK)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
     for (_ <- 1 to iters) {
       cent = kmeansAssign(e, cent)
         .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy("cid", "i").agg(avg("x").as("cx"))
+        .groupBy("cid", "i")
+        .agg((sum(round(col("x") * 1e8).cast("bigint")).cast("double") /
+          count(lit(1)).cast("double") / lit(1e8)).as("cx"))
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(i, cx))), t -> t.cx)")
           .as("c"))
@@ -192,7 +217,7 @@ object VectorOps {
     def assign(centroids: DataFrame) = kmeansAssign(e, centroids)
     val probe = e.filter(col("vec_id") === 1).select(col("v").as("p"))
     val topCells = cent.crossJoin(broadcast(probe))
-      .select(col("cid"), expr("cosine_sim(c, p)").as("csim"))
+      .select(col("cid"), expr("round(cosine_sim(c, p), 6)").as("csim"))
       .orderBy(desc("csim"), col("cid")).limit(Probes)
     assign(cent)
       .join(broadcast(topCells.select("cid")), Seq("cid"))
@@ -255,6 +280,50 @@ object VectorOps {
        |  ORDER BY ${cos("c", "p")} DESC, cid LIMIT 2)
        |SELECT a.vec_id, a.cid, ${cos("a.v", "p")} AS sim
        |FROM assigned a JOIN topcells USING (cid) CROSS JOIN probe
+       |WHERE a.vec_id <> 1
+       |ORDER BY sim DESC, a.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
+  /** DuckDB oracle for the Lloyd-ITERATED [[kmeansIvf]]: the 3 fixed
+    * iterations unrolled as chained CTEs (assign_i → update_i), each
+    * replaying exactly what the Spark loop computes — rounded-cosine
+    * argmax assignment, integer-scaled component means divided as
+    * doubles. KmIters is a compile-time constant, so unrolling beats a
+    * recursive CTE: every step is a plain group-by, no aggregate-in-
+    * recursive-term restrictions to dodge. */
+  val kmeansIvfOracle: String = {
+    val cos = (a: String, b: String) =>
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+        s"sqrt(list_dot_product($b, $b))), 6)"
+    def assign(prev: String, out: String): String =
+      s"""$out AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${cos("e.v", "c.c")} DESC, c.cid) AS rn
+         |  FROM e CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+    def update(assigned: String, out: String): String =
+      s"""$out AS (SELECT cid, list(cx ORDER BY i) AS c FROM (
+         |  SELECT cid, i,
+         |   CAST(sum(CAST(round(x * 1e8) AS BIGINT)) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) / 1e8 AS cx
+         |  FROM (SELECT cid, i, v[i] AS x FROM $assigned,
+         |   UNNEST(range(1, len(v)+1)) AS r(i))
+         |  GROUP BY cid, i) GROUP BY cid)""".stripMargin
+    val lloyd = (1 to KmIters).map { it =>
+      assign(if (it == 1) "cent0" else s"cent${it - 1}", s"a$it") + ",\n " +
+        update(s"a$it", s"cent$it")
+    }.mkString(",\n ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       | cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS c FROM e
+       |  WHERE vec_id < $KmK),
+       | $lloyd,
+       | ${assign(s"cent$KmIters", "afin")},
+       | probe AS (SELECT v AS p FROM e WHERE vec_id = 1),
+       | topcells AS (SELECT cid FROM cent$KmIters CROSS JOIN probe
+       |  ORDER BY ${cos("c", "p")} DESC, cid LIMIT 2)
+       |SELECT a.vec_id, a.cid, ${cos("a.v", "p")} AS sim
+       |FROM afin a JOIN topcells USING (cid) CROSS JOIN probe
        |WHERE a.vec_id <> 1
        |ORDER BY sim DESC, a.vec_id
        |LIMIT 10""".stripMargin

@@ -99,9 +99,20 @@ object Sources {
     * serving surface's default for `.jsonl` uploads. Lines carrying
     * fields absent from the probed head still parse (extra fields are
     * simply dropped under the narrower schema); pass an explicit
-    * contract schema via [[jsonl]] when completeness matters. */
-  def jsonlAuto(spark: SparkSession, path: String): DataFrame =
-    jsonl(spark, path, jsonlSchema(spark, path))
+    * contract schema via [[jsonl]] when completeness matters. Fails HERE
+    * (registration time) when the probe yields an empty schema — an
+    * empty/all-blank file would otherwise bind a frame whose only column
+    * is `_corrupt_record`, and the first query over it dies on Spark's
+    * QUERY_ONLY_CORRUPT_RECORD_COLUMN analysis error; fail at upload,
+    * not at a later query. */
+  def jsonlAuto(spark: SparkSession, path: String): DataFrame = {
+    val probed = jsonlSchema(spark, path)
+    if (probed.fields.isEmpty) throw new IllegalArgumentException(
+      s"jsonlAuto: no schema could be probed from $path (empty file, " +
+        "blank lines, or no parseable JSON objects in the head). Supply " +
+        "an explicit schema via jsonl(), or fix the file.")
+    jsonl(spark, path, probed)
+  }
 
   /** A standard (possibly pretty-printed, multi-line) JSON DOCUMENT —
     * object or array — as a DataFrame. Distinct from [[jsonl]]: feeding a
