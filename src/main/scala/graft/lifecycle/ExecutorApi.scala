@@ -27,6 +27,16 @@ import graft.sources.{Sources, TableCache}
   *                                    path not multipart — the engine reads
   *                                    distributed storage, it does not spool
   *                                    uploads through the driver)
+  *   POST /upload                     the reference's browser upload
+  *                                    (app.py:566-618): multipart/form-data
+  *                                    `file` part spooled to dataDir/uploads
+  *                                    and routed through the same format
+  *                                    dispatch as /upload_dataset. One
+  *                                    deviation from the reference's
+  *                                    delete-after-load: Spark reads are
+  *                                    LAZY, so the spooled file lives for
+  *                                    the session (bounded by the 64 MB
+  *                                    request cap per upload)
   *   GET/POST /get_threads, /load_thread/<id>, /new_conversation,
   *        /search_threads             the thread surface (app.py:1062-1469)
   *                                    over [[SessionStore]]; /query with a
@@ -83,6 +93,7 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
       s"""{"status":"ok","cached":${cache.size}}"""))
     srv.createContext("/execute", handler(execute))
     srv.createContext("/upload_dataset", handler(uploadDataset))
+    srv.createContext("/upload", uploadMultipart _)
     srv.createContext("/df_utils/compute_df_sample",
       handler(withDf(_) { (_, df) => (200, recordsJson(Profile.sample(df))) }))
     srv.createContext("/df_utils/df_to_string", handler(dfToString))
@@ -212,6 +223,88 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
     session.bind(dfId, df)
     val cols = df.columns.map(jstr).mkString("[", ",", "]")
     (200, s"""{"df_id":${jstr(dfId)},"columns":$cols}""")
+  }
+
+  private val MaxUploadBytes = 64L * 1024 * 1024 // the S8 remote-source cap
+
+  /** /upload — the reference's browser path (app.py:566-618): a
+    * multipart/form-data `file` part is spooled under dataDir/uploads and
+    * registered through the SAME format dispatch as /upload_dataset, so
+    * everything behind the route (schema probe rules, .jsonl contract
+    * reads, LRU + view binding) is shared. Responds with the reference's
+    * envelope: message + df_id + a bounded `dataframe` preview. The
+    * reference deletes its temp file after loading into pandas; Spark
+    * plans read the file LAZILY, so here the spooled copy lives for the
+    * session (per-upload size capped; the dir is session-scoped scratch).
+    * Errors echo the reference's codes: no file part / empty filename /
+    * bad type → 400, load failures → 500 with the message. */
+  private def uploadMultipart(ex: HttpExchange): Unit = {
+    def done(code: Int, json: String): Unit = respond(ex, code, json)
+    def msg(m: String): String = s"""{"message":${jstr(m)}}"""
+    try {
+      val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+        .getOrElse("")
+      val bIdx = ct.indexOf("boundary=")
+      if (!ct.startsWith("multipart/form-data") || bIdx < 0)
+        return done(400, msg("No file part"))
+      val boundary = {
+        val raw = ct.substring(bIdx + "boundary=".length).trim
+        if (raw.startsWith("\"") && raw.endsWith("\"") && raw.length >= 2)
+          raw.substring(1, raw.length - 1)
+        else raw.takeWhile(_ != ';')
+      }
+      val body = readCapped(ex.getRequestBody, MaxUploadBytes)
+      if (body == null)
+        return done(400, msg(s"upload exceeds $MaxUploadBytes bytes"))
+      MultipartForm.filePart(body, boundary) match {
+        case None => done(400, msg("No file part"))
+        case Some((fname, _)) if fname.isEmpty =>
+          done(400, msg("No selected file"))
+        case Some((fname, content)) =>
+          // basename only — a client-supplied path must not traverse
+          val base = fname.replace('\\', '/').split('/').last
+          val ok = Seq(".csv", ".parquet", ".jsonl", ".json")
+            .exists(base.toLowerCase.endsWith(_))
+          if (!ok || base.startsWith("."))
+            return done(400, msg("Invalid file type"))
+          val dir = dataDir.resolve("uploads")
+          java.nio.file.Files.createDirectories(dir)
+          val spooled = dir.resolve(
+            s"${System.nanoTime()}_${base.replaceAll("[^A-Za-z0-9._-]", "_")}")
+          java.nio.file.Files.write(spooled, content)
+          try {
+            val dfId = base.replaceAll("\\.[A-Za-z]+$", "")
+              .replaceAll("[^A-Za-z0-9_]", "_")
+            val (code, json) = uploadDataset(
+              s"""{"df_id":${jstr(dfId)},"path":${jstr(spooled.toString)}}""")
+            if (code != 200) return done(500, json)
+            val df = cache.get(dfId).get
+            done(200, s"""{"message":"File successfully uploaded and processed","df_id":${jstr(
+              dfId)},"dataframe":${recordsJson(df)}}""")
+          } catch { case e: Exception =>
+            java.nio.file.Files.deleteIfExists(spooled)
+            done(500, msg(Lifecycle.condense(
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName))))
+          }
+      }
+    } catch { case e: Exception =>
+      done(500, msg(Lifecycle.condense(
+        Option(e.getMessage).getOrElse(e.getClass.getSimpleName))))
+    }
+  }
+
+  /** Read at most `cap` bytes; null when the stream exceeds the cap (the
+    * driver must never buffer an unbounded request body). */
+  private def readCapped(in: java.io.InputStream, cap: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size() > cap) return null
+      n = in.read(buf)
+    }
+    out.toByteArray
   }
 
   /** /df_utils/df_to_string: the I2 row-25 contract; `order_by` is a
@@ -985,6 +1078,64 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
           return Some(json.substring(start, i).toLong)
       }
       at = json.indexOf(key, at + 1)
+    }
+    None
+  }
+}
+
+/** Minimal byte-safe multipart/form-data parser for the /upload route —
+  * parquet payloads are binary, so the body is never decoded as text;
+  * only part HEADERS (delimiters, Content-Disposition) are ASCII per
+  * RFC 7578. Scope is deliberately small: find the part named `file`,
+  * return (filename, content bytes). */
+private[lifecycle] object MultipartForm {
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte],
+      from: Int): Int = {
+    var i = from
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** The `file` part's (filename, content), or None when absent. */
+  def filePart(body: Array[Byte], boundary: String):
+      Option[(String, Array[Byte])] = {
+    val delim = ("--" + boundary).getBytes("ISO-8859-1")
+    val crlf2 = "\r\n\r\n".getBytes("ISO-8859-1")
+    var at = indexOf(body, delim, 0)
+    while (at >= 0) {
+      val headStart = at + delim.length + 2 // skip CRLF after the delimiter
+      val headEnd = indexOf(body, crlf2, headStart)
+      if (headEnd < 0) return None
+      val headers = new String(body, headStart, headEnd - headStart,
+        "ISO-8859-1")
+      val next = indexOf(body, delim, headEnd + 4)
+      if (next < 0) return None
+      val contentEnd = next - 2 // strip the CRLF that precedes the delimiter
+      val disp = headers.linesIterator
+        .find(_.toLowerCase.startsWith("content-disposition:"))
+        .getOrElse("")
+      def attr(name: String): Option[String] = {
+        // lookbehind so searching `name=` never matches inside `filename=`
+        val m = ("(?<![A-Za-z])" + java.util.regex.Pattern.quote(name) + "=\"")
+          .r.findFirstMatchIn(disp)
+        m.flatMap { mm =>
+          val rest = disp.substring(mm.end)
+          val q = rest.indexOf('"')
+          if (q >= 0) Some(rest.substring(0, q)) else None
+        }
+      }
+      if (attr("name").contains("file"))
+        return attr("filename").map(f =>
+          (f, java.util.Arrays.copyOfRange(body, headEnd + 4,
+            math.max(headEnd + 4, contentEnd))))
+      at = next
     }
     None
   }

@@ -393,14 +393,17 @@ object ClusterIndex {
     // cast the victim ids to the STORED doc_id type, not a hard long:
     // labels are joined by value (no type-dependent hash routing here),
     // but a long cast on a UUID-string corpus would null every victim
-    // and the takedown would silently match nothing. A cast that nulls
-    // an id is itself a silent-empty-delete (e.g. a non-numeric string
-    // victim against a LongType index), so reject it loudly — same
-    // discipline as SpanIndex.withLongDocId.
+    // and the takedown would silently match nothing. An id that does not
+    // cast (e.g. a non-numeric string victim against a LongType index) is
+    // itself a silent-empty-delete under non-ANSI semantics and an opaque
+    // mid-job CAST_INVALID_INPUT under ANSI — so probe with try_cast
+    // (null in BOTH modes) and reject loudly with the artifact's own
+    // message, same discipline as SpanIndex.withLongDocId.
     val storedType = oldLabels.schema("doc_id").dataType
     val rawIds = docIds.select(col("doc_id")).distinct()
     val uncastable = rawIds
-      .filter(col("doc_id").isNotNull && col("doc_id").cast(storedType).isNull)
+      .filter(col("doc_id").isNotNull &&
+        expr(s"try_cast(doc_id AS ${storedType.sql})").isNull)
       .count()
     if (uncastable > 0) throw new IllegalArgumentException(
       s"ClusterIndex.delete: $uncastable victim id(s) do not cast to the " +

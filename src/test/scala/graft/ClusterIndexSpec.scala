@@ -482,6 +482,16 @@ class ClusterIndexSpec extends SparkSpec {
     // deleting the same ids again is a no-op (already absent)
     assert(ClusterIndex.delete(victimIds.toDF("doc_id"), pathDel).isEmpty)
     assert(labelSet(pathDel) == labelSet(pathRef))
+
+    // a victim id that cannot cast to the stored doc_id type (here a
+    // non-numeric string against a LongType index) is rejected LOUDLY —
+    // the cast would null it and the takedown would silently match
+    // nothing (the SpanIndex.withLongDocId discipline)
+    val uncastable = intercept[IllegalArgumentException] {
+      ClusterIndex.delete(Seq("not-a-number").toDF("doc_id"), pathDel)
+    }
+    assert(uncastable.getMessage.contains("do not cast"))
+    assert(labelSet(pathDel) == labelSet(pathRef), "failed delete mutated")
   }
 
   private def bandSet(path: String): Set[(Long, String)] =

@@ -397,6 +397,13 @@ class ExecutorApiSpec extends SparkSpec {
           """"content":"SELECT 1"}"""))
       val (nc, np) = call(port, "/get_chain_preview/t9/c11", None)
       assert(nc == 200 && np.contains("\"hasPlotly\":false"), np)
+      // a plot_spec with BALANCED braces but invalid JSON must degrade to
+      // hasPlotly:false, not splice a syntactically broken response body
+      call(port, "/storage/favourites",
+        Some("""{"thread_id":"t9","chain_id":"c12","rank":1,"task":"bad",""" +
+          """"content":"x \"plot_spec\":{\"mark\": } end"}"""))
+      val (bc, bp) = call(port, "/get_chain_preview/t9/c12", None)
+      assert(bc == 200 && bp.contains("\"hasPlotly\":false"), bp)
     } finally api.stop()
   }
 
@@ -576,6 +583,79 @@ class ExecutorApiSpec extends SparkSpec {
       assert(mj.contains("\"agent\":\"planner\",\"n_calls\":1"), mj)
       assert(mj.contains("\"agent\":\"expert_selector\",\"n_calls\":2"), mj)
       assert(mj.contains("\"prompt_tokens\""), mj)
+    } finally api.stop()
+  }
+
+  /** Multipart POST with real bytes (the reference's browser upload path,
+    * app.py:566-618) — binary-safe on purpose: the parquet case round-trips
+    * a payload containing every byte value through the parser. */
+  private def postMultipart(port: Int, fieldName: String, fileName: String,
+      content: Array[Byte]): (Int, String) = {
+    val boundary = "----graftTestBoundary42"
+    val conn = URI.create(s"http://127.0.0.1:$port/upload").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(5000); conn.setReadTimeout(30000)
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type",
+      s"multipart/form-data; boundary=$boundary")
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    ascii(s"--$boundary\r\n")
+    ascii("Content-Disposition: form-data; name=\"note\"\r\n\r\nhello\r\n")
+    ascii(s"--$boundary\r\n")
+    ascii(s"""Content-Disposition: form-data; name="$fieldName"; filename="$fileName"""" + "\r\n")
+    ascii("Content-Type: application/octet-stream\r\n\r\n")
+    out.write(content)
+    ascii(s"\r\n--$boundary--\r\n")
+    conn.getOutputStream.write(out.toByteArray)
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text = scala.io.Source.fromInputStream(stream, "UTF-8").mkString
+    conn.disconnect()
+    (code, text)
+  }
+
+  test("/upload: multipart bytes spool through the format dispatch; bad parts 400") {
+    val api = new ExecutorApi(new EngineSession(spark),
+      dataDir = java.nio.file.Paths.get("target/executor_api_upload"))
+    val port = api.start()
+    try {
+      // csv upload binds a queryable view named for the file
+      val csv = "a,b\n1,x\n2,y\n".getBytes(StandardCharsets.UTF_8)
+      val (cc, cb) = postMultipart(port, "file", "sales data.csv", csv)
+      assert(cc == 200 && cb.contains("successfully uploaded"), cb)
+      assert(cb.contains("\"df_id\":\"sales_data\""), cb)
+      assert(cb.contains("\"a\"") && cb.contains("\"b\""), cb)
+      val (sc, sb) = call(port, "/df_utils/compute_df_sample",
+        Some("""{"df_id":"sales_data"}"""))
+      assert(sc == 200 && sb.contains("\"x\""), sb)
+
+      // parquet upload: ship REAL parquet bytes (binary round-trip)
+      val pqDir = "target/upload_fixture_pq"
+      new scala.reflect.io.Directory(new java.io.File(pqDir)).deleteRecursively()
+      Tables.load(spark, sf, "region").coalesce(1)
+        .write.mode("overwrite").parquet(pqDir)
+      val part = new java.io.File(pqDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+      val (pc, pb) = postMultipart(port, "file", "regions.parquet", bytes)
+      assert(pc == 200 && pb.contains("\"df_id\":\"regions\""), pb)
+      assert(pb.contains("r_name"), pb)
+
+      // reference error contract: wrong field name = no file part; empty
+      // filename = no selected file; unsupported extension = invalid type
+      assert(postMultipart(port, "not_file", "x.csv", csv)._1 == 400)
+      assert(postMultipart(port, "file", "", csv)._1 == 400)
+      val (tc, tb) = postMultipart(port, "file", "x.exe", csv)
+      assert(tc == 400 && tb.contains("Invalid file type"), tb)
+      // a structurally broken payload of a valid type is a 500 with the
+      // load error, not a bound-but-poisoned view
+      val (xc, _) = postMultipart(port, "file", "broken.parquet",
+        "this is not parquet".getBytes(StandardCharsets.UTF_8))
+      assert(xc == 500)
+      assert(call(port, "/df_utils/compute_df_sample",
+        Some("""{"df_id":"broken"}"""))._1 == 404)
     } finally api.stop()
   }
 }

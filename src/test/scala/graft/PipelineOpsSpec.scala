@@ -521,6 +521,108 @@ class PipelineOpsSpec extends SparkSpec {
     assert(auto == a.toSet)
   }
 
+  test("h1 html extract: markup gone, boilerplate dropped, kept words come from the body") {
+    val out = TextOps.htmlExtract(spark, sf)
+    // map-side narrow transform: no shuffle anywhere in the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val clean = r.getAs[String]("clean_text")
+      // no markup, comments, or undecoded basic entities survive
+      assert(!clean.contains("<") && !clean.contains(">") &&
+        !clean.contains("&amp;") && !clean.contains("rendered build"))
+      // the planted boilerplate is gone: script payload, nav, footer
+      assert(!clean.contains("track(t)") && !clean.contains("About Contact") &&
+        !clean.contains("Conditions"))
+      assert(r.getAs[Int]("n_kept") <= r.getAs[Int]("n_blocks"))
+      assert(r.getAs[Int]("clean_len") == clean.length)
+      // extraction is surgery, not synthesis: every kept word is a word
+      // of the source document's body text
+      val orig = docs(r.getLong(0)).split(" ").toSet
+      assert(clean.split("[\\s]+").filter(_.nonEmpty).forall(orig.contains))
+    }
+  }
+
+  test("rolling/md5 gram hits: zero-length text emits no grams (no mutual empty carriers)") {
+    import spark.implicits._
+    graft.functions.RollingGramHits.register(spark, 50, 4, "rgh_t")
+    graft.functions.SpanGramHits.register(spark, 50, "sgh_t")
+    val r = Seq(("a", ""), ("b", ""), ("c", "x"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), expr("size(rgh_t(text))").as("nr"),
+        expr("size(sgh_t(text))").as("nm"))
+      .collect().map(x => x.getString(0) -> (x.getInt(1), x.getInt(2))).toMap
+    // two empty docs share NO gram on either path (pre-fix the rolling
+    // path emitted fmix(0), which always passes 1-in-2^k selection)
+    assert(r("a") == ((0, 0)) && r("b") == ((0, 0)))
+  }
+
+  test("t15 persisted manifest: pinned-S append is incremental; reshard steps geometry") {
+    import graft.operators.ShardManifest
+    def files(path: String): Map[String, (Long, Long)] = {
+      val root = new java.io.File(s"$path/manifest")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath.stripPrefix(root.getAbsolutePath) ->
+          (f.length(), f.lastModified())).toMap
+    }
+    def rows(path: String): Set[(Long, Int, Int)] =
+      ShardManifest.read(spark, path).select("doc_id", "shard", "pos")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    def queryForm(df: org.apache.spark.sql.DataFrame, s: Int): Set[(Long, Int, Int)] =
+      TextOps.shuffleShardOver(df, s)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+
+    val path = "target/shard_manifest"
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    val full = Tables.load(spark, sf, "documents").select("doc_id")
+    val first = full.filter(col("doc_id") % 3 =!= 0)
+    val m0 = ShardManifest.write(first, path)
+    // the persisted manifest IS the oracle-gated query at the pinned S
+    assert(rows(path) == queryForm(first, m0.shards))
+
+    // append routes at the PINNED S; the result equals the query form
+    // over the grown corpus at that same S (the stability contract)
+    val grow = ShardManifest.append(full.filter(col("doc_id") % 3 === 0), path)
+    assert(grow.nonEmpty && ShardManifest.meta(spark, path).shards == m0.shards)
+    assert(rows(path) == queryForm(full, m0.shards))
+
+    // a one-doc append touches exactly its shard; every other shard
+    // partition's files are byte-untouched (a shard's ranks depend only
+    // on its own keys)
+    val before = files(path)
+    val one = spark.range(900001, 900002).select(col("id").as("doc_id"))
+    val touched = ShardManifest.append(one, path)
+    assert(touched.size == 1)
+    val after = files(path)
+    before.filter(!_._1.contains(s"shard=${touched.head}")).foreach {
+      case (rel, meta) => assert(after.get(rel).contains(meta),
+        s"untouched shard file changed: $rel")
+    }
+    // redelivery is absorbed idempotently
+    val content = rows(path)
+    ShardManifest.append(one, path)
+    assert(rows(path) == content)
+
+    // reshard: geometry pinned too large (as if written for a bigger
+    // corpus) steps DOWN to the count-derived S and equals a fresh build
+    val path2 = "target/shard_manifest_rs"
+    new scala.reflect.io.Directory(new java.io.File(path2)).deleteRecursively()
+    ShardManifest.write(first, path2, countEstimate = Some(65536L * 32))
+    assert(ShardManifest.meta(spark, path2).shards == 32)
+    val nm = ShardManifest.reshard(spark, path2)
+    assert(nm.shards == 8 && ShardManifest.meta(spark, path2).shards == 8)
+    assert(rows(path2) == queryForm(first, 8))
+    // matching geometry is a no-op: same meta, files untouched
+    val snap = files(path2)
+    assert(ShardManifest.reshard(spark, path2) == nm && files(path2) == snap)
+  }
+
   test("s3 session windows agree with w8 sessionize on session count per user") {
     val s3 = Relational.sessionWindowAgg(spark, sf)
       .groupBy("user_id").count().collect()

@@ -99,6 +99,18 @@ class SourcesSpec extends SparkSpec {
     assert(probed.fieldNames.toSet == Set("doc_id", "lang", "text"))
     assert(Sources.jsonlAuto(spark, s"$dir/out").count() == 2)
 
+    // an empty/all-blank drop fails AT REGISTRATION with a clear message
+    // (binding it would die later on QUERY_ONLY_CORRUPT_RECORD_COLUMN at
+    // the first query — fail at upload, not at use)
+    val emptyDir = s"$dir/empty"
+    new java.io.File(emptyDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$emptyDir/part.jsonl"), "\n\n")
+    val emptyErr = intercept[IllegalArgumentException] {
+      Sources.jsonlAuto(spark, emptyDir)
+    }
+    assert(emptyErr.getMessage.contains("no schema could be probed"))
+
     // a standard pretty-printed DOCUMENT is a different format: the line
     // reader sees only corrupt rows, jsonDoc parses it
     val docPath = s"$dir/doc/conf.json"
