@@ -57,6 +57,84 @@ object EpisodicMemory {
     }
   }
 
+  /** REAL-model encoder behind the same seam: a GloVe/word2vec-format
+    * TEXT model file (optional `<count> <dim>` header line, then
+    * `word v1 ... vd` per line — the published format of GloVe,
+    * fastText `.vec`, and word2vec text dumps). Sentence vector =
+    * mean-pooled token vectors, L2-normalized — the classic
+    * bag-of-embeddings sentence encoder (Wieting et al., ICLR 2016
+    * showed the unweighted mean is a strong baseline; the reference's
+    * sentence-transformer call sits one quality rung above the same
+    * pooling shape, qa_retrieval.py:14-35).
+    *
+    * Execution shape: the instance ships only the PATH; the matrix loads
+    * lazily on first embed and is cached PER JVM
+    * ([[WordVecEmbedder.load]]), so
+    * [[graft.operators.EmbedOps.embedColumn]]'s per-partition factory
+    * costs one map lookup after the executor's first partition — the
+    * load-once-per-executor contract the seam documents, now exercised
+    * by a real model file instead of asserted. OOV tokens contribute
+    * nothing; an all-OOV text embeds to the zero vector (HashEmbedder's
+    * empty-text convention). */
+  final class WordVecEmbedder(val modelPath: String) extends Embedder {
+    @transient private lazy val model = WordVecEmbedder.load(modelPath)
+    def dim: Int = model.dim
+    def embed(text: String): Seq[Double] = {
+      val m = model
+      val v = new Array[Double](m.dim)
+      var n = 0
+      text.toLowerCase.split("\\W+").filter(_.nonEmpty).foreach { w =>
+        m.vecs.get(w).foreach { wv =>
+          var i = 0
+          while (i < m.dim) { v(i) += wv(i); i += 1 }
+          n += 1
+        }
+      }
+      if (n == 0) return v.toSeq
+      var i = 0
+      while (i < m.dim) { v(i) /= n; i += 1 }
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      if (norm == 0) v.toSeq else v.map(_ / norm).toSeq
+    }
+  }
+
+  object WordVecEmbedder {
+    final case class Model(dim: Int, vecs: Map[String, Array[Float]])
+
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Model]()
+
+    /** Parse-once-per-JVM model load (all partitions of all tasks on an
+      * executor share the entry). Fails loudly on a malformed file —
+      * model-registration errors must surface at first use, not as
+      * silently-zero vectors. */
+    def load(path: String): Model =
+      cache.computeIfAbsent(path, p => {
+        val src = scala.io.Source.fromFile(p, "UTF-8")
+        try {
+          val lines = src.getLines().filter(_.nonEmpty)
+          require(lines.hasNext, s"empty word-vector model: $p")
+          var first = lines.next().trim.split("\\s+")
+          // optional word2vec header "<count> <dim>"
+          if (first.length == 2 && first.forall(_.forall(_.isDigit))) {
+            require(lines.hasNext, s"header-only word-vector model: $p")
+            first = lines.next().trim.split("\\s+")
+          }
+          val dim = first.length - 1
+          require(dim > 0, s"no vector components in first row of $p")
+          def parse(tok: Array[String]): (String, Array[Float]) = {
+            require(tok.length == dim + 1,
+              s"inconsistent row width in $p: '${tok.take(3).mkString(" ")}…'")
+            (tok(0), tok.drop(1).map(_.toFloat))
+          }
+          val b = Map.newBuilder[String, Array[Float]]
+          b += parse(first)
+          lines.foreach(l => b += parse(l.trim.split("\\s+")))
+          Model(dim, b.result())
+        } finally src.close()
+      })
+  }
+
   final case class Record(id: String, intent: String, dataDescr: String,
       plan: String, sql: String, rank: Long)
 

@@ -36,4 +36,50 @@ class EmbedOpsSpec extends SparkSpec {
     assert(sizes.count(_ == 4.0) == 8 && sizes.count(_ == 2.0) == 2)
     assert(sizes.forall(_ <= 4.0))
   }
+
+  test("WordVecEmbedder: real model file drives the seam end-to-end") {
+    import graft.lifecycle.EpisodicMemory.WordVecEmbedder
+    // a GloVe-format model file with a word2vec-style header — written
+    // here because the FORMAT is the contract (any real GloVe/fastText
+    // .vec drop-in works); vectors chosen so pooling is hand-checkable
+    val dir = new java.io.File("target/wordvec"); dir.mkdirs()
+    val path = s"$dir/mini.vec"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      """4 3
+        |hot 1.0 0.0 0.0
+        |warm 0.8 0.2 0.0
+        |cold 0.0 0.0 1.0
+        |ice 0.1 0.0 0.9
+        |""".stripMargin)
+    val e = new WordVecEmbedder(path)
+    assert(e.dim == 3)
+    // mean-pool + L2: "hot warm" -> mean(0.9, 0.1, 0) normalized
+    val hw = e.embed("hot warm")
+    val n = math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+    assert(math.abs(hw(0) - 0.9 / n) < 1e-9 && math.abs(hw(1) - 0.1 / n) < 1e-9)
+    // OOV-only text embeds to the zero vector, mixed text ignores OOV
+    assert(e.embed("zzz qqq") == Seq(0.0, 0.0, 0.0))
+    assert(e.embed("hot zzz") == e.embed("hot"))
+    // the real model ranks plausibly where the hash stand-in cannot:
+    // "hot warm" is closer to "hot" than to "cold ice"
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(cos(hw, e.embed("hot")) > cos(hw, e.embed("cold ice")))
+    // e2e through the distributed op: the factory ships the PATH; the
+    // matrix loads per JVM (executor), not per row
+    val df = Seq((1L, "hot warm"), (2L, "cold ice")).toDF("id", "text")
+    val out = EmbedOps.embedColumn(df, "text", "emb",
+      () => new WordVecEmbedder(path))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(out(1L) == e.embed("hot warm") && out(2L) == e.embed("cold ice"))
+    // the JVM cache shares one parsed model across instances
+    assert(WordVecEmbedder.load(path) eq WordVecEmbedder.load(path))
+    // malformed model fails loudly at first use, not as zero vectors
+    val badPath = s"$dir/bad.vec"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(badPath),
+      "hot 1.0 0.0\ncold 1.0\n")
+    intercept[IllegalArgumentException] {
+      new WordVecEmbedder(badPath).embed("hot")
+    }
+  }
 }

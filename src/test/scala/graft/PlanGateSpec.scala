@@ -83,6 +83,67 @@ class PlanGateSpec extends SparkSpec {
     }
   }
 
+  /** Fixed-cardinality dims: tables whose size does NOT grow with the
+    * scale factor (TPC-H pins region at 5 rows and nation at 25), so they
+    * are broadcast-able at ANY corpus scale and a join against them must
+    * carry an EXPLICIT broadcast hint. The bench's cluster-shape config
+    * disables auto-broadcast (threshold -1 — the conservative large-
+    * cluster posture where the optimizer distrusts stats), and under it a
+    * hint-less dim join silently degrades to a SortMergeJoin that
+    * shuffles the corpus side for nothing — the toy-plan inversion
+    * SkewProbe documented, promoted here from a one-time audit note to a
+    * standing gate over every query. */
+  private val fixedDims = Set("nation", "region")
+
+  private def scannedTables(p: SparkPlan): Set[String] =
+    p.collectLeaves().flatMap {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.getName.stripSuffix(".parquet"))
+      case _ => Seq.empty
+    }.toSet
+
+  /** Shuffle joins (SMJ or shuffled-hash) where one side scans ONLY
+    * fixed-cardinality dim files — the side that should have been a
+    * broadcast hint. */
+  private def dimShuffleJoins(p: SparkPlan): Seq[String] = p.collect {
+    case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if Seq(j.left, j.right).exists { side =>
+          val t = scannedTables(side)
+          t.nonEmpty && t.subsetOf(fixedDims)
+        } => j.simpleStringWithNodeId()
+    case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if Seq(j.left, j.right).exists { side =>
+          val t = scannedTables(side)
+          t.nonEmpty && t.subsetOf(fixedDims)
+        } => j.simpleStringWithNodeId()
+  }
+
+  test("no query shuffle-joins a fixed-cardinality dim when auto-broadcast is off") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1") // the bench cluster-shape posture
+    try {
+      val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+        dimShuffleJoins(q(spark, sf).queryExecution.sparkPlan)
+          .foreach(j => bad += s"$name: un-hinted dim shuffle join: $j")
+      }
+      assert(bad.isEmpty, bad.mkString("\n", "\n", ""))
+      // non-vacuity: a deliberately hint-less dim join under this config
+      // must be caught
+      val docs = Tables.load(spark, sf, "documents")
+      val nat = Tables.load(spark, sf, "nation")
+      val broken = docs.join(nat, docs("doc_id") % 25 === nat("n_nationkey"))
+      assert(dimShuffleJoins(broken.queryExecution.sparkPlan).nonEmpty,
+        "gate no longer catches a hint-less dim shuffle join — vacuous")
+      // and the hinted form of the same join passes
+      val hinted = docs.join(
+        org.apache.spark.sql.functions.broadcast(nat),
+        docs("doc_id") % 25 === nat("n_nationkey"))
+      assert(dimShuffleJoins(hinted.queryExecution.sparkPlan).isEmpty)
+    } finally spark.conf.set(key, prev)
+  }
+
   /** Global final aggregates legitimately use SinglePartition (the data
     * is already one combined row per partial); this documents that the
     * gate above is about WINDOWS, not about banning the exchange type —
