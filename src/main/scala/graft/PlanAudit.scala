@@ -28,11 +28,17 @@ object PlanAudit {
         // model join must be a BroadcastHashJoin against the token stream;
         // c4's lang-weight join likewise broadcasts with a map-side explode
         "dd10_span_scrub", "t13_perplexity", "c4_mixture_apply")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_CLUSTER_SHAPE=1: audit under Bench's cluster config
+    // (auto-broadcast off, 200 shuffle partitions) to see which joins
+    // flip when the optimizer may not broadcast on stats
+    val cluster = sys.env.get("SPARK_GRAFT_CLUSTER_SHAPE").contains("1")
+    val b = SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", if (cluster) "200" else "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = (if (cluster)
+      b.config("spark.sql.autoBroadcastJoinThreshold", "-1") else b)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

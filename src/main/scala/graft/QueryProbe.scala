@@ -14,11 +14,17 @@ object QueryProbe {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 5
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_CLUSTER_SHAPE=1 reproduces Bench's cluster config
+    // (200 shuffle partitions, auto-broadcast off) so a per-query ratio
+    // can be re-measured in an isolated JVM
+    val cluster = sys.env.get("SPARK_GRAFT_CLUSTER_SHAPE").contains("1")
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", if (cluster) "200" else cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = (if (cluster)
+      b.config("spark.sql.autoBroadcastJoinThreshold", "-1") else b)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)

@@ -135,7 +135,10 @@ object ScaleProbe {
       // seam (per-doc UDF merge loop — map-side), and the MMR rerank
       // (driver-greedy over a bounded k·overfetch shortlist)
       "t15_shuffle_shard", "c7_data_card", "t5_bpe_token_count",
-      "v10_mmr_rerank")
+      "v10_mmr_rerank",
+      // round 10: raw-web extraction — four chained narrow regex stages,
+      // no shuffle anywhere; must be scan-bound like t3/t14
+      "h1_html_extract")
       .map(n => (n, SparkEntry.queries(n), SparkEntry.queries(n)))
     import graft.operators.{Profile, RankDedup, VectorOps}
     // profile first-touch: exact vs sketched (HLL++) distinct counts over
@@ -476,6 +479,39 @@ object ScaleProbe {
           ("span_rebucket", sr1, srN, srN / sr1),
           ("span_scrub_postrebucket", sp1, spN, spN / sp1))
       } else Seq.empty
+    // ShardManifest maintenance at 1x vs Nx: append rewrites only the
+    // shard partitions the batch lands in — at the fixture's floor S=8 a
+    // spread batch touches all 8, so the rewrite is the whole (tiny)
+    // manifest and the honest law is rows-per-touched-shard; at the real
+    // design point S is corpus-derived (~64k docs/shard) so rows/shard is
+    // CONSTANT and append cost is bounded by shards-touched <= batch size.
+    // Reshard is priced as the deliberate geometry step (64 -> derived S).
+    def manifestSecs(c: Int, tag: String): (Double, Double) = {
+      import graft.operators.ShardManifest
+      val n = c * 5000L
+      def ids(from: Long, cnt: Long) = spark.range(from, from + cnt)
+        .select(col("id").as("doc_id"))
+      val path = s"$out/probe_manifest_$tag"
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      ShardManifest.write(ids(0, n), path)
+      ShardManifest.append(ids(900000000L, 500), path) // warm (codegen/JIT)
+      val t0 = System.nanoTime()
+      ShardManifest.append(ids(910000000L, 500), path)
+      val appendSec = (System.nanoTime() - t0) / 1e9
+      val p2 = s"$out/probe_manifest_rs_$tag"
+      new scala.reflect.io.Directory(new java.io.File(p2)).deleteRecursively()
+      ShardManifest.write(ids(0, n), p2, countEstimate = Some(1L << 22))
+      val t1 = System.nanoTime()
+      ShardManifest.reshard(spark, p2)
+      (appendSec, (System.nanoTime() - t1) / 1e9)
+    }
+    val manifestRows =
+      if (nameFilter.exists(f => "manifest_maint".contains(f))) {
+        val (a1, r1) = manifestSecs(1, "1x")
+        val (aN, rN) = manifestSecs(copies, "nx")
+        Seq(("manifest_append", a1, aN, aN / a1),
+          ("manifest_reshard", r1, rN, rN / r1))
+      } else Seq.empty
     val retrainRows =
       if (nameFilter.exists(f => "ivf_retrain".contains(f))) {
         val (r1, g1) = ivfRetrainSecs(base, "1x")
@@ -495,7 +531,8 @@ object ScaleProbe {
           ("pq_bytes_ratio", bf1.toDouble / bp1, bfN.toDouble / bpN,
             (bfN.toDouble / bpN) / (bf1.toDouble / bp1)))
       } else Seq.empty
-    val qs = (rows ++ appendRows ++ spanRows ++ rebucketRows ++ retrainRows ++
+    val qs = (rows ++ appendRows ++ spanRows ++ rebucketRows ++
+        manifestRows ++ retrainRows ++
         sq8Rows).map { case (n, t1, tN, r) =>
       f""""$n":{"t1x":$t1%.3f,"t${copies}x":$tN%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")

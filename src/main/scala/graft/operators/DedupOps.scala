@@ -393,7 +393,20 @@ object DedupOps {
     * materializes internally, by design) everything composes into one
     * declarative plan Catalyst optimizes as a whole — retention window,
     * quality join, language join, and both filters. Every stage is
-    * individually oracle-gated; this gate proves the composition. */
+    * individually oracle-gated; this gate proves the composition.
+    *
+    * Cluster-shape ratio, diagnosed (round-10 pinned re-measure at sf0.1,
+    * 7 runs, isolated JVMs: default median 1.71 s spread 0.67, cluster
+    * 3.58 s spread 0.60 — the ~2.1x is real, not noise): with
+    * auto-broadcast off, the three doc_id joins (retention⋈words, ⋈qual,
+    * ⋈lang) plan as SortMergeJoins. That is the CORRECT 100 TB plan —
+    * all three right sides are corpus-sized projections that must
+    * shuffle at scale; the default shape only broadcasts them because at
+    * toy scale they fit under the threshold. The extra wall time is
+    * 200-partition task overhead on three honest shuffles at sf0.1
+    * (~600 near-empty tasks each), the same toy-vs-scale inversion
+    * SkewProbe documents — not an un-hinted dim join (PlanGateSpec's
+    * dim-shuffle gate passes c1; nothing here is fixed-cardinality). */
   def curationFunnel: Q = (s, d) => {
     requirePlantStride(s, d)
     // composes the REAL operators: TextOps' factored t3 formula pieces and
