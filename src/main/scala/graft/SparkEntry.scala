@@ -102,6 +102,7 @@ object SparkEntry {
     "v9_sq8_topk" -> VectorOps.sq8TopK,
     // text analysis (F6/F9 + pipeline ops)
     "h1_html_extract" -> TextOps.htmlExtract,
+    "h2_web_curation" -> TextOps.webCuration,
     "t1_word_chunks" -> TextOps.wordChunks,
     "t2_lang_id" -> TextOps.langId,
     "t3_quality_score" -> TextOps.qualityScore,
@@ -496,6 +497,7 @@ object SparkEntry {
     "v3_neardup_embeddings" -> VectorOps.nearDupPairsOracle,
     "v4_knn_join" -> VectorOps.knnJoinOracle,
     "h1_html_extract" -> TextOps.oracle("h1_html_extract"),
+    "h2_web_curation" -> TextOps.oracle("h2_web_curation"),
     "t1_word_chunks" -> TextOps.oracle("t1_word_chunks"),
     "t2_lang_id" -> TextOps.oracle("t2_lang_id"),
     "t3_quality_score" -> TextOps.oracle("t3_quality_score"),

@@ -602,7 +602,7 @@ object TextOps {
     * the body text as paragraphs (broken at ' the ' — the fixture text is
     * space-separated words with no sentence punctuation), and an
     * entity-bearing footer. */
-  private def htmlFixture(idCast: String): String =
+  private[graft] def htmlFixture(idCast: String): String =
     s"""concat('<html><head><title>Doc ', $idCast, '</title>',
        | '<script type="text/javascript">var t = "UA-', $idCast,
        | '"; track(t);</script>',
@@ -633,13 +633,21 @@ object TextOps {
     * Output pins the SURGERY (clean_md5 over the reassembled text), not
     * just counts. Entity decode handles the 5 predefined XML entities +
     * nbsp; '&amp;' is decoded LAST so '&amp;lt;' does not double-decode. */
-  def htmlExtract: Q = (s, d) => {
+  def htmlExtract: Q = (s, d) =>
+    htmlExtractOver(documents(s, d)
+      .select(col("doc_id"), expr(htmlFixture("cast(doc_id as string)")).as("html")))
+
+  /** The extraction pipeline over any frame with (doc_id, html) — the
+    * reusable form: the oracle-gated [[htmlExtract]] runs it over the
+    * synthesized fixture, the composed web-curation query feeds its
+    * output into the t3 scoring pieces, and the same narrow expressions
+    * run unchanged under Structured Streaming (stateless projection). */
+  private[graft] def htmlExtractOver(html: DataFrame): DataFrame = {
     val entityDecode = (x: String) =>
       s"""replace(replace(replace(replace(replace(replace($x,
          | '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
          | '&#39;', chr(39)), '&amp;', '&')""".stripMargin
-    documents(s, d)
-      .select(col("doc_id"), expr(htmlFixture("cast(doc_id as string)")).as("html"))
+    html
       .withColumn("h", expr(
         """regexp_replace(regexp_replace(regexp_replace(html,
           | '(?is)<script[^>]*>.*?</script>', ' '),
@@ -668,6 +676,28 @@ object TextOps {
         length(col("clean_text")).as("clean_len"),
         md5(col("clean_text")).as("clean_md5"), col("clean_text"))
   }
+
+  /** h2: raw-web CURATION — the c1/c5 composition discipline applied at
+    * the crawl grain: [[htmlExtractOver]] feeding the FACTORED t3 scoring
+    * pieces ([[uniqRatio]]/[[stopRatio]]/[[qualityScoreCol]] — an inline
+    * copy would silently drift from the oracle-gated t3) in ONE Catalyst
+    * plan, no materialization between extraction and scoring. This is the
+    * first two stages of every public corpus run (CCNet, FineWeb:
+    * extract → quality-filter) as a single narrow projection chain —
+    * map-side, no shuffle, scan-speed at 100 TB. */
+  def webCuration: Q = (s, d) =>
+    htmlExtractOver(documents(s, d)
+      .select(col("doc_id"),
+        expr(htmlFixture("cast(doc_id as string)")).as("html")))
+      .select(col("doc_id"), col("n_kept"), col("clean_len"),
+        expr("split(replace(clean_text, chr(10), ' '), ' ')").as("words"))
+      .select(col("doc_id"), col("n_kept"), col("clean_len"),
+        size(col("words")).as("n_words"),
+        uniqRatio(col("words")).as("uniq_ratio"),
+        stopRatio(col("words")).as("stop_ratio"))
+      .withColumn("quality_score", qualityScoreCol(col("n_words"),
+        col("uniq_ratio"), col("stop_ratio")))
+      .withColumn("keep", col("quality_score") >= 0.5)
 
   /** c3: model-based quality filtering — a linear classifier over the t3
     * feature columns (the fastText/logistic-regression quality-filter
@@ -760,9 +790,12 @@ object TextOps {
 
   // ---- DuckDB oracle SQL ----
 
-  val oracle: Map[String, String] = Map(
-    "h1_html_extract" ->
-      """WITH base AS (SELECT doc_id,
+  /** The h1 extraction pipeline as DuckDB CTEs ending in
+    * `agg(doc_id, n_blocks, n_kept, clean_text)` — shared verbatim by the
+    * h1 and h2 oracles so the composed query replays the IDENTICAL
+    * extraction the standalone one hashes. */
+  private val htmlExtractCtes: String =
+    """WITH base AS (SELECT doc_id,
         |  concat('<html><head><title>Doc ', CAST(doc_id AS VARCHAR), '</title>',
         |   '<script type="text/javascript">var t = "UA-', CAST(doc_id AS VARCHAR),
         |   '"; track(t);</script>',
@@ -800,11 +833,33 @@ object TextOps {
         |    CAST(count(*) FILTER (WHERE nw >= 5 AND links*3 <= nw) AS INTEGER) AS n_kept,
         |    coalesce(string_agg(clean, chr(10) ORDER BY pos)
         |      FILTER (WHERE nw >= 5 AND links*3 <= nw), '') AS clean_text
-        |  FROM scored GROUP BY doc_id)
-        |SELECT doc_id, n_blocks, n_kept,
-        | CAST(length(clean_text) AS INTEGER) AS clean_len,
-        | md5(clean_text) AS clean_md5, clean_text
-        |FROM agg""".stripMargin,
+        |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "h1_html_extract" ->
+      s"""$htmlExtractCtes
+         |SELECT doc_id, n_blocks, n_kept,
+         | CAST(length(clean_text) AS INTEGER) AS clean_len,
+         | md5(clean_text) AS clean_md5, clean_text
+         |FROM agg""".stripMargin,
+    "h2_web_curation" ->
+      s"""$htmlExtractCtes,
+         | ww AS (SELECT doc_id, n_kept,
+         |   CAST(length(clean_text) AS INTEGER) AS clean_len,
+         |   string_split(replace(clean_text, chr(10), ' '), ' ') AS words
+         |  FROM agg)
+         |SELECT *, quality_score >= 0.5 AS keep FROM (
+         | SELECT *, round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+         |   + uniq_ratio * 0.3 + least(stop_ratio * 5.0, 1.0) * 0.3, 8)
+         |  AS quality_score FROM (
+         |  SELECT doc_id, n_kept, clean_len,
+         |   CAST(len(words) AS INTEGER) AS n_words,
+         |   round(len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 6)
+         |    AS uniq_ratio,
+         |   round(len(list_filter(words,
+         |     w -> w IN ('the','a','of','and','to','in','is')))
+         |     / CAST(len(words) AS DOUBLE), 6) AS stop_ratio
+         |  FROM ww))""".stripMargin,
     "t11_sequence_pack" ->
       s"""WITH t AS (SELECT doc_id,
          |  CAST(doc_id % 8 AS INTEGER) AS shard,

@@ -26,6 +26,36 @@ class EpisodicSpec extends SparkSpec {
     assert(hit.nonEmpty && hit.get.record.sql == "SELECT 'b'")
   }
 
+  test("retrieve with a REAL word-vector model behind the Embedder seam") {
+    // the full retrieval path on WordVecEmbedder instead of the hash
+    // stand-in: a model whose vector space encodes actual synonymy, so
+    // retrieval succeeds on paraphrase where the bag-of-hashes cannot
+    val dir = new java.io.File("target/wordvec"); dir.mkdirs()
+    val path = s"$dir/episodic.vec"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      """orders 1.0 0.0 0.0 0.1
+        |purchases 0.9 0.1 0.0 0.1
+        |monthly 0.0 1.0 0.0 0.1
+        |count 0.0 0.0 1.0 0.1
+        |tally 0.0 0.1 0.9 0.1
+        |vectors 0.0 0.0 0.0 1.0
+        |""".stripMargin)
+    val m = new EpisodicMemory(spark,
+      embedder = new EpisodicMemory.WordVecEmbedder(path))
+    m.add(Record("w1", "monthly count of orders", "orders table",
+      "- plan", "SELECT 'w'", 8))
+    // paraphrase via the model's synonym geometry: tally≈count,
+    // purchases≈orders — the hash embedder shares NO buckets here
+    val para = m.retrieve("monthly tally of purchases")
+    assert(para.nonEmpty && para.get.record.sql == "SELECT 'w'")
+    val hashMem = new EpisodicMemory(spark)
+    hashMem.add(Record("w1", "monthly count of orders", "orders table",
+      "- plan", "SELECT 'w'", 8))
+    assert(hashMem.retrieve("monthly tally of purchases").isEmpty)
+    // an unrelated query still misses under the real model
+    assert(m.retrieve("nearest neighbour vectors").isEmpty)
+  }
+
   test("store: rank below 6 is dropped; equal-rank duplicate discarded; higher rank replaces") {
     val m = mem()
     m.add(Record("low", "intent x", "", "- p", "SELECT 1", 5))

@@ -623,6 +623,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ShardManifest.reshard(spark, path2) == nm && files(path2) == snap)
   }
 
+  test("t15 manifest reshard crash windows roll forward (GeometrySwap)") {
+    import graft.operators.{GeometrySwap, ShardManifest}
+    def rows(path: String): Set[(Long, Int, Int)] =
+      ShardManifest.read(spark, path).select("doc_id", "shard", "pos")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val ids = Tables.load(spark, sf, "documents").select("doc_id")
+    val want = TextOps.shuffleShardOver(ids, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+
+    // crash with the commit marker durable, nothing swapped: the next
+    // entry's repair rolls FORWARD to the new geometry
+    val p1 = "target/shard_manifest_crash1"
+    new scala.reflect.io.Directory(new java.io.File(p1)).deleteRecursively()
+    ShardManifest.write(ids, p1, countEstimate = Some(65536L * 32))
+    GeometrySwap.failpoint.set("after-marker")
+    try intercept[IllegalStateException] {
+      ShardManifest.reshard(spark, p1)
+    } finally GeometrySwap.failpoint.set(null)
+    assert(rows(p1) == want) // read's entry repair rolls the swap forward
+    assert(ShardManifest.meta(spark, p1).shards == 8)
+
+    // crash with the dir swapped but the OLD _meta still live: repair
+    // promotes the staged meta before anything reads under the old S
+    val p2 = "target/shard_manifest_crash2"
+    new scala.reflect.io.Directory(new java.io.File(p2)).deleteRecursively()
+    ShardManifest.write(ids, p2, countEstimate = Some(65536L * 32))
+    GeometrySwap.failpoint.set("after-swap")
+    try intercept[IllegalStateException] {
+      ShardManifest.reshard(spark, p2)
+    } finally GeometrySwap.failpoint.set(null)
+    assert(ShardManifest.reshard(spark, p2).shards == 8) // converges
+    assert(ShardManifest.meta(spark, p2).shards == 8 && rows(p2) == want)
+  }
+
   test("s3 session windows agree with w8 sessionize on session count per user") {
     val s3 = Relational.sessionWindowAgg(spark, sf)
       .groupBy("user_id").count().collect()

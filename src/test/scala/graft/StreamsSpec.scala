@@ -276,4 +276,30 @@ class StreamsSpec extends SparkSpec {
     val batchSessions = graft.operators.Relational.sessionize(spark, sf).count()
     assert(closed + users == batchSessions)
   }
+
+  test("streaming html extraction: the h1 stage runs unchanged on a stream") {
+    // the crawl-ingest front door: extraction is a stateless narrow
+    // projection, so the SAME expressions the oracle-gated h1 batch query
+    // runs serve a readStream microbatch with no rewrite — streamed
+    // output must equal the batch operator row for row
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.TextOps.htmlExtract(spark, sf)
+    val htmlRows = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), expr(
+        graft.operators.TextOps.htmlFixture("cast(doc_id as string)"))
+        .as("html"))
+      .as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(htmlRows)
+    val streamed = graft.operators.TextOps.htmlExtractOver(
+      ms.toDF().toDF("doc_id", "html"))
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("h1_stream_out").start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))
+    val got = spark.sql("SELECT * FROM h1_stream_out").collect().map(key).toSet
+    val want = batch.collect().map(key).toSet
+    assert(got == want && got.nonEmpty)
+  }
 }
