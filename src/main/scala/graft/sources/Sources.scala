@@ -128,6 +128,81 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(path)
 
+  /** WARC/WET source — the grain raw web crawls actually arrive in
+    * (ISO 28500; Common Crawl's WARC responses and WET text conversions),
+    * one step upstream of the h1 extraction stage. Records become rows:
+    * `(url, warc_type, content_type, http_status, body)`, with HTTP
+    * response headers stripped off `response` payloads (status kept) so
+    * `body` feeds `TextOps.htmlExtractOver` directly.
+    *
+    * Distribution shape: records are split by the WARC record boundary
+    * (`\r\n\r\nWARC/1.0\r\n`) via Hadoop's TextInputFormat record
+    * delimiter, so a large uncompressed WARC splits across executors at
+    * HDFS-block granularity — scan-speed, no driver pass. This is the one
+    * documented RDD use in the tree: a custom RECORD BOUNDARY is
+    * per-partition input-format work the DataFrame reader cannot express;
+    * everything downstream is a DataFrame again. `.gz` archives read
+    * transparently through the Hadoop codec (whole-file decompression —
+    * Common Crawl's per-record gzip members also concatenate into a valid
+    * stream per RFC 1952): one task per archive, the layout Common Crawl
+    * ships (thousands of ~1 GB files → file-level parallelism).
+    *
+    * Non-HTTP/binary payloads: WARC is a text-framed format and this
+    * reader targets the text members (response HTML, WET conversions,
+    * warcinfo); fully binary payloads (images inside responses) belong to
+    * the multimodal binary-column path, not the text grain. */
+  def warc(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "\r\n\r\nWARC/1.0\r\n")
+    val records = spark.sparkContext.newAPIHadoopFile(path,
+        classOf[TextInputFormat], classOf[LongWritable], classOf[Text], conf)
+      .map(_._2.toString)
+    val rows = records.flatMap { rec0 =>
+      // the FIRST record of a file still carries its own magic; later
+      // records had it consumed by the delimiter
+      val rec = if (rec0.startsWith("WARC/1.0\r\n")) rec0.substring(10)
+        else rec0
+      val hEnd = rec.indexOf("\r\n\r\n")
+      if (rec.trim.isEmpty || hEnd < 0) None
+      else {
+        val headers = rec.substring(0, hEnd).linesIterator.flatMap { l =>
+          val c = l.indexOf(':')
+          if (c < 0) None else Some(l.substring(0, c).trim.toLowerCase ->
+            l.substring(c + 1).trim)
+        }.toMap
+        val payload = rec.substring(hEnd + 4)
+        val warcType = headers.getOrElse("warc-type", "")
+        val url = headers.getOrElse("warc-target-uri", "")
+        // response payloads open with the HTTP message: keep the status,
+        // strip the HTTP headers so body is the entity alone
+        val (status, body) =
+          if (warcType == "response" && payload.startsWith("HTTP/")) {
+            val he = payload.indexOf("\r\n\r\n")
+            val statusLine = payload.takeWhile(_ != '\r')
+            val st = statusLine.split(" ").lift(1).flatMap(_.toIntOption)
+            if (he < 0) (st, "") else (st, payload.substring(he + 4))
+          } else (None, payload)
+        Some(org.apache.spark.sql.Row(url, warcType,
+          headers.getOrElse("content-type", ""),
+          status.map(Integer.valueOf).orNull, body))
+      }
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("warc_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("content_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("http_status",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("body",
+        org.apache.spark.sql.types.StringType))))
+  }
+
   /** S8: remote-API source — fetch a CSV payload over HTTP on the driver
     * and land it as a DataFrame (the reference has generated code download
     * data ad hoc: default_prompts.yaml:288-304, 2157). Driver-side fetch is

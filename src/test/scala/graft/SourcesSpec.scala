@@ -124,4 +124,70 @@ class SourcesSpec extends SparkSpec {
     val doc = Sources.jsonDoc(spark, docPath)
     assert(doc.columns.toSet == Set("name", "weight") && doc.count() == 2)
   }
+
+  test("warc: records split distributed, HTTP stripped, feeds the h1 extraction; .gz reads") {
+    // a three-record WARC the way a crawler writes one: warcinfo, an HTTP
+    // response carrying HTML, and a WET-style text conversion
+    val html = "<html><body><div id=\"nav\"><a href=\"/\">Home</a> " +
+      "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div>" +
+      "<p>genuine article body text with many meaningful words inside</p>" +
+      "</body></html>"
+    def record(headers: Seq[(String, String)], payload: String): String =
+      "WARC/1.0\r\n" +
+        headers.map { case (k, v) => s"$k: $v" }.mkString("\r\n") +
+        "\r\n\r\n" + payload
+    val warcText = Seq(
+      record(Seq("WARC-Type" -> "warcinfo",
+        "Content-Type" -> "application/warc-fields"),
+        "software: graft-test\r\n"),
+      record(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://example.com/page",
+        "Content-Type" -> "application/http; msgtype=response"),
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html),
+      record(Seq("WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> "http://example.com/page",
+        "Content-Type" -> "text/plain"),
+        "genuine article body text with many meaningful words inside")
+    ).mkString("\r\n\r\n") + "\r\n\r\n"
+    val dir = "target/sources_warc"
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/crawl.warc"),
+      warcText.getBytes("UTF-8"))
+
+    val df = Sources.warc(spark, s"$dir/crawl.warc").cache()
+    assert(df.count() == 3)
+    val byType = df.collect().map(r =>
+      r.getString(1) -> r).toMap
+    // response: status kept, HTTP headers stripped, body is the entity
+    val resp = byType("response")
+    assert(resp.getString(0) == "http://example.com/page")
+    assert(resp.getInt(3) == 200)
+    assert(resp.getString(4) == html, resp.getString(4))
+    // conversion (WET) payload passes through untouched, no status
+    val conv = byType("conversion")
+    assert(conv.isNullAt(3) && conv.getString(4).startsWith("genuine article"))
+
+    // the crawl grain composes straight into the h1 extraction: nav dies
+    // on link density, the article paragraph survives
+    val extracted = graft.operators.TextOps.htmlExtractOver(
+      df.filter(col("warc_type") === "response")
+        .select(col("url").as("doc_id"), col("body").as("html")))
+      .collect()
+    assert(extracted.length == 1)
+    val clean = extracted.head.getAs[String]("clean_text")
+    assert(clean == "genuine article body text with many meaningful words inside",
+      clean)
+
+    // Common Crawl ships gzip members; the Hadoop codec path reads the
+    // same records from a .gz archive transparently
+    new java.io.File(s"$dir/gz").mkdirs()
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/gz/crawl.warc.gz"))
+    out.write(warcText.getBytes("UTF-8")); out.close()
+    val gdf = Sources.warc(spark, s"$dir/gz/crawl.warc.gz")
+    assert(gdf.count() == 3 &&
+      gdf.filter(col("warc_type") === "response").count() == 1)
+  }
 }
