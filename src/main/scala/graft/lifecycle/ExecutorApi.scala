@@ -263,26 +263,45 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
         case Some((fname, content)) =>
           // basename only — a client-supplied path must not traverse
           val base = fname.replace('\\', '/').split('/').last
-          val ok = Seq(".csv", ".parquet", ".jsonl", ".json")
-            .exists(base.toLowerCase.endsWith(_))
-          if (!ok || base.startsWith("."))
+          val dot = base.lastIndexOf('.')
+          val ext = if (dot < 0) "" else base.substring(dot).toLowerCase
+          if (!Seq(".csv", ".parquet", ".jsonl", ".json").contains(ext) ||
+              base.startsWith("."))
             return done(400, msg("Invalid file type"))
           val dir = dataDir.resolve("uploads")
           java.nio.file.Files.createDirectories(dir)
-          val spooled = dir.resolve(
-            s"${System.nanoTime()}_${base.replaceAll("[^A-Za-z0-9._-]", "_")}")
+          // the spool keeps a LOWERCASED extension: the gate above is
+          // case-insensitive, and uploadDataset's format dispatch keys on
+          // the literal suffix — 'REPORT.CSV' must not fall through to
+          // the parquet reader
+          val stem = base.substring(0, dot)
+          val spooled = dir.resolve(s"${System.nanoTime()}_" +
+            stem.replaceAll("[^A-Za-z0-9_-]", "_") + ext)
           java.nio.file.Files.write(spooled, content)
+          val dfId = stem.replaceAll("[^A-Za-z0-9_]", "_")
+          // a failure ANYWHERE past the bind must roll the whole upload
+          // back: uploadDataset caches + binds the view before the
+          // preview materializes, and e.g. a text file misnamed .jsonl
+          // binds fine but dies rendering — without the rollback the
+          // df_id would stay a cache hit over a deleted spool (poisoned)
+          def rollback(): Unit = {
+            if (cache.remove(dfId))
+              session.spark.catalog.dropTempView(dfId)
+            java.nio.file.Files.deleteIfExists(spooled)
+          }
           try {
-            val dfId = base.replaceAll("\\.[A-Za-z]+$", "")
-              .replaceAll("[^A-Za-z0-9_]", "_")
             val (code, json) = uploadDataset(
               s"""{"df_id":${jstr(dfId)},"path":${jstr(spooled.toString)}}""")
-            if (code != 200) return done(500, json)
+            if (code != 200) {
+              rollback()
+              val detail = HttpLlm.extractField(json, "error").getOrElse(json)
+              return done(500, msg(detail))
+            }
             val df = cache.get(dfId).get
             done(200, s"""{"message":"File successfully uploaded and processed","df_id":${jstr(
               dfId)},"dataframe":${recordsJson(df)}}""")
           } catch { case e: Exception =>
-            java.nio.file.Files.deleteIfExists(spooled)
+            rollback()
             done(500, msg(Lifecycle.condense(
               Option(e.getMessage).getOrElse(e.getClass.getSimpleName))))
           }

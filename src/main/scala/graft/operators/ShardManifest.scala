@@ -135,7 +135,14 @@ object ShardManifest {
         val stored = s.read.parquet(s"$path/manifest")
           .filter(col("shard").isin(affected: _*))
           .select("doc_id", "skey", "shard")
+          .localCheckpoint(eager = true) // read once: merge AND the n delta
         val merged = stored.unionByName(add).dropDuplicates("doc_id")
+        // _meta n advances by the batch ids NOT already present — counted
+        // against the affected shards' rows already in hand, never a
+        // whole-manifest scan (append cost must stay the affected-shards
+        // law the scaladoc promises; every id routes to an affected shard
+        // by construction, so the anti-join sees any duplicate)
+        val newDocs = add.join(stored, Seq("doc_id"), "left_anti").count()
         val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try withPos(merged).repartition(col("shard"))
@@ -147,8 +154,14 @@ object ShardManifest {
           case None =>
             s.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
-        writeMeta(s, path, Meta(m.shards,
-          read(s, path).count())) // exact post-merge count, dup-free
+        // _meta n is INFORMATIONAL (reshard/write re-derive geometry from
+        // a LIVE count, never from n): the delta form keeps append off a
+        // whole-manifest scan, accepting that a crash between the
+        // partition write and this line makes a redelivered append see
+        // its ids as already present (newDocs=0) and leave n lagging
+        // until the next geometry op re-derives it. Rows are exact either
+        // way — the rewrite itself is deterministic and idempotent.
+        writeMeta(s, path, Meta(m.shards, m.n + newDocs))
         affected
       }
     }

@@ -107,8 +107,13 @@ object Sources {
     * not at a later query. */
   def jsonlAuto(spark: SparkSession, path: String): DataFrame = {
     val probed = jsonlSchema(spark, path)
-    if (probed.fields.isEmpty) throw new IllegalArgumentException(
-      s"jsonlAuto: no schema could be probed from $path (empty file, " +
+    // two degenerate probes: an empty/blank head infers NO fields, a head
+    // of non-JSON text (a CSV misnamed .jsonl) infers ONLY the
+    // corrupt-record column — both would bind a frame whose first query
+    // dies on QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    val dataFields = probed.fieldNames.filterNot(_ == "_corrupt_record")
+    if (dataFields.isEmpty) throw new IllegalArgumentException(
+      s"jsonlAuto: no data schema could be probed from $path (empty file, " +
         "blank lines, or no parseable JSON objects in the head). Supply " +
         "an explicit schema via jsonl(), or fix the file.")
     jsonl(spark, path, probed)
@@ -156,14 +161,22 @@ object Sources {
     import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
-    conf.set("textinputformat.record.delimiter", "\r\n\r\nWARC/1.0\r\n")
+    // delimiter stops at "WARC/" so 1.0 and 1.1 archives (ISO 28500:2017)
+    // both split — a version-pinned delimiter would silently collapse a
+    // 1.1 file into one mangled row per file
+    conf.set("textinputformat.record.delimiter", "\r\n\r\nWARC/")
     val records = spark.sparkContext.newAPIHadoopFile(path,
         classOf[TextInputFormat], classOf[LongWritable], classOf[Text], conf)
       .map(_._2.toString)
     val rows = records.flatMap { rec0 =>
-      // the FIRST record of a file still carries its own magic; later
-      // records had it consumed by the delimiter
-      val rec = if (rec0.startsWith("WARC/1.0\r\n")) rec0.substring(10)
+      // each chunk opens with the version line: in full for the file's
+      // first record ("WARC/1.0"), as the bare remainder ("1.0") after
+      // the delimiter consumed the prefix — drop it either way
+      val firstNl = rec0.indexOf("\r\n")
+      val firstLine = if (firstNl < 0) "" else rec0.substring(0, firstNl)
+      val rec =
+        if (firstLine.matches("(WARC/)?\\d+\\.\\d+"))
+          rec0.substring(firstNl + 2)
         else rec0
       val hEnd = rec.indexOf("\r\n\r\n")
       if (rec.trim.isEmpty || hEnd < 0) None
@@ -173,7 +186,11 @@ object Sources {
           if (c < 0) None else Some(l.substring(0, c).trim.toLowerCase ->
             l.substring(c + 1).trim)
         }.toMap
-        val payload = rec.substring(hEnd + 4)
+        // mid-file records lose their two-CRLF terminator to the
+        // delimiter; the file's LAST record keeps it — strip so body is
+        // position-independent (md5/dedup over body must not depend on
+        // where in the archive a record sat)
+        val payload = rec.substring(hEnd + 4).stripSuffix("\r\n\r\n")
         val warcType = headers.getOrElse("warc-type", "")
         val url = headers.getOrElse("warc-target-uri", "")
         // response payloads open with the HTTP message: keep the status,

@@ -656,6 +656,18 @@ class ExecutorApiSpec extends SparkSpec {
       assert(xc == 500)
       assert(call(port, "/df_utils/compute_df_sample",
         Some("""{"df_id":"broken"}"""))._1 == 404)
+      // uppercase extensions pass the case-insensitive gate AND reach the
+      // right reader (the spool lowercases the suffix for the dispatch)
+      val (uc, ub) = postMultipart(port, "file", "REPORT.CSV", csv)
+      assert(uc == 200 && ub.contains("\"df_id\":\"REPORT\""), ub)
+      // a text file misnamed .jsonl FAILS CLEANLY: jsonlAuto rejects the
+      // corrupt-only probe at registration and the rollback leaves no
+      // cached df behind (the round-9 poisoned-binding class, both layers)
+      val (jc, jb) = postMultipart(port, "file", "notjson.jsonl",
+        "plain text line\nanother line\n".getBytes(StandardCharsets.UTF_8))
+      assert(jc == 500 && jb.contains("no data schema"), jb)
+      assert(call(port, "/df_utils/compute_df_sample",
+        Some("""{"df_id":"notjson"}"""))._1 == 404)
     } finally api.stop()
   }
 }

@@ -109,7 +109,17 @@ class SourcesSpec extends SparkSpec {
     val emptyErr = intercept[IllegalArgumentException] {
       Sources.jsonlAuto(spark, emptyDir)
     }
-    assert(emptyErr.getMessage.contains("no schema could be probed"))
+    assert(emptyErr.getMessage.contains("no data schema could be probed"))
+    // a CSV misnamed .jsonl probes ONLY _corrupt_record — equally
+    // degenerate, equally rejected at registration
+    val csvDir = s"$dir/misnamed"
+    new java.io.File(csvDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$csvDir/part.jsonl"), "a,b\n1,x\n2,y\n")
+    val csvErr = intercept[IllegalArgumentException] {
+      Sources.jsonlAuto(spark, csvDir)
+    }
+    assert(csvErr.getMessage.contains("no data schema could be probed"))
 
     // a standard pretty-printed DOCUMENT is a different format: the line
     // reader sees only corrupt rows, jsonDoc parses it
@@ -165,9 +175,13 @@ class SourcesSpec extends SparkSpec {
     assert(resp.getString(0) == "http://example.com/page")
     assert(resp.getInt(3) == 200)
     assert(resp.getString(4) == html, resp.getString(4))
-    // conversion (WET) payload passes through untouched, no status
+    // conversion (WET) payload passes through EXACTLY, no status, and —
+    // being the file's LAST record — with the two-CRLF record terminator
+    // stripped: body must be byte-identical wherever the record sits
     val conv = byType("conversion")
-    assert(conv.isNullAt(3) && conv.getString(4).startsWith("genuine article"))
+    assert(conv.isNullAt(3) && conv.getString(4) ==
+      "genuine article body text with many meaningful words inside",
+      conv.getString(4))
 
     // the crawl grain composes straight into the h1 extraction: nav dies
     // on link density, the article paragraph survives
@@ -189,5 +203,16 @@ class SourcesSpec extends SparkSpec {
     val gdf = Sources.warc(spark, s"$dir/gz/crawl.warc.gz")
     assert(gdf.count() == 3 &&
       gdf.filter(col("warc_type") === "response").count() == 1)
+
+    // WARC/1.1 (ISO 28500:2017) splits identically — the delimiter is
+    // version-agnostic, so a current-spec archive must not collapse into
+    // one mangled row per file
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/crawl11.warc"),
+      warcText.replace("WARC/1.0", "WARC/1.1").getBytes("UTF-8"))
+    val df11 = Sources.warc(spark, s"$dir/crawl11.warc")
+    assert(df11.count() == 3)
+    assert(df11.filter(col("warc_type") === "response")
+      .collect().head.getString(4) == html)
   }
 }
