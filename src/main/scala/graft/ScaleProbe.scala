@@ -137,8 +137,9 @@ object ScaleProbe {
       "t15_shuffle_shard", "c7_data_card", "t5_bpe_token_count",
       "v10_mmr_rerank",
       // round 10: raw-web extraction — four chained narrow regex stages,
-      // no shuffle anywhere; must be scan-bound like t3/t14
-      "h1_html_extract")
+      // no shuffle anywhere; must be scan-bound like t3/t14 — and its
+      // composition with the t3 scoring pieces, still one narrow chain
+      "h1_html_extract", "h2_web_curation")
       .map(n => (n, SparkEntry.queries(n), SparkEntry.queries(n)))
     import graft.operators.{Profile, RankDedup, VectorOps}
     // profile first-touch: exact vs sketched (HLL++) distinct counts over

@@ -218,6 +218,12 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
         Sources.jsonlAuto(session.spark, path)
       else if (fmt.contains("json") || path.endsWith(".json"))
         Sources.jsonDoc(session.spark, path)
+      // raw-crawl archives bind as the records table (url, warc_type,
+      // content_type, http_status, body) — the front door for the
+      // h1/h2 extraction pipeline
+      else if (fmt.contains("warc") || path.endsWith(".warc") ||
+          path.endsWith(".warc.gz"))
+        Sources.warc(session.spark, path)
       else Sources.parquet(session.spark, path)
     cache.put(dfId, df)
     session.bind(dfId, df)
@@ -263,10 +269,17 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
         case Some((fname, content)) =>
           // basename only — a client-supplied path must not traverse
           val base = fname.replace('\\', '/').split('/').last
-          val dot = base.lastIndexOf('.')
-          val ext = if (dot < 0) "" else base.substring(dot).toLowerCase
-          if (!Seq(".csv", ".parquet", ".jsonl", ".json").contains(ext) ||
-              base.startsWith("."))
+          val lower = base.toLowerCase
+          // .warc.gz is the one compound extension (Common Crawl's wire
+          // format); everything else keys on the last dot
+          val ext =
+            if (lower.endsWith(".warc.gz")) ".warc.gz"
+            else {
+              val dot = base.lastIndexOf('.')
+              if (dot < 0) "" else lower.substring(dot)
+            }
+          if (!Seq(".csv", ".parquet", ".jsonl", ".json", ".warc",
+              ".warc.gz").contains(ext) || base.startsWith("."))
             return done(400, msg("Invalid file type"))
           val dir = dataDir.resolve("uploads")
           java.nio.file.Files.createDirectories(dir)
@@ -274,7 +287,7 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
           // case-insensitive, and uploadDataset's format dispatch keys on
           // the literal suffix — 'REPORT.CSV' must not fall through to
           // the parquet reader
-          val stem = base.substring(0, dot)
+          val stem = base.substring(0, base.length - ext.length)
           val spooled = dir.resolve(s"${System.nanoTime()}_" +
             stem.replaceAll("[^A-Za-z0-9_-]", "_") + ext)
           java.nio.file.Files.write(spooled, content)
@@ -756,6 +769,10 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
         // the csv header / parquet footer branches
         else if (p.endsWith(".jsonl")) Sources.jsonlSchema(session.spark, p, 1)
         else if (p.endsWith(".json")) Sources.jsonDoc(session.spark, p).schema
+        // the warc schema is the reader's fixed contract; validate the
+        // path resolves like the other branches (bounded: one record)
+        else if (p.endsWith(".warc") || p.endsWith(".warc.gz"))
+          Sources.warc(session.spark, p).limit(1).count()
         else Sources.parquetSchema(session.spark, p)
         auxPaths += p
         (200, s"""{"message":"Auxiliary dataset registered.","filepath":${jstr(p)}}""")
@@ -816,6 +833,8 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
       Sources.jsonlPreview(session.spark, path, n)
     else if (path.endsWith(".json"))
       Sources.jsonDoc(session.spark, path).limit(n)
+    else if (path.endsWith(".warc") || path.endsWith(".warc.gz"))
+      Sources.warc(session.spark, path).limit(n)
     else throw new IllegalArgumentException("Unsupported file format")
 
   // ---- dataset management + preview routes (app.py:620-663, 823-926) ----

@@ -656,6 +656,16 @@ class ExecutorApiSpec extends SparkSpec {
       assert(xc == 500)
       assert(call(port, "/df_utils/compute_df_sample",
         Some("""{"df_id":"broken"}"""))._1 == 404)
+      // a raw-crawl archive binds as the records table — the serving
+      // front door for the h1/h2 extraction pipeline
+      val warcBytes = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: http://x.test/\r\nContent-Type: application/http\r\n\r\n" +
+        "HTTP/1.1 200 OK\r\n\r\n<html><body><p>crawled page body</p></body></html>" +
+        "\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+      val (wc, wb) = postMultipart(port, "file", "crawl.warc", warcBytes)
+      assert(wc == 200 && wb.contains("\"df_id\":\"crawl\""), wb)
+      assert(wb.contains("warc_type") && wb.contains("crawled page body"), wb)
+
       // uppercase extensions pass the case-insensitive gate AND reach the
       // right reader (the spool lowercases the suffix for the dispatch)
       val (uc, ub) = postMultipart(port, "file", "REPORT.CSV", csv)
