@@ -28,11 +28,13 @@ object QueryProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
-    fn(spark, sfDir).count() // warmup (codegen + JIT + footers)
+    val n = fn(spark, sfDir).count() // warmup (codegen + JIT + footers)
+    // timed action = noop sink (count() lets ColumnPruning delete the
+    // projections of map-only queries — same fix as Bench/ScaleProbe)
     val times = (1 to runs).map { i =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"$name run $i: $dt%.3f s ($n rows)")
       dt

@@ -427,12 +427,18 @@ object ScaleProbe {
       val tP = timed(VectorOps.ivfProbePq(spark, pP, probe, probes = 2).count())
       (tF, tQ, tP, bytes(pF), bytes(pQ), bytes(pP))
     }
+    // noop sink, NOT count(): under Aggregate(count(1)) ColumnPruning
+    // deletes every deterministic projection, so a map-only query would
+    // time as a parquet metadata row-count (the round-10 h1 artifact —
+    // 500k docs "processed" in 0.2 s); noop consumes all output columns
     def time(fn: (SparkSession, String) => DataFrame, d: String): Double = {
-      fn(spark, d).count() // warm: codegen/JIT for this plan shape
+      def run(): Unit =
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+      run() // warm: codegen/JIT for this plan shape
       // the timed run must not reuse the warmup's materializations
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      fn(spark, d).count()
+      run()
       (System.nanoTime() - t0) / 1e9
     }
     // optional arg 3: comma-separated name filter (substring match) so a

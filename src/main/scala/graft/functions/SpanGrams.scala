@@ -399,3 +399,82 @@ object WinnowedGramHits {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => WinnowedGramHits(exprs.head, gramLen, window), "scala_udf")
 }
+
+/** Minimum per-window md5, fused — t4's fingerprint columns
+  * (`array_min(transform(sequence(...), i -> md5(substring(text, i, G))))`)
+  * computed in ONE loop per document. The interpreted HOF form allocates a
+  * 32-char hex string per POSITION and keeps the whole per-position array
+  * alive for array_min; this form reuses one MessageDigest over byte
+  * windows and tracks only the running minimum DIGEST, hex-encoding once
+  * at the end (measured: t4 3.71 s → see BASELINE §5 r10 after the
+  * honest-action fix exposed the cost). Exact oracle parity with the SQL
+  * form: the lowercase-hex alphabet is nibble-monotonic, so lexicographic
+  * min over hex strings equals unsigned-byte min over digests; the
+  * `greatest(len-G+1, 1)` clamp is preserved (an empty/short text hashes
+  * its clamped window, including md5('') for the empty string — what the
+  * DuckDB oracle computes). Non-ASCII falls back to char-correct slicing
+  * like [[SpanGramHits]]. */
+case class MinGramHash(child: Expression, gramLen: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "min_gram_hash"
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[UTF8String]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = u.getBytes
+    var ascii = true
+    var i = 0
+    while (i < bytes.length && ascii) { ascii = bytes(i) >= 0; i += 1 }
+    var best: Array[Byte] = null
+    @inline def consider(d: Array[Byte]): Unit =
+      if (best == null) best = d
+      else {
+        var j = 0; var c = 0
+        while (j < 16 && c == 0) { c = (d(j) & 0xff) - (best(j) & 0xff); j += 1 }
+        if (c < 0) best = d
+      }
+    if (ascii) {
+      val n = bytes.length
+      val count = math.max(n - gramLen + 1, 1)
+      var off = 0
+      while (off < count) {
+        md.update(bytes, off, math.min(gramLen, n - off))
+        consider(md.digest()) // digest() resets for the next window
+        off += 1
+      }
+    } else {
+      val s = u.toString
+      val n = s.length
+      val count = math.max(n - gramLen + 1, 1)
+      var off = 0
+      while (off < count) {
+        consider(md.digest(s.substring(off, math.min(off + gramLen, n))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        off += 1
+      }
+    }
+    val out = new Array[Byte](32)
+    i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((best(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HexChars(best(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinGramHash {
+  /** Register `<name>(text)` returning the minimum md5 hex over all
+    * `gramLen`-char windows. */
+  def register(spark: SparkSession, gramLen: Int, name: String): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => MinGramHash(exprs.head, gramLen), "scala_udf")
+}

@@ -131,14 +131,26 @@ object TextOps {
 
   /** Document fingerprinting: content hash + rolling min-hash over 8-char and
     * 16-char grams (winnowing-lite), all inside one codegen'd projection. */
-  def fingerprint: Q = (s, d) =>
+  /** t4: document fingerprinting — whole-text md5 plus the minimum
+    * 8- and 16-char-window md5s (rolling-hash MinHash-of-one). The min
+    * columns are fused [[graft.functions.MinGramHash]] expressions: the
+    * SQL `array_min(transform(sequence(...), i -> md5(substring(...))))`
+    * form allocates a 32-char hex string per POSITION and keeps the whole
+    * per-position array alive for array_min — the round-10 honest-action
+    * bench fix exposed it as the slowest query in the suite (3.71 s at
+    * sf0.1); the fused form (one reused MessageDigest, running-min digest,
+    * hex once) measured 0.55 s — ~7x, in line with the dd9/t14 fusions.
+    * Oracle unchanged: hex is nibble-monotonic so min-over-hex equals
+    * unsigned min-over-digest. */
+  def fingerprint: Q = (s, d) => {
+    graft.functions.MinGramHash.register(s, 8, "min_gram8_h")
+    graft.functions.MinGramHash.register(s, 16, "min_gram16_h")
     documents(s, d).select(
       col("doc_id"),
       md5(col("text")).as("content_hash"),
-      expr("""array_min(transform(sequence(1, greatest(length(text)-7, 1)),
-        | i -> md5(substring(text, i, 8))))""".stripMargin).as("min_gram8"),
-      expr("""array_min(transform(sequence(1, greatest(length(text)-15, 1)),
-        | i -> md5(substring(text, i, 16))))""".stripMargin).as("min_gram16"))
+      expr("min_gram8_h(text)").as("min_gram8"),
+      expr("min_gram16_h(text)").as("min_gram16"))
+  }
 
   /** t6: deterministic stratified sampling — the reproducible-curation
     * idiom for mixture building. A portable content-independent hash of the

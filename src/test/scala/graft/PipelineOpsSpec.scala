@@ -546,6 +546,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("t4 fused min-gram hash equals the SQL HOF form at every row") {
+    import spark.implicits._
+    graft.functions.MinGramHash.register(spark, 8, "mg8_t")
+    // fixture rows exercise the clamp (short + empty) and non-ASCII
+    val docs = Tables.load(spark, sf, "documents").select(col("text"))
+      .as[String].take(50).toSeq ++ Seq("", "ab", "héllo wörld répeat")
+    val out = docs.toDF("text").select(
+        expr("mg8_t(text)").as("fused"),
+        expr("""array_min(transform(sequence(1, greatest(length(text)-7, 1)),
+          | i -> md5(substring(text, i, 8))))""".stripMargin).as("sql"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1), r))
+  }
+
   test("rolling/md5 gram hits: zero-length text emits no grams (no mutual empty carriers)") {
     import spark.implicits._
     graft.functions.RollingGramHits.register(spark, 50, 4, "rgh_t")
