@@ -512,6 +512,47 @@ object ScaleProbe {
       ShardManifest.reshard(spark, p2)
       (appendSec, (System.nanoTime() - t1) / 1e9)
     }
+    // The full crawl grain end to end: documents written as an actual
+    // WARC archive (response records carrying the h1 fixture HTML), then
+    // Sources.warc -> htmlExtractOver timed through the noop sink. Writer
+    // detail: Spark's text sink appends \n per row, so each row ends with
+    // "\r\n\r" and the sink's \n completes the "\r\n\r\nWARC/" record
+    // boundary the reader splits on — framing checked by a count before
+    // anything is timed.
+    def warcExtractSecs(d: String, tag: String): Double = {
+      import graft.operators.TextOps
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val n = docs.count()
+      val rec = "concat('WARC/1.0', chr(13), chr(10), " +
+        "'WARC-Type: response', chr(13), chr(10), " +
+        "'WARC-Target-URI: http://corpus.test/', cast(doc_id as string), " +
+        "chr(13), chr(10), " +
+        "'Content-Type: application/http', chr(13), chr(10), " +
+        "chr(13), chr(10), " +
+        "'HTTP/1.1 200 OK', chr(13), chr(10), chr(13), chr(10), " +
+        TextOps.htmlFixture("cast(doc_id as string)") + ", " +
+        "chr(13), chr(10), chr(13))"
+      val wdir = s"$out/probe_warc_$tag"
+      new scala.reflect.io.Directory(new java.io.File(wdir)).deleteRecursively()
+      docs.select(expr(rec).as("value"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(wdir)
+      val read = () => graft.sources.Sources.warc(spark, wdir)
+      require(read().count() == n, s"WARC framing lost records at $tag")
+      def run(): Unit = TextOps.htmlExtractOver(
+        read().filter(col("warc_type") === "response")
+          .select(col("url").as("doc_id"), col("body").as("html")))
+        .write.format("noop").mode("overwrite").save()
+      run() // warm
+      val t0 = System.nanoTime()
+      run()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val warcRows =
+      if (nameFilter.exists(f => "warc_extract".contains(f))) {
+        val t1 = warcExtractSecs(base, "1x")
+        val tN = warcExtractSecs(out, "nx")
+        Seq(("warc_extract", t1, tN, tN / t1))
+      } else Seq.empty
     val manifestRows =
       if (nameFilter.exists(f => "manifest_maint".contains(f))) {
         val (a1, r1) = manifestSecs(1, "1x")
@@ -539,7 +580,7 @@ object ScaleProbe {
             (bfN.toDouble / bpN) / (bf1.toDouble / bp1)))
       } else Seq.empty
     val qs = (rows ++ appendRows ++ spanRows ++ rebucketRows ++
-        manifestRows ++ retrainRows ++
+        warcRows ++ manifestRows ++ retrainRows ++
         sq8Rows).map { case (n, t1, tN, r) =>
       f""""$n":{"t1x":$t1%.3f,"t${copies}x":$tN%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
