@@ -139,7 +139,12 @@ object ScaleProbe {
       // round 10: raw-web extraction — four chained narrow regex stages,
       // no shuffle anywhere; must be scan-bound like t3/t14 — and its
       // composition with the t3 scoring pieces, still one narrow chain
-      "h1_html_extract", "h2_web_curation")
+      "h1_html_extract", "h2_web_curation",
+      // round 10 (post noop-action fix): the rest of the map-only family,
+      // re-priced under the honest action (their count()-era rows were
+      // metadata row-counts — BASELINE §5 erratum)
+      "t1_word_chunks", "t2_lang_id", "t4_fingerprint", "t8_repetition",
+      "t9_pii_redaction")
       .map(n => (n, SparkEntry.queries(n), SparkEntry.queries(n)))
     import graft.operators.{Profile, RankDedup, VectorOps}
     // profile first-touch: exact vs sketched (HLL++) distinct counts over

@@ -144,6 +144,65 @@ class PlanGateSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  /** The third standing gate, promoted from the round-10 t4 finding: an
+    * interpreted higher-order lambda that HASHES per-position SUBSTRINGS
+    * (`transform(sequence(...), i -> md5(substring(text, i, G)))`) is the
+    * repo's measured 7-13x trap (dd9 4.6x, t14 12.9x, t4 7.9x after
+    * fusion) — HOF lambdas are interpreted per element and allocate a
+    * digest string per POSITION. Every such site has a fused
+    * CodegenFallback expression (SpanGramHits/CdcBoundaries/MinGramHash);
+    * this gate keeps the pattern from creeping back into any query.
+    * Word-slicing lambdas (array_join/slice shingles) are fine and
+    * common — only a HASH over a SUBSTRING inside the lambda flags. */
+  private def perPositionHashLambdas(
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    df.queryExecution.analyzed.foreach { plan =>
+      plan.expressions.foreach { root =>
+        root.foreach {
+          case hof: HigherOrderFunction =>
+            hof.functions.foreach { f =>
+              val hashes = f.collect {
+                case h @ (_: Md5 | _: Sha1 | _: Sha2 | _: Crc32 |
+                    _: Murmur3Hash | _: XxHash64) => h
+              }
+              val hashesSubstring = hashes.exists(_.collectFirst {
+                case _: Substring => ()
+              }.isDefined)
+              if (hashesSubstring)
+                bad += hof.toString.take(100)
+            }
+          case _ => ()
+        }
+      }
+    }
+    bad.toSeq
+  }
+
+  test("no query plans a per-position substring-hash lambda (the fused-expression trap)") {
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      perPositionHashLambdas(q(spark, sf))
+        .foreach(h => bad += s"$name: $h")
+    }
+    assert(bad.isEmpty, bad.mkString("\n", "\n", ""))
+    // non-vacuity: t4's pre-fusion form is exactly what must be caught
+    val old = Tables.load(spark, sf, "documents").select(
+      org.apache.spark.sql.functions.expr(
+        """array_min(transform(sequence(1, greatest(length(text)-7, 1)),
+          | i -> md5(substring(text, i, 8))))""".stripMargin).as("m"))
+    assert(perPositionHashLambdas(old).nonEmpty,
+      "gate no longer catches the per-position md5 lambda — vacuous")
+    // and a word-slicing lambda (no hash) does NOT flag
+    val shingles = Tables.load(spark, sf, "documents").select(
+      org.apache.spark.sql.functions.expr(
+        """transform(sequence(0, greatest(size(split(text, ' '))-3, 0)),
+          | i -> array_join(slice(split(text, ' '), i+1, 3), ' '))""".stripMargin)
+        .as("s"))
+    assert(perPositionHashLambdas(shingles).isEmpty)
+  }
+
   /** Global final aggregates legitimately use SinglePartition (the data
     * is already one combined row per partial); this documents that the
     * gate above is about WINDOWS, not about banning the exchange type —
