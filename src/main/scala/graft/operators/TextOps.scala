@@ -245,19 +245,21 @@ object TextOps {
     * by document length, not corpus size) — no shuffle anywhere, runs at
     * scan speed like the rest of the t-family. */
   def repetition: Q = (s, d) => {
-    val gram5 =
-      """transform(sequence(0, greatest(size(words)-5, 0)),
-        | i -> array_join(slice(words, i+1, 5), ' '))""".stripMargin
+    // both signals from ONE fused pass ([[graft.functions.RepetitionStats]]):
+    // the HOF form's per-distinct-word rescan was the slowest map-side
+    // query once the bench action stopped pruning it (0.825 s at sf0.1);
+    // the fused hash-map/hash-set pass is O(n) dispatches with identical
+    // values (oracle unchanged)
+    graft.functions.RepetitionStats.register(s, "rep_stats_t8")
     documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"), col("words"), expr(gram5).as("g5"))
+      .select(col("doc_id"), size(col("words")).as("nw"),
+        expr("rep_stats_t8(words)").as("st"))
       .select(col("doc_id"),
-        round(expr(
-          """array_max(transform(array_distinct(words),
-            | w -> size(filter(words, x -> x = w))))""".stripMargin)
-          / size(col("words")).cast("double"), 6).as("top_word_frac"),
-        round((size(col("g5")) - size(array_distinct(col("g5")))) /
-          size(col("g5")).cast("double"), 6).as("dup_5gram_frac"))
+        round(col("st.max_word_count") / col("nw").cast("double"), 6)
+          .as("top_word_frac"),
+        round((col("st.n_grams") - col("st.n_distinct_grams")) /
+          col("st.n_grams").cast("double"), 6).as("dup_5gram_frac"))
       .withColumn("repetitive",
         col("top_word_frac") > 0.2 || col("dup_5gram_frac") > 0.15)
   }

@@ -560,6 +560,30 @@ class PipelineOpsSpec extends SparkSpec {
     out.foreach(r => assert(r.getString(0) == r.getString(1), r))
   }
 
+  test("t8 fused repetition stats equal the SQL HOF form at every row") {
+    import spark.implicits._
+    graft.functions.RepetitionStats.register(spark, "rs_t")
+    val docs = Tables.load(spark, sf, "documents").select(col("text"))
+      .as[String].take(50).toSeq ++
+      Seq("a", "a a a a a a", "one two three four five one two three four five")
+    val out = docs.toDF("text")
+      .select(expr("split(text, ' ')").as("words"))
+      .select(expr("rs_t(words)").as("st"),
+        expr("""array_max(transform(array_distinct(words),
+          | w -> size(filter(words, x -> x = w))))""".stripMargin).as("mw"),
+        expr("""transform(sequence(0, greatest(size(words)-5, 0)),
+          | i -> array_join(slice(words, i+1, 5), ' '))""".stripMargin).as("g5"))
+      .select(col("st.max_word_count"), col("mw"),
+        col("st.n_grams"), expr("size(g5)"),
+        col("st.n_distinct_grams"), expr("size(array_distinct(g5))"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), r)
+      assert(r.getInt(2) == r.getInt(3), r)
+      assert(r.getInt(4) == r.getInt(5), r)
+    }
+  }
+
   test("rolling/md5 gram hits: zero-length text emits no grams (no mutual empty carriers)") {
     import spark.implicits._
     graft.functions.RollingGramHits.register(spark, 50, 4, "rgh_t")
