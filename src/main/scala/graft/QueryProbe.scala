@@ -28,7 +28,11 @@ object QueryProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
-    val n = fn(spark, sfDir).count() // warmup (codegen + JIT + footers)
+    val n = fn(spark, sfDir).count() // row count for the report only
+    // warm with the SAME action as the timed runs: a count() warmup plans
+    // the PRUNED form, so the first noop run would still pay codegen/JIT
+    // of the real projection pipeline and skew the median
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // timed action = noop sink (count() lets ColumnPruning delete the
     // projections of map-only queries — same fix as Bench/ScaleProbe)
     val times = (1 to runs).map { i =>

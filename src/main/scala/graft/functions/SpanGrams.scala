@@ -74,13 +74,15 @@ case class SpanGramHits(child: Expression, gramLen: Int)
       }
     } else {
       // character-correct path: md5(substring(text, i, G)) hashes the
-      // SUBSTRING's UTF-8 encoding, and char offsets != byte offsets here
-      val s = u.toString
-      val n = s.length
+      // SUBSTRING's UTF-8 encoding — windowed by CODE POINTS (Spark's
+      // length()/substring() semantics; UTF-16 indexing would shift
+      // windows after an astral char and could split surrogate pairs)
+      val cps = u.toString.codePoints().toArray
+      val n = cps.length
       val count = math.max(n - gramLen + 1, 1)
       var off = 0
       while (off < count) {
-        val d = md.digest(s.substring(off, math.min(off + gramLen, n))
+        val d = md.digest(new String(cps, off, math.min(gramLen, n - off))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         if ((d(0) & 0xf0) == 0)
           hits += org.apache.spark.sql.catalyst.InternalRow(off + 1, hex(d))
@@ -136,11 +138,13 @@ case class CdcBoundaries(child: Expression, window: Int)
         end += 1
       }
     } else {
-      val s = u.toString
-      val n = s.length
+      // code-point windows — same Spark substring semantics note as
+      // [[SpanGramHits]]'s fallback
+      val cps = u.toString.codePoints().toArray
+      val n = cps.length
       var end = window
       while (end <= n) {
-        val d = md.digest(s.substring(end - window, end)
+        val d = md.digest(new String(cps, end - window, window)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         if (d(0) == 0) out += end
         end += 1
@@ -447,12 +451,17 @@ case class MinGramHash(child: Expression, gramLen: Int)
         off += 1
       }
     } else {
-      val s = u.toString
-      val n = s.length
+      // CODE-POINT windows, not UTF-16 units: Spark's length()/substring()
+      // count code points, so a surrogate pair is ONE position — indexing
+      // by String.length would shift every window after an astral char
+      // (and could split a pair into replacement bytes)
+      val cps = u.toString.codePoints().toArray
+      val n = cps.length
       val count = math.max(n - gramLen + 1, 1)
       var off = 0
       while (off < count) {
-        consider(md.digest(s.substring(off, math.min(off + gramLen, n))
+        val len = math.min(gramLen, n - off)
+        consider(md.digest(new String(cps, off, math.max(len, 0))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         off += 1
       }

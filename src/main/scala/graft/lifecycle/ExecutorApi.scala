@@ -269,15 +269,21 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
         case Some((fname, content)) =>
           // basename only — a client-supplied path must not traverse
           val base = fname.replace('\\', '/').split('/').last
-          val lower = base.toLowerCase
-          // .warc.gz is the one compound extension (Common Crawl's wire
-          // format); everything else keys on the last dot
+          // slice base FIRST, lowercase only the slice (Locale.ROOT):
+          // toLowerCase can change string LENGTH (e.g. Turkish dotted
+          // capital I), so an index computed on base must never slice a
+          // lowercased copy. .warc.gz is the one compound extension
+          // (Common Crawl's wire format); everything else keys on the
+          // last dot.
+          val dot = base.lastIndexOf('.')
+          val lastExt = if (dot < 0) ""
+            else base.substring(dot).toLowerCase(java.util.Locale.ROOT)
           val ext =
-            if (lower.endsWith(".warc.gz")) ".warc.gz"
-            else {
-              val dot = base.lastIndexOf('.')
-              if (dot < 0) "" else lower.substring(dot)
-            }
+            if (lastExt == ".gz" && base.length >= 8 &&
+                base.substring(base.length - 8)
+                  .toLowerCase(java.util.Locale.ROOT) == ".warc.gz")
+              ".warc.gz"
+            else lastExt
           if (!Seq(".csv", ".parquet", ".jsonl", ".json", ".warc",
               ".warc.gz").contains(ext) || base.startsWith("."))
             return done(400, msg("Invalid file type"))

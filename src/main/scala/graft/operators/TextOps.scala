@@ -129,8 +129,6 @@ object TextOps {
       documents(s, d).select(col("doc_id"), col("text")),
       Tokenizer.fromMergesLines(Iterator("#version: fixture", "e r", "er s")))
 
-  /** Document fingerprinting: content hash + rolling min-hash over 8-char and
-    * 16-char grams (winnowing-lite), all inside one codegen'd projection. */
   /** t4: document fingerprinting — whole-text md5 plus the minimum
     * 8- and 16-char-window md5s (rolling-hash MinHash-of-one). The min
     * columns are fused [[graft.functions.MinGramHash]] expressions: the

@@ -549,9 +549,13 @@ class PipelineOpsSpec extends SparkSpec {
   test("t4 fused min-gram hash equals the SQL HOF form at every row") {
     import spark.implicits._
     graft.functions.MinGramHash.register(spark, 8, "mg8_t")
-    // fixture rows exercise the clamp (short + empty) and non-ASCII
+    // fixture rows exercise the clamp (short + empty), non-ASCII, and an
+    // ASTRAL char (surrogate pair: Spark windows by code points, so the
+    // fused fallback must too — UTF-16 indexing would shift every window
+    // after the emoji)
     val docs = Tables.load(spark, sf, "documents").select(col("text"))
-      .as[String].take(50).toSeq ++ Seq("", "ab", "héllo wörld répeat")
+      .as[String].take(50).toSeq ++ Seq("", "ab", "héllo wörld répeat",
+        "emoji 😀 in the middle of window text")
     val out = docs.toDF("text").select(
         expr("mg8_t(text)").as("fused"),
         expr("""array_min(transform(sequence(1, greatest(length(text)-7, 1)),
