@@ -373,9 +373,8 @@ object TextOps {
     val (model, oov) = unigramModel(docs)
     val quality = qualityLrOf(docs).filter(col("keep")).select("doc_id")
     val scored = surprisalAgg(docs.select("doc_id", "text"), model, oov)
-      .withColumn("avg_surprisal",
-        round(-col("sum_lp") / 1e6 / col("n_words"), 6))
-      .filter(col("avg_surprisal") <= 7.0)
+      // same integer-quotient keep gate as surprisalScored (tie-proof)
+      .filter(expr("(-sum_lp) div n_words") <= 7000000L)
     val kept = quality.join(scored, "doc_id")
       .join(docs.select("doc_id", "lang"), "doc_id")
     withSplit(kept).groupBy("split", "lang")
@@ -383,7 +382,7 @@ object TextOps {
         sum(col("n_words").cast("long")).as("sum_words"),
         sum(col("sum_lp")).as("sum_lp"))
       .select(col("split"), col("lang"), col("n_docs"), col("sum_words"),
-        round(-col("sum_lp") / 1e6 / col("sum_words"), 6)
+        expr("cast((-sum_lp) div sum_words as double) / 1e6")
           .as("avg_surprisal"))
   }
 
@@ -783,7 +782,13 @@ object TextOps {
       oov: DataFrame): DataFrame =
     surprisalAgg(docs, model, oov)
       .select(col("doc_id"), col("n_words"), col("n_oov"),
-        round(-col("sum_lp") / 1e6 / col("n_words"), 6).as("avg_surprisal"))
+        // INTEGER quotient of the 1e6-scaled sum, display-scaled — the
+        // c7 tie-proof discipline: round() of the double quotient hit a
+        // real 6th-decimal tie at sf0.1 (one doc, Spark 3.402035 vs
+        // DuckDB 3.402036). -sum_lp and n_words are both positive, so
+        // Spark's truncating div and DuckDB's flooring // agree.
+        expr("cast((-sum_lp) div n_words as double) / 1e6")
+          .as("avg_surprisal"))
       .withColumn("keep", col("avg_surprisal") <= 7.0)
 
   /** The exact-integer half of the scoring: (doc_id, n_words, n_oov,
@@ -1067,9 +1072,9 @@ object TextOps {
         |  FROM w LEFT JOIN model m USING (w)
         |  JOIN ws ON ws.doc_id = w.doc_id
         |  GROUP BY w.doc_id
-        |  HAVING round(-sum(COALESCE(m.lp, (SELECT CAST(round(ln(1.0 /
-        |     CAST((SELECT n + v FROM tot) AS DOUBLE)) * 1e6) AS BIGINT))))
-        |    / 1e6 / CAST(max(len(ws.words)) AS INTEGER), 6) <= 7.0),
+        |  HAVING ((-sum(COALESCE(m.lp, (SELECT CAST(round(ln(1.0 /
+        |     CAST((SELECT n + v FROM tot) AS DOUBLE)) * 1e6) AS BIGINT)))))
+        |    // CAST(max(len(ws.words)) AS BIGINT)) <= 7000000),
         | kept AS (SELECT s.doc_id, s.n_words, s.sum_lp, d.lang,
         |   ('0x' || substr(md5('split:' || CAST(s.doc_id AS VARCHAR)),
         |     1, 12))::BIGINT % 1000 AS bucket
@@ -1079,7 +1084,7 @@ object TextOps {
         |  WHEN bucket < 990 THEN 'val' ELSE 'test' END AS split,
         | lang, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_words) AS BIGINT) AS sum_words,
-        | round(-sum(sum_lp) / 1e6 / CAST(sum(n_words) AS BIGINT), 6)
+        | ((-sum(sum_lp)) // CAST(sum(n_words) AS BIGINT)) / 1e6
         |  AS avg_surprisal
         |FROM kept GROUP BY 1, 2""".stripMargin,
     "t14_cdc_chunks" ->
@@ -1147,8 +1152,8 @@ object TextOps {
         |    AS n_oov
         |  FROM w LEFT JOIN model m USING (w) GROUP BY w.doc_id)
         |SELECT nd.doc_id, nd.n_words, s.n_oov,
-        | round(-s.sum_lp / 1e6 / nd.n_words, 6) AS avg_surprisal,
-        | round(-s.sum_lp / 1e6 / nd.n_words, 6) <= 7.0 AS keep
+        | ((-s.sum_lp) // nd.n_words) / 1e6 AS avg_surprisal,
+        | ((-s.sum_lp) // nd.n_words) / 1e6 <= 7.0 AS keep
         |FROM nd JOIN scored s USING (doc_id)""".stripMargin,
     "t12_split_assign" ->
       """SELECT doc_id, lang,
