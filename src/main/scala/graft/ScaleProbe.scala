@@ -528,14 +528,19 @@ object ScaleProbe {
       import graft.operators.TextOps
       val docs = spark.read.parquet(s"$d/documents.parquet")
       val n = docs.count()
+      // payload = the full HTTP message (status + blank line + entity);
+      // Content-Length declares its octet count (ISO 28500 §5.1) so the
+      // probe prices the reader's real length-framed reassembly path
+      val payloadExpr = "concat('HTTP/1.1 200 OK', chr(13), chr(10), " +
+        "chr(13), chr(10), " + TextOps.htmlFixture("cast(doc_id as string)") + ")"
       val rec = "concat('WARC/1.0', chr(13), chr(10), " +
         "'WARC-Type: response', chr(13), chr(10), " +
         "'WARC-Target-URI: http://corpus.test/', cast(doc_id as string), " +
         "chr(13), chr(10), " +
         "'Content-Type: application/http', chr(13), chr(10), " +
-        "chr(13), chr(10), " +
-        "'HTTP/1.1 200 OK', chr(13), chr(10), chr(13), chr(10), " +
-        TextOps.htmlFixture("cast(doc_id as string)") + ", " +
+        "'Content-Length: ', cast(octet_length(" + payloadExpr +
+        ") as string), chr(13), chr(10), " +
+        "chr(13), chr(10), " + payloadExpr + ", " +
         "chr(13), chr(10), chr(13))"
       val wdir = s"$out/probe_warc_$tag"
       new scala.reflect.io.Directory(new java.io.File(wdir)).deleteRecursively()

@@ -115,10 +115,21 @@ object EpisodicMemory {
           val lines = src.getLines().filter(_.nonEmpty)
           require(lines.hasNext, s"empty word-vector model: $p")
           var first = lines.next().trim.split("\\s+")
-          // optional word2vec header "<count> <dim>"
+          var carry: Option[Array[String]] = None
+          // optional word2vec header "<count> <dim>" — ambiguous with a
+          // headerless 1-d model whose first vocab token is numeric
+          // (e.g. "2020 7"), so the putative header is cross-checked
+          // against the next row: a real header's <dim> equals that
+          // row's tokens-1. On mismatch the first line is DATA and both
+          // rows are kept. (The residual coincidence — numeric token
+          // whose single component also equals the next row's width —
+          // is inherently undecidable and reads as a header.)
           if (first.length == 2 && first.forall(_.forall(_.isDigit))) {
             require(lines.hasNext, s"header-only word-vector model: $p")
-            first = lines.next().trim.split("\\s+")
+            val second = lines.next().trim.split("\\s+")
+            if (first(1).toIntOption.contains(second.length - 1))
+              first = second
+            else carry = Some(second)
           }
           val dim = first.length - 1
           require(dim > 0, s"no vector components in first row of $p")
@@ -129,6 +140,7 @@ object EpisodicMemory {
           }
           val b = Map.newBuilder[String, Array[Float]]
           b += parse(first)
+          carry.foreach(b += parse(_))
           lines.foreach(l => b += parse(l.trim.split("\\s+")))
           Model(dim, b.result())
         } finally src.close()

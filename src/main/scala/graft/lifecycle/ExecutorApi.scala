@@ -302,10 +302,20 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
           // back: uploadDataset caches + binds the view before the
           // preview materializes, and e.g. a text file misnamed .jsonl
           // binds fine but dies rendering — without the rollback the
-          // df_id would stay a cache hit over a deleted spool (poisoned)
+          // df_id would stay a cache hit over a deleted spool (poisoned).
+          // Rollback must RESTORE, not just remove: a failed sales.parquet
+          // after a healthy sales.csv derives the same df_id, and tearing
+          // the binding down would destroy the pre-existing working view.
+          val prior = cache.get(dfId)
           def rollback(): Unit = {
-            if (cache.remove(dfId))
-              session.spark.catalog.dropTempView(dfId)
+            prior match {
+              case Some(old) =>
+                cache.put(dfId, old)
+                session.bind(dfId, old)
+              case None =>
+                if (cache.remove(dfId))
+                  session.spark.catalog.dropTempView(dfId)
+            }
             java.nio.file.Files.deleteIfExists(spooled)
           }
           try {
@@ -1147,21 +1157,36 @@ private[lifecycle] object MultipartForm {
     -1
   }
 
-  /** The `file` part's (filename, content), or None when absent. */
+  /** The `file` part's (filename, content), or None when absent.
+    *
+    * Delimiters are matched in the RFC 2046 CRLF-anchored form
+    * `\r\n--boundary` (only the very first delimiter may sit at offset 0
+    * without the leading CRLF), so a part whose BINARY content happens to
+    * contain the bare `--boundary` bytes mid-stream can never truncate
+    * the part — the boundary only counts when it begins a line. */
   def filePart(body: Array[Byte], boundary: String):
       Option[(String, Array[Byte])] = {
-    val delim = ("--" + boundary).getBytes("ISO-8859-1")
+    val bare = ("--" + boundary).getBytes("ISO-8859-1")
+    val anchored = ("\r\n--" + boundary).getBytes("ISO-8859-1")
     val crlf2 = "\r\n\r\n".getBytes("ISO-8859-1")
-    var at = indexOf(body, delim, 0)
-    while (at >= 0) {
-      val headStart = at + delim.length + 2 // skip CRLF after the delimiter
+    // `past` = index just beyond the matched "--boundary" bytes
+    var past =
+      if (indexOf(body, bare, 0) == 0) bare.length
+      else {
+        val p = indexOf(body, anchored, 0)
+        if (p < 0) return None
+        p + anchored.length
+      }
+    while (past >= 0) {
+      val headStart = past + 2 // skip CRLF ending the delimiter line
+      if (headStart > body.length) return None
       val headEnd = indexOf(body, crlf2, headStart)
       if (headEnd < 0) return None
       val headers = new String(body, headStart, headEnd - headStart,
         "ISO-8859-1")
-      val next = indexOf(body, delim, headEnd + 4)
+      val next = indexOf(body, anchored, headEnd + 4)
       if (next < 0) return None
-      val contentEnd = next - 2 // strip the CRLF that precedes the delimiter
+      val contentEnd = next // the anchored match owns the preceding CRLF
       val disp = headers.linesIterator
         .find(_.toLowerCase.startsWith("content-disposition:"))
         .getOrElse("")
@@ -1179,7 +1204,7 @@ private[lifecycle] object MultipartForm {
         return attr("filename").map(f =>
           (f, java.util.Arrays.copyOfRange(body, headEnd + 4,
             math.max(headEnd + 4, contentEnd))))
-      at = next
+      past = next + anchored.length
     }
     None
   }

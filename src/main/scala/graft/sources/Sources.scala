@@ -136,27 +136,50 @@ object Sources {
   /** WARC/WET source — the grain raw web crawls actually arrive in
     * (ISO 28500; Common Crawl's WARC responses and WET text conversions),
     * one step upstream of the h1 extraction stage. Records become rows:
-    * `(url, warc_type, content_type, http_status, body)`, with HTTP
-    * response headers stripped off `response` payloads (status kept) so
-    * `body` feeds `TextOps.htmlExtractOver` directly.
+    * `(url, warc_type, content_type, http_status, body, framing_valid)`,
+    * with HTTP response headers stripped off `response` payloads (status
+    * kept) so `body` feeds `TextOps.htmlExtractOver` directly.
     *
-    * Distribution shape: records are split by the WARC record boundary
-    * (`\r\n\r\nWARC/1.0\r\n`) via Hadoop's TextInputFormat record
-    * delimiter, so a large uncompressed WARC splits across executors at
-    * HDFS-block granularity — scan-speed, no driver pass. This is the one
-    * documented RDD use in the tree: a custom RECORD BOUNDARY is
-    * per-partition input-format work the DataFrame reader cannot express;
-    * everything downstream is a DataFrame again. `.gz` archives read
-    * transparently through the Hadoop codec (whole-file decompression —
-    * Common Crawl's per-record gzip members also concatenate into a valid
-    * stream per RFC 1952): one task per archive, the layout Common Crawl
-    * ships (thousands of ~1 GB files → file-level parallelism).
+    * Framing: records are FRAMED by the mandatory `Content-Length` header
+    * (ISO 28500 §5.1 — payload octet count), not by delimiter scanning
+    * alone. The `\r\n\r\nWARC/` record boundary is used only as the
+    * DISTRIBUTION trick (Hadoop TextInputFormat record delimiter, so a
+    * large uncompressed WARC splits across executors at HDFS-block
+    * granularity — scan-speed, no driver pass); after the split, each
+    * partition reassembles sequentially: while a record's accumulated
+    * payload is shorter than its declared Content-Length, the following
+    * chunk is really body text that happened to contain the delimiter
+    * bytes (e.g. a crawled page quoting a WARC record verbatim — certain
+    * to occur in a full Common Crawl pass) and is merged back with the
+    * consumed delimiter restored, reconstructing the original payload
+    * byte-for-byte. Records whose final payload length still disagrees
+    * with the declared Content-Length are emitted with
+    * `framing_valid = false` — corruption is DETECTABLE, never silent.
+    * This also flags non-UTF-8 payloads (Hadoop Text decodes with
+    * replacement characters, changing the byte count): this reader
+    * targets WARC's text members (response HTML, WET conversions,
+    * warcinfo); binary payloads belong to the multimodal binary-column
+    * path. Records with no Content-Length header (non-conformant but
+    * seen in the wild) fall back to delimiter framing, valid when a
+    * `WARC-Type` header parsed.
     *
-    * Non-HTTP/binary payloads: WARC is a text-framed format and this
-    * reader targets the text members (response HTML, WET conversions,
-    * warcinfo); fully binary payloads (images inside responses) belong to
-    * the multimodal binary-column path, not the text grain. */
-  def warc(spark: SparkSession, path: String): DataFrame = {
+    * Partition boundaries: a chunk is processed by the partition holding
+    * its START, so in the astronomically-rare case that a fake delimiter
+    * inside a body falls exactly across an input-split boundary of an
+    * UNCOMPRESSED multi-block file, the truncated record is flagged
+    * `framing_valid = false` (its demand cannot be satisfied at partition
+    * end) and the orphaned tail surfaces as a headerless flagged row —
+    * loud, not silent. `fileAligned = true` removes even that case by
+    * forcing one split per file (exact sequential framing; Common
+    * Crawl's `.gz` archives are whole-file streams and therefore always
+    * file-aligned — one task per archive, file-level parallelism over
+    * the thousands-of-~1GB-files layout Common Crawl ships).
+    *
+    * This is the one documented RDD use in the tree: a custom RECORD
+    * BOUNDARY is per-partition input-format work the DataFrame reader
+    * cannot express; everything downstream is a DataFrame again. */
+  def warc(spark: SparkSession, path: String,
+      fileAligned: Boolean = false): DataFrame = {
     import org.apache.hadoop.io.{LongWritable, Text}
     import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
     val conf = new org.apache.hadoop.conf.Configuration(
@@ -165,46 +188,17 @@ object Sources {
     // both split — a version-pinned delimiter would silently collapse a
     // 1.1 file into one mangled row per file
     conf.set("textinputformat.record.delimiter", "\r\n\r\nWARC/")
+    if (fileAligned)
+      conf.setLong("mapreduce.input.fileinputformat.split.minsize",
+        Long.MaxValue)
     val records = spark.sparkContext.newAPIHadoopFile(path,
         classOf[TextInputFormat], classOf[LongWritable], classOf[Text], conf)
       .map(_._2.toString)
-    val rows = records.flatMap { rec0 =>
-      // each chunk opens with the version line: in full for the file's
-      // first record ("WARC/1.0"), as the bare remainder ("1.0") after
-      // the delimiter consumed the prefix — drop it either way
-      val firstNl = rec0.indexOf("\r\n")
-      val firstLine = if (firstNl < 0) "" else rec0.substring(0, firstNl)
-      val rec =
-        if (firstLine.matches("(WARC/)?\\d+\\.\\d+"))
-          rec0.substring(firstNl + 2)
-        else rec0
-      val hEnd = rec.indexOf("\r\n\r\n")
-      if (rec.trim.isEmpty || hEnd < 0) None
-      else {
-        val headers = rec.substring(0, hEnd).linesIterator.flatMap { l =>
-          val c = l.indexOf(':')
-          if (c < 0) None else Some(l.substring(0, c).trim.toLowerCase ->
-            l.substring(c + 1).trim)
-        }.toMap
-        // mid-file records lose their two-CRLF terminator to the
-        // delimiter; the file's LAST record keeps it — strip so body is
-        // position-independent (md5/dedup over body must not depend on
-        // where in the archive a record sat)
-        val payload = rec.substring(hEnd + 4).stripSuffix("\r\n\r\n")
-        val warcType = headers.getOrElse("warc-type", "")
-        val url = headers.getOrElse("warc-target-uri", "")
-        // response payloads open with the HTTP message: keep the status,
-        // strip the HTTP headers so body is the entity alone
-        val (status, body) =
-          if (warcType == "response" && payload.startsWith("HTTP/")) {
-            val he = payload.indexOf("\r\n\r\n")
-            val statusLine = payload.takeWhile(_ != '\r')
-            val st = statusLine.split(" ").lift(1).flatMap(_.toIntOption)
-            if (he < 0) (st, "") else (st, payload.substring(he + 4))
-          } else (None, payload)
-        Some(org.apache.spark.sql.Row(url, warcType,
-          headers.getOrElse("content-type", ""),
-          status.map(Integer.valueOf).orNull, body))
+    val rows = records.mapPartitions { chunks0 =>
+      val chunks = chunks0.filter(_.trim.nonEmpty)
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = chunks.hasNext
+        def next(): org.apache.spark.sql.Row = parseWarcRecord(chunks)
       }
     }
     spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
@@ -217,7 +211,119 @@ object Sources {
       org.apache.spark.sql.types.StructField("http_status",
         org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("body",
-        org.apache.spark.sql.types.StringType))))
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("framing_valid",
+        org.apache.spark.sql.types.BooleanType, nullable = false))))
+  }
+
+  /** UTF-8 octet count of `s` without materializing the byte array —
+    * Content-Length (ISO 28500 §5.1) counts payload OCTETS, and bodies
+    * can be hundreds of KB, so re-encoding a growing buffer per merge
+    * step would be quadratic. Surrogate pairs count 4 (astral planes);
+    * unpaired surrogates count 3, matching the replacement character
+    * Hadoop Text decoding substitutes for undecodable input. */
+  private def utf8Len(s: String): Long = {
+    var i = 0; var n = 0L
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x80) n += 1
+      else if (c < 0x800) n += 2
+      else if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+          Character.isLowSurrogate(s.charAt(i + 1))) { n += 4; i += 1 }
+      else n += 3
+      i += 1
+    }
+    n
+  }
+
+  /** Consume one WARC record from the chunk stream: parse the header
+    * block of the chunk at the cursor, then — when Content-Length is
+    * declared — keep consuming following chunks (restoring the
+    * `\r\n\r\nWARC/` bytes the delimiter ate) until the payload reaches
+    * the declared octet count. Well-formed mid-file records land EXACTLY
+    * on the declared length (the true terminator was consumed by the
+    * delimiter); the file's last record lands 4 over (it keeps its
+    * `\r\n\r\n` terminator) and is trimmed. Anything else is a framing
+    * anomaly → `framing_valid = false` with the best-effort body kept. */
+  private def parseWarcRecord(
+      chunks: Iterator[String]): org.apache.spark.sql.Row = {
+    val rec0 = chunks.next()
+    // each chunk opens with the version line: in full for the file's
+    // first record ("WARC/1.0"), as the bare remainder ("1.0") after
+    // the delimiter consumed the prefix — drop it either way
+    val firstNl = rec0.indexOf("\r\n")
+    val firstLine = if (firstNl < 0) "" else rec0.substring(0, firstNl)
+    val rec =
+      if (firstLine.matches("(WARC/)?\\d+\\.\\d+"))
+        rec0.substring(firstNl + 2)
+      else rec0
+    val hEnd = rec.indexOf("\r\n\r\n")
+    if (hEnd < 0)
+      // no header block at all: an orphaned body tail (its record started
+      // in a previous partition, which flagged it truncated) or garbage —
+      // surface it flagged rather than dropping it silently
+      return org.apache.spark.sql.Row("", "", "", null, rec, false)
+    val headers = rec.substring(0, hEnd).linesIterator.flatMap { l =>
+      val c = l.indexOf(':')
+      if (c < 0) None else Some(l.substring(0, c).trim.toLowerCase ->
+        l.substring(c + 1).trim)
+    }.toMap
+    val declared = headers.get("content-length").flatMap(_.toLongOption)
+    var payload = rec.substring(hEnd + 4)
+    var valid = true
+    declared match {
+      case Some(len) =>
+        // demand-driven reassembly: body text containing the delimiter
+        // bytes was split into phantom chunks; pull them back until the
+        // declared octet count is reached
+        var bytes = utf8Len(payload)
+        if (bytes < len) {
+          val parts = new StringBuilder(payload)
+          while (bytes < len && chunks.hasNext) {
+            val nxt = chunks.next()
+            parts.append("\r\n\r\nWARC/").append(nxt)
+            bytes += 9 + utf8Len(nxt)
+          }
+          payload = parts.toString
+        }
+        if (bytes != len) {
+          // mid-file records lose their two-CRLF terminator to the
+          // delimiter; the file's LAST record keeps it — strip so body
+          // is position-independent (md5/dedup over body must not depend
+          // on where in the archive a record sat)
+          val stripped = payload.stripSuffix("\r\n\r\n")
+          if (bytes - (payload.length - stripped.length) == len)
+            payload = stripped
+          else {
+            // undershoot = truncated at partition/file end; overshoot =
+            // mis-declared length or non-UTF-8 payload mangled by text
+            // decoding — either way detectable, never silent
+            valid = false
+            payload = stripped
+          }
+        }
+      case None =>
+        // non-conformant record: fall back to delimiter framing (the
+        // pre-Content-Length behavior); a body containing the delimiter
+        // bytes cannot be told apart here, so validity only attests that
+        // a WARC-Type header parsed
+        payload = payload.stripSuffix("\r\n\r\n")
+        valid = headers.contains("warc-type")
+    }
+    val warcType = headers.getOrElse("warc-type", "")
+    val url = headers.getOrElse("warc-target-uri", "")
+    // response payloads open with the HTTP message: keep the status,
+    // strip the HTTP headers so body is the entity alone
+    val (status, body) =
+      if (warcType == "response" && payload.startsWith("HTTP/")) {
+        val he = payload.indexOf("\r\n\r\n")
+        val statusLine = payload.takeWhile(_ != '\r')
+        val st = statusLine.split(" ").lift(1).flatMap(_.toIntOption)
+        if (he < 0) (st, "") else (st, payload.substring(he + 4))
+      } else (None, payload)
+    org.apache.spark.sql.Row(url, warcType,
+      headers.getOrElse("content-type", ""),
+      status.map(Integer.valueOf).orNull, body, valid)
   }
 
   /** S8: remote-API source — fetch a CSV payload over HTTP on the driver

@@ -81,5 +81,21 @@ class EmbedOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       new WordVecEmbedder(badPath).embed("hot")
     }
+    // a HEADERLESS 1-d model whose first vocab token is numeric must not
+    // lose that entry to the word2vec-header heuristic: the putative
+    // header's <dim> (7) disagrees with the next row's width (1), so the
+    // first line is data
+    val numPath = s"$dir/numeric_first.vec"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(numPath),
+      "2020 7\nword 3\n")
+    val ne = graft.lifecycle.EpisodicMemory.WordVecEmbedder.load(numPath)
+    assert(ne.dim == 1 && ne.vecs.keySet == Set("2020", "word"))
+    assert(ne.vecs("2020")(0) == 7.0f)
+    // while a REAL header whose dim matches the data width is consumed
+    val hdrPath = s"$dir/with_header.vec"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(hdrPath),
+      "2 1\nup 1\ndown 2\n")
+    val he = graft.lifecycle.EpisodicMemory.WordVecEmbedder.load(hdrPath)
+    assert(he.dim == 1 && he.vecs.keySet == Set("up", "down"))
   }
 }

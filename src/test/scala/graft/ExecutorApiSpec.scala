@@ -678,6 +678,28 @@ class ExecutorApiSpec extends SparkSpec {
       assert(jc == 500 && jb.contains("no data schema"), jb)
       assert(call(port, "/df_utils/compute_df_sample",
         Some("""{"df_id":"notjson"}"""))._1 == 404)
+
+      // bare boundary bytes INSIDE a part's content (not CRLF-anchored)
+      // must not truncate the part: RFC 2046 frames parts on the
+      // line-initial "\r\n--boundary" form only
+      val tricky = "a,b\n1,x------graftTestBoundary42y\n2,z\n"
+        .getBytes(StandardCharsets.UTF_8)
+      val (bc, bb) = postMultipart(port, "file", "tricky.csv", tricky)
+      assert(bc == 200, bb)
+      val (bsc, bsb) = call(port, "/df_utils/compute_df_sample",
+        Some("""{"df_id":"tricky"}"""))
+      assert(bsc == 200 && bsb.contains("graftTestBoundary42y"), bsb)
+
+      // rollback must RESTORE a pre-existing healthy binding when a
+      // failed upload derives the same df_id (inv.csv then a broken
+      // inv.parquet) — not tear down the working view
+      val inv = "k,v\n7,keepme\n".getBytes(StandardCharsets.UTF_8)
+      assert(postMultipart(port, "file", "inv.csv", inv)._1 == 200)
+      assert(postMultipart(port, "file", "inv.parquet",
+        "not parquet".getBytes(StandardCharsets.UTF_8))._1 == 500)
+      val (rc2, rb2) = call(port, "/df_utils/compute_df_sample",
+        Some("""{"df_id":"inv"}"""))
+      assert(rc2 == 200 && rb2.contains("keepme"), rb2)
     } finally api.stop()
   }
 }

@@ -144,7 +144,9 @@ class SourcesSpec extends SparkSpec {
       "</body></html>"
     def record(headers: Seq[(String, String)], payload: String): String =
       "WARC/1.0\r\n" +
-        headers.map { case (k, v) => s"$k: $v" }.mkString("\r\n") +
+        (headers :+ ("Content-Length" ->
+          payload.getBytes("UTF-8").length.toString))
+          .map { case (k, v) => s"$k: $v" }.mkString("\r\n") +
         "\r\n\r\n" + payload
     val warcText = Seq(
       record(Seq("WARC-Type" -> "warcinfo",
@@ -168,6 +170,9 @@ class SourcesSpec extends SparkSpec {
 
     val df = Sources.warc(spark, s"$dir/crawl.warc").cache()
     assert(df.count() == 3)
+    // conformant records (Content-Length present, satisfied exactly) all
+    // frame clean
+    assert(df.collect().forall(_.getBoolean(5)))
     val byType = df.collect().map(r =>
       r.getString(1) -> r).toMap
     // response: status kept, HTTP headers stripped, body is the entity
@@ -214,5 +219,79 @@ class SourcesSpec extends SparkSpec {
     assert(df11.count() == 3)
     assert(df11.filter(col("warc_type") === "response")
       .collect().head.getString(4) == html)
+  }
+
+  test("warc: Content-Length reassembles bodies quoting WARC records; " +
+      "mismatches flagged, never silent") {
+    def record(headers: Seq[(String, String)], payload: String): String =
+      "WARC/1.0\r\n" +
+        (headers :+ ("Content-Length" ->
+          payload.getBytes("UTF-8").length.toString))
+          .map { case (k, v) => s"$k: $v" }.mkString("\r\n") +
+        "\r\n\r\n" + payload
+    // the worst case for delimiter framing: a crawled page ABOUT the WARC
+    // format whose body quotes a FULL record verbatim, preceded by a
+    // blank line — the quoted text both contains the raw delimiter bytes
+    // (\r\n\r\nWARC/) and header-parses as a valid record, so only the
+    // outer record's declared Content-Length can arbitrate
+    val inner = record(Seq("WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://quoted.example/"),
+      "HTTP/1.1 200 OK\r\n\r\nquoted inner body")
+    val entity = "<p>the WARC format frames records like this:</p>\r\n\r\n" +
+      inner + "\r\n\r\nand framing must honor Content-Length"
+    val quoting = record(Seq("WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://warc-tutorial.example/",
+      "Content-Type" -> "application/http; msgtype=response"),
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + entity)
+    val after = record(Seq("WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> "http://after.example/"),
+      "plain text of the record after the quoting page")
+    val dir = "target/sources_warc_quoted"
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/quoting.warc"),
+      (Seq(quoting, after).mkString("\r\n\r\n") + "\r\n\r\n")
+        .getBytes("UTF-8"))
+
+    val rows = Sources.warc(spark, s"$dir/quoting.warc").collect()
+    // exactly the TRUE records come back — the quoted record did not
+    // become a phantom row and the quoting body was not truncated
+    assert(rows.length == 2, rows.map(_.getString(0)).mkString(","))
+    val byUrl = rows.map(r => r.getString(0) -> r).toMap
+    val tut = byUrl("http://warc-tutorial.example/")
+    assert(tut.getBoolean(5))
+    assert(tut.getString(4) == entity, tut.getString(4))
+    val conv = byUrl("http://after.example/")
+    assert(conv.getBoolean(5) &&
+      conv.getString(4) == "plain text of the record after the quoting page")
+
+    // a truncated archive (declared length never satisfied — the tail of
+    // the file is gone) surfaces as framing_valid = false, not as a
+    // silently short body
+    val cut = quoting.substring(0, quoting.length - 40)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/truncated.warc"),
+      cut.getBytes("UTF-8"))
+    val trows = Sources.warc(spark, s"$dir/truncated.warc").collect()
+    assert(trows.length >= 1 && trows.forall(!_.getBoolean(5)))
+
+    // a non-conformant record (no Content-Length — seen in the wild)
+    // still parses via delimiter framing and attests via WARC-Type
+    val legacy = "WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: http://legacy.example/\r\n\r\nlegacy no-length body\r\n\r\n"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/legacy.warc"),
+      legacy.getBytes("UTF-8"))
+    val lrows = Sources.warc(spark, s"$dir/legacy.warc").collect()
+    assert(lrows.length == 1 && lrows.head.getBoolean(5) &&
+      lrows.head.getString(4) == "legacy no-length body")
+
+    // fileAligned strict mode returns the identical rows (one split per
+    // file — the zero-ambiguity path; .gz archives are always this shape)
+    val arows = Sources.warc(spark, s"$dir/quoting.warc",
+      fileAligned = true).collect()
+    assert(arows.map(_.toString).sorted.sameElements(
+      rows.map(_.toString).sorted))
   }
 }
