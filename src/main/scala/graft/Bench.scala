@@ -121,14 +121,21 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$TimedRuns,"errors":$failed,""" +
       s""""cluster_config":{"autoBroadcastJoinThreshold":-1,"shuffle_partitions":200},""" +
       s""""cluster_total":$ctotal,"cluster_queries":$cqs,"cluster_spread":$cspreads,"cluster_errors":$cfailed,"sf":"$sfDir"}"""
-    // The CONSOLE line must fit the harness's tail-capture window (the
-    // full ~11.5 KB line has been front-truncated three rounds running →
-    // "parsed": null). Print a compact form: per-query seconds at 4
-    // decimals, no spread maps, no per-query cluster map — ~3 KB. The
-    // full-precision everything (spreads, cluster per-query) still lands
-    // in target/bench.json below.
+    // The FINAL console line must fit ENTIRELY inside the harness's
+    // 2,000-character tail-capture window (measured: the ~2.8 KB compact
+    // form of round 10 was still front-truncated → "parsed": null, four
+    // rounds running). A named per-query map cannot fit — the 105 query
+    // names alone are ~1.8 KB — so the last line carries per-query
+    // MILLISECONDS as integer arrays in sorted-query-name order
+    // (`q_ms`/`cluster_q_ms`; names recoverable from target/bench.json
+    // or any CORRECTNESS file, which use the same sorted order). The
+    // named 4-decimal map still prints as an EARLIER console line for
+    // full-log readers, and full precision (spreads, cluster map) lands
+    // in target/bench.json.
     val r4 = (v: Double) =>
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val r2 = (v: Double) =>
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qs4 = defResults.map { case (k, v, _, _) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val compact =
@@ -136,10 +143,19 @@ object Bench {
       s""""cluster_config":{"autoBroadcastJoinThreshold":-1,"shuffle_partitions":200},""" +
       s""""cluster_total":${r4(ctotal)},"cluster_errors":$cfailed,"sf":"$sfDir"}"""
     println(compact)
-    // belt-and-braces for console scrapers: a uniquely-prefixed copy of
-    // the same line — a parser can grep "BENCHJSON:" and take everything
-    // after the first colon even when log4j noise wraps the bare line
-    println(s"BENCHJSON:$compact")
+    // a failed query's -1.0 sentinel stays -1 in the ms arrays
+    val ms = (v: Double) => if (v < 0) "-1" else math.round(v * 1000).toString
+    val qMs = defResults.map { case (_, v, _, _) => ms(v) }
+      .mkString("[", ",", "]")
+    val cMs = cluResults.map { case (_, v, _, _) => ms(v) }
+      .mkString("[", ",", "]")
+    val slim =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","runs":$TimedRuns,"errors":$failed,""" +
+      s""""cluster_total":${r2(ctotal)},"cluster_errors":$cfailed,"n_queries":${named.length},""" +
+      s""""q_ms":$qMs,"cluster_q_ms":$cMs,""" +
+      s""""q_order":"queries sorted by name; named map in target/bench.json","sf":"$sfDir"}"""
+    // ~1.2 KB for 105 queries — whole line sits inside a 2 KB tail
+    println(s"BENCHJSON:$slim")
     // also land the line as a FILE: scraping a JSON line out of sbt/log4j
     // console interleaving is lossy (the driver's per-query map parse has
     // failed on wrapped lines), a file read is not
