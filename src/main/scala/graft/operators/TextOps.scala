@@ -697,12 +697,24 @@ object TextOps {
     * extract → quality-filter) as a single narrow projection chain —
     * map-side, no shuffle, scan-speed at 100 TB. */
   def webCuration: Q = (s, d) =>
-    htmlExtractOver(documents(s, d)
+    webCurationOver(htmlExtractOver(documents(s, d)
       .select(col("doc_id"),
-        expr(htmlFixture("cast(doc_id as string)")).as("html")))
+        expr(htmlFixture("cast(doc_id as string)")).as("html"))))
+      .select("doc_id", "n_kept", "clean_len", "n_words", "uniq_ratio",
+        "stop_ratio", "quality_score", "keep")
+
+  /** The h2 scoring over any [[htmlExtractOver]] output — the reusable
+    * form: the oracle-gated [[webCuration]] drops `clean_text` for its
+    * hash gate; the streaming crawl-ingest chain
+    * ([[graft.streaming.Streams.crawlIngest]]) keeps it, because the
+    * kept text IS what lands in the corpus. */
+  private[graft] def webCurationOver(extracted: DataFrame): DataFrame =
+    extracted
       .select(col("doc_id"), col("n_kept"), col("clean_len"),
+        col("clean_text"),
         expr("split(replace(clean_text, chr(10), ' '), ' ')").as("words"))
       .select(col("doc_id"), col("n_kept"), col("clean_len"),
+        col("clean_text"),
         size(col("words")).as("n_words"),
         uniqRatio(col("words")).as("uniq_ratio"),
         stopRatio(col("words")).as("stop_ratio"))

@@ -196,24 +196,41 @@ object Sources {
       .map(_._2.toString)
     val rows = records.mapPartitions { chunks0 =>
       val chunks = chunks0.filter(_.trim.nonEmpty)
-      new Iterator[org.apache.spark.sql.Row] {
+      new Iterator[WarcRec] {
         def hasNext: Boolean = chunks.hasNext
-        def next(): org.apache.spark.sql.Row = parseWarcRecord(chunks)
+        def next(): WarcRec = parseWarcRecord(chunks)
       }
     }
-    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("url",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("warc_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("content_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("http_status",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("body",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("framing_valid",
-        org.apache.spark.sql.types.BooleanType, nullable = false))))
+    spark.createDataFrame(rows)
+  }
+
+  /** One parsed WARC record — the row type the batch and streaming
+    * readers share (field order IS the column order). */
+  final case class WarcRec(url: String, warc_type: String,
+      content_type: String, http_status: Option[Int], body: String,
+      framing_valid: Boolean)
+
+  /** Streaming WARC reader — [[warc]]'s record framing over a landing
+    * DIRECTORY watched by the file stream source: new `.warc` archives
+    * dropped into the dir become new microbatches (the shape a crawler
+    * hand-off actually has — archives land as files, the pipeline tails
+    * the dir). The text source's `lineSep` plays the TextInputFormat
+    * delimiter role and each partition runs the same demand-driven
+    * Content-Length reassembly, so the streamed rows are byte-identical
+    * to a batch [[warc]] read of the same archives. */
+  def warcStream(spark: SparkSession, landingDir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .option("lineSep", "\r\n\r\nWARC/")
+      .textFile(landingDir)
+      .mapPartitions { chunks0 =>
+        val chunks = chunks0.filter(_.trim.nonEmpty)
+        new Iterator[WarcRec] {
+          def hasNext: Boolean = chunks.hasNext
+          def next(): WarcRec = parseWarcRecord(chunks)
+        }
+      }
+      .toDF()
   }
 
   /** UTF-8 octet count of `s` without materializing the byte array —
@@ -245,8 +262,7 @@ object Sources {
     * delimiter); the file's last record lands 4 over (it keeps its
     * `\r\n\r\n` terminator) and is trimmed. Anything else is a framing
     * anomaly → `framing_valid = false` with the best-effort body kept. */
-  private def parseWarcRecord(
-      chunks: Iterator[String]): org.apache.spark.sql.Row = {
+  private def parseWarcRecord(chunks: Iterator[String]): WarcRec = {
     val rec0 = chunks.next()
     // each chunk opens with the version line: in full for the file's
     // first record ("WARC/1.0"), as the bare remainder ("1.0") after
@@ -262,7 +278,7 @@ object Sources {
       // no header block at all: an orphaned body tail (its record started
       // in a previous partition, which flagged it truncated) or garbage —
       // surface it flagged rather than dropping it silently
-      return org.apache.spark.sql.Row("", "", "", null, rec, false)
+      return WarcRec("", "", "", None, rec, framing_valid = false)
     val headers = rec.substring(0, hEnd).linesIterator.flatMap { l =>
       val c = l.indexOf(':')
       if (c < 0) None else Some(l.substring(0, c).trim.toLowerCase ->
@@ -321,9 +337,8 @@ object Sources {
         val st = statusLine.split(" ").lift(1).flatMap(_.toIntOption)
         if (he < 0) (st, "") else (st, payload.substring(he + 4))
       } else (None, payload)
-    org.apache.spark.sql.Row(url, warcType,
-      headers.getOrElse("content-type", ""),
-      status.map(Integer.valueOf).orNull, body, valid)
+    WarcRec(url, warcType, headers.getOrElse("content-type", ""),
+      status, body, valid)
   }
 
   /** S8: remote-API source — fetch a CSV payload over HTTP on the driver

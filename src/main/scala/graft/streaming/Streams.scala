@@ -604,6 +604,39 @@ object Streams {
         .start()
   }
 
+  /** The crawl-ingest front door END TO END: a landing directory of
+    * `.warc` archives streams through record framing
+    * ([[graft.sources.Sources.warcStream]]), h1 extraction and h2
+    * quality curation (the same narrow expressions the oracle-gated
+    * batch queries run — stateless projections, so the stream needs no
+    * rewrite), into a [[ScrubIngestSink]]: each microbatch is scrubbed
+    * against the span index as it stood BEFORE the batch and then folded
+    * in, so corpus-known boilerplate is cut from every later wave. Only
+    * cleanly-framed `response` records that pass the h2 quality gate
+    * reach the corpus; `doc_id` at this grain is `xxhash64(url)` — the
+    * 64-bit keyspace the at-rest indexes already use. Returns the sink
+    * (for [[ScrubIngestSink.cleaned]]) and the running query.
+    *
+    * Scale shape: framing + extraction + scoring are narrow (scan-speed,
+    * no shuffle — the h1/h2 plan pins hold unchanged here); the only
+    * wide work per microbatch is the scrub probe and index fold, both
+    * priced at 10x in BASELINE §5. At 100 TB the landing dir is the
+    * crawler hand-off bucket and archives are the unit of admission —
+    * exactly Common Crawl's layout. */
+  def crawlIngest(s: SparkSession, landingDir: String, indexPath: String,
+      outPath: String): (ScrubIngestSink, StreamingQuery) = {
+    import graft.operators.TextOps
+    val recs = graft.sources.Sources.warcStream(s, landingDir)
+    val curated = TextOps.webCurationOver(TextOps.htmlExtractOver(
+        recs.filter(col("warc_type") === "response" && col("framing_valid"))
+          .select(xxhash64(col("url")).as("doc_id"),
+            col("body").as("html"))))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val sink = new ScrubIngestSink(indexPath, outPath)
+    (sink, sink.attach(curated))
+  }
+
   /** The scrubbed-corpus CONSUMER CONTRACT: one stable table over a
     * [[ScrubIngestSink]]'s per-batch output dirs. Unions exactly the
     * COMMITTED batches — dirs whose parquet write finished (Spark's

@@ -302,4 +302,93 @@ class StreamsSpec extends SparkSpec {
     val want = batch.collect().map(key).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("crawl ingest e2e: warc waves through h1+h2 into the scrub sink") {
+    import graft.operators.SpanIndex
+    val landing = "target/crawl_ingest_landing"
+    val idx = "target/crawl_ingest_idx"
+    val out = "target/crawl_ingest_out"
+    Seq(landing, idx, out).foreach(d =>
+      new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
+    new java.io.File(landing).mkdirs()
+
+    // corpus-known boilerplate, long enough for the span inventory's gram
+    // window, phrased so the h1 block filter keeps it (words >= 5, no
+    // links) — the subscription footer every site of one publisher shares
+    val boiler = "subscribe to the newsletter for all the latest stories " +
+      "and the best reporting delivered to the inbox every single morning " +
+      "without fail because the editors of the site curate all the news " +
+      "that matters for the readers of the daily edition of the paper " +
+      "and the weekend magazine of the publishing group"
+    val storyA = "the city council approved the riverside development " +
+      "after the planning committee published the revised environmental " +
+      "assessment and the residents of the district voted to accept the " +
+      "compromise on the height of the towers along the waterfront " +
+      "promenade near the historic harbor district of the old town"
+    val storyB = "the research station measured the deepest readings of " +
+      "the season while the expedition mapped the southern shelf and the " +
+      "glaciologists compared the melt rates against the records of the " +
+      "previous decade for the annual report of the polar institute and " +
+      "the oceanographic survey of the frozen continent"
+    def page(body: Seq[String]): String =
+      "<html><head><script>track();</script></head><body>" +
+        "<div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+        "<a href=\"/c\">Contact</a></div>" +
+        body.map(p => s"<p>$p</p>").mkString + "</body></html>"
+    def record(url: String, html: String): String = {
+      val payload = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\n" +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" + payload
+    }
+    def archive(name: String, records: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$landing/$name"),
+        (records.mkString("\r\n\r\n") + "\r\n\r\n").getBytes("UTF-8"))
+
+    // the index must exist before the sink attaches; seed it with the
+    // publisher boilerplate so even WAVE 1 pages get it scrubbed
+    SpanIndex.write(Seq((1L, "seed page of the publisher " + boiler))
+      .toDF("doc_id", "text"), idx)
+
+    val urlA = "http://news.example/story-a"
+    val urlB = "http://news.example/story-b"
+    // wave 1 lands BEFORE the stream starts (batch 0): a real story
+    // carrying the boilerplate, a junk page that h2 must reject, and a
+    // warcinfo record the response filter must skip
+    archive("wave1.warc", Seq(
+      "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 17\r\n\r\nsoftware: crawler",
+      record(urlA, page(Seq(storyA, boiler))),
+      record("http://spam.example/", page(Seq("buy " * 19 + "buy")))))
+
+    val (sink, q) = graft.streaming.Streams.crawlIngest(
+      spark, landing, idx, out)
+    try {
+      q.processAllAvailable()
+      val ids = Seq(urlA, urlB).map(u =>
+        Seq(u).toDF("u").select(xxhash64(col("u"))).head().getLong(0))
+      val w1 = sink.cleaned(spark).collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getString(3))).toMap
+      // only the quality page landed; its boilerplate paragraph was cut
+      // against the seeded index, the story text kept
+      assert(w1.keySet == Set(ids(0)), w1.keySet)
+      assert(w1(ids(0))._1 >= 1, w1)
+      assert(w1(ids(0))._2.contains("riverside development"), w1)
+      assert(!w1(ids(0))._2.contains("editors of the site curate"), w1)
+
+      // wave 2: a new archive whose story QUOTES wave 1's story — wave 1
+      // folded into the index, so the quoted span is now corpus-known
+      archive("wave2.warc", Seq(
+        record(urlB, page(Seq(storyB, storyA)))))
+      q.processAllAvailable()
+      val w2 = sink.cleaned(spark).collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getString(3))).toMap
+      assert(w2.keySet == Set(ids(0), ids(1)), w2.keySet)
+      assert(w2(ids(1))._1 >= 1, w2)
+      assert(w2(ids(1))._2.contains("research station"), w2)
+      assert(!w2(ids(1))._2.contains("revised environmental assessment"), w2)
+      // the consumer contract serves exactly the committed rows
+      assert(graft.streaming.Streams.cleanedCorpus(spark, out)
+        .collect().map(_.getLong(0)).toSet == Set(ids(0), ids(1)))
+    } finally q.stop()
+  }
 }
