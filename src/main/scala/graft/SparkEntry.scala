@@ -124,6 +124,7 @@ object SparkEntry {
     "c4_mixture_apply" -> TextOps.mixtureApply,
     "c5_curation_pipeline" -> TextOps.curationPipeline,
     "c7_data_card" -> TextOps.dataCard,
+    "c8_domain_card" -> TextOps.dataCardByDomain,
     // dedup pipeline (D-ops + MinHash/LSH/SimHash)
     "dd1_exact_dedup" -> DedupOps.exactDedup,
     "dd2_minhash_bands" -> DedupOps.minhashBands,
@@ -515,6 +516,7 @@ object SparkEntry {
     "t14_cdc_chunks" -> TextOps.oracle("t14_cdc_chunks"),
     "t15_shuffle_shard" -> TextOps.oracle("t15_shuffle_shard"),
     "c7_data_card" -> TextOps.oracle("c7_data_card"),
+    "c8_domain_card" -> TextOps.oracle("c8_domain_card"),
     "c2_mixture_weights" -> TextOps.oracle("c2_mixture_weights"),
     "c3_quality_lr" -> TextOps.oracle("c3_quality_lr"),
     "c4_mixture_apply" -> TextOps.oracle("c4_mixture_apply"),

@@ -145,6 +145,39 @@ object OperatingPoint {
     clamp(kcRaw, 16, math.min(256L, math.max(16L, n / 64L)).toInt)
   }
 
+  /** Signed doubling steps of x relative to the anchor ([[extraBits]]
+    * without the zero floor): −1 per halving, +1 per doubling, rounded. */
+  private[graft] def stepBits(x: Long, anchorX: Long): Int = {
+    require(x > 0, s"profile stat must be positive, got $x")
+    math.round(math.log(x.toDouble / anchorX) / math.log(2.0)).toInt
+  }
+
+  /** h1 content-block word floor (keep a block iff words ≥ floor) — a
+    * QUALITY operating point: it tracks the corpus's text GRAIN, not its
+    * size, so unlike the bit/bucket knobs it does not grow with n. A
+    * corpus whose median content block is paragraph-length keeps the
+    * jusText/CCNet-style floor of 5; a book-grain corpus (hundreds of
+    * words per block) can afford a higher floor — one word per doubling
+    * of the median. Anchor: the fixture corpus's measured median
+    * candidate block of ~16 words at the pinned floor 5. The
+    * oracle-gated h1/h2 stay pinned at the anchor (static SQL mirrors
+    * the exact filter — the LSH fixture-pin discipline);
+    * [[TextOps.htmlExtractAuto]] derives from a corpus block profile. */
+  def h1MinWords(medianBlockWords: Long): Int =
+    clamp(5 + extraBits(medianBlockWords, 16L), 5, 20)
+
+  /** h1 link-density multiplier (keep a block iff links·mult ≤ words):
+    * tracks the corpus's baseline anchor frequency — a link-dense corpus
+    * (portals, wikis) must LOOSEN the multiplier or genuine content dies
+    * with the nav; a link-sparse corpus can tighten it. One step per
+    * doubling/halving around the anchor: the fixture corpus measures
+    * ~64 anchor tags per kiloword of block text at the pinned
+    * multiplier 3. Clamp [2, 6]: below 2 the filter stops meaning
+    * anything (a block may be half links), above 6 paragraph-length
+    * blocks with one citation link start dying. */
+  def h1LinkDensityMult(anchorsPerKiloword: Long): Int =
+    clamp(3 - stepBits(math.max(1L, anchorsPerKiloword), 64L), 2, 6)
+
   /** Join-strategy knob for the banded self-joins: once the banded side
     * (n·bands rows carrying the dim-double vector) outgrows a
     * broadcast-friendly size, the self-join must be a shuffle join — both

@@ -603,6 +603,34 @@ object TextOps {
       .select("lang", "split", "n_docs", "n_tokens", "n_chars",
         "mean_quality")
 
+  /** c8: the data card at the per-SOURCE grain — real corpus datasheets
+    * report per-domain rows beside the per-(lang, split) rollup (the t10
+    * balancing grain: which crawl contributed what, at what quality —
+    * e.g. the per-source tables in public corpus releases). Same single
+    * projection + single grouped aggregate and the same integer-quotient
+    * mean discipline as [[dataCard]] (q_sum is non-negative, so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree); `source` adds
+    * one grouping column, so the aggregate stays map-side-combined and
+    * scan-bound at any corpus size (domains ≪ docs). */
+  def dataCardByDomain: Q = (s, d) =>
+    documents(s, d)
+      .select(col("source"), col("lang"),
+        length(col("text")).as("n_chars_doc"),
+        split(col("text"), " ").as("words"))
+      .select(col("source"), col("lang"), col("n_chars_doc"),
+        size(col("words")).as("n_words"),
+        qualityScoreCol(size(col("words")), uniqRatio(col("words")),
+          stopRatio(col("words"))).as("q"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("n_tokens"),
+        sum(col("n_chars_doc").cast("long")).as("n_chars"),
+        sum(round(col("q") * 1e8).cast("bigint")).as("q_sum"))
+      .withColumn("mean_quality",
+        expr("cast(q_sum div n_docs as double) / 1e8"))
+      .select("source", "lang", "n_docs", "n_tokens", "n_chars",
+        "mean_quality")
+
   // ---- h1: raw-web extraction (HTML -> clean text) ----
 
   /** The h1 fixture: deterministic HTML synthesized IN-QUERY around each
@@ -648,12 +676,13 @@ object TextOps {
     htmlExtractOver(documents(s, d)
       .select(col("doc_id"), expr(htmlFixture("cast(doc_id as string)")).as("html")))
 
-  /** The extraction pipeline over any frame with (doc_id, html) — the
-    * reusable form: the oracle-gated [[htmlExtract]] runs it over the
-    * synthesized fixture, the composed web-curation query feeds its
-    * output into the t3 scoring pieces, and the same narrow expressions
-    * run unchanged under Structured Streaming (stateless projection). */
-  private[graft] def htmlExtractOver(html: DataFrame): DataFrame = {
+  /** h1 stages 1-3 over any frame with (doc_id, html): payload strip,
+    * block segmentation, per-block scoring — everything up to (but not
+    * including) the boilerplate filter, ending in the `scored` array of
+    * (clean, links, nw) block structs. Shared by the filter
+    * ([[htmlExtractOver]]) and the corpus block profile ([[h1Profile]])
+    * so the knobs are derived from exactly the blocks they gate. */
+  private[graft] def blockScored(html: DataFrame): DataFrame = {
     val entityDecode = (x: String) =>
       s"""replace(replace(replace(replace(replace(replace($x,
          | '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
@@ -677,8 +706,21 @@ object TextOps {
       .withColumn("scored", expr(
         """transform(cand, x -> struct(x.clean AS clean, x.links AS links,
           | size(regexp_extract_all(x.clean, '[A-Za-z0-9]+', 0)) AS nw))""".stripMargin))
+  }
+
+  /** The extraction pipeline over any frame with (doc_id, html) — the
+    * reusable form: the oracle-gated [[htmlExtract]] runs it over the
+    * synthesized fixture, the composed web-curation query feeds its
+    * output into the t3 scoring pieces, and the same narrow expressions
+    * run unchanged under Structured Streaming (stateless projection).
+    * The default knobs are the anchor operating point the oracles pin
+    * (block word floor 5, link-density multiplier 3);
+    * [[htmlExtractAuto]] derives them from the corpus instead. */
+  private[graft] def htmlExtractOver(html: DataFrame, minWords: Int = 5,
+      linkMult: Int = 3): DataFrame =
+    blockScored(html)
       .withColumn("kept", expr(
-        "filter(scored, x -> x.nw >= 5 AND x.links * 3 <= x.nw)"))
+        s"filter(scored, x -> x.nw >= $minWords AND x.links * $linkMult <= x.nw)"))
       .select(col("doc_id"),
         expr("cast(size(scored) as int)").as("n_blocks"),
         expr("cast(size(kept) as int)").as("n_kept"),
@@ -686,6 +728,38 @@ object TextOps {
       .select(col("doc_id"), col("n_blocks"), col("n_kept"),
         length(col("clean_text")).as("clean_len"),
         md5(col("clean_text")).as("clean_md5"), col("clean_text"))
+
+  /** Corpus block profile for the h1 knobs: (median candidate-block
+    * words, anchor tags per kiloword of block text), measured on the
+    * SAME scored blocks the filter gates. One aggregation pass — at
+    * corpus scale run it over a calibration sample and reuse the derived
+    * knobs for the full pass (the `countEstimate` discipline of the
+    * index operating points). */
+  private[graft] def h1Profile(html: DataFrame): (Long, Long) = {
+    val r = blockScored(html)
+      .select(explode(col("scored")).as("b"))
+      .agg(expr("percentile_approx(b.nw, 0.5)").as("median_nw"),
+        sum(col("b.links").cast("long")).as("links"),
+        sum(col("b.nw").cast("long")).as("nw"))
+      .head()
+    val nw = math.max(1L, r.getAs[Number]("nw").longValue)
+    (r.getAs[Number]("median_nw").longValue,
+      math.round(1000.0 * r.getAs[Number]("links").longValue / nw))
+  }
+
+  /** h1 with CORPUS-DERIVED knobs: the block word floor and link-density
+    * multiplier come from [[h1Profile]] through the
+    * [[OperatingPoint.h1MinWords]] / [[OperatingPoint.h1LinkDensityMult]]
+    * derivations instead of pinned literals — the same no-pinned-knobs
+    * discipline as the index geometries. On the anchor fixture corpus the
+    * derived knobs equal the pinned (5, 3), so the oracle-gated h1/h2
+    * output is unchanged there (pinned by spec). Pass `profileOf` to
+    * derive from a calibration sample instead of the full input. */
+  def htmlExtractAuto(html: DataFrame,
+      profileOf: Option[DataFrame] = None): DataFrame = {
+    val (medianNw, apk) = h1Profile(profileOf.getOrElse(html))
+    htmlExtractOver(html, OperatingPoint.h1MinWords(medianNw),
+      OperatingPoint.h1LinkDensityMult(apk))
   }
 
   /** h2: raw-web CURATION — the c1/c5 composition discipline applied at
@@ -1200,6 +1274,24 @@ object TextOps {
         | CAST(CAST(sum(CAST(round(q * 1e8) AS BIGINT)) AS BIGINT)
         |    // count(*) AS DOUBLE) / 1e8 AS mean_quality
         |FROM scored GROUP BY lang, split""".stripMargin,
+    "c8_domain_card" ->
+      """WITH scored AS (SELECT source, lang,
+        |  length(text) AS n_chars_doc,
+        |  CAST(len(words) AS INTEGER) AS n_words,
+        |  round(least(CAST(len(words) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |    round(len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 6)
+        |     * 0.3 +
+        |    least(round(len(list_filter(words,
+        |      w -> w IN ('the','a','of','and','to','in','is')))
+        |      / CAST(len(words) AS DOUBLE), 6) * 5.0, 1.0) * 0.3, 8) AS q
+        | FROM (SELECT source, lang, text, string_split(text, ' ') AS words
+        |       FROM documents))
+        |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_words) AS BIGINT) AS n_tokens,
+        | CAST(sum(n_chars_doc) AS BIGINT) AS n_chars,
+        | CAST(CAST(sum(CAST(round(q * 1e8) AS BIGINT)) AS BIGINT)
+        |    // count(*) AS DOUBLE) / 1e8 AS mean_quality
+        |FROM scored GROUP BY source, lang""".stripMargin,
     "t15_shuffle_shard" ->
       """WITH k AS (SELECT doc_id,
         |  ('0x' || substr(md5('shuffle42:' || CAST(doc_id AS VARCHAR)),

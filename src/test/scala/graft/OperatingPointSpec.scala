@@ -154,4 +154,41 @@ class OperatingPointSpec extends SparkSpec {
     assert(out.groupBy("a_id").count().filter(col("count") > 3).count() == 0)
     assert(out.count() > 0)
   }
+
+  test("h1 knobs: grain-anchored floor and link multiplier") {
+    // word floor: paragraph-grain corpora hold the jusText-style 5; one
+    // word per doubling of the median block above the anchor (16 words)
+    assert(OperatingPoint.h1MinWords(16L) == 5)
+    assert(OperatingPoint.h1MinWords(8L) == 5)   // below anchor: floor
+    assert(OperatingPoint.h1MinWords(32L) == 6)
+    assert(OperatingPoint.h1MinWords(256L) == 9) // book-grain blocks
+    assert(OperatingPoint.h1MinWords(1L << 40) == 20) // ceiling
+    // link multiplier: anchor ~64 anchor tags per kiloword of block text
+    // at mult 3; link-dense corpora loosen, link-sparse tighten
+    assert(OperatingPoint.h1LinkDensityMult(64L) == 3)
+    assert(OperatingPoint.h1LinkDensityMult(128L) == 2)
+    assert(OperatingPoint.h1LinkDensityMult(32L) == 4)
+    assert(OperatingPoint.h1LinkDensityMult(8L) == 6)
+    assert(OperatingPoint.h1LinkDensityMult(1L) == 6)    // clamp high
+    assert(OperatingPoint.h1LinkDensityMult(100000L) == 2) // clamp low
+  }
+
+  test("h1 auto derives the pinned anchor knobs on the fixture corpus") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.operators.TextOps
+    val html = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        expr(TextOps.htmlFixture("cast(doc_id as string)")).as("html"))
+    // the measured fixture profile sits at the anchor point, so the
+    // derivation returns exactly the pinned (5, 3) — which is what keeps
+    // the oracle-gated h1/h2 output unchanged under auto
+    val (medianNw, apk) = TextOps.h1Profile(html)
+    assert(OperatingPoint.h1MinWords(medianNw) == 5, s"median=$medianNw")
+    assert(OperatingPoint.h1LinkDensityMult(apk) == 3, s"apk=$apk")
+    val auto = TextOps.htmlExtractAuto(html).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    val pinned = TextOps.htmlExtract(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(auto == pinned && auto.nonEmpty)
+  }
 }
