@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle computes the identical signatures).
   *
   * The corpus for the dup-finding queries plants perturbed copies
-  * (doc_id+100000, text + ' zz qq vv' for doc_id % 17 == 0) so every scale
+  * (doc_id + the corpus-derived [[plantStride]] — 100000 at the driver
+  * fixtures — text + ' zz qq vv' for doc_id % 17 == 0) so every scale
   * factor contains known near-duplicates; the fixture corpus itself is
   * dup-free below sf0.1.
   */
@@ -51,14 +52,51 @@ object DedupOps {
     ((1103515245L * (2 * j + 1)) % P, (12345L + 1000003L * j) % P)
   }
 
+  // ---- plant stride (corpus-derived) ----
+
+  /** Anchor for the plant stride: the value every driver fixture
+    * (sf0.001-0.1, doc_id < 100000) derives, keeping their planted corpora
+    * byte-identical across rounds. */
+  private val PlantAnchor = 100000L
+
+  private val strideByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Plant stride for a fixture dir: the smallest power of 10 ABOVE every
+    * base doc_id, floored at the anchor. Planted copy ids are base +
+    * k·stride, and c1 recovers provenance as doc_id % stride — sound for
+    * any id range by construction (a pinned 100000 mis-joined a widened
+    * sf1 fixture whose ids reach 9e6, which only a loud guard caught; the
+    * derivation replaces the guard). Power of 10 rather than pow2 so the
+    * planted ids stay eyeball-decodable in failures (base 4352 → copy
+    * 104352). One column-pruned max() scan per dir, cached — c1 builds
+    * its corpus several times per query. The DuckDB oracles share the
+    * derivation via [[strdCte]], so both engines shift together. */
+  private def plantStride(s: SparkSession, d: String): Long =
+    strideByDir.computeIfAbsent(d, _ => {
+      val maxId = documents(s, d).agg(max("doc_id")).head().getLong(0)
+      // 10^15 < 2^53: the pow stays exact in Double and 2·stride in Long
+      require(maxId >= 0 && maxId < 1000000000000000L,
+        s"plantStride: base doc_id $maxId outside derivable range")
+      math.max(PlantAnchor, math.pow(10.0, maxId.toString.length).toLong)
+    })
+
+  /** The same derivation in DuckDB — a 1-row CTE every planted-corpus
+    * oracle carries; digits(max id) is exact integer logic (10^len(str(m))
+    * is the smallest power of 10 > m), matching `plantStride`. */
+  private val strdCte =
+    """strd AS (SELECT greatest(100000, CAST(power(10,
+      |   length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT)) AS st
+      |  FROM documents)""".stripMargin
+
   // ---- exact dedup ----
 
   /** Exact dedup: canonical = min doc_id per content hash. Plants IDENTICAL
-    * copies (doc_id+100000) so exact duplicates exist at every sf. */
+    * copies (doc_id + plant stride) so exact duplicates exist at every sf. */
   def exactDedup: Q = (s, d) => {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     val corpus = docs.unionByName(docs.filter(col("doc_id") % 17 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .select((col("doc_id") + plantStride(s, d)).as("doc_id"), col("text")))
     val w = Window.partitionBy(md5(col("text")))
     corpus.select(col("doc_id"), min("doc_id").over(w).as("canonical"))
       .withColumn("is_dup", col("doc_id") =!= col("canonical"))
@@ -114,9 +152,11 @@ object DedupOps {
   private def docShingleHashes(s: SparkSession, d: String): DataFrame =
     docShingleHashesOf(plantedCorpus(s, d))
 
-  /** Same front in DuckDB, as CTEs ending in `docs(doc_id, hs)`. */
+  /** Same front in DuckDB, as CTEs ending in `docs(doc_id, hs)`. Leads
+    * with [[strdCte]] so every planted corpus SQL can reference `strd`. */
   private def docShingleHashesDuckOf(corpus: String): String =
-    s"""corpus AS ($corpus),
+    s"""$strdCte,
+       | corpus AS ($corpus),
        | w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
        | shl AS (SELECT doc_id, $shinglesDistinctDuck AS shs FROM w),
        | docs AS (SELECT doc_id,
@@ -127,20 +167,23 @@ object DedupOps {
     docShingleHashesDuckOf(corpusSql)
 
   private def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    val st = plantStride(s, d)
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     docs.unionByName(docs.filter(col("doc_id") % 17 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"),
+      .select((col("doc_id") + st).as("doc_id"),
         concat(col("text"), lit(" zz qq vv")).as("text")))
   }
   private val corpusSql =
     """SELECT doc_id, text FROM documents UNION ALL
-      | SELECT doc_id + 100000 AS doc_id, text || ' zz qq vv' AS text
+      | SELECT doc_id + (SELECT st FROM strd) AS doc_id,
+      |  text || ' zz qq vv' AS text
       | FROM documents WHERE doc_id % 17 = 0""".stripMargin
 
   val exactDedupOracle: String =
-    s"""WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL
-       |  SELECT doc_id + 100000 AS doc_id, text FROM documents
-       |  WHERE doc_id % 17 = 0)
+    s"""WITH $strdCte,
+       | corpus AS (SELECT doc_id, text FROM documents UNION ALL
+       |  SELECT doc_id + (SELECT st FROM strd) AS doc_id, text
+       |  FROM documents WHERE doc_id % 17 = 0)
        |SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical,
        | doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
        |FROM corpus""".stripMargin
@@ -282,49 +325,27 @@ object DedupOps {
 
   // ---- duplicate-cluster resolution (dd7) ----
 
-  /** Offset separating planted copies from base documents: copy ids are
-    * base + k·PlantStride, and c1 recovers provenance as doc_id %
-    * PlantStride — sound ONLY while every base doc_id is below the stride.
-    * [[plantedCorpus3]] enforces that loudly (a wider fixture would
-    * otherwise silently mis-join languages, and the DuckDB oracle shares
-    * the expression so the hash gate could not catch the drift). */
-  private val PlantStride = 100000L
-
-  /** Dirs whose base corpus already passed the stride guard — the check is
-    * one column-pruned max() scan, run once per fixture dir, not once per
-    * plan construction (c1 builds this corpus several times per query).
-    * The guard lives on [[curationFunnel]] (the only %-provenance user):
-    * dd7/dd8 tolerate arbitrary id ranges — ScaleProbe's widened corpora
-    * legitimately carry 1M-stride ids — but c1's lang join would silently
-    * mis-join there, which is exactly what must fail loudly instead. */
-  private val strideCheckedDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  private def requirePlantStride(s: SparkSession, d: String): Unit =
-    if (!strideCheckedDirs.contains(d)) {
-      val maxId = documents(s, d).agg(max("doc_id")).head().getLong(0)
-      require(maxId < PlantStride,
-        s"curationFunnel: base doc_id $maxId >= plant stride $PlantStride — " +
-          "copy ids would collide with base ids and %-provenance would mis-join")
-      strideCheckedDirs.add(d)
-    }
-
   /** Corpus with a planted CHAIN of near-duplicates per selected doc:
-    * A (original), B = A + 3 words, C = A + 5 words. */
+    * A (original), B = A + 3 words, C = A + 5 words. Copy ids are base +
+    * k·[[plantStride]]; c1 recovers provenance as doc_id % stride, sound
+    * for any fixture id range because the stride is derived per dir. */
   private def plantedCorpus3(s: SparkSession, d: String): DataFrame = {
+    val st = plantStride(s, d)
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     val sel = docs.filter(col("doc_id") % 17 === 0)
     docs
-      .unionByName(sel.select((col("doc_id") + PlantStride).as("doc_id"),
+      .unionByName(sel.select((col("doc_id") + st).as("doc_id"),
         concat(col("text"), lit(" zz qq vv")).as("text")))
-      .unionByName(sel.select((col("doc_id") + 2 * PlantStride).as("doc_id"),
+      .unionByName(sel.select((col("doc_id") + 2 * st).as("doc_id"),
         concat(col("text"), lit(" zz qq vv ww yy")).as("text")))
   }
   private val corpus3Sql =
     """SELECT doc_id, text FROM documents
-      | UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' zz qq vv' AS text
+      | UNION ALL SELECT doc_id + (SELECT st FROM strd) AS doc_id,
+      |   text || ' zz qq vv' AS text
       |   FROM documents WHERE doc_id % 17 = 0
-      | UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' zz qq vv ww yy' AS text
+      | UNION ALL SELECT doc_id + 2 * (SELECT st FROM strd) AS doc_id,
+      |   text || ' zz qq vv ww yy' AS text
       |   FROM documents WHERE doc_id % 17 = 0""".stripMargin
 
   /** dd7: transitive duplicate-cluster resolution — LSH pairs →
@@ -344,17 +365,20 @@ object DedupOps {
 
   /** The dd7 edge set (canonical a < b) — exposed for the spec's
     * independent union-find cross-check. */
-  private[graft] def dupClusterEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def dupClusterEdges(s: SparkSession, d: String): DataFrame = {
+    val st = plantStride(s, d)
     lshPairsOf(s, plantedCorpus3(s, d))
-      .filter(!(col("a_id") < PlantStride && col("b_id") >= 2 * PlantStride))
+      .filter(!(col("a_id") < st && col("b_id") >= 2 * st))
       .select(col("a_id").as("a"), col("b_id").as("b"))
+  }
 
   /** dd7's full CTE chain (recursive min-id propagation), ending in
     * `comps(doc_id, component)` — shared with the dd8 retention oracle. */
   private lazy val compsCtes: String =
     s"""${lshPairsCtesOf(corpus3Sql)},
        | kept AS (SELECT a_id, b_id FROM pairs
-       |   WHERE NOT (a_id < 100000 AND b_id >= 200000)),
+       |   WHERE NOT (a_id < (SELECT st FROM strd)
+       |     AND b_id >= 2 * (SELECT st FROM strd))),
        | edges AS (SELECT a_id AS u, b_id AS v FROM kept
        |   UNION ALL SELECT b_id AS u, a_id AS v FROM kept),
        | reach(id, comp) AS (
@@ -408,7 +432,7 @@ object DedupOps {
     * SkewProbe documents — not an un-hinted dim join (PlanGateSpec's
     * dim-shuffle gate passes c1; nothing here is fixed-cardinality). */
   def curationFunnel: Q = (s, d) => {
-    requirePlantStride(s, d)
+    val st = plantStride(s, d)
     // composes the REAL operators: TextOps' factored t3 formula pieces and
     // the t6 mixtureFilter — an inline copy would silently drift from the
     // oracle-gated queries if their weights/quotas changed
@@ -423,7 +447,7 @@ object DedupOps {
       .withColumn("quality_score", TextOps.qualityScoreCol(col("n_words"),
         col("uniq_ratio"), col("stop_ratio")))
       .filter(col("quality_score") >= 0.5)
-      .withColumn("orig_id", col("doc_id") % PlantStride)
+      .withColumn("orig_id", col("doc_id") % st)
       .join(lang, "orig_id")
     TextOps.mixtureFilter(survivors)
       .select(col("doc_id"), col("lang"), col("component"),
@@ -453,7 +477,8 @@ object DedupOps {
        |SELECT s.doc_id, l.lang, s.component, s.n_words, s.quality_score,
        | ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
        |  AS bucket
-       |FROM scored s JOIN documents l ON l.doc_id = s.doc_id % 100000
+       |FROM scored s JOIN documents l
+       |  ON l.doc_id = s.doc_id % (SELECT st FROM strd)
        |WHERE s.quality_score >= 0.5
        | AND ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
        |  < CASE l.lang WHEN 'en' THEN 60 WHEN 'fr' THEN 30 ELSE 10 END""".stripMargin
@@ -621,7 +646,8 @@ object DedupOps {
       s"sum(CASE WHEN (wh & ${1L << b}) != 0 THEN w ELSE -w END) AS s_$b")
     val fp = (0 until bits).map(b =>
       s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-    s"""WITH corpus AS ($corpusSql),
+    s"""WITH $strdCte,
+       | corpus AS ($corpusSql),
        | words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
        |   FROM corpus),
        | n AS (SELECT count(*) AS nd FROM corpus),

@@ -9,7 +9,10 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    p = f"{sfdir}/{t}.parquet"
+    # Spark writes a DIRECTORY of part files; the driver's fixtures are single files
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 ok = bad = 0
