@@ -136,6 +136,9 @@ object ScaleProbe {
       // (driver-greedy over a bounded k·overfetch shortlist)
       "t15_shuffle_shard", "c7_data_card", "t5_bpe_token_count",
       "v10_mmr_rerank",
+      // round 11: the per-domain data card — same projection+agg shape as
+      // c7 with the t10 source grain as an extra key; must stay scan-bound
+      "c8_domain_card",
       // round 10: raw-web extraction — four chained narrow regex stages,
       // no shuffle anywhere; must be scan-bound like t3/t14 — and its
       // composition with the t3 scoring pieces, still one narrow chain

@@ -196,7 +196,8 @@ object SparkEntry {
         | ON o.day = l.day""".stripMargin,
     "j3_brand_revenue" ->
       """SELECT p_brand AS brand,
-        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount))
+        |   * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000, 4) AS revenue,
         | count(*) AS n_items
         | FROM lineitem JOIN part ON l_partkey = p_partkey
         | GROUP BY p_brand""".stripMargin,
@@ -286,8 +287,10 @@ object SparkEntry {
     "a12_pricing_summary" ->
       """SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
         | sum(l_quantity) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        | round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |   AS DOUBLE) / 100, 2) AS sum_base_price,
+        | round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount))
+        |   * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000, 4) AS sum_disc_price,
         | avg(l_quantity) AS avg_qty,
         | round(avg(l_extendedprice), 6) AS avg_price,
         | round(avg(l_discount), 6) AS avg_disc,
@@ -296,7 +299,9 @@ object SparkEntry {
         | GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "a13_cube" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS priority,
-        | count(*) AS n, round(sum(o_totalprice), 2) AS total FROM orders
+        | count(*) AS n,
+        | round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   AS DOUBLE) / 100, 2) AS total FROM orders
         | GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "f15_base64" ->
       """SELECT doc_id, to_base64(CAST(text AS BLOB)) AS b64,
@@ -315,7 +320,9 @@ object SparkEntry {
         |FROM customer""".stripMargin,
     "a14_grouping_sets" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS priority,
-        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        | count(*) AS n,
+        | round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   AS DOUBLE) / 100, 2) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "a15_pivot" ->

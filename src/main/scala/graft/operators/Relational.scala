@@ -108,13 +108,53 @@ object Relational {
       col("qty_ship"))
   }
 
+  /** Exact "money" sum for FIXED-CARDINALITY groupings over a growing fact
+    * table (a12's four flag cells, a13/a14's cube cells, j3's ~25 brands):
+    * rows-per-group grows ~N with the data, and a double sum's
+    * cross-engine reproducibility decays as ~sqrt(n)·eps·sum — at sf1
+    * (6M lineitem) the 4-decimal display of j3's ~1.2e10 revenue sums
+    * differed between Spark's partial-agg order and DuckDB's (caught by
+    * the round-11 sf1 verify sweep; 23 of 25 brands off in the last
+    * digit). Same class as the t13/c7 quotient ties: the fix is the same
+    * discipline — quantize each addend to 1e-4 (finer than any money
+    * column's data precision), sum EXACTLY (decimal here, HUGEINT on the
+    * DuckDB side), display-scale at the end. Bit-identical in both
+    * engines by construction. decimal(18,0) addends rather than long:
+    * a long accumulator wraps at ~1e18 = ~1e14 scaled dollars, which a
+    * 100 TB revenue column exceeds; Spark widens the sum to decimal(28,0)
+    * and DuckDB's BIGINT sum is already HUGEINT. Date-grain money sums
+    * (dailyTotals, w7's months) keep plain double sums: their per-group n
+    * is 3+ decades of growth from the display tolerance, the grain count
+    * grows with real data, and the sf1 sweep passes them.
+    *
+    * Two portability rules baked in: (1) the addend quantizer is
+    * floor(x·f + 0.5), NOT round(x·f) — Spark's double round goes through
+    * BigDecimal.valueOf (the double's SHORTEST decimal string) while
+    * DuckDB rounds the binary value, and a double whose shortest repr
+    * lands exactly on .5 with the binary value just below it rounds
+    * differently (expected ~1 such addend per few million rows at 1e9
+    * magnitude); floor(+0.5) is pure IEEE arithmetic, so both engines
+    * compute the identical addend from identical input bits. (2) the
+    * quantization scale IS the display scale (f = 10^dp): quantizing
+    * finer than the display would manufacture exact .5 display ties
+    * (~1% of groups) that the two engines' final round would resolve
+    * differently — at f = 10^dp the final round is an identity on an
+    * exact dp-decimal value. Display exactness holds while the scaled
+    * sum < 2^53; beyond that the decimal sum is still exact and both
+    * engines display the same nearest double of it. */
+  private def moneySum(addend: Column, dp: Int): Column = {
+    val f = math.pow(10, dp)
+    round(sum(floor(addend * f + lit(0.5)).cast("decimal(18,0)"))
+      .cast("double") / f, dp)
+  }
+
   /** J1 fact⋈dim revenue rollup (part is broadcast). */
   def brandRevenue: Q = (s, d) => {
     val l = lineitem(s, d)
     val p = Tables.load(s, d, "part")
     l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand").as("brand"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
         .as("revenue"),
         count(lit(1)).as("n_items"))
   }
@@ -279,7 +319,7 @@ object Relational {
     orders(s, d)
       .cube(col("o_orderstatus").as("status"),
         col("o_orderpriority").as("priority"))
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice"), 2).as("total"))
 
   /** Grouping sets via the SQL surface (the LLM-emitted-SQL path of
     * SURVEY §7.1): independent subtotals per status and per priority. */
@@ -287,7 +327,9 @@ object Relational {
     orders(s, d).createOrReplaceTempView("orders_gs")
     s.sql(
       """SELECT o_orderstatus AS status, o_orderpriority AS priority,
-        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        | count(*) AS n,
+        | round(cast(sum(cast(floor(o_totalprice * 100 + 0.5)
+        |   as decimal(18,0))) as double) / 100, 2) AS total
         |FROM orders_gs
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
   }
@@ -371,8 +413,8 @@ object Relational {
       .groupBy(col("l_returnflag").as("rflag"), col("l_linestatus").as("lstatus"))
       .agg(
         sum("l_quantity").as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        moneySum(col("l_extendedprice"), 2).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
           .as("sum_disc_price"),
         avg("l_quantity").as("avg_qty"),
         round(avg("l_extendedprice"), 6).as("avg_price"),
