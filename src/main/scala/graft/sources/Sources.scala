@@ -194,14 +194,31 @@ object Sources {
     val records = spark.sparkContext.newAPIHadoopFile(path,
         classOf[TextInputFormat], classOf[LongWritable], classOf[Text], conf)
       .map(_._2.toString)
-    val rows = records.mapPartitions { chunks0 =>
-      val chunks = chunks0.filter(_.trim.nonEmpty)
-      new Iterator[WarcRec] {
-        def hasNext: Boolean = chunks.hasNext
-        def next(): WarcRec = parseWarcRecord(chunks)
-      }
-    }
+    val rows = records.mapPartitions(warcRecordIterator)
     spark.createDataFrame(rows)
+  }
+
+  /** Chunk stream → record iterator, shared by the batch and streaming
+    * readers. Whitespace-only chunks are skipped ONLY at record position
+    * (a record chunk always opens with its version/header line, so a
+    * blank chunk there can only be stray terminator bytes — e.g. a file
+    * truncated right after a delimiter). Inside the Content-Length
+    * demand loop the iterator is consumed UNFILTERED: an empty chunk
+    * there is significant — it is the gap between two adjacent delimiter
+    * byte-runs in a quoting body, or a body ending exactly with the
+    * delimiter bytes, and its restored `\r\n\r\nWARC/` counts toward the
+    * declared length. (A blanket nonEmpty filter here mis-framed exactly
+    * those bodies: the 9 restored octets went missing, so a valid record
+    * was flagged short or the demand overran into the next record.) */
+  private def warcRecordIterator(raw: Iterator[String]): Iterator[WarcRec] = {
+    val chunks = raw.buffered
+    new Iterator[WarcRec] {
+      def hasNext: Boolean = {
+        while (chunks.hasNext && chunks.head.trim.isEmpty) chunks.next()
+        chunks.hasNext
+      }
+      def next(): WarcRec = { hasNext; parseWarcRecord(chunks) }
+    }
   }
 
   /** One parsed WARC record — the row type the batch and streaming
@@ -223,13 +240,7 @@ object Sources {
     spark.readStream
       .option("lineSep", "\r\n\r\nWARC/")
       .textFile(landingDir)
-      .mapPartitions { chunks0 =>
-        val chunks = chunks0.filter(_.trim.nonEmpty)
-        new Iterator[WarcRec] {
-          def hasNext: Boolean = chunks.hasNext
-          def next(): WarcRec = parseWarcRecord(chunks)
-        }
-      }
+      .mapPartitions(warcRecordIterator)
       .toDF()
   }
 
@@ -273,19 +284,44 @@ object Sources {
       if (firstLine.matches("(WARC/)?\\d+\\.\\d+"))
         rec0.substring(firstNl + 2)
       else rec0
+    def parseHeaders(block: String): Map[String, String] =
+      block.linesIterator.flatMap { l =>
+        val c = l.indexOf(':')
+        if (c < 0) None else Some(l.substring(0, c).trim.toLowerCase ->
+          l.substring(c + 1).trim)
+      }.toMap
     val hEnd = rec.indexOf("\r\n\r\n")
-    if (hEnd < 0)
-      // no header block at all: an orphaned body tail (its record started
-      // in a previous partition, which flagged it truncated) or garbage —
-      // surface it flagged rather than dropping it silently
-      return WarcRec("", "", "", None, rec, framing_valid = false)
-    val headers = rec.substring(0, hEnd).linesIterator.flatMap { l =>
-      val c = l.indexOf(':')
-      if (c < 0) None else Some(l.substring(0, c).trim.toLowerCase ->
-        l.substring(c + 1).trim)
-    }.toMap
+    val (headers, payload0) =
+      if (hEnd >= 0)
+        (parseHeaders(rec.substring(0, hEnd)), rec.substring(hEnd + 4))
+      else {
+        // no header terminator in the chunk. Two causes: (a) an orphaned
+        // body tail (record started in a previous partition, which flagged
+        // it truncated) or garbage; (b) a body that BEGINS with "WARC/" or
+        // "\r\nWARC/", which lets the record delimiter OVERLAP the header
+        // terminator — the match consumed the terminator's CRLFs plus the
+        // body's first octets, so this chunk is an unterminated header
+        // block and the eaten suffix is payload. Distinguish by strict
+        // header-parsing the whole chunk (every line Key: value, with
+        // WARC-Type and a numeric Content-Length present — an orphan tail
+        // cannot look like that), then resume demand framing from the
+        // reconstructed prefix: overlap-by-2 (body starts "\r\nWARC/")
+        // leaves a lone trailing CRLF on the chunk; overlap-by-4 (body
+        // starts "WARC/") consumes the terminator exactly.
+        val overlapHalf = rec.endsWith("\r\n")
+        val headText = if (overlapHalf) rec.dropRight(2) else rec
+        val hs = parseHeaders(headText)
+        val headerish = headText.nonEmpty &&
+          headText.linesIterator.forall(_.contains(':')) &&
+          hs.contains("warc-type") &&
+          hs.get("content-length").exists(_.toLongOption.isDefined)
+        if (!headerish)
+          return WarcRec("", "", "", None, rec, framing_valid = false)
+        val prefix = if (overlapHalf) "\r\nWARC/" else "WARC/"
+        (hs, prefix + (if (chunks.hasNext) chunks.next() else ""))
+      }
     val declared = headers.get("content-length").flatMap(_.toLongOption)
-    var payload = rec.substring(hEnd + 4)
+    var payload = payload0
     var valid = true
     declared match {
       case Some(len) =>

@@ -294,4 +294,98 @@ class SourcesSpec extends SparkSpec {
     assert(arows.map(_.toString).sorted.sameElements(
       rows.map(_.toString).sorted))
   }
+
+  private def warcRecord(url: String, payload: String): String =
+    "WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      s"WARC-Target-URI: $url\r\nContent-Type: text/plain\r\n" +
+      s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" + payload
+
+  test("warc: bodies ending with the delimiter bytes / adjacent delimiter " +
+      "runs frame exactly (empty split chunks carry restored octets)") {
+    // the delimiter split yields EMPTY chunks for these bodies — between
+    // two adjacent \r\n\r\nWARC/ runs, and between a body-final run and
+    // the record separator. Each empty chunk still stands for 9 restored
+    // octets of declared payload; dropping them mis-frames the archive.
+    val tailBody = "quoting a delimiter at the very end:\r\n\r\nWARC/"
+    val adjacentBody = "two in a row:\r\n\r\nWARC/\r\n\r\nWARC/and tail text"
+    val plain = "an ordinary record after the tricky ones"
+    val archive = Seq(
+      warcRecord("http://tail.example/", tailBody),
+      warcRecord("http://adjacent.example/", adjacentBody),
+      warcRecord("http://plain.example/", plain)
+    ).mkString("\r\n\r\n") + "\r\n\r\n"
+    val dir = "target/sources_warc_empty_chunks"
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.warc"),
+      archive.getBytes("UTF-8"))
+    val rows = Sources.warc(spark, s"$dir/t.warc").collect()
+    assert(rows.length == 3, rows.map(r =>
+      (r.getString(0), r.getString(4))).mkString("; "))
+    val byUrl = rows.map(r => r.getString(0) -> r).toMap
+    assert(byUrl("http://tail.example/").getString(4) == tailBody)
+    assert(byUrl("http://adjacent.example/").getString(4) == adjacentBody)
+    assert(byUrl("http://plain.example/").getString(4) == plain)
+    assert(rows.forall(_.getBoolean(5)), "all framing_valid")
+
+    // last record of the file ending with the delimiter bytes: the file
+    // terminator alone forms the final chunk ("\r\n\r\n", whitespace-only
+    // but NOT empty) and must be consumed by the demand loop, not skipped
+    // or surfaced as a phantom record
+    val archive2 = warcRecord("http://only.example/", tailBody) + "\r\n\r\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t2.warc"),
+      archive2.getBytes("UTF-8"))
+    val rows2 = Sources.warc(spark, s"$dir/t2.warc").collect()
+    assert(rows2.length == 1 && rows2.head.getBoolean(5) &&
+      rows2.head.getString(4) == tailBody,
+      rows2.map(r => (r.getString(4), r.getBoolean(5))).mkString("; "))
+  }
+
+  test("warc framing property: random conformant archives round-trip " +
+      "byte-for-byte, framing_valid throughout") {
+    import org.scalacheck.Gen
+    // body pieces biased toward the byte runs the framing must survive:
+    // the full delimiter, its fragments, CRLF runs, multi-byte UTF-8
+    // (utf8Len's 2/3/4-octet classes), and plain words
+    val piece = Gen.frequency(
+      4 -> Gen.alphaNumStr.map(_.take(12)),
+      2 -> Gen.const("\r\n\r\nWARC/"),
+      1 -> Gen.const("\r\n\r\n"),
+      1 -> Gen.const("WARC/"),
+      1 -> Gen.const("\r\n"),
+      1 -> Gen.const("é☃中😀"),
+      1 -> Gen.const(" HTTP/1.1 200 OK "))
+    val body = for {
+      ps <- Gen.listOfN(8, piece)
+      tail <- Gen.oneOf("", "\r\n\r\nWARC/", "\r\n\r\n", "WARC/")
+    } yield ps.mkString + tail
+    val archiveBodies = Gen.choose(1, 5).flatMap(Gen.listOfN(_, body))
+    val cases = Gen.listOfN(30, archiveBodies)
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(11L))
+      .getOrElse(sys.error("gen failed"))
+    val dir = "target/sources_warc_prop"
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    new java.io.File(dir).mkdirs()
+    val expected = cases.zipWithIndex.flatMap { case (bodies, a) =>
+      val recs = bodies.zipWithIndex.map { case (b, i) =>
+        s"http://prop.example/$a/$i" -> b
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$dir/a$a%03d.warc"),
+        (recs.map { case (u, b) => warcRecord(u, b) }
+          .mkString("\r\n\r\n") + "\r\n\r\n").getBytes("UTF-8"))
+      recs
+    }.toMap
+    // one distributed read over the whole landing dir (splits never span
+    // files, so per-partition sequential framing matches per-file framing)
+    val rows = Sources.warc(spark, s"$dir/*.warc").collect()
+    assert(rows.length == expected.size,
+      s"rows=${rows.length} expected=${expected.size}")
+    rows.foreach { r =>
+      val (url, got, valid) = (r.getString(0), r.getString(4), r.getBoolean(5))
+      assert(valid, s"$url flagged invalid")
+      assert(got == expected(url),
+        s"$url body mismatch:\n got=${got.take(120)}\n exp=${expected(url).take(120)}")
+    }
+  }
 }
