@@ -391,4 +391,44 @@ class StreamsSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet == Set(ids(0), ids(1)))
     } finally q.stop()
   }
+
+  test("warc batch/stream parity on the adversarial framing edge cases") {
+    // the streaming reader splits via the text source's lineSep, the
+    // batch reader via Hadoop's TextInputFormat delimiter — two different
+    // splitters feeding one shared record iterator. The edge cases that
+    // exercised the iterator's framing (bodies beginning with WARC/,
+    // ending with the delimiter bytes, adjacent delimiter runs, empty
+    // split chunks) must come back identical from both.
+    import graft.sources.Sources
+    def rec(url: String, payload: String): String =
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $url\r\n" +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" + payload
+    val bodies = Seq(
+      "http://t1/" -> "quoting a delimiter at the very end:\r\n\r\nWARC/",
+      "http://t2/" -> "two in a row:\r\n\r\nWARC/\r\n\r\nWARC/and tail",
+      "http://t3/" -> "WARC/ at the very start of a body",
+      "http://t4/" -> "\r\nWARC/ leading half-overlap body",
+      "http://t5/" -> "an ordinary record between the tricky ones",
+      "http://t6/" -> ("unicode é☃中😀 and a quoted record:\r\n\r\n" +
+        rec("http://inner/", "inner body")))
+    val landing = "target/warc_parity_landing"
+    new scala.reflect.io.Directory(new java.io.File(landing)).deleteRecursively()
+    new java.io.File(landing).mkdirs()
+    bodies.grouped(2).zipWithIndex.foreach { case (g, i) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$landing/a$i.warc"),
+        (g.map { case (u, b) => rec(u, b) }.mkString("\r\n\r\n") + "\r\n\r\n")
+          .getBytes("UTF-8"))
+    }
+    val batch = Sources.warc(spark, s"$landing/*.warc")
+      .collect().map(_.toString).sorted
+    assert(batch.length == bodies.length)
+    val q = Sources.warcStream(spark, landing).writeStream
+      .outputMode("append").format("memory").queryName("warc_parity").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("warc_parity")
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch),
+      s"stream=${streamed.mkString("|")}\nbatch=${batch.mkString("|")}")
+  }
 }
