@@ -119,6 +119,7 @@ object SparkEntry {
     "t13_perplexity" -> TextOps.perplexityFilter,
     "t14_cdc_chunks" -> TextOps.cdcChunks,
     "t15_shuffle_shard" -> TextOps.shuffleShard,
+    "t16_bpe_train" -> TextOps.bpeTrain,
     "c2_mixture_weights" -> TextOps.mixtureWeights,
     "c3_quality_lr" -> TextOps.qualityLr,
     "c4_mixture_apply" -> TextOps.mixtureApply,
@@ -522,6 +523,7 @@ object SparkEntry {
     "t13_perplexity" -> TextOps.oracle("t13_perplexity"),
     "t14_cdc_chunks" -> TextOps.oracle("t14_cdc_chunks"),
     "t15_shuffle_shard" -> TextOps.oracle("t15_shuffle_shard"),
+    "t16_bpe_train" -> TextOps.oracle("t16_bpe_train"),
     "c7_data_card" -> TextOps.oracle("c7_data_card"),
     "c8_domain_card" -> TextOps.oracle("c8_domain_card"),
     "c2_mixture_weights" -> TextOps.oracle("c2_mixture_weights"),

@@ -129,6 +129,83 @@ object TextOps {
       documents(s, d).select(col("doc_id"), col("text")),
       Tokenizer.fromMergesLines(Iterator("#version: fixture", "e r", "er s")))
 
+  /** t16: distributed BPE tokenizer TRAINING — learning the merge table
+    * from the corpus (Sennrich et al. 2016), the step upstream of
+    * [[tokenCountBpe]]'s merge APPLICATION (t5 / `Tokenizer.scala`). The
+    * corpus pays exactly ONE corpus-sized shuffle (token → word-frequency
+    * table with map-side combine); every subsequent merge round runs on
+    * the DISTINCT-WORD table, which is vocabulary-sized (~1e5-1e7 rows at
+    * ANY corpus scale — Heaps' law, not corpus-linear), the same shape
+    * industrial trainers use (HuggingFace tokenizers trains from word
+    * counts). Per round: adjacent-pair counts (one vocab-sized shuffle),
+    * a deterministic global argmax — ties broken (cnt DESC, left ASC,
+    * right ASC), exact integer counts so the winner is engine- and
+    * partition-order-independent — then the merge applied to every word's
+    * symbol sequence and the lineage truncated (localCheckpoint, the v5
+    * Lloyd discipline). The argmax row stays a 1-row DataFrame joined
+    * back via broadcast, so the whole K-round train is ONE lazy plan with
+    * no driver-side collect.
+    *
+    * Merge application is leftmost-non-overlapping greedy (the reference
+    * BPE semantics): each symbol is wrapped as U+001F sym U+001E and the
+    * pair replaced with literal `replace` — matches cannot share bytes,
+    * so replace-all IS the greedy scan, identically in Spark and DuckDB
+    * (both scan left to right without rescanning replacements). The
+    * trained query restricts to `^[a-z]+$` tokens plus the `</w>`
+    * end-of-word marker so initial char segmentation is engine-portable;
+    * the operator itself is unicode-clean (substring segmentation). */
+  val BpeTrainRounds = 6
+  private val SymO = "\u001F" // unit separator: symbol open
+  private val SymC = "\u001E" // record separator: symbol close
+
+  def bpeTrain: Q = (s, d) => bpeTrainOver(documents(s, d), BpeTrainRounds)
+
+  private[graft] def bpeTrainOver(docsDf: DataFrame,
+      rounds: Int): DataFrame = {
+    var words = docsDf
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(expr(
+        """concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),
+          | array('</w>'))""".stripMargin).as("syms"), col("freq"))
+      .localCheckpoint(eager = false)
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val best = words
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            | i -> named_struct('l', syms[i-1], 'r', syms[i]))""".stripMargin))
+          .as("p"))
+        .select(col("freq"), col("p.l").as("pair_left"),
+          col("p.r").as("pair_right"))
+        .groupBy("pair_left", "pair_right")
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("pair_left"), asc("pair_right"))
+        .limit(1)
+        .localCheckpoint(eager = false)
+      val ranked = best.select(lit(r).as("rank"), col("pair_left"),
+        col("pair_right"),
+        concat(col("pair_left"), col("pair_right")).as("merged"), col("cnt"))
+      out = if (out == null) ranked else out.union(ranked)
+      if (r < rounds) {
+        val sep = SymC + SymO
+        val wrapped = concat(lit(SymO), array_join(col("syms"), sep),
+          lit(SymC))
+        val pat = concat(lit(SymO), col("ml"), lit(sep), col("mr"),
+          lit(SymC))
+        val rep = concat(lit(SymO), col("ml"), col("mr"), lit(SymC))
+        words = words.crossJoin(broadcast(best
+            .select(col("pair_left").as("ml"), col("pair_right").as("mr"))))
+          .withColumn("s2", call_function("replace", wrapped, pat, rep))
+          .select(split(col("s2").substr(lit(2), length(col("s2")) - 2),
+            sep).as("syms"), col("freq"))
+          .localCheckpoint(eager = false)
+      }
+    }
+    out
+  }
+
   /** t4: document fingerprinting — whole-text md5 plus the minimum
     * 8- and 16-char-window md5s (rolling-hash MinHash-of-one). The min
     * columns are fused [[graft.functions.MinGramHash]] expressions: the
@@ -938,7 +1015,50 @@ object TextOps {
         |      FILTER (WHERE nw >= 5 AND links*3 <= nw), '') AS clean_text
         |  FROM scored GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB replay of [[bpeTrainOver]]: the K merge rounds unrolled as
+    * chained CTEs (pairs_k → best_k → words_k), the v5-Lloyd oracle
+    * pattern — each round a plain group-by + deterministic argmax + the
+    * identical wrapped-symbol literal replace (chr(31)/chr(30) are the
+    * same U+001F/U+001E sentinels the operator uses; both engines'
+    * `replace` scans left-to-right without rescanning replacements, and
+    * wrapped matches cannot share bytes, so replace-all IS greedy BPE). */
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    val S = "chr(31)"; val E = "chr(30)"
+    def round(k: Int): String = {
+      val prev = s"words${k - 1}"
+      val pairs =
+        s"""pairs$k AS (SELECT syms[i] AS pair_left, syms[i+1] AS pair_right,
+           |  CAST(sum(freq) AS BIGINT) AS cnt
+           | FROM $prev, UNNEST(range(1, len(syms))) AS u(i)
+           | GROUP BY 1, 2),
+           |best$k AS (SELECT pair_left, pair_right, cnt FROM pairs$k
+           | ORDER BY cnt DESC, pair_left, pair_right LIMIT 1)""".stripMargin
+      val next = if (k == rounds) "" else
+        s""",
+           |words$k AS (SELECT string_split(substring(s2, 2, length(s2) - 2),
+           |   $E || $S) AS syms, freq FROM (
+           | SELECT replace($S || array_to_string(syms, $E || $S) || $E,
+           |     $S || b.pair_left || $E || $S || b.pair_right || $E,
+           |     $S || b.pair_left || b.pair_right || $E) AS s2, freq
+           |  FROM $prev, best$k b))""".stripMargin
+      pairs + next
+    }
+    val selects = (1 to rounds).map(k =>
+      s"""SELECT $k AS rank, pair_left, pair_right,
+         | pair_left || pair_right AS merged, cnt FROM best$k""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |words0 AS (SELECT list_append(list_transform(range(1, length(w) + 1),
+       |   i -> substring(w, i, 1)), '</w>') AS syms, freq FROM (
+       | SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks
+       | WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w)),
+       |${(1 to rounds).map(round).mkString(",\n")}
+       |$selects""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "t16_bpe_train" -> bpeTrainOracleSql(BpeTrainRounds),
     "h1_html_extract" ->
       s"""$htmlExtractCtes
          |SELECT doc_id, n_blocks, n_kept,

@@ -699,6 +699,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ShardManifest.meta(spark, p2).shards == 8 && rows(p2) == want)
   }
 
+  test("t16 bpe train: hand-checked merges on the classic corpus; " +
+      "best counts non-increasing; merges feed forward") {
+    import spark.implicits._
+    // the Sennrich-style worked example: low x5, lower x2, newest x6.
+    // Hand-derived rounds (pairs weighted by word freq, ties broken
+    // (cnt DESC, left ASC, right ASC)):
+    //   r1 (w,e)=8 -> we; r2 (l,o)=7 -> lo;
+    //   r3 tie at 6 resolves to (e,we) -> ewe (left "e" sorts first);
+    //   r4 tie at 6 resolves to (ewe,s) -> ewes — r3's and r4's winners
+    //   only EXIST because of earlier rounds, pinning the feed-forward.
+    val docs = Seq((1L,
+      ("low " * 5) + ("lower " * 2) + ("newest " * 6).trim))
+      .toDF("doc_id", "text")
+    val m = TextOps.bpeTrainOver(docs, 4).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m.toSeq == Seq(
+      (1, "w", "e", "we", 8L),
+      (2, "l", "o", "lo", 7L),
+      (3, "e", "we", "ewe", 6L),
+      (4, "ewe", "s", "ewes", 6L)), m.mkString(", "))
+
+    // corpus-scale invariants at the gated query's own rounds: ranks
+    // complete, merged is the concatenation, and the best count can
+    // never INCREASE round over round (a new pair's count is bounded by
+    // the merged symbol's own count, itself the previous best)
+    val full = TextOps.bpeTrain(spark, sf).collect().sortBy(_.getInt(0))
+    assert(full.map(_.getInt(0)).toSeq == (1 to TextOps.BpeTrainRounds))
+    full.foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+      assert(r.getLong(4) > 0)
+    }
+    val cnts = full.map(_.getLong(4))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => b <= a },
+      cnts.mkString(","))
+  }
+
   test("s3 session windows agree with w8 sessionize on session count per user") {
     val s3 = Relational.sessionWindowAgg(spark, sf)
       .groupBy("user_id").count().collect()
