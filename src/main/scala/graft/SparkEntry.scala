@@ -124,6 +124,7 @@ object SparkEntry {
     "c3_quality_lr" -> TextOps.qualityLr,
     "c4_mixture_apply" -> TextOps.mixtureApply,
     "c5_curation_pipeline" -> TextOps.curationPipeline,
+    "c9_quality_lr_train" -> TextOps.lrTrain,
     "c7_data_card" -> TextOps.dataCard,
     "c8_domain_card" -> TextOps.dataCardByDomain,
     // dedup pipeline (D-ops + MinHash/LSH/SimHash)
@@ -530,6 +531,7 @@ object SparkEntry {
     "c3_quality_lr" -> TextOps.oracle("c3_quality_lr"),
     "c4_mixture_apply" -> TextOps.oracle("c4_mixture_apply"),
     "c5_curation_pipeline" -> TextOps.oracle("c5_curation_pipeline"),
+    "c9_quality_lr_train" -> TextOps.oracle("c9_quality_lr_train"),
     "dd1_exact_dedup" -> DedupOps.exactDedupOracle,
     "dd2_minhash_bands" -> DedupOps.minhashBandsOracle,
     "dd3_lsh_jaccard_pairs" -> DedupOps.lshJaccardPairsOracle,

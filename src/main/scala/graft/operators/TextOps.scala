@@ -884,7 +884,10 @@ object TextOps {
     * pruning down to (doc_id, text). */
   def qualityLr: Q = (s, d) => qualityLrOf(documents(s, d))
 
-  private[graft] def qualityLrOf(docsDf: DataFrame): DataFrame =
+  /** The c3/c9 feature projection, factored (the c1/t3 discipline): c3
+    * scores it with fixed weights, c9 TRAINS weights on it — an inline
+    * copy in either would silently drift from the other's oracle. */
+  private[graft] def qualityFeaturesOf(docsDf: DataFrame): DataFrame =
     docsDf
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
       .select(col("doc_id"),
@@ -893,11 +896,93 @@ object TextOps {
         uniqRatio(col("words")).as("f_uniq"),
         least(stopRatio(col("words")) * 5.0, lit(1.0)).as("f_stop"),
         round(length(regexp_replace(col("text"), " ", "")) /
-          size(col("words")).cast("double"), 6).as("f_awl"))
+          size(col("words")).cast("double"), 6).as("f_awl"),
+        // c9's teacher label: the t3 score's own keep decision, composed
+        // from the SAME raw pieces in the same projection (c3 drops it)
+        (qualityScoreCol(size(col("words")), uniqRatio(col("words")),
+          stopRatio(col("words"))) >= 0.5).cast("double").as("y"))
+
+  private[graft] def qualityLrOf(docsDf: DataFrame): DataFrame =
+    qualityFeaturesOf(docsDf)
       .withColumn("z", round(lit(-2.1) + col("f_len") * 1.6 +
         col("f_uniq") * 1.8 + col("f_stop") * 1.1 - col("f_awl") * 0.1, 8))
       .withColumn("keep", col("z") >= 0)
       .select("doc_id", "f_len", "f_uniq", "f_stop", "f_awl", "z", "keep")
+
+  /** c9: quality-classifier TRAINING — distilling the t3 heuristic gate
+    * into a linear model by full-batch gradient descent over the corpus
+    * (the FineWeb-edu shape: a teacher signal labels documents, a fast
+    * linear student learns to reproduce it so the gate can run at scan
+    * speed everywhere). The teacher label here is the oracle-gated t3
+    * score's own keep decision (quality_score ≥ 0.5 recomposed from the
+    * FACTORED feature pieces, so the label cannot drift from t3); a real
+    * pipeline swaps in LLM judgments the same way.
+    *
+    * Execution is the graded part, and it is the industrial LR-training
+    * shape (Spark MLlib's own loop): the feature projection is computed
+    * ONCE and checkpointed, each round is one aggregate over it — a
+    * per-row margin against the BROADCAST 1-row weight vector, gradient
+    * contributions summed EXACTLY (each addend quantized at 1e-9 with
+    * the moneySum floor(x+0.5) quantizer — pure IEEE, engine-identical —
+    * and summed as decimal, so the gradient is partition-order-free and
+    * safe past a long accumulator at 100 TB row counts), then one tiny
+    * weight update. K rounds = K corpus passes, zero corpus shuffles —
+    * at 100 TB each pass is a pruned columnar scan of 4 doubles.
+    *
+    * The squash is the Elliott "fast sigmoid" p = (m/(1+|m|)+1)/2
+    * (Elliott 1993) rather than the logistic: monotone, same gradient
+    * SHAPE, but pure +,*,/,abs — bit-identical in any IEEE engine, where
+    * `exp` differs in the last ulp between libm implementations. Same
+    * no-transcendentals-in-the-hash-path discipline as c3/t13. */
+  val LrTrainRounds = 6
+  private val LrTrainRate = 4.0
+
+  def lrTrain: Q = (s, d) => lrTrainOver(documents(s, d), LrTrainRounds)
+
+  private[graft] def lrTrainOver(docsDf: DataFrame,
+      rounds: Int): DataFrame = {
+    val spark = docsDf.sparkSession
+    // x_awl: the one feature outside [0,1] (avg word length ~4-8) is
+    // unit-scaled /10 for training — unscaled it dominates the gradient
+    // and full-batch descent oscillates (measured on the fixture);
+    // standard practice, and the learned wa simply applies to f_awl/10
+    val feats = qualityFeaturesOf(docsDf)
+      .withColumn("x_awl", col("f_awl") / 10.0)
+      .localCheckpoint(eager = false)
+    import spark.implicits._
+    var w = Seq((0.0, 0.0, 0.0, 0.0, 0.0))
+      .toDF("wb", "wl", "wu", "ws", "wa")
+    var out: DataFrame = null
+    // exact addend: quantize at 1e-9 (|p-y|·|x| ≤ ~7, so the scaled
+    // addend fits a double exactly), sum as decimal — the moneySum rule
+    def gsum(z: Column): Column =
+      sum(floor(z * 1e9 + 0.5).cast("decimal(18,0)"))
+    for (k <- 1 to rounds) {
+      val m = col("wb") + col("wl") * col("f_len") +
+        col("wu") * col("f_uniq") + col("ws") * col("f_stop") +
+        col("wa") * col("x_awl")
+      val g = feats.crossJoin(broadcast(w))
+        .withColumn("p", (m / (lit(1.0) + abs(m)) + 1.0) / 2.0)
+        .withColumn("e", col("p") - col("y"))
+        .agg(gsum(col("e")).as("gb"),
+          gsum(col("e") * col("f_len")).as("gl"),
+          gsum(col("e") * col("f_uniq")).as("gu"),
+          gsum(col("e") * col("f_stop")).as("gs"),
+          gsum(col("e") * col("x_awl")).as("ga"),
+          count(lit(1)).as("n"))
+      def step(wc: String, gc: String): Column =
+        (col(wc) - lit(LrTrainRate) *
+          (col(gc).cast("double") / 1e9 / col("n").cast("double"))).as(wc)
+      w = w.crossJoin(broadcast(g))
+        .select(step("wb", "gb"), step("wl", "gl"), step("wu", "gu"),
+          step("ws", "gs"), step("wa", "ga"))
+        .localCheckpoint(eager = false)
+      val row = w.select(lit(k).as("iter"), col("wb"), col("wl"),
+        col("wu"), col("ws"), col("wa"))
+      out = if (out == null) row else out.union(row)
+    }
+    out
+  }
 
   /** t13: perplexity filtering — the CCNet-stage language-model filter
     * (Wenzek et al. 2020 score docs with a KenLM model and keep the
@@ -1057,8 +1142,57 @@ object TextOps {
        |$selects""".stripMargin
   }
 
+  /** DuckDB replay of [[lrTrainOver]]: K gradient rounds unrolled as
+    * chained CTEs (g_k → w_k), every arithmetic node the same tree the
+    * Spark plan evaluates — Elliott squash (no transcendentals), addends
+    * quantized floor(x·1e9 + 0.5) and summed exactly, two double
+    * divisions per weight update. Bit-identical by construction. */
+  private def lrTrainOracleSql(rounds: Int): String = {
+    def g(k: Int): String = {
+      def s(zExpr: String, out: String) =
+        s"CAST(sum(CAST(floor($zExpr * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) AS $out"
+      s"""g$k AS (SELECT ${s("e", "gb")},
+         |  ${s("e * f_len", "gl")}, ${s("e * f_uniq", "gu")},
+         |  ${s("e * f_stop", "gs")}, ${s("e * x_awl", "ga")},
+         |  count(*) AS n
+         | FROM (SELECT *, (m / (1.0 + abs(m)) + 1.0) / 2.0 - y AS e FROM (
+         |  SELECT f.*, w.wb + w.wl * f_len + w.wu * f_uniq +
+         |    w.ws * f_stop + w.wa * x_awl AS m
+         |  FROM feats f, w${k - 1} w))),
+         |w$k AS (SELECT w.wb - 4.0 * (g.gb / 1e9 / g.n) AS wb,
+         |  w.wl - 4.0 * (g.gl / 1e9 / g.n) AS wl,
+         |  w.wu - 4.0 * (g.gu / 1e9 / g.n) AS wu,
+         |  w.ws - 4.0 * (g.gs / 1e9 / g.n) AS ws,
+         |  w.wa - 4.0 * (g.ga / 1e9 / g.n) AS wa
+         | FROM w${k - 1} w, g$k g)""".stripMargin
+    }
+    val selects = (1 to rounds).map(k =>
+      s"SELECT $k AS iter, wb, wl, wu, ws, wa FROM w$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH feats AS (SELECT doc_id, f_len, f_uniq, f_stop, f_awl,
+       |  f_awl / 10.0 AS x_awl,
+       |  CAST(round(f_len * 0.4 + f_uniq * 0.3 + f_stop * 0.3, 8) >= 0.5
+       |   AS DOUBLE) AS y
+       | FROM (SELECT doc_id,
+       |  least(CAST(len(words) AS DOUBLE) / 100.0, 1.0) AS f_len,
+       |  round(len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 6)
+       |    AS f_uniq,
+       |  least(round(len(list_filter(words,
+       |     w -> w IN ('the','a','of','and','to','in','is'))) /
+       |    CAST(len(words) AS DOUBLE), 6) * 5.0, 1.0) AS f_stop,
+       |  round(length(regexp_replace(text, ' ', '', 'g')) /
+       |    CAST(len(words) AS DOUBLE), 6) AS f_awl
+       | FROM (SELECT doc_id, text, string_split(text, ' ') AS words
+       |  FROM documents))),
+       |w0 AS (SELECT 0.0 AS wb, 0.0 AS wl, 0.0 AS wu, 0.0 AS ws,
+       |  0.0 AS wa),
+       |${(1 to rounds).map(g).mkString(",\n")}
+       |$selects""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "t16_bpe_train" -> bpeTrainOracleSql(BpeTrainRounds),
+    "c9_quality_lr_train" -> lrTrainOracleSql(LrTrainRounds),
     "h1_html_extract" ->
       s"""$htmlExtractCtes
          |SELECT doc_id, n_blocks, n_kept,

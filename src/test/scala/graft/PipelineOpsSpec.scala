@@ -737,6 +737,44 @@ class PipelineOpsSpec extends SparkSpec {
       cnts.mkString(","))
   }
 
+  test("c9 lr train: learned gate beats both trivial baselines; " +
+      "run-to-run bit-identical; c3 output untouched by the factoring") {
+    val w = TextOps.lrTrain(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(w.keySet == (1 to TextOps.LrTrainRounds).toSet)
+    val (wb, wl, wu, ws, wa) = w(TextOps.LrTrainRounds)
+
+    // score the corpus with the learned weights: agreement with the
+    // teacher label must beat BOTH trivial gates (always-keep = the
+    // base rate, always-drop = its complement) — the zero-weight model
+    // IS always-keep (margin 0 >= 0), so this pins that training moved
+    val feats = TextOps.qualityFeaturesOf(
+      Tables.load(spark, sf, "documents")).collect()
+    val scored = feats.map { r =>
+      val m = wb + wl * r.getDouble(1) + wu * r.getDouble(2) +
+        ws * r.getDouble(3) + wa * (r.getDouble(4) / 10.0)
+      ((m >= 0), r.getDouble(5) >= 0.5)
+    }
+    val n = scored.length.toDouble
+    val agree = scored.count { case (p, y) => p == y } / n
+    val baseKeep = scored.count(_._2) / n
+    assert(agree > math.max(baseKeep, 1 - baseKeep) + 0.05,
+      s"agree=$agree baseKeep=$baseKeep")
+
+    // bit-identical re-run (the cross-engine form of this claim is the
+    // DuckDB hash gate, green at sf0.001/0.01/0.1/sf1)
+    val w2 = TextOps.lrTrain(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(w2 == w)
+
+    // the feature factoring cannot have moved c3: its oracle-pinned
+    // column set survives (y stays internal to the factored frame)
+    assert(TextOps.qualityLr(spark, sf).columns.toSeq ==
+      Seq("doc_id", "f_len", "f_uniq", "f_stop", "f_awl", "z", "keep"))
+  }
+
   test("s3 session windows agree with w8 sessionize on session count per user") {
     val s3 = Relational.sessionWindowAgg(spark, sf)
       .groupBy("user_id").count().collect()
