@@ -153,7 +153,12 @@ object TextOps {
     * (both scan left to right without rescanning replacements). The
     * trained query restricts to `^[a-z]+$` tokens plus the `</w>`
     * end-of-word marker so initial char segmentation is engine-portable;
-    * the operator itself is unicode-clean (substring segmentation). */
+    * the operator itself is unicode-clean (substring segmentation).
+    *
+    * A round that finds no pair (vocabulary exhausted — every word fused
+    * to a single symbol — or an empty corpus) emits no row: the merge
+    * table simply ends early, the same contract a reference BPE trainer
+    * has when vocab_size exceeds what the corpus supports. */
   val BpeTrainRounds = 6
   private val SymO = "\u001F" // unit separator: symbol open
   private val SymC = "\u001E" // record separator: symbol close
@@ -933,7 +938,11 @@ object TextOps {
     * (Elliott 1993) rather than the logistic: monotone, same gradient
     * SHAPE, but pure +,*,/,abs — bit-identical in any IEEE engine, where
     * `exp` differs in the last ulp between libm implementations. Same
-    * no-transcendentals-in-the-hash-path discipline as c3/t13. */
+    * no-transcendentals-in-the-hash-path discipline as c3/t13.
+    *
+    * An EMPTY corpus yields null gradient sums over n = 0 and therefore
+    * null weights — visibly null, never a silent zero-vector that could
+    * pass for a trained model. */
   val LrTrainRounds = 6
   private val LrTrainRate = 4.0
 
