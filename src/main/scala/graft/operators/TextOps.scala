@@ -797,7 +797,15 @@ object TextOps {
     * run unchanged under Structured Streaming (stateless projection).
     * The default knobs are the anchor operating point the oracles pin
     * (block word floor 5, link-density multiplier 3);
-    * [[htmlExtractAuto]] derives them from the corpus instead. */
+    * [[htmlExtractAuto]] derives them from the corpus instead.
+    *
+    * Known limitation shared by every regex-stage extractor in this
+    * class (and by the RE2 oracle replay, so the gate is unaffected):
+    * a literal `>` inside a QUOTED attribute value
+    * (`<a title="a > b">`) ends the tag early and the attribute tail
+    * leaks into text. Real-world incidence is low (HTML authors escape
+    * it as `&gt;`); an extractor that must handle it needs a stateful
+    * tokenizer, which is a different operator, not a regex fix. */
   private[graft] def htmlExtractOver(html: DataFrame, minWords: Int = 5,
       linkMult: Int = 3): DataFrame =
     blockScored(html)

@@ -737,6 +737,48 @@ class PipelineOpsSpec extends SparkSpec {
       cnts.mkString(","))
   }
 
+  test("h1 extract property: generated pages — kept pools survive, " +
+      "nav/short/script/style/comment pools never leak") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    // disjoint word pools per block class: leakage is then a set test,
+    // not a substring heuristic
+    def pool(p: String) = Gen.choose(1, 40).map(i => s"$p$i")
+    val keptBlock = Gen.choose(5, 12).flatMap(n =>
+      Gen.listOfN(n, pool("keep")).map(ws => s"<p>${ws.mkString(" ")}</p>"))
+    val navBlock = Gen.choose(2, 4).flatMap(n =>
+      Gen.listOfN(n, pool("nav")).map(ws =>
+        s"""<div>${ws.map(w => s"""<a href="/$w">$w</a>""").mkString(" ")}</div>"""))
+    val shortBlock = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, pool("shrt")).map(ws => s"<li>${ws.mkString(" ")}</li>"))
+    val junk = for {
+      s <- pool("scrpt"); c <- pool("cmnt"); st <- pool("styl")
+    } yield s"<script>var x = '$s $s';</script><!-- $c --><style>.$st {}</style>"
+    val page = for {
+      ks <- Gen.choose(1, 4).flatMap(Gen.listOfN(_, keptBlock))
+      ns <- Gen.choose(0, 3).flatMap(Gen.listOfN(_, navBlock))
+      ss <- Gen.choose(0, 3).flatMap(Gen.listOfN(_, shortBlock))
+      j <- junk
+      blocks <- Gen.const(scala.util.Random.javaRandomToRandom(
+        new java.util.Random(42)).shuffle(ks ++ ns ++ ss))
+    } yield (s"<html><head>$j</head><body>${blocks.mkString}</body></html>", ks)
+    val cases = Gen.listOfN(40, page)
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(31L))
+      .getOrElse(sys.error("gen failed"))
+    val df = cases.zipWithIndex
+      .map { case ((html, _), i) => (i.toLong, html) }
+      .toDF("doc_id", "html")
+    val out = TextOps.htmlExtractOver(df).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    cases.zipWithIndex.foreach { case ((_, keptBlocks), i) =>
+      val got = out(i.toLong).split("\\s+").filter(_.nonEmpty).toSet
+      val expected = keptBlocks.flatMap(_.stripPrefix("<p>")
+        .stripSuffix("</p>").split(" ")).toSet
+      assert(got == expected,
+        s"doc $i: missing=${expected -- got} leaked=${got -- expected}")
+    }
+  }
+
   test("c9 lr train: learned gate beats both trivial baselines; " +
       "run-to-run bit-identical; c3 output untouched by the factoring") {
     val w = TextOps.lrTrain(spark, sf).collect()

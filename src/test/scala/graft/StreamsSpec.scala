@@ -431,4 +431,52 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.sameElements(batch),
       s"stream=${streamed.mkString("|")}\nbatch=${batch.mkString("|")}")
   }
+
+  test("warc batch/stream parity property: generated adversarial archives") {
+    // same generator family as SourcesSpec's framing property (bodies
+    // built from delimiter fragments, CRLF runs, multi-byte UTF-8) —
+    // here the assertion is that the text-source lineSep splitter and
+    // Hadoop's TextInputFormat delimiter feed the shared record
+    // iterator identically, row for row
+    import graft.sources.Sources
+    import org.scalacheck.Gen
+    def rec(url: String, payload: String): String =
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $url\r\n" +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" + payload
+    val piece = Gen.frequency(
+      4 -> Gen.alphaNumStr.map(_.take(10)),
+      2 -> Gen.const("\r\n\r\nWARC/"),
+      1 -> Gen.const("\r\n\r\n"),
+      1 -> Gen.const("WARC/"),
+      1 -> Gen.const("é☃中😀"))
+    val body = for {
+      ps <- Gen.listOfN(6, piece)
+      tail <- Gen.oneOf("", "\r\n\r\nWARC/", "WARC/")
+    } yield ps.mkString + tail
+    val archives = Gen.listOfN(8, Gen.choose(1, 4).flatMap(Gen.listOfN(_, body)))
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(23L))
+      .getOrElse(sys.error("gen failed"))
+    val landing = "target/warc_parity_prop"
+    new scala.reflect.io.Directory(new java.io.File(landing)).deleteRecursively()
+    new java.io.File(landing).mkdirs()
+    var total = 0
+    archives.zipWithIndex.foreach { case (bodies, a) =>
+      val recs = bodies.zipWithIndex.map { case (b, i) =>
+        total += 1; rec(s"http://pp/$a/$i", b)
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$landing/p$a.warc"),
+        (recs.mkString("\r\n\r\n") + "\r\n\r\n").getBytes("UTF-8"))
+    }
+    val batch = Sources.warc(spark, s"$landing/*.warc")
+      .collect().map(_.toString).sorted
+    assert(batch.length == total)
+    val q = Sources.warcStream(spark, landing).writeStream
+      .outputMode("append").format("memory").queryName("warc_parity_prop")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("warc_parity_prop")
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch))
+  }
 }
