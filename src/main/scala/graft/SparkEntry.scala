@@ -345,22 +345,38 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
         | FROM lineitem""".stripMargin,
     "w10_range_window" ->
-      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
-        |  round(sum(o_totalprice), 2) AS total,
+      """WITH daily0 AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   AS BIGINT) AS total_c,
         |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INTEGER) AS day_n
-        | FROM orders GROUP BY 1, 3)
-        |SELECT day, total, round(sum(total) OVER (ORDER BY day_n
-        | RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS total_7d
+        | FROM orders GROUP BY 1, 3),
+        | daily AS (SELECT day, total_c, day_n,
+        |  round(CAST(total_c AS DOUBLE) / 100.0, 2) AS total FROM daily0)
+        |SELECT day, total, round(CAST(sum(total_c) OVER (ORDER BY day_n
+        | RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0, 2)
+        | AS total_7d
         |FROM daily""".stripMargin,
     "w9_asof_join" -> graft.operators.AsOfJoin.oracle,
     "w1_moving_avg" ->
-      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
-        |  round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1)
-        |SELECT day, total, round(avg(total) OVER (ORDER BY day
-        | ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7 FROM daily""".stripMargin,
+      """WITH daily0 AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   AS BIGINT) AS total_c FROM orders GROUP BY 1),
+        | daily AS (SELECT day, total_c,
+        |  round(CAST(total_c AS DOUBLE) / 100.0, 2) AS total FROM daily0),
+        | win AS (SELECT day, total,
+        |  sum(total_c) OVER (ORDER BY day
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sc,
+        |  count(total_c) OVER (ORDER BY day
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS cnt FROM daily)
+        |SELECT day, total,
+        | CAST((CAST(sc AS HUGEINT) * 10000) // cnt AS DOUBLE) / 1e6 AS ma7
+        |FROM win""".stripMargin,
     "w2_pct_change" ->
-      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
-        |  round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1)
+      """WITH daily0 AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |   AS BIGINT) AS total_c FROM orders GROUP BY 1),
+        | daily AS (SELECT day,
+        |  round(CAST(total_c AS DOUBLE) / 100.0, 2) AS total FROM daily0)
         |SELECT day, total,
         | round(total / lag(total) OVER (ORDER BY day) - 1, 6) AS ret FROM daily""".stripMargin,
     "w3_cumsum" ->
@@ -393,7 +409,8 @@ object SparkEntry {
     "w7_time_bucket" ->
       """SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
         | strftime(o_orderdate, '%B') AS month_name, count(*) AS n,
-        | round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1, 2""".stripMargin,
+        | round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |  AS DOUBLE) / 100, 2) AS total FROM orders GROUP BY 1, 2""".stripMargin,
     "w8_sessionize" ->
       """WITH marked AS (SELECT user_id, ts, event_id,
         |  CASE WHEN (epoch_us(ts) // 1000000) -

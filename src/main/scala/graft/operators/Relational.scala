@@ -122,10 +122,11 @@ object Relational {
     * engines by construction. decimal(18,0) addends rather than long:
     * a long accumulator wraps at ~1e18 = ~1e14 scaled dollars, which a
     * 100 TB revenue column exceeds; Spark widens the sum to decimal(28,0)
-    * and DuckDB's BIGINT sum is already HUGEINT. Date-grain money sums
-    * (dailyTotals, w7's months) keep plain double sums: their per-group n
-    * is 3+ decades of growth from the display tolerance, the grain count
-    * grows with real data, and the sf1 sweep passes them.
+    * and DuckDB's BIGINT sum is already HUGEINT. The round-11 sf10 sweep
+    * then retired the "date-grain sums stay plain double" carve-out this
+    * paragraph used to make: w1's 6-dp ma7 display caught the day-sums'
+    * low-bit divergence one decade after sf1 passed them, so dailyTotals
+    * / w7 / w10 now carry the exact-cents grain too (see dailyTotals).
     *
     * Two portability rules baked in: (1) the addend quantizer is
     * floor(x·f + 0.5), NOT round(x·f) — Spark's double round goes through
@@ -366,12 +367,14 @@ object Relational {
     * trailing-7-day revenue per day — RANGE over a day-number key covers
     * calendar gaps that a ROWS frame would silently skip. */
   def rangeWindow: Q = (s, d) => {
-    val daily = orders(s, d).groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(round(sum("o_totalprice"), 2).as("total"))
+    // same exact-cents grain as w1 (see dailyTotals): the 7-day range
+    // sum is an integer cents sum — order-free in any engine
+    val daily = dailyTotals(s, d)
       .withColumn("day_n", datediff(col("day"), lit("1995-01-01")))
     val w = Window.orderBy("day_n").rangeBetween(-6, 0)
     daily.select(col("day"), col("total"),
-      round(sum("total").over(w), 2).as("total_7d"))
+      round(sum(col("total_c")).over(w).cast("double") / 100.0, 2)
+        .as("total_7d"))
   }
 
   /** F15 base64 encode/decode roundtrip over text payloads
@@ -423,16 +426,37 @@ object Relational {
 
   // ---- Window / ordered computations (§2.5) ----
 
+  /** Daily order totals in exact CENTS (`total_c`, bigint) plus the
+    * 2-dp display form. The round-11 sf10 sweep (100x fixture) caught
+    * w1's 6-dp `ma7` display off by one digit on 1 of 2,405 rows: the
+    * plain double day-sums differ between engines in their low bits
+    * (partial-agg order; reproducibility decays ~sqrt(n)·eps·sum), which
+    * a 2-dp display absorbs but a 6-dp display of their 7-day mean does
+    * not. o_totalprice is 2-decimal money, so the floor(x·100+0.5)
+    * quantization is EXACT (same moneySum rule) and `total_c` is
+    * bit-identical in any engine; `total` = total_c/100 follows. */
   private def dailyTotals(s: SparkSession, d: String): DataFrame =
     orders(s, d).groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(round(sum("o_totalprice"), 2).as("total"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        .as("total_c"))
+      .withColumn("total", round(col("total_c").cast("double") / 100.0, 2))
 
   /** W1 moving average (rolling(window=7).mean() analog,
-    * default_prompts.yaml:309-310) over daily order totals. */
+    * default_prompts.yaml:309-310) over daily order totals. The 7-day
+    * mean is an INTEGER quotient over the exact cents (micro-dollar
+    * scaled, truncating division — positive operands, so Spark `div` and
+    * DuckDB `//` agree), because windowed double aggregation is not
+    * order-reproducible across engines (DuckDB uses segment trees) and a
+    * 6-dp display can land within one ulp of a display midpoint at 1e9
+    * magnitudes — the c7/t13 quotient discipline applied to a window. */
   def movingAvg: Q = (s, d) => {
     val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
-    dailyTotals(s, d).select(col("day"), col("total"),
-      round(avg("total").over(w), 6).as("ma7"))
+    dailyTotals(s, d)
+      .withColumn("sc", sum(col("total_c")).over(w))
+      .withColumn("cnt", count(col("total_c")).over(w))
+      .select(col("day"), col("total"), expr(
+        "cast((cast(sc as decimal(28,0)) * 10000) div cnt as double) / 1e6")
+        .as("ma7"))
   }
 
   /** W2 lag-based pct_change daily return. Ref: default_prompts.yaml:308. */
@@ -512,7 +536,10 @@ object Relational {
     orders(s, d)
       .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month"),
         date_format(col("o_orderdate"), "MMMM").as("month_name"))
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      // exact month sums (see dailyTotals/moneySum): the month grain has
+      // 10x a day's rows, so it crosses the double-sum display tolerance
+      // a decade EARLIER than the day grain the sf10 sweep caught
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice"), 2).as("total"))
 
   /** O1 multi-key sort with limit. Ref: default_prompts.yaml:79. */
   def multiKeySort: Q = (s, d) =>
