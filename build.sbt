@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must pass through RAW. sbt's default LoggedOutput
+// prefixes every stdout line with "[info] ", which breaks any line-wise
+// JSON parse of the program's output — the per-round bench harness has
+// recorded "parsed": null since round 1 because `{"metric":...}` always
+// reached it as `[info] {"metric":...}`. StdoutOutput hands the child's
+// stdout/stderr straight through, so Bench's final line is bare JSON.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

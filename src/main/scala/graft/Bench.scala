@@ -121,17 +121,21 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$TimedRuns,"errors":$failed,""" +
       s""""cluster_config":{"autoBroadcastJoinThreshold":-1,"shuffle_partitions":200},""" +
       s""""cluster_total":$ctotal,"cluster_queries":$cqs,"cluster_spread":$cspreads,"cluster_errors":$cfailed,"sf":"$sfDir"}"""
-    // The FINAL console line must fit ENTIRELY inside the harness's
-    // 2,000-character tail-capture window (measured: the ~2.8 KB compact
-    // form of round 10 was still front-truncated → "parsed": null, four
-    // rounds running). A named per-query map cannot fit — the 105 query
-    // names alone are ~1.8 KB — so the last line carries per-query
-    // MILLISECONDS as integer arrays in sorted-query-name order
-    // (`q_ms`/`cluster_q_ms`; names recoverable from target/bench.json
-    // or any CORRECTNESS file, which use the same sorted order). The
-    // named 4-decimal map still prints as an EARLIER console line for
-    // full-log readers, and full precision (spreads, cluster map) lands
-    // in target/bench.json.
+    // Two bare JSON lines (no prefix — build.sbt's StdoutOutput passes the
+    // forked stdout through raw, so a line-wise json.loads over the run's
+    // output succeeds for the first time; every prior round's line arrived
+    // as "[info] {...}" and parsed null).
+    //  - an EARLIER full line with the NAMED per-query map (the round-1
+    //    stub's documented shape: metric/value/unit/queries/sf) for a
+    //    parser that scans the whole log;
+    //  - the FINAL line, which must also fit ENTIRELY inside the harness's
+    //    2,000-character tail-capture window (measured: a ~2.8 KB line is
+    //    front-truncated there). A named map cannot fit — the 108 query
+    //    names alone are ~1.8 KB — so the last line carries per-query
+    //    MILLISECONDS as integer arrays in sorted-query-name order
+    //    (`q_ms`/`cluster_q_ms`; names recoverable from target/bench.json
+    //    or any CORRECTNESS file, which use the same sorted order). Full
+    //    precision (spreads, cluster map) lands in target/bench.json.
     val r4 = (v: Double) =>
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val r2 = (v: Double) =>
@@ -154,8 +158,8 @@ object Bench {
       s""""cluster_total":${r2(ctotal)},"cluster_errors":$cfailed,"n_queries":${named.length},""" +
       s""""q_ms":$qMs,"cluster_q_ms":$cMs,""" +
       s""""q_order":"queries sorted by name; named map in target/bench.json","sf":"$sfDir"}"""
-    // ~1.2 KB for 105 queries — whole line sits inside a 2 KB tail
-    println(s"BENCHJSON:$slim")
+    // ~1.2 KB for 108 queries — whole line sits inside a 2 KB tail
+    println(slim)
     // also land the line as a FILE: scraping a JSON line out of sbt/log4j
     // console interleaving is lossy (the driver's per-query map parse has
     // failed on wrapped lines), a file read is not

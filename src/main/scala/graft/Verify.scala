@@ -12,13 +12,24 @@ object Verify {
     val (sfDir, outDir, filter) = args match {
       case Array(s, o)    => (s, o, Seq.empty[String])
       case Array(s, o, f) => (s, o, f.split(",").toSeq)
+      case _ =>
+        System.err.println("usage: graft.Verify <sfDir> <outDir> [filterCsv]")
+        sys.exit(2)
     }
     def selected(name: String): Boolean =
       filter.isEmpty || filter.exists(name.contains)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional shuffle-partition override for big-fixture sweeps: the
+    // pinned-config LSH pair families have only ~bands·2^planes distinct
+    // join keys, so at sf10 the default cores-sized partitioning
+    // serializes the candidate work (BASELINE §5 round 11 — join-KEY
+    // cardinality, not partition count, bounds parallelism); 200
+    // spreads the keys. The driver's 2-arg/default invocation is
+    // unchanged.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

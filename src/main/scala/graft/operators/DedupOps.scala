@@ -74,7 +74,11 @@ object DedupOps {
     * derivation via [[strdCte]], so both engines shift together. */
   private def plantStride(s: SparkSession, d: String): Long =
     strideByDir.computeIfAbsent(d, _ => {
-      val maxId = documents(s, d).agg(max("doc_id")).head().getLong(0)
+      val row = documents(s, d).agg(max("doc_id")).head()
+      // max() over zero rows is NULL: surface the empty-fixture case with
+      // the intended loud message instead of an opaque NPE from getLong.
+      require(!row.isNullAt(0), "plantStride: empty documents table")
+      val maxId = row.getLong(0)
       // 10^15 < 2^53: the pow stays exact in Double and 2·stride in Long
       require(maxId >= 0 && maxId < 1000000000000000L,
         s"plantStride: base doc_id $maxId outside derivable range")

@@ -177,7 +177,18 @@ object TextOps {
       .localCheckpoint(eager = false)
     var out: DataFrame = null
     for (r <- 1 to rounds) {
+      // Fully-fused words (size(syms)==1) must emit NO pairs: Spark's
+      // sequence(1, 0) defaults to step -1 and yields [1, 0], so without
+      // this filter the transform would emit phantom (null, sym)/(sym,
+      // null) pairs carrying the word's full freq — DuckDB's
+      // range(1, len(syms)) yields no rows for such words, and a frequent
+      // short word fusing within the round budget would let a null pair
+      // win the argmax and poison every later merge. The filter restores
+      // range() semantics; the "vocabulary exhausted emits no row"
+      // contract in the scaladoc above now holds on both engines
+      // (fixture-pinned in TextOpsSpec).
       val best = words
+        .filter(size(col("syms")) > 1)
         .select(col("freq"), explode(expr(
           """transform(sequence(1, size(syms) - 1),
             | i -> named_struct('l', syms[i-1], 'r', syms[i]))""".stripMargin))
@@ -1176,11 +1187,11 @@ object TextOps {
          |  SELECT f.*, w.wb + w.wl * f_len + w.wu * f_uniq +
          |    w.ws * f_stop + w.wa * x_awl AS m
          |  FROM feats f, w${k - 1} w))),
-         |w$k AS (SELECT w.wb - 4.0 * (g.gb / 1e9 / g.n) AS wb,
-         |  w.wl - 4.0 * (g.gl / 1e9 / g.n) AS wl,
-         |  w.wu - 4.0 * (g.gu / 1e9 / g.n) AS wu,
-         |  w.ws - 4.0 * (g.gs / 1e9 / g.n) AS ws,
-         |  w.wa - 4.0 * (g.ga / 1e9 / g.n) AS wa
+         |w$k AS (SELECT w.wb - $LrTrainRate * (g.gb / 1e9 / g.n) AS wb,
+         |  w.wl - $LrTrainRate * (g.gl / 1e9 / g.n) AS wl,
+         |  w.wu - $LrTrainRate * (g.gu / 1e9 / g.n) AS wu,
+         |  w.ws - $LrTrainRate * (g.gs / 1e9 / g.n) AS ws,
+         |  w.wa - $LrTrainRate * (g.ga / 1e9 / g.n) AS wa
          | FROM w${k - 1} w, g$k g)""".stripMargin
     }
     val selects = (1 to rounds).map(k =>

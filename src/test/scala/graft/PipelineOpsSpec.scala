@@ -737,6 +737,30 @@ class PipelineOpsSpec extends SparkSpec {
       cnts.mkString(","))
   }
 
+  test("t16 bpe train: fully-fused single-letter word emits no phantom " +
+      "pairs (Spark sequence(1,0) yields [1,0]) and exhaustion ends the " +
+      "merge table early on the Spark side too") {
+    import spark.implicits._
+    // "a" (freq 10) fuses to the single symbol a</w> in round 1. Before
+    // the size(syms)>1 filter, round 2 exploded sequence(1, 0) = [1, 0]
+    // for it, emitting phantom (a</w>, null)/(null, a</w>) pairs at cnt
+    // 10 that beat the real (b,</w>)=1 argmax — a null merge that
+    // poisons every later round. DuckDB's range(1, 1) emits no rows, so
+    // this is exactly the cross-engine divergence class the oracle gate
+    // exists for; pinned here at fixture scale.
+    val docs = Seq((1L, ("a " * 10).trim + " b c")).toDF("doc_id", "text")
+    val m = TextOps.bpeTrainOver(docs, 5).collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m.toSeq == Seq(
+      (1, "a", "</w>", "a</w>", 10L),
+      (2, "b", "</w>", "b</w>", 1L),
+      (3, "c", "</w>", "c</w>", 1L)), m.mkString(", "))
+    // vocabulary exhausted after round 3: rounds 4-5 emit NO row (not a
+    // null row) — the documented early-end contract now holds on both
+    // engines.
+  }
+
   test("h1 extract property: generated pages — kept pools survive, " +
       "nav/short/script/style/comment pools never leak") {
     import org.scalacheck.Gen
