@@ -37,7 +37,13 @@ object ScaleProbe {
       val shifted = keyShifts.foldLeft(t.crossJoin(cps)) {
         case (df, (c, stride)) => df.withColumn(c, col(c) + col("cp") * stride)
       }.drop("cp")
-      shifted.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      // repartition before write: the crossJoin inherits the (often
+      // single-file) base layout, and a one-row-group parquet file is
+      // UNSPLITTABLE — every downstream scan of the synthesized fixture
+      // would run as ONE task (observed: a 13-minute single-core document
+      // scan at the 100x fixture). 32 files ≈ one split per local core.
+      shifted.repartition(32)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
     // strides exceed each key's sf0.1 range so copies never collide
     widen("lineitem", Map("l_orderkey" -> 10000000L))
@@ -64,6 +70,7 @@ object ScaleProbe {
           |   CASE WHEN i % 2 = 0 THEN -x ELSE x END) END""".stripMargin))
       .withColumn("vec_id", col("vec_id") + col("cp") * 1000000L)
       .drop("cp")
+      .repartition(32) // splittable layout — see widen()
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     // small dims are shared, copied as-is
     Seq("part", "supplier", "nation", "region").foreach { n =>

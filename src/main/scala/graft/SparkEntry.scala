@@ -381,8 +381,10 @@ object SparkEntry {
         | round(total / lag(total) OVER (ORDER BY day) - 1, 6) AS ret FROM daily""".stripMargin,
     "w3_cumsum" ->
       """SELECT user_id, event_id, value,
-        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value
+        | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / 100.0 AS cum_value
         | FROM events""".stripMargin,
     "w4_dense_rerank" ->
       """WITH firsts AS (SELECT user_id, min(ts) AS first_ts FROM events
@@ -400,8 +402,10 @@ object SparkEntry {
         | GROUP BY 1 ORDER BY n DESC, month LIMIT 1""".stripMargin,
     "w6_segmentation" ->
       """WITH segs AS (SELECT user_id, event_id,
-        |  floor(round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) / 500.0) AS seg_raw
+        |  floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   / 50000.0) AS seg_raw
         |  FROM events)
         |SELECT user_id, event_id,
         | CAST(CASE WHEN seg_raw = max(seg_raw) OVER (PARTITION BY user_id)

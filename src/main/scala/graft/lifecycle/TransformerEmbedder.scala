@@ -33,9 +33,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * there is no mask bookkeeping to get wrong; `embedBatch` loops.
   *
   * Scope: F32 tensors (what MiniLM ships); uncased basic tokenization
-  * (NFD accent strip + lowercase + punctuation split) + greedy
-  * WordPiece; CJK space-padding is not implemented (the corpus gates
-  * here are Latin-script).
+  * (NFD accent strip + lowercase + punctuation split + the published
+  * BERT CJK space-padding — each CJK ideograph becomes its own basic
+  * token before WordPiece, so Chinese/Japanese text tokenizes exactly
+  * as the reference tokenizer does) + greedy WordPiece.
   */
 final class TransformerEmbedder(val modelDir: String)
     extends EpisodicMemory.Embedder {
@@ -218,6 +219,19 @@ object TransformerEmbedder {
 
     // -- tokenizer: BERT uncased basic + greedy WordPiece --
 
+    /** The published BERT `_tokenize_chinese_chars` ranges: CJK Unified
+      * Ideographs + extensions A–F and the compatibility blocks. Each
+      * such code point is space-padded into its OWN basic token — CJK
+      * text has no word delimiters, so per-character tokens are how BERT
+      * makes WordPiece language-agnostic (kana/hangul are NOT in the
+      * published ranges and flow through the letter path unchanged,
+      * exactly as in the reference implementation). */
+    private def isCjk(cp: Int): Boolean =
+      (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+        (cp >= 0x20000 && cp <= 0x2A6DF) || (cp >= 0x2A700 && cp <= 0x2B73F) ||
+        (cp >= 0x2B740 && cp <= 0x2B81F) || (cp >= 0x2B820 && cp <= 0x2CEAF) ||
+        (cp >= 0xF900 && cp <= 0xFAFF) || (cp >= 0x2F800 && cp <= 0x2FA1F)
+
     private def basicTokens(text: String): Seq[String] = {
       val norm = java.text.Normalizer
         .normalize(text, java.text.Normalizer.Form.NFD)
@@ -226,10 +240,17 @@ object TransformerEmbedder {
       val out = Seq.newBuilder[String]
       val cur = new StringBuilder
       def flush(): Unit = if (cur.nonEmpty) { out += cur.toString; cur.clear() }
-      norm.foreach { c =>
-        if (c.isWhitespace) flush()
-        else if (!Character.isLetterOrDigit(c)) { flush(); out += c.toString }
-        else cur.append(c)
+      // iterate CODE POINTS: supplementary-plane ideographs (extension B+)
+      // arrive as surrogate pairs that per-char iteration would split
+      var i = 0
+      while (i < norm.length) {
+        val cp = norm.codePointAt(i)
+        if (Character.isWhitespace(cp)) flush()
+        else if (isCjk(cp) || !Character.isLetterOrDigit(cp)) {
+          flush(); out += new String(Character.toChars(cp))
+        }
+        else cur.appendAll(Character.toChars(cp))
+        i += Character.charCount(cp)
       }
       flush()
       out.result()

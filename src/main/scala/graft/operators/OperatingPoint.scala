@@ -75,6 +75,20 @@ object OperatingPoint {
     * conservative direction for a contamination check. */
   def hashDecontaminationGrams(n: Long): Boolean = n > 20000L
 
+  /** Calibration-sample size for the t13 perplexity filter's model build
+    * (TextOps.perplexityAuto): above this many documents the unigram
+    * model trains on a deterministic md5-bucket sample of ~this size and
+    * the model-build cost stops scaling with the corpus — the CCNet shape
+    * (the LM is trained once on a calibration corpus, not on the data
+    * being filtered). The value is vocabulary-saturation reasoning, not a
+    * latency knob: Heaps' law puts the fixture corpus's vocab growth at
+    * ~n^0.5, so by ~1e5 documents new text mostly re-observes the
+    * existing head and sampled counts preserve ln((c+1)/(n+v)) to within
+    * the keep threshold's slack (PipelineOpsSpec measures ≥ 97%
+    * keep-decision parity at a forced half-corpus sample on the
+    * fixture). */
+  def perplexityCalibrationDocs: Long = 100000L
+
   /** Next power of two ≥ x (x already clamped to int range by callers). */
   private def pow2Ceil(x: Long): Int = {
     require(x <= (1L << 30), s"pow2Ceil input $x out of range")

@@ -467,12 +467,22 @@ object Relational {
   }
 
   /** W3 cumulative sum per group ordered by time.
-    * Ref: web_app/app.py:378-382. One shuffle on user_id. */
+    * Ref: web_app/app.py:378-382. One shuffle on user_id.
+    *
+    * Exact-cents grain (round 12, pre-empting the fifth-decade tie class):
+    * event values are 2-decimal money, so each addend quantizes exactly
+    * with the moneySum floor(x·100+0.5) rule and the running sum is an
+    * order-free bigint. The plain double form passed sf10 only because
+    * both engines evaluate ROWS UNBOUNDED PRECEDING incrementally — an
+    * argument that breaks the moment either engine introduces a segment
+    * tree or partial-agg reorder (exactly how w1 fell a decade after j3);
+    * the integer grain removes the dependence on evaluator internals. */
   def cumSum: Q = (s, d) => {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, d).select(col("user_id"), col("event_id"),
-      col("value"), round(sum("value").over(w), 2).as("cum_value"))
+    events(s, d).select(col("user_id"), col("event_id"), col("value"),
+      (sum(floor(col("value") * 100 + lit(0.5)).cast("long")).over(w)
+        .cast("double") / 100.0).as("cum_value"))
   }
 
   /** W4 dense re-ranking of group ids by first timestamp
@@ -517,14 +527,20 @@ object Relational {
   /** W6 segmentation by cumulative value with incomplete-last-segment nulling
     * (default_prompts.yaml:78-91: segment_id = distance//1000, drop the
     * incomplete final segment per group). Grain 500.0 on event value.
-    * round-before-floor recovers the exact 0.01-multiple cumulative value so
-    * the bucket boundary is engine-independent. */
+    *
+    * Exact-cents grain (round 12, the [[cumSum]] discipline): the bucket
+    * boundary floors the EXACT bigint cents divided by 50000.0 — cents fit
+    * a double exactly (≤2^53), so the one division is IEEE-identical in
+    * both engines and the boundary cannot drift with accumulation order.
+    * The former round-before-floor on a double running sum only held while
+    * both engines summed incrementally. */
   def segmentation: Q = (s, d) => {
     val wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("user_id")
     val segs = events(s, d).select(col("user_id"), col("event_id"),
-      floor(round(sum("value").over(wc), 2) / 500.0).as("seg_raw"))
+      floor(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).over(wc)
+        .cast("double") / 50000.0).as("seg_raw"))
     segs.select(col("user_id"), col("event_id"),
       when(col("seg_raw") === max("seg_raw").over(wAll), lit(null))
         .otherwise(col("seg_raw")).as("segment_id"))

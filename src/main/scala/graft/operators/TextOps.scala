@@ -32,9 +32,29 @@ object TextOps {
       .select(col("doc_id"), col("n_words"), col("chunk_idx"), col("chunk"),
         length(col("chunk")).as("chunk_chars"))
 
-  /** Stopword-ratio language ID: per-language stopword hit ratios and an
-    * argmax guess with a fixed tie-break order (en > fr > de > es). */
+  /** CJK Unified Ideographs + extension A as a literal regex char class —
+    * identical code points embedded in both the Spark (Java regex) and
+    * DuckDB (RE2) texts, so the two engines count the same characters. */
+  private val CjkClass = "[一-鿿㐀-䶿]"
+
+  /** Inline CJK fixture rows unioned into t2's corpus: the driver
+    * fixtures are Latin-script, so without them the CJK arm would be
+    * dead code at every sf. Row -2 mixes English stopwords INTO Chinese
+    * text to pin the arm's precedence over the stopword argmax. */
+  private val LangIdCjkRows = Seq(
+    (-1L, "zh", "今天天气很好 我们去公园散步 这是一个测试"),
+    (-2L, "zh", "模型 在 数据 上 训练 the and of"),
+    (-3L, "en", "the weather of today is good and we walk in the park"))
+
+  /** Stopword-ratio language ID with a CJK character-class arm:
+    * stopword lists identify space-delimited European languages, but CJK
+    * text has no delimiters for a word-list to hit — its signal is the
+    * SCRIPT itself (the n-gram/char-class arm every practical lang-ID
+    * stack has). A document whose CJK-character ratio reaches 0.2 is
+    * classified 'zh' before the stopword argmax runs; the European
+    * tie-break order (en > fr > de > es) is unchanged. */
   def langId: Q = (s, d) => {
+    import s.implicits._
     val sets = Map(
       "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
       "fr" -> Seq("le", "la", "les", "de", "et", "un"),
@@ -44,13 +64,19 @@ object TextOps {
       val in = sets(lang).map(w => s"'$w'").mkString(", ")
       s"round(size(filter(words, w -> w IN ($in))) / cast(size(words) as double), 6)"
     }
-    documents(s, d)
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+    val corpus = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+      .unionByName(LangIdCjkRows.toDF("doc_id", "lang", "text"))
+    corpus
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(col("text"), " ").as("words"))
       .select(col("doc_id"), col("lang"),
         expr(ratio("en")).as("r_en"), expr(ratio("fr")).as("r_fr"),
-        expr(ratio("de")).as("r_de"), expr(ratio("es")).as("r_es"))
+        expr(ratio("de")).as("r_de"), expr(ratio("es")).as("r_es"),
+        expr(s"round(size(regexp_extract_all(text, '$CjkClass', 0)) / " +
+          "cast(length(text) as double), 6)").as("r_cjk"))
       .withColumn("guess", expr(
-        """CASE WHEN r_en >= r_fr AND r_en >= r_de AND r_en >= r_es THEN 'en'
+        """CASE WHEN r_cjk >= 0.2 THEN 'zh'
+          | WHEN r_en >= r_fr AND r_en >= r_de AND r_en >= r_es THEN 'en'
           | WHEN r_fr >= r_de AND r_fr >= r_es THEN 'fr'
           | WHEN r_de >= r_es THEN 'de' ELSE 'es' END""".stripMargin))
   }
@@ -166,10 +192,22 @@ object TextOps {
   def bpeTrain: Q = (s, d) => bpeTrainOver(documents(s, d), BpeTrainRounds)
 
   private[graft] def bpeTrainOver(docsDf: DataFrame,
-      rounds: Int): DataFrame = {
-    var words = docsDf
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
+      rounds: Int): DataFrame =
+    bpeTrainTokens(docsDf, rounds, tokenGate = Some("^[a-z]+$"))
+
+  /** Library entrypoint: the same trainer over ANY token stream. The
+    * oracle-gated [[bpeTrain]] pins the `^[a-z]+$` gate purely so the
+    * static DuckDB replay segments identically; the trainer itself is
+    * unicode-clean (Spark `substring`/`replace`/`split` are
+    * CHARACTER-based, and the U+001F/U+001E wrap sentinels are control
+    * codes no text contains), so production callers pass their own gate
+    * — or none — and a CJK corpus trains per-ideograph merges directly
+    * (PipelineOpsSpec pins a Chinese fixture). */
+  def bpeTrainTokens(docsDf: DataFrame, rounds: Int,
+      tokenGate: Option[String] = None): DataFrame = {
+    val toks = docsDf.select(explode(split(col("text"), " ")).as("w"))
+    var words = tokenGate.fold(toks.filter(length(col("w")) > 0))(g =>
+      toks.filter(col("w").rlike(g)))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(expr(
         """concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),
@@ -1031,6 +1069,50 @@ object TextOps {
     surprisalScored(documents(s, d).select("doc_id", "text"), model, oov)
   }
 
+  /** Library entrypoint: t13 with the model-build cost DECOUPLED from
+    * corpus size — the CCNet shape the scaladoc above describes in prose
+    * (Wenzek et al. train the LM once on a calibration corpus, then score
+    * everything; the model never scales with the data being filtered).
+    * Above [[OperatingPoint.perplexityCalibrationDocs]] the unigram model
+    * trains on a deterministic md5-bucket CALIBRATION SAMPLE of ~that many
+    * documents (the t6/t12 hash machinery under its own 'ppl:' salt, so
+    * sampling never correlates with split or mixture decisions); at or
+    * below the cutoff it is exactly [[perplexityFilter]]'s build. Scoring
+    * is unchanged either way — one broadcast-model join over the full
+    * corpus. Sample-vs-full keep-decision parity is spec-measured
+    * (PipelineOpsSpec: ≥ 97% agreement at a forced half-corpus sample on the fixture);
+    * the ≤ 7.0 threshold is an avg-surprisal-per-word cut, and sampled
+    * counts scale ~proportionally (c and n shrink together inside
+    * ln((c+1)/(n+v))), which is what makes the decision approximately
+    * sample-invariant. */
+  def perplexityAuto(corpus: DataFrame,
+      countEstimate: Option[Long] = None): DataFrame = {
+    val n = countEstimate.getOrElse(corpus.count())
+    perplexitySampled(corpus, n, OperatingPoint.perplexityCalibrationDocs)
+  }
+
+  /** [[perplexityAuto]]'s core with the cutoff as a parameter (the spec
+    * forces a small cutoff to measure parity at fixture scale). */
+  private[graft] def perplexitySampled(corpus: DataFrame, n: Long,
+      cutoff: Long): DataFrame = {
+    val modelCorpus =
+      if (n <= cutoff) corpus
+      else {
+        // keep ~cutoff docs: bucket into 1e6 and keep the head fraction —
+        // deterministic, append-stable, independent of partitioning
+        val keep = math.max(1L, (cutoff.toDouble / n.toDouble * 1e6).toLong)
+        corpus.filter(expr(
+          "cast(conv(substring(md5(concat('ppl:', cast(doc_id as string))), " +
+            s"1, 12), 16, 10) as bigint) % 1000000 < $keep"))
+      }
+    val (model, oov) = unigramModel(modelCorpus)
+    surprisalScored(corpus.select("doc_id", "text"), model, oov)
+  }
+
+  /** ScaleProbe harness form of [[perplexityAuto]]. */
+  private[graft] val perplexityAutoQ: Q =
+    (s, d) => perplexityAuto(documents(s, d))
+
   /** The t13 model: (word → scaled logprob) plus the OOV floor, built from
     * any (doc_id, text) corpus. Vocab-sized frames — the broadcast side of
     * every scoring join. */
@@ -1294,16 +1376,25 @@ object TextOps {
         |  AS chunk_chars
         |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         | UNNEST(range(0, CAST(ceil(len(words)/50.0) AS INT))) AS g(i)""".stripMargin,
-    "t2_lang_id" ->
-      """SELECT doc_id, lang,
+    "t2_lang_id" -> {
+      val cjkValues = LangIdCjkRows.map { case (id, lang, text) =>
+        s"(CAST($id AS BIGINT), '$lang', '$text')"
+      }.mkString(",\n        ")
+      s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents
+        | UNION ALL SELECT * FROM (VALUES
+        |  $cjkValues) t(doc_id, lang, text))
+        |SELECT doc_id, lang,
         | round(len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is'))) / CAST(len(words) AS DOUBLE), 6) AS r_en,
         | round(len(list_filter(words, w -> w IN ('le','la','les','de','et','un'))) / CAST(len(words) AS DOUBLE), 6) AS r_fr,
         | round(len(list_filter(words, w -> w IN ('der','die','und','das','ein','zu'))) / CAST(len(words) AS DOUBLE), 6) AS r_de,
         | round(len(list_filter(words, w -> w IN ('el','los','y','en','que','se'))) / CAST(len(words) AS DOUBLE), 6) AS r_es,
-        | CASE WHEN r_en >= r_fr AND r_en >= r_de AND r_en >= r_es THEN 'en'
+        | round(len(regexp_extract_all(text, '$CjkClass')) / CAST(length(text) AS DOUBLE), 6) AS r_cjk,
+        | CASE WHEN r_cjk >= 0.2 THEN 'zh'
+        |  WHEN r_en >= r_fr AND r_en >= r_de AND r_en >= r_es THEN 'en'
         |  WHEN r_fr >= r_de AND r_fr >= r_es THEN 'fr'
         |  WHEN r_de >= r_es THEN 'de' ELSE 'es' END AS guess
-        |FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)""".stripMargin,
+        |FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS words FROM corpus)""".stripMargin
+    },
     "t3_quality_score" ->
       """SELECT *, round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 + uniq_ratio * 0.3 +
         |  least(stop_ratio * 5.0, 1.0) * 0.3, 8) AS quality_score FROM (

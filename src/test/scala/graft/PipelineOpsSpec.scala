@@ -737,6 +737,33 @@ class PipelineOpsSpec extends SparkSpec {
       cnts.mkString(","))
   }
 
+  test("t13 perplexityAuto: at/below the cutoff it IS perplexityFilter; " +
+      "above it a calibration-sample model preserves keep decisions") {
+    val docs = Tables.load(spark, sf, "documents")
+    val n = docs.count()
+    // cutoff not exceeded → bit-identical to the full-model filter
+    val full = TextOps.perplexityFilter(spark, sf)
+      .select("doc_id", "n_words", "n_oov", "avg_surprisal", "keep")
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val atCut = TextOps.perplexitySampled(docs, n, cutoff = n)
+      .select("doc_id", "n_words", "n_oov", "avg_surprisal", "keep")
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(atCut == full)
+    // forced ~50% calibration sample → the keep DECISION survives the
+    // sampled model (scores shift — ln((c+1)/(n+v)) moves with the
+    // sampled counts — but the ≤7.0 avg-surprisal cut is designed to be
+    // ~sample-invariant; this pins the measured parity floor)
+    val sampled = TextOps.perplexitySampled(docs, n, n / 2)
+      .select("doc_id", "keep").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(sampled.keySet == full.keySet) // scoring covers the FULL corpus
+    val agree = full.count { case (id, f) => sampled(id) == f._4 }
+    assert(agree.toDouble / n >= 0.97,
+      s"keep parity ${agree.toDouble / n} below the measured 0.97 floor")
+  }
+
   test("t16 bpe train: fully-fused single-letter word emits no phantom " +
       "pairs (Spark sequence(1,0) yields [1,0]) and exhaustion ends the " +
       "merge table early on the Spark side too") {
@@ -759,6 +786,26 @@ class PipelineOpsSpec extends SparkSpec {
     // vocabulary exhausted after round 3: rounds 4-5 emit NO row (not a
     // null row) — the documented early-end contract now holds on both
     // engines.
+  }
+
+  test("t16 bpeTrainTokens: unicode-clean trainer learns per-ideograph " +
+      "merges on a CJK corpus (no token gate)") {
+    import spark.implicits._
+    // 学习 x5, 学生 x2. Round-1 pairs: (学,习)=5, (习,</w>)=5, (学,生)=2,
+    // (生,</w>)=2 — the 5-tie resolves by left ASC and 习 (U+4E60) sorts
+    // before 学 (U+5B66), so (习,</w>) merges first; round 2 then fuses
+    // (学, 习</w>). Characters are multi-byte but substring/replace
+    // segmentation is character-based, so rounds behave exactly as in
+    // the Latin fixture.
+    val docs = Seq((1L, ("学习 " * 5) + ("学生 " * 2).trim))
+      .toDF("doc_id", "text")
+    val m = TextOps.bpeTrainTokens(docs, 3).collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m.toSeq == Seq(
+      (1, "习", "</w>", "习</w>", 5L),
+      (2, "学", "习</w>", "学习</w>", 5L),
+      (3, "学", "生", "学生", 2L)), m.mkString(", "))
   }
 
   test("h1 extract property: generated pages — kept pools survive, " +

@@ -25,7 +25,7 @@ class TransformerEmbedderSpec extends SparkSpec {
   private val MaxPos = 16
   private val Vocab = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]",
     "the", "hot", "cold", "weather", "un", "##afford", "##able",
-    "ice", "warm", "sun", "rain", "today", ".")
+    "ice", "warm", "sun", "rain", "today", ".", "天", "气")
 
   private def writeSafetensors(path: java.nio.file.Path,
       tensors: Seq[(String, Seq[Int], Array[Float])]): Unit = {
@@ -131,6 +131,19 @@ class TransformerEmbedderSpec extends SparkSpec {
     assert(m.tokenize("unaffordable") == Seq(2, 8, 9, 10, 3))
     assert(m.tokenize("zzzz") == Seq(2, 1, 3))
     assert(m.tokenize("hot.") == Seq(2, 5, 16, 3))
+    // BERT CJK space-padding: each ideograph is its own basic token, so
+    // unsegmented Chinese splits per character and mixed-script text
+    // separates cleanly — without the padding, "天气hot" would be ONE
+    // letter run that greedy WordPiece can only emit as [UNK]
+    assert(m.tokenize("天气hot") == Seq(2, 17, 18, 5, 3))
+    assert(m.tokenize("hot天气.") == Seq(2, 5, 17, 18, 16, 3))
+    // supplementary-plane ideograph (U+20000, a surrogate PAIR in UTF-16)
+    // is padded as one code point and lands as a single [UNK] — per-char
+    // iteration would have split the pair into two garbage tokens
+    assert(m.tokenize("hot𠀀hot") == Seq(2, 5, 1, 5, 3))
+    // kana is NOT in the published CJK ranges: it flows through the
+    // letter path, fusing with adjacent letters into one WordPiece word
+    assert(m.tokenize("あhot") == Seq(2, 1, 3))
     val e = new TransformerEmbedder(dir)
     val a = e.embed("hot weather today")
     assert(a == e.embed("hot weather today"))
