@@ -377,6 +377,142 @@ object Sources {
       status, body, valid)
   }
 
+  /** One byte-framed WARC record — [[warcBinary]]'s row type: the same
+    * columns as [[WarcRec]] with the payload kept as OCTETS. */
+  final case class WarcBinRec(url: String, warc_type: String,
+      content_type: String, http_status: Option[Int], body: Array[Byte],
+      framing_valid: Boolean)
+
+  /** Binary WARC reader — the bytes-capable arm of [[warc]]. The text
+    * reader deliberately targets WARC's text members: Hadoop Text decodes
+    * with replacement characters, so an image/PDF response member arrives
+    * mangled and is flagged `framing_valid = false` — loud, but a real
+    * crawl pass wants those members ROUTED, not dropped. This arm reads
+    * whole archives through the `binaryFile` source (one row per archive
+    * — exactly Common Crawl's thousands-of-~1GB-files layout, where the
+    * .gz members are whole-file streams and per-archive tasks are the
+    * parallelism unit anyway) and walks each archive SEQUENTIALLY at the
+    * byte level: header block to `\r\n\r\n`, then exactly Content-Length
+    * payload octets (ISO 28500 §5.1) — no text decode ever touches the
+    * payload, so a JPEG member lands with its bytes intact and feeds the
+    * multimodal binary column ([[graft.multimodal.Multimodal.MediaRow]]
+    * payload; ImageIoCodec decodes it — spec-pinned), while a text
+    * member's octets are byte-identical to what [[warc]] decodes
+    * (spec-pinned too). Records without Content-Length fall back to
+    * delimiter scanning; length mismatches and mid-record garbage are
+    * flagged `framing_valid = false`, never silent. */
+  def warcBinary(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]]
+      .flatMap(bytes => parseWarcBytes(bytes))
+      .toDF()
+  }
+
+  private val WarcMagic = "WARC/".getBytes("US-ASCII")
+  private val CrlfCrlf = "\r\n\r\n".getBytes("US-ASCII")
+  private val Delim = "\r\n\r\nWARC/".getBytes("US-ASCII")
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte],
+      from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+  private def startsWith(hay: Array[Byte], needle: Array[Byte],
+      at: Int): Boolean =
+    at >= 0 && at + needle.length <= hay.length && {
+      var j = 0
+      while (j < needle.length && hay(at + j) == needle(j)) j += 1
+      j == needle.length
+    }
+
+  /** Sequential byte-exact record walk over one archive's octets. */
+  private[graft] def parseWarcBytes(bytes: Array[Byte]): Iterator[WarcBinRec] = {
+    val out = Vector.newBuilder[WarcBinRec]
+    var pos = 0
+    // skip leading terminator bytes (mirrors the text iterator's
+    // blank-at-record-position rule)
+    def skipCrlf(): Unit =
+      while (pos + 1 < bytes.length && bytes(pos) == '\r' && bytes(pos + 1) == '\n')
+        pos += 2
+    skipCrlf()
+    while (pos < bytes.length) {
+      if (!startsWith(bytes, WarcMagic, pos)) {
+        // garbage at record position: surface it as one flagged row up to
+        // the next delimiter (or EOF) — detectable, never silent
+        val next = indexOf(bytes, Delim, pos)
+        val end = if (next < 0) bytes.length else next
+        out += WarcBinRec("", "", "", None,
+          java.util.Arrays.copyOfRange(bytes, pos, end), framing_valid = false)
+        pos = if (next < 0) bytes.length else next + 4
+      } else {
+        val hEnd = indexOf(bytes, CrlfCrlf, pos)
+        if (hEnd < 0) {
+          out += WarcBinRec("", "", "", None,
+            java.util.Arrays.copyOfRange(bytes, pos, bytes.length),
+            framing_valid = false)
+          pos = bytes.length
+        } else {
+          // header block is ASCII by spec; ISO-8859-1 keeps it byte-safe
+          val headText = new String(bytes, pos, hEnd - pos, "ISO-8859-1")
+          val headers = headText.linesIterator.drop(1).flatMap { l =>
+            val c = l.indexOf(':')
+            if (c < 0) None else Some(l.substring(0, c).trim.toLowerCase ->
+              l.substring(c + 1).trim)
+          }.toMap
+          val bodyAt = hEnd + 4
+          val declared = headers.get("content-length").flatMap(_.toLongOption)
+          val (payload, valid, nextPos) = declared match {
+            case Some(len) if bodyAt + len <= bytes.length =>
+              val end = bodyAt + len.toInt
+              // a well-formed record is followed by its two-CRLF
+              // terminator (absent only at a truncated EOF)
+              val term = startsWith(bytes, CrlfCrlf, end) || end == bytes.length
+              (java.util.Arrays.copyOfRange(bytes, bodyAt, end), term,
+                if (startsWith(bytes, CrlfCrlf, end)) end + 4 else end)
+            case Some(_) => // declared length overruns the archive
+              (java.util.Arrays.copyOfRange(bytes, bodyAt, bytes.length),
+                false, bytes.length)
+            case None => // non-conformant: delimiter framing
+              val next = indexOf(bytes, Delim, bodyAt)
+              val end = if (next < 0) bytes.length else next
+              (java.util.Arrays.copyOfRange(bytes, bodyAt, end),
+                headers.contains("warc-type"),
+                if (next < 0) bytes.length else next + 4)
+          }
+          pos = nextPos
+          skipCrlf()
+          val warcType = headers.getOrElse("warc-type", "")
+          // response payloads open with the HTTP message: keep the
+          // status, strip the HTTP headers — the byte twin of [[warc]]'s
+          // text-side strip
+          val (status, body) =
+            if (warcType == "response" &&
+                startsWith(payload, "HTTP/".getBytes("US-ASCII"), 0)) {
+              val he = indexOf(payload, CrlfCrlf, 0)
+              val lineEnd = indexOf(payload, "\r\n".getBytes("US-ASCII"), 0)
+              val statusLine = new String(payload, 0,
+                if (lineEnd < 0) payload.length else lineEnd, "ISO-8859-1")
+              val st = statusLine.split(" ").lift(1).flatMap(_.toIntOption)
+              if (he < 0) (st, Array.empty[Byte])
+              else (st, java.util.Arrays.copyOfRange(payload, he + 4, payload.length))
+            } else (None, payload)
+          out += WarcBinRec(headers.getOrElse("warc-target-uri", ""),
+            warcType, headers.getOrElse("content-type", ""), status, body,
+            valid)
+        }
+      }
+    }
+    out.result().iterator
+  }
+
   /** S8: remote-API source — fetch a CSV payload over HTTP on the driver
     * and land it as a DataFrame (the reference has generated code download
     * data ad hoc: default_prompts.yaml:288-304, 2157). Driver-side fetch is

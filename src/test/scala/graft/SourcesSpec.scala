@@ -221,6 +221,75 @@ class SourcesSpec extends SparkSpec {
       .collect().head.getString(4) == html)
   }
 
+  test("warcBinary: image response members land byte-intact and decode " +
+      "via ImageIoCodec; text members match the text reader octet-for-octet") {
+    import graft.multimodal.Multimodal.ImageIoCodec
+    // a REAL JPEG via the JDK encoder — binary payload with bytes no
+    // UTF-8 decode survives
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.setRGB(x, y, (x * 32 << 16) | (y * 40 << 8) | 128)
+    val jbos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", jbos))
+    val jpeg = jbos.toByteArray
+    def sha(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(b).map("%02x".format(_)).mkString
+    val html = "<p>genuine text body that must survive both readers</p>"
+    def record(headers: Seq[(String, String)],
+        payload: Array[Byte]): Array[Byte] =
+      ("WARC/1.0\r\n" +
+        (headers :+ ("Content-Length" -> payload.length.toString))
+          .map { case (k, v) => s"$k: $v" }.mkString("\r\n") +
+        "\r\n\r\n").getBytes("US-ASCII") ++ payload ++
+        "\r\n\r\n".getBytes("US-ASCII")
+    val archive =
+      record(Seq("WARC-Type" -> "warcinfo",
+        "Content-Type" -> "application/warc-fields"),
+        "software: graft-test\r\n".getBytes("UTF-8")) ++
+      record(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://example.com/page",
+        "Content-Type" -> "application/http; msgtype=response"),
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html)
+          .getBytes("UTF-8")) ++
+      record(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://example.com/logo.jpg",
+        "Content-Type" -> "application/http; msgtype=response"),
+        "HTTP/1.1 200 OK\r\nContent-Type: image/jpeg\r\n\r\n"
+          .getBytes("US-ASCII") ++ jpeg)
+    val dir = "target/sources_warc_bin"
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/crawl.warc"), archive)
+
+    val bin = Sources.warcBinary(spark, s"$dir/crawl.warc").cache()
+    assert(bin.count() == 3)
+    val rows = bin.collect().map(r => r.getString(0) -> r).toMap
+    // every conformant record frames clean at the byte level — including
+    // the binary member the text reader can only flag
+    assert(bin.collect().forall(_.getBoolean(5)))
+    // the JPEG member: payload digest intact, real ImageIO decode works
+    val jrow = rows("http://example.com/logo.jpg")
+    assert(jrow.getInt(3) == 200)
+    val jbody = jrow.getAs[Array[Byte]](4)
+    assert(sha(jbody) == sha(jpeg), "jpeg payload bytes must be intact")
+    val decoded = ImageIoCodec.decode(jbody)
+    assert(decoded.isDefined && decoded.get.getWidth == 8 &&
+      decoded.get.getHeight == 6)
+    assert(ImageIoCodec.features(decoded.get).length == 16)
+    // text members: octet-for-octet what the text reader decodes
+    val tdf = Sources.warc(spark, s"$dir/crawl.warc").cache()
+    val ttext = tdf.collect().map(r => r.getString(0) -> r).toMap
+    assert(new String(rows("http://example.com/page").getAs[Array[Byte]](4),
+      "UTF-8") == ttext("http://example.com/page").getString(4))
+    assert(ttext("http://example.com/page").getString(4) == html)
+    // and the text reader still flags the binary member loudly rather
+    // than passing mangled bytes as valid
+    assert(!ttext("http://example.com/logo.jpg").getBoolean(5))
+  }
+
   test("warc: Content-Length reassembles bodies quoting WARC records; " +
       "mismatches flagged, never silent") {
     def record(headers: Seq[(String, String)], payload: String): String =
