@@ -241,6 +241,15 @@ object Ontology {
           ts.head.equalsIgnoreCase("PREFIX") || ts.head.equalsIgnoreCase("BASE")) {
         // prefix directives carry no shape; local names already drop prefixes
       } else {
+        // a directive token mid-statement means the PREVIOUS statement
+        // lost its '.' and silently swallowed the directive — the one
+        // missing-terminator shape that is detectable without a full
+        // grammar (found by the ScalaCheck rejection property)
+        if (ts.drop(1).exists(t =>
+            t.startsWith("@prefix") || t.startsWith("@base") ||
+              t.equalsIgnoreCase("PREFIX") || t.equalsIgnoreCase("BASE")))
+          return Left("unsupported TTL construct: directive inside a " +
+            s"statement (missing '.' terminator before it?): ${ts.head}")
         val subj = local(ts.head)
         val s = subjects.getOrElseUpdate(subj, Subject())
         // split the predicate-object list on ';'

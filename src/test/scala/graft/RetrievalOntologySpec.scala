@@ -268,4 +268,101 @@ class RetrievalOntologySpec extends SparkSpec {
     assert(left("containers:\n  - name: t\n    columns: [a]\nhello world\n")
       .contains("unrecognized line"))
   }
+
+  // ---- parseTtl generative coverage: the last hand-rolled byte/char
+  // parser without it (the WARC/multipart property tests each found a
+  // real bug in round 11; same discipline here) ----
+
+  private def holds(p: org.scalacheck.Prop, n: Int = 100): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("parseTtl property: rendered ontologies round-trip exactly under " +
+      "random formatting (IRI vs prefixed, a vs rdf:type, comments, runs " +
+      "of whitespace)") {
+    import org.scalacheck.{Gen, Prop}
+    final case class PCls(name: String, label: Option[String])
+    final case class PProp(name: String, label: Option[String],
+        domain: Option[String], range: Option[String], obj: Boolean)
+    val ident = for {
+      h <- Gen.alphaLowerChar
+      t <- Gen.listOfN(5, Gen.alphaNumChar)
+    } yield (h +: t).mkString
+    val label = Gen.nonEmptyListOf(
+      Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))).map(_.mkString.trim)
+      .suchThat(_.nonEmpty)
+    val pcls = for {
+      n <- ident; l <- Gen.option(label)
+    } yield PCls("C" + n, l)
+    val pprop = for {
+      n <- ident; l <- Gen.option(label); d <- Gen.option(ident)
+      r <- Gen.option(ident); o <- Gen.oneOf(true, false)
+    } yield PProp("p" + n, l, d.map("C" + _), r.map("C" + _), o)
+    val onto = for {
+      cs <- Gen.listOfN(3, pcls)
+      ps <- Gen.listOfN(3, pprop)
+    } yield (cs.distinctBy(_.name), ps.distinctBy(_.name))
+    val ws = Gen.oneOf(" ", "  ", "\n  ", " \t ")
+    def render(cs: Seq[PCls], ps: Seq[PProp], iri: Boolean,
+        typeKw: String, w: String): String = {
+      def term(n: String) =
+        if (iri) s"<http://example.org/onto#$n>" else s"ex:$n"
+      val head = "@prefix ex: <http://example.org/onto#> .\n" +
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n" +
+        "# generated fixture . with a dot\n"
+      val cls = cs.map { c =>
+        s"${term(c.name)}$w$typeKw${w}owl:Class" +
+          c.label.map(l => s"$w;${w}rdfs:label$w\"$l\"").getOrElse("") +
+          s"$w."
+      }
+      val prp = ps.map { p =>
+        val kind = if (p.obj) "owl:ObjectProperty" else "owl:DatatypeProperty"
+        s"${term(p.name)}$w$typeKw$w$kind" +
+          p.label.map(l => s"$w;${w}rdfs:label$w\"$l\"").getOrElse("") +
+          p.domain.map(d => s"$w;${w}rdfs:domain$w${term(d)}").getOrElse("") +
+          p.range.map(r => s"$w;${w}rdfs:range$w${term(r)}").getOrElse("") +
+          s"$w."
+      }
+      head + (cls ++ prp).mkString("\n")
+    }
+    holds(Prop.forAll(onto, Gen.oneOf(true, false),
+        Gen.oneOf("a", "rdf:type"), ws) { case ((cs, ps), iri, typeKw, w) =>
+      Ontology.parseTtl(render(cs, ps, iri, typeKw, w)) match {
+        case Right(o) =>
+          o.classes.map(c => (c.name, c.label)) ==
+            cs.map(c => (c.name, c.label)) &&
+          o.properties.map(p =>
+            (p.name, p.label, p.domain, p.range, p.objectProperty)) ==
+            ps.map(p => (p.name, p.label, p.domain, p.range, p.obj))
+        case Left(e) => cs.isEmpty && ps.isEmpty &&
+          e.contains("no classes or properties")
+      }
+    }, n = 200)
+  }
+
+  test("parseTtl property: unsupported constructs injected into valid TTL " +
+      "reject loudly — never a silent mis-parse, never an exception") {
+    import org.scalacheck.{Gen, Prop}
+    val base = "@prefix ex: <http://e.org#> .\nex:C a owl:Class .\n"
+    val bad = Gen.oneOf(
+      "ex:B a owl:Class ; rdfs:label [ ] .",            // blank node
+      "ex:B rdfs:domain ( ex:C ex:D ) .",               // collection
+      "ex:B rdfs:label \"\"\"multi\"\"\" .",            // triple-quoted
+      "ex:B rdfs:label \"line\nbreak\" .",              // multi-line literal
+      "ex:B rdfs:label \"unterminated .",               // unterminated quote
+      "ex:B rdfs:domain <http://e.org#unterminated .",  // unterminated IRI
+      "ex:B ex:count 42 .",                             // bare numeric at '.'
+      "ex:B a owl:Class")                               // missing terminator
+    holds(Prop.forAll(bad, Gen.oneOf(true, false)) { (b, before) =>
+      val text = if (before) b + "\n" + base else base + b
+      Ontology.parseTtl(text) match {
+        case Left(e) =>
+          e.contains("unsupported") || e.contains("not terminated") ||
+            e.contains("without object")
+        case Right(_) => false
+      }
+    }, n = 64)
+  }
 }
