@@ -79,16 +79,49 @@ object ScaleProbe {
     }
   }
 
+  /** RELATIONAL-ONLY widening for the tie-class verify sweeps: the money/
+    * quotient/window tie classes live in lineitem/orders/events, so the
+    * fifth-decade fixture (sf0.1 × 1000 ≈ sf100) skips the embedding
+    * decorrelation that caps [[synth]] at 128 copies and copies
+    * documents/embeddings through at base scale. Key strides are the
+    * [[synth]] ones — each exceeds its sf0.1 base range by ≥ 10x the
+    * 1000-copy index, so copies never collide. */
+  private[graft] def synthRelational(spark: SparkSession, base: String,
+      out: String, copies: Int): Unit = {
+    require(copies >= 1 && copies <= 1000,
+      s"copies=$copies outside [1,1000] for the relational widening")
+    val cps = spark.range(copies).select(col("id").as("cp"))
+    def widen(name: String, keyShifts: Map[String, Long]): Unit = {
+      val t = Tables.load(spark, base, name)
+      val shifted = keyShifts.foldLeft(t.crossJoin(cps)) {
+        case (df, (c, stride)) => df.withColumn(c, col(c) + col("cp") * stride)
+      }.drop("cp")
+      shifted.repartition(64)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    widen("lineitem", Map("l_orderkey" -> 10000000L))
+    widen("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+    widen("customer", Map("c_custkey" -> 1000000L))
+    widen("events", Map("event_id" -> 100000000L, "user_id" -> 100000L))
+    Seq("part", "supplier", "nation", "region", "documents", "embeddings")
+      .foreach { n =>
+        Tables.load(spark, base, n).write.mode("overwrite")
+          .parquet(s"$out/$n.parquet")
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = if (args.length > 3) args(3).toInt else 10
+    val relationalOnly = args.length > 4 && args(4) == "relational"
     // rotation gives 64 distinct copies and the sign flip doubles that;
     // copy 128 would equal copy 64 exactly, re-creating the c² pair
     // blowup the decorrelation exists to prevent — refuse loudly
-    require(copies >= 1 && copies <= 128,
+    require(relationalOnly || (copies >= 1 && copies <= 128),
       s"copies=$copies outside [1,128]: embedding decorrelation repeats " +
         "past 128 (64 rotations x 2 sign patterns) and exact-duplicate " +
-        "copies would make the probe measure the synthetic corpus")
+        "copies would make the probe measure the synthetic corpus " +
+        "(pass 'relational' as the 5th arg for the relational-only widening)")
     val out = if (args.length > 1) args(1) else s"target/sfx$copies"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -98,6 +131,12 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (relationalOnly) {
+      synthRelational(spark, base, out, copies)
+      println(s"""{"metric":"scale_synth_relational","copies":$copies}""")
+      spark.stop()
+      return
+    }
     synth(spark, base, out, copies)
 
     // (name, plan at 1x, plan at Nx). For LSH/IVF operators the Nx plan
