@@ -92,12 +92,16 @@ object ScaleProbe {
       s"copies=$copies outside [1,1000] for the relational widening")
     val cps = spark.range(copies).select(col("id").as("cp"))
     def widen(name: String, keyShifts: Map[String, Long]): Unit = {
-      val t = Tables.load(spark, base, name)
+      // repartition the BASE before the crossJoin: shuffling 600k base
+      // rows into 64 splittable output files costs nothing, while a
+      // post-crossJoin repartition would shuffle all copies·base rows
+      // (~60 GB of exchange at 1000 copies) through the base file's one
+      // unsplittable row-group task
+      val t = Tables.load(spark, base, name).repartition(64)
       val shifted = keyShifts.foldLeft(t.crossJoin(cps)) {
         case (df, (c, stride)) => df.withColumn(c, col(c) + col("cp") * stride)
       }.drop("cp")
-      shifted.repartition(64)
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      shifted.write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
     widen("lineitem", Map("l_orderkey" -> 10000000L))
     widen("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
