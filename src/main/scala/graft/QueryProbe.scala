@@ -9,6 +9,11 @@ import org.apache.spark.sql.SparkSession
   * without paying a full Bench sweep.
   */
 object QueryProbe {
+  /** Probe-only names: AUTO/library forms that are not gated queries but
+    * need isolated pricing (the BASELINE cost rows). */
+  private val extras: Map[String, Q.Q] = Map(
+    "t13_perplexity_auto" -> graft.operators.TextOps.perplexityAutoQ)
+
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -27,7 +32,7 @@ object QueryProbe {
       b.config("spark.sql.autoBroadcastJoinThreshold", "-1") else b)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fn = SparkEntry.queries(name)
+    val fn = SparkEntry.queries.getOrElse(name, extras(name))
     val n = fn(spark, sfDir).count() // row count for the report only
     // warm with the SAME action as the timed runs: a count() warmup plans
     // the PRUNED form, so the first noop run would still pay codegen/JIT
