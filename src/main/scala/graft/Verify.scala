@@ -35,9 +35,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // the driver contract writes one file per query (small fixtures);
+    // big-fixture sweeps set SPARK_GRAFT_VERIFY_PARTS to skip the
+    // single-threaded coalesce(1) funnel — a 60M-row dump writes 32-way
+    // (check.py globs, check_agg/IndependentVerify digest: all
+    // order-independent, so the file count is immaterial)
+    val parts = sys.env.get("SPARK_GRAFT_VERIFY_PARTS").map(_.toInt)
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        parts.fold(df.coalesce(1))(p => df.repartition(p))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
