@@ -245,6 +245,10 @@ object IndependentVerify {
     * groups shares bucket membership and jaccard identically. */
   private def lshGroupPairs(groups: Array[TextGroup])
       : Vector[(Int, Int, Double)] = {
+    // pair keys pack as gi*2e6+gj — loud guard instead of silent aliasing
+    // (the same discipline as dd7Components' group-span require)
+    require(groups.length < 2000000,
+      s"pair-key packing assumes <2e6 distinct text groups, got ${groups.length}")
     val buckets = new java.util.HashMap[String, java.util.ArrayList[Integer]]()
     groups.zipWithIndex.foreach { case (g, gi) =>
       var b = 0
@@ -569,6 +573,10 @@ object IndependentVerify {
     byFp.forEach((fp, l) => fps.add((fp.longValue,
       l.toArray(new Array[java.lang.Long](0)).map(_.longValue).sorted)))
     val fpArr = (0 until fps.size).map(fps.get).toArray
+    // pair keys pack as i*2e6+j over distinct fingerprints — loud guard
+    // instead of silent aliasing (see lshGroupPairs)
+    require(fpArr.length < 2000000,
+      s"pair-key packing assumes <2e6 distinct fingerprints, got ${fpArr.length}")
     // chunk-blocked candidates over DISTINCT fingerprints
     val buckets = new java.util.HashMap[Long, java.util.ArrayList[Integer]]()
     fpArr.zipWithIndex.foreach { case ((fp, _), i) =>
@@ -839,6 +847,9 @@ object IndependentVerify {
     * the digest slot (exp == act iff zero mismatches). */
   private def checkV8(spark: SparkSession, vecs: Array[Vec],
       out: String): (Digest, Digest) = {
+    // edges pack as (a<<32)|b — loud guard instead of silent aliasing
+    require(vecs.forall(v => v.id >= 0 && v.id < (1L << 32)),
+      "edge packing assumes vec_id in [0, 2^32)")
     val (keys, norms, bucketList) = rpFront(vecs, 4)
     // per-bucket primitive edge arrays (first-band dedup), then one
     // sequential union-find — never a boxed global set

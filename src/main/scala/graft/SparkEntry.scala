@@ -105,6 +105,7 @@ object SparkEntry {
     "h2_web_curation" -> TextOps.webCuration,
     "t1_word_chunks" -> TextOps.wordChunks,
     "t2_lang_id" -> TextOps.langId,
+    "t2_lang_id_scripts" -> TextOps.langIdScripts,
     "t3_quality_score" -> TextOps.qualityScore,
     "t4_fingerprint" -> TextOps.fingerprint,
     "t5_token_count" -> TextOps.tokenCount,
@@ -375,10 +376,15 @@ object SparkEntry {
       """WITH daily0 AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
         |   AS BIGINT) AS total_c FROM orders GROUP BY 1),
-        | daily AS (SELECT day,
-        |  round(CAST(total_c AS DOUBLE) / 100.0, 2) AS total FROM daily0)
+        | lagd AS (SELECT day,
+        |  round(CAST(total_c AS DOUBLE) / 100.0, 2) AS total,
+        |  total_c, lag(total_c) OVER (ORDER BY day) AS prev_c FROM daily0)
         |SELECT day, total,
-        | round(total / lag(total) OVER (ORDER BY day) - 1, 6) AS ret FROM daily""".stripMargin,
+        | CASE WHEN prev_c IS NULL THEN NULL ELSE
+        |  CAST((CASE WHEN total_c < prev_c THEN -1 ELSE 1 END) *
+        |   ((abs(CAST(total_c AS HUGEINT) - prev_c) * 2000000 + prev_c)
+        |    // (CAST(prev_c AS HUGEINT) * 2)) AS DOUBLE) / 1e6
+        | END AS ret FROM lagd""".stripMargin,
     "w3_cumsum" ->
       """SELECT user_id, event_id, value,
         | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
@@ -531,6 +537,7 @@ object SparkEntry {
     "h2_web_curation" -> TextOps.oracle("h2_web_curation"),
     "t1_word_chunks" -> TextOps.oracle("t1_word_chunks"),
     "t2_lang_id" -> TextOps.oracle("t2_lang_id"),
+    "t2_lang_id_scripts" -> TextOps.oracle("t2_lang_id_scripts"),
     "t3_quality_score" -> TextOps.oracle("t3_quality_score"),
     "t4_fingerprint" -> TextOps.oracle("t4_fingerprint"),
     "t5_token_count" -> TextOps.oracle("t5_token_count"),

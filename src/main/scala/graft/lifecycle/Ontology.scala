@@ -237,17 +237,27 @@ object Ontology {
 
     for (stmt <- stmts.map(_.trim) if stmt.nonEmpty) {
       val ts = tokens(stmt)
-      if (ts.head.startsWith("@prefix") || ts.head.startsWith("@base") ||
-          ts.head.equalsIgnoreCase("PREFIX") || ts.head.equalsIgnoreCase("BASE")) {
+      // whole-token directive tests (TTL directives are their own tokens;
+      // startsWith would misfire on an odd-but-valid local name like
+      // `@prefixLike` or a bare object token `prefix`)
+      def isAtDirective(t: String): Boolean = t == "@prefix" || t == "@base"
+      // SPARQL-form PREFIX/BASE keywords are case-insensitive but also
+      // legal local names — only treat one as a directive when the NEXT
+      // token actually looks like a directive continuation (a prefix
+      // label ending ':' or an IRI opening '<'), so a statement whose
+      // object is a bare 'prefix'/'base' is not falsely rejected
+      def isKeywordDirectiveAt(i: Int): Boolean =
+        (ts(i).equalsIgnoreCase("PREFIX") || ts(i).equalsIgnoreCase("BASE")) &&
+          i + 1 < ts.length && (ts(i + 1).endsWith(":") || ts(i + 1).startsWith("<"))
+      if (isAtDirective(ts.head) || isKeywordDirectiveAt(0)) {
         // prefix directives carry no shape; local names already drop prefixes
       } else {
         // a directive token mid-statement means the PREVIOUS statement
         // lost its '.' and silently swallowed the directive — the one
         // missing-terminator shape that is detectable without a full
         // grammar (found by the ScalaCheck rejection property)
-        if (ts.drop(1).exists(t =>
-            t.startsWith("@prefix") || t.startsWith("@base") ||
-              t.equalsIgnoreCase("PREFIX") || t.equalsIgnoreCase("BASE")))
+        if (ts.indices.drop(1).exists(i =>
+            isAtDirective(ts(i)) || isKeywordDirectiveAt(i)))
           return Left("unsupported TTL construct: directive inside a " +
             s"statement (missing '.' terminator before it?): ${ts.head}")
         val subj = local(ts.head)

@@ -459,11 +459,32 @@ object Relational {
         .as("ma7"))
   }
 
-  /** W2 lag-based pct_change daily return. Ref: default_prompts.yaml:308. */
+  /** W2 lag-based pct_change daily return. Ref: default_prompts.yaml:308.
+    *
+    * Sign-split exact quotient (round 13, retiring the last rounded-double
+    * display in any hash path): the 6-dp return is computed as
+    * sign(n) x ((2|n|*10^6 + d) div (2d)) / 1e6 over the EXACT daily cents
+    * (n = cur_c - prev_c, d = prev_c > 0) — round-half-away-from-zero of
+    * n/d at 6 dp in pure integer arithmetic. The operands of `div` are
+    * both non-negative, where Spark's truncate-toward-zero and DuckDB's
+    * floor agree (the signed case is exactly where they diverge, which is
+    * why the plain w1/c7 quotient trick never ported — see v5's scaladoc);
+    * the final /1e6 of a small integer is IEEE-exact. No round() of a
+    * double quotient remains anywhere in a hash-gated display. decimal(38)
+    * intermediates: |n|*2e6 overflows a bigint once daily cents pass ~4.6e12
+    * (a ~50 B$/day corpus — within a 100 TB run's reach). */
   def pctChange: Q = (s, d) => {
     val w = Window.orderBy(col("day"))
-    dailyTotals(s, d).select(col("day"), col("total"),
-      round(col("total") / lag("total", 1).over(w) - 1, 6).as("ret"))
+    dailyTotals(s, d)
+      .withColumn("prev_c", lag("total_c", 1).over(w))
+      .select(col("day"), col("total"),
+        when(col("prev_c").isNull, lit(null).cast("double"))
+          .otherwise(expr(
+            """cast((case when total_c < prev_c then -1 else 1 end) *
+              | ((abs(cast(total_c as decimal(38,0)) - prev_c) * 2000000
+              |    + prev_c) div (cast(prev_c as decimal(38,0)) * 2))
+              | as double) / 1e6""".stripMargin))
+          .as("ret"))
   }
 
   /** W3 cumulative sum per group ordered by time.

@@ -37,24 +37,36 @@ object TextOps {
     * DuckDB (RE2) texts, so the two engines count the same characters. */
   private val CjkClass = "[一-鿿㐀-䶿]"
 
-  /** Inline CJK fixture rows unioned into t2's corpus: the driver
-    * fixtures are Latin-script, so without them the CJK arm would be
-    * dead code at every sf. Row -2 mixes English stopwords INTO Chinese
-    * text to pin the arm's precedence over the stopword argmax. */
-  private val LangIdCjkRows = Seq(
+  /** Hiragana (3041-3096) + Katakana (30A1-30FF, incl. the prolonged-sound
+    * mark). Kana is the script signature of Japanese: Chinese never uses
+    * it, so ANY substantial kana presence outranks the ideograph count
+    * (Japanese prose is typically 20-40% kanji, which would otherwise trip
+    * the 'zh' arm). */
+  private val KanaClass = "[ぁ-ゖァ-ヿ]"
+
+  /** Hangul syllable block (AC00-D7A3) — complete for modern Korean. */
+  private val HangulClass = "[가-힣]"
+
+  /** Script-labelled fixture corpus for [[langIdScripts]]: the driver
+    * fixtures are Latin-script, so the CJK/kana/hangul arms are gated on
+    * this inline corpus instead (a test-only input, NOT unioned into the
+    * production query — langId itself stays a pure function of its input).
+    * Rows -2/-5/-7 mix English stopwords INTO zh/ja/ko text to pin each
+    * script arm's precedence over the stopword argmax; -4 mixes kanji with
+    * kana to pin the ja-before-zh precedence. */
+  private[graft] val LangIdScriptRows = Seq(
     (-1L, "zh", "今天天气很好 我们去公园散步 这是一个测试"),
     (-2L, "zh", "模型 在 数据 上 训练 the and of"),
-    (-3L, "en", "the weather of today is good and we walk in the park"))
+    (-3L, "en", "the weather of today is good and we walk in the park"),
+    (-4L, "ja", "今日は良い天気です 公園を散歩しましょう"),
+    (-5L, "ja", "データで モデルを 訓練する the and of"),
+    (-6L, "ko", "오늘 날씨가 좋다 우리는 공원에서 산책한다"),
+    (-7L, "ko", "모델은 데이터로 학습한다 the and of"))
 
-  /** Stopword-ratio language ID with a CJK character-class arm:
-    * stopword lists identify space-delimited European languages, but CJK
-    * text has no delimiters for a word-list to hit — its signal is the
-    * SCRIPT itself (the n-gram/char-class arm every practical lang-ID
-    * stack has). A document whose CJK-character ratio reaches 0.2 is
-    * classified 'zh' before the stopword argmax runs; the European
-    * tie-break order (en > fr > de > es) is unchanged. */
-  def langId: Q = (s, d) => {
-    import s.implicits._
+  /** The language-ID classification pipeline over any (doc_id, lang, text)
+    * corpus — factored so the production query ([[langId]]) and the
+    * script-arm gate ([[langIdScripts]]) run the IDENTICAL expressions. */
+  private def langIdOver(corpus: DataFrame): DataFrame = {
     val sets = Map(
       "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
       "fr" -> Seq("le", "la", "les", "de", "et", "un"),
@@ -64,21 +76,49 @@ object TextOps {
       val in = sets(lang).map(w => s"'$w'").mkString(", ")
       s"round(size(filter(words, w -> w IN ($in))) / cast(size(words) as double), 6)"
     }
-    val corpus = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
-      .unionByName(LangIdCjkRows.toDF("doc_id", "lang", "text"))
+    def charRatio(cls: String): String =
+      s"round(size(regexp_extract_all(text, '$cls', 0)) / " +
+        "cast(length(text) as double), 6)"
     corpus
       .select(col("doc_id"), col("lang"), col("text"),
         split(col("text"), " ").as("words"))
       .select(col("doc_id"), col("lang"),
         expr(ratio("en")).as("r_en"), expr(ratio("fr")).as("r_fr"),
         expr(ratio("de")).as("r_de"), expr(ratio("es")).as("r_es"),
-        expr(s"round(size(regexp_extract_all(text, '$CjkClass', 0)) / " +
-          "cast(length(text) as double), 6)").as("r_cjk"))
+        expr(charRatio(CjkClass)).as("r_cjk"),
+        expr(charRatio(KanaClass)).as("r_kana"),
+        expr(charRatio(HangulClass)).as("r_hangul"))
       .withColumn("guess", expr(
-        """CASE WHEN r_cjk >= 0.2 THEN 'zh'
+        """CASE WHEN r_kana >= 0.05 THEN 'ja'
+          | WHEN r_hangul >= 0.2 THEN 'ko'
+          | WHEN r_cjk >= 0.2 THEN 'zh'
           | WHEN r_en >= r_fr AND r_en >= r_de AND r_en >= r_es THEN 'en'
           | WHEN r_fr >= r_de AND r_fr >= r_es THEN 'fr'
           | WHEN r_de >= r_es THEN 'de' ELSE 'es' END""".stripMargin))
+  }
+
+  /** Stopword-ratio language ID with script character-class arms:
+    * stopword lists identify space-delimited European languages, but CJK
+    * text has no delimiters for a word-list to hit — its signal is the
+    * SCRIPT itself (the n-gram/char-class arm every practical lang-ID
+    * stack has). Arm order: kana ≥ 0.05 → 'ja' (kana never appears in
+    * Chinese, and Japanese prose is kanji-heavy, so kana must outrank the
+    * ideograph count); hangul ≥ 0.2 → 'ko'; ideographs ≥ 0.2 → 'zh';
+    * then the European tie-break order (en > fr > de > es), unchanged.
+    * A pure function of its input corpus — the script arms are gated
+    * cross-engine by [[langIdScripts]] over [[LangIdScriptRows]]. */
+  def langId: Q = (s, d) =>
+    langIdOver(documents(s, d).select(col("doc_id"), col("lang"), col("text")))
+
+  /** The script-arm gate: [[langId]]'s exact pipeline over the inline
+    * zh/ja/ko/en fixture corpus, hash-compared against a DuckDB replay of
+    * the same VALUES — exercises the three script arms (dead code on the
+    * Latin driver fixtures) at every sf without injecting phantom rows
+    * into the corpus query. */
+  def langIdScripts: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    langIdOver(LangIdScriptRows.toDF("doc_id", "lang", "text"))
   }
 
   /** The t3 formula pieces, factored so the c1 funnel composes the SAME
@@ -1300,6 +1340,27 @@ object TextOps {
        |$selects""".stripMargin
   }
 
+  /** DuckDB replay of [[langIdOver]] against any corpus relation — shared
+    * by the t2 production gate (over `documents`) and the script-arm gate
+    * (over the [[LangIdScriptRows]] VALUES). */
+  private def langIdOracleSql(corpusRel: String): String =
+    s"""SELECT doc_id, lang,
+       | round(len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is'))) / CAST(len(words) AS DOUBLE), 6) AS r_en,
+       | round(len(list_filter(words, w -> w IN ('le','la','les','de','et','un'))) / CAST(len(words) AS DOUBLE), 6) AS r_fr,
+       | round(len(list_filter(words, w -> w IN ('der','die','und','das','ein','zu'))) / CAST(len(words) AS DOUBLE), 6) AS r_de,
+       | round(len(list_filter(words, w -> w IN ('el','los','y','en','que','se'))) / CAST(len(words) AS DOUBLE), 6) AS r_es,
+       | round(len(regexp_extract_all(text, '$CjkClass')) / CAST(length(text) AS DOUBLE), 6) AS r_cjk,
+       | round(len(regexp_extract_all(text, '$KanaClass')) / CAST(length(text) AS DOUBLE), 6) AS r_kana,
+       | round(len(regexp_extract_all(text, '$HangulClass')) / CAST(length(text) AS DOUBLE), 6) AS r_hangul,
+       | CASE WHEN r_kana >= 0.05 THEN 'ja'
+       |  WHEN r_hangul >= 0.2 THEN 'ko'
+       |  WHEN r_cjk >= 0.2 THEN 'zh'
+       |  WHEN r_en >= r_fr AND r_en >= r_de AND r_en >= r_es THEN 'en'
+       |  WHEN r_fr >= r_de AND r_fr >= r_es THEN 'fr'
+       |  WHEN r_de >= r_es THEN 'de' ELSE 'es' END AS guess
+       |FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS words
+       |  FROM $corpusRel)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "t16_bpe_train" -> bpeTrainOracleSql(BpeTrainRounds),
     "c9_quality_lr_train" -> lrTrainOracleSql(LrTrainRounds),
@@ -1376,24 +1437,14 @@ object TextOps {
         |  AS chunk_chars
         |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         | UNNEST(range(0, CAST(ceil(len(words)/50.0) AS INT))) AS g(i)""".stripMargin,
-    "t2_lang_id" -> {
-      val cjkValues = LangIdCjkRows.map { case (id, lang, text) =>
+    "t2_lang_id" -> langIdOracleSql("documents"),
+    "t2_lang_id_scripts" -> {
+      val scriptValues = LangIdScriptRows.map { case (id, lang, text) =>
         s"(CAST($id AS BIGINT), '$lang', '$text')"
       }.mkString(",\n        ")
-      s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents
-        | UNION ALL SELECT * FROM (VALUES
-        |  $cjkValues) t(doc_id, lang, text))
-        |SELECT doc_id, lang,
-        | round(len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is'))) / CAST(len(words) AS DOUBLE), 6) AS r_en,
-        | round(len(list_filter(words, w -> w IN ('le','la','les','de','et','un'))) / CAST(len(words) AS DOUBLE), 6) AS r_fr,
-        | round(len(list_filter(words, w -> w IN ('der','die','und','das','ein','zu'))) / CAST(len(words) AS DOUBLE), 6) AS r_de,
-        | round(len(list_filter(words, w -> w IN ('el','los','y','en','que','se'))) / CAST(len(words) AS DOUBLE), 6) AS r_es,
-        | round(len(regexp_extract_all(text, '$CjkClass')) / CAST(length(text) AS DOUBLE), 6) AS r_cjk,
-        | CASE WHEN r_cjk >= 0.2 THEN 'zh'
-        |  WHEN r_en >= r_fr AND r_en >= r_de AND r_en >= r_es THEN 'en'
-        |  WHEN r_fr >= r_de AND r_fr >= r_es THEN 'fr'
-        |  WHEN r_de >= r_es THEN 'de' ELSE 'es' END AS guess
-        |FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS words FROM corpus)""".stripMargin
+      langIdOracleSql(
+        s"""(SELECT * FROM (VALUES
+           |  $scriptValues) t(doc_id, lang, text))""".stripMargin)
     },
     "t3_quality_score" ->
       """SELECT *, round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 + uniq_ratio * 0.3 +

@@ -400,13 +400,48 @@ object Sources {
     * member's octets are byte-identical to what [[warc]] decodes
     * (spec-pinned too). Records without Content-Length fall back to
     * delimiter scanning; length mismatches and mid-record garbage are
-    * flagged `framing_valid = false`, never silent. */
+    * flagged `framing_valid = false`, never silent.
+    *
+    * Gzip (round 13): `binaryFile` delivers raw octets — unlike the text
+    * arm's TextInputFormat there is no codec layer — so a `.warc.gz`
+    * archive is sniffed by its 0x1f8b magic and inflated here before the
+    * walk. Common Crawl archives are CONCATENATED per-record gzip members
+    * (ISO 28500 annex); `GZIPInputStream` reads member sequences natively,
+    * so the whole archive inflates in one streaming pass. A corrupt
+    * stream keeps the octets inflated so far (the walk then flags the
+    * trailing truncation) rather than failing the task — at 100 TB one
+    * rotten archive must not kill the job, and an empty inflate surfaces
+    * as a single flagged row. */
   def warcBinary(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select("content").as[Array[Byte]]
-      .flatMap(bytes => parseWarcBytes(bytes))
+      .flatMap { raw =>
+        if (!startsWith(raw, GzipMagic, 0)) parseWarcBytes(raw)
+        else {
+          val inflated = gunzipAll(raw)
+          if (inflated.isEmpty)
+            Iterator(WarcBinRec("", "", "", None, raw, framing_valid = false))
+          else parseWarcBytes(inflated)
+        }
+      }
       .toDF()
+  }
+
+  private val GzipMagic = Array(0x1f.toByte, 0x8b.toByte)
+
+  /** Inflate a (possibly multi-member) gzip stream; on a mid-stream error
+    * returns the octets recovered so far instead of throwing. */
+  private[graft] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(bytes.length * 4, 1024))
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 64 << 10)
+      val buf = new Array[Byte](64 << 10)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case _: java.io.IOException => () }
+    out.toByteArray
   }
 
   private val WarcMagic = "WARC/".getBytes("US-ASCII")
@@ -472,11 +507,14 @@ object Sources {
           val (payload, valid, nextPos) = declared match {
             case Some(len) if bodyAt + len <= bytes.length =>
               val end = bodyAt + len.toInt
-              // a well-formed record is followed by its two-CRLF
-              // terminator (absent only at a truncated EOF)
-              val term = startsWith(bytes, CrlfCrlf, end) || end == bytes.length
+              // a well-formed record is ALWAYS followed by its two-CRLF
+              // terminator (ISO 28500 §5.2) — including the archive's
+              // last record, so a truncation that happens to cut exactly
+              // on the payload boundary is still detectable (round 13,
+              // closing the `end == bytes.length` escape)
+              val term = startsWith(bytes, CrlfCrlf, end)
               (java.util.Arrays.copyOfRange(bytes, bodyAt, end), term,
-                if (startsWith(bytes, CrlfCrlf, end)) end + 4 else end)
+                if (term) end + 4 else end)
             case Some(_) => // declared length overruns the archive
               (java.util.Arrays.copyOfRange(bytes, bodyAt, bytes.length),
                 false, bytes.length)
