@@ -79,6 +79,72 @@ object ScaleProbe {
     }
   }
 
+  /** Sixth-decade doc/vector widening (round 13): [[synth]]'s embedding
+    * decorrelation caps at 128 copies (64 rotations x 2 sign patterns),
+    * and its documents pass KEEPS each copy's text — so text-dedup pair
+    * counts grow c² with copies (432M pairs at 100 copies was already the
+    * practical ceiling for a Verify dump). This widening makes BOTH
+    * corpora scale to 1000 copies with bounded pair growth:
+    *
+    *  - documents: copies carry one of 32 text VARIANTS (cp % 32);
+    *    variant 0 is the base text, variant v suffixes every word with
+    *    `_v<v>` — word-shingle sets across variants are disjoint (cross-
+    *    variant jaccard 0, so no c² pair blowup), within a variant the
+    *    base near-dup structure is preserved EXACTLY (suffixing is a
+    *    word-level bijection) and each variant's shingles land in fresh
+    *    hash ranges. ~31 copies share each variant, so exact-dup member
+    *    lists still grow an order past sf10's — the id-list/packing
+    *    paths are probed, the pair count stays ~100M not ~40G.
+    *  - embeddings: rotation by (cp % 64) as in [[synth]], then a
+    *    per-copy sign PATTERN from murmur3 `hash(cp, i)` — 2^64 possible
+    *    patterns, so no two copies repeat at any copy count (the r12
+    *    scheme's alternating flip gave exactly 2). Same-rotation
+    *    cross-copy cosines concentrate near 0 (+-1/sqrt(dim) — a
+    *    mean-zero random sign walk over the squared components), so
+    *    above-threshold cross-copy pairs are a thin measurable tail,
+    *    not a c² explosion. Copy 0 is the identity (base rows survive
+    *    verbatim; the v5 seed vectors and the v1/v4 probe ids exist).
+    *
+    * The recompute side needs NO mirror of either transform:
+    * IndependentVerify reads the synthesized parquet as input data.
+    * [[synth]] keeps the r12 scheme so the standing target/sf1 and
+    * target/sf10 fixtures (and the BASELINE §5 laws priced on them)
+    * remain reproducible as written. */
+  private[graft] def synthDv(spark: SparkSession, base: String, out: String,
+      copies: Int): Unit = {
+    require(copies >= 1 && copies <= 1000,
+      s"copies=$copies outside [1,1000] for the doc/vector widening")
+    val cps = spark.range(copies).select(col("id").as("cp"))
+    Tables.load(spark, base, "documents").repartition(64).crossJoin(cps)
+      .withColumn("text", expr(
+        """CASE WHEN cp % 32 = 0 THEN text
+          | ELSE array_join(transform(split(text, ' '),
+          |        w -> concat(w, '_v', cast(cp % 32 as string))), ' ')
+          | END""".stripMargin))
+      .withColumn("doc_id", col("doc_id") + col("cp") * 1000000L)
+      .drop("cp")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    Tables.load(spark, base, "embeddings").repartition(64).crossJoin(cps)
+      .withColumn("embedding", expr(
+        """concat(slice(embedding, (cp % 64) + 1, 64 - (cp % 64)),
+          |       slice(embedding, 1, cp % 64))""".stripMargin))
+      .withColumn("embedding", expr(
+        """CASE WHEN cp = 0 THEN embedding
+          | ELSE transform(embedding, (x, i) ->
+          |   CASE WHEN pmod(hash(cp, i), 2) = 0 THEN -x ELSE x END) END"""
+          .stripMargin))
+      .withColumn("vec_id", col("vec_id") + col("cp") * 1000000L)
+      .drop("cp")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // the 16 pair-family queries read only documents/embeddings; the
+    // remaining tables ride along at base scale so any query can run
+    Seq("lineitem", "orders", "customer", "events",
+        "part", "supplier", "nation", "region").foreach { n =>
+      Tables.load(spark, base, n).write.mode("overwrite")
+        .parquet(s"$out/$n.parquet")
+    }
+  }
+
   /** RELATIONAL-ONLY widening for the tie-class verify sweeps: the money/
     * quotient/window tie classes live in lineitem/orders/events, so the
     * fifth-decade fixture (sf0.1 × 1000 ≈ sf100) skips the embedding
@@ -118,10 +184,14 @@ object ScaleProbe {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = if (args.length > 3) args(3).toInt else 10
     val relationalOnly = args.length > 4 && args(4) == "relational"
+    // 'dv': the sixth-decade doc/vector widening (synthesize-only, like
+    // 'relational') — decorrelated documents AND embeddings to any copy
+    // count in [1,1000]; see [[synthDv]]
+    val dvOnly = args.length > 4 && args(4) == "dv"
     // rotation gives 64 distinct copies and the sign flip doubles that;
     // copy 128 would equal copy 64 exactly, re-creating the c² pair
     // blowup the decorrelation exists to prevent — refuse loudly
-    require(relationalOnly || (copies >= 1 && copies <= 128),
+    require(relationalOnly || dvOnly || (copies >= 1 && copies <= 128),
       s"copies=$copies outside [1,128]: embedding decorrelation repeats " +
         "past 128 (64 rotations x 2 sign patterns) and exact-duplicate " +
         "copies would make the probe measure the synthetic corpus " +
@@ -138,6 +208,12 @@ object ScaleProbe {
     if (relationalOnly) {
       synthRelational(spark, base, out, copies)
       println(s"""{"metric":"scale_synth_relational","copies":$copies}""")
+      spark.stop()
+      return
+    }
+    if (dvOnly) {
+      synthDv(spark, base, out, copies)
+      println(s"""{"metric":"scale_synth_dv","copies":$copies}""")
       spark.stop()
       return
     }

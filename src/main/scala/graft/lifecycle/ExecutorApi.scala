@@ -83,8 +83,10 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
   private var server: Option[HttpServer] = None
   // the last successful /query chain, held for /submit_rank — the
   // reference completes learning asynchronously in a second request
-  // (app.py:973-1010), so the rank arrives after the result streamed
-  private var lastChain: Option[(String, Agents.ChainResult)] = None
+  // (app.py:973-1010), so the rank arrives after the result streamed.
+  // volatile: /query writes it and /submit_rank reads it from different
+  // pool threads (round 13)
+  @volatile private var lastChain: Option[(String, Agents.ChainResult)] = None
 
   /** Start on `port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
@@ -146,13 +148,30 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
       handler(removePrimaryDataset))
     srv.createContext("/get_primary_dataset_preview", handler(primaryPreview))
     srv.createContext("/get_dataset_preview", handler(datasetPreview))
-    srv.setExecutor(null) // caller-thread dispatch; the engine is the work
+    // a real pool (round 13): the former setExecutor(null) dispatched every
+    // request on the server's single accept thread, so one long /execute
+    // blocked /health, previews, and uploads for its whole duration — the
+    // reference's Flask app serves concurrently, and so must this. The
+    // shared state is safe under concurrency: TableCache is synchronized,
+    // the cross-request `df` exec-scope binding is serialized by execLock
+    // (see execute()), callLogs/SessionStore guard themselves.
+    val pool = java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => {
+        val t = new Thread(r, "executor-api"); t.setDaemon(true); t
+      })
+    srv.setExecutor(pool)
     srv.start()
     server = Some(srv)
+    executor = Some(pool)
     srv.getAddress.getPort
   }
 
-  def stop(): Unit = { server.foreach(_.stop(0)); server = None }
+  private var executor: Option[java.util.concurrent.ExecutorService] = None
+
+  def stop(): Unit = {
+    server.foreach(_.stop(0)); server = None
+    executor.foreach(_.shutdown()); executor = None
+  }
 
   // ---- endpoints ----
 
@@ -162,10 +181,20 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
     * validator; on success the RESULT replaces the cached entry (the
     * reference writes the mutated df back, :115-117) and a bounded preview
     * returns. */
+  /** Serializes the `df` exec-scope binding against the SQL that reads it:
+    * with the request pool, two concurrent /execute calls would otherwise
+    * interleave bind("df", T_a) / bind("df", T_b) / run(A) and request A
+    * would silently answer from B's table — the one cross-request shared
+    * mutable in the hot path (the reference gets this isolation for free
+    * from per-exec scopes, code_executor_api.py:100-104). The lock scopes
+    * bind-plan-rebind only; the pool keeps every other endpoint live. */
+  private val execLock = new Object
+
   private def execute(body: String): (Int, String) = {
     val sql = HttpLlm.extractField(body, "sql").getOrElse("")
     if (sql.isEmpty) return (400, err("No sql provided"))
     val dfId = HttpLlm.extractField(body, "df_id")
+    execLock.synchronized {
     dfId.foreach { id =>
       cache.get(id) match {
         case Some(df) => session.bind("df", df)
@@ -198,6 +227,7 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
         (200, plotSpec.fold(base)(vl =>
           base.dropRight(1) + s""","plot_spec":$vl}"""))
     }
+    } // execLock
   }
 
   /** /upload_dataset: `{"df_id": ..., "path": ..., "format"?: "csv"}` —

@@ -46,9 +46,36 @@ object SqlValidator {
         return Left(s"parse error: ${Lifecycle.condense(e.getMessage)}")
       }
     // Every plan node, including the plans nested inside subquery
-    // expressions at any depth (collectWithSubqueries walks PlanExpression
-    // children, which is where ScalarSubquery/InSubquery/Exists keep them).
-    val allNodes: Seq[LogicalPlan] = plan.collectWithSubqueries { case p => p }
+    // expressions at any depth AND the CTE definitions of UnresolvedWith.
+    // An explicit walk, not collectWithSubqueries: UnresolvedWith keeps
+    // its cteRelations OUT of `children`, so the generic traversal never
+    // sees an UNREFERENCED CTE's body — a reflect() or table-valued
+    // function hidden in a never-used CTE would pass the function and
+    // leaf screens (found by the round-13 generative property; Spark
+    // happens to drop unreferenced CTEs unanalyzed today, but the gate
+    // must not lean on that).
+    val allNodes: Seq[LogicalPlan] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+      def go(n: LogicalPlan): Unit = {
+        buf += n
+        n match {
+          case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+            w.cteRelations.foreach { case (_, defn, _) => go(defn) }
+            go(w.child)
+          case other => other.children.foreach(go)
+        }
+        n.expressions.foreach(_.foreach {
+          case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+            pe.plan match {
+              case lp: LogicalPlan => go(lp)
+              case _ =>
+            }
+          case _ =>
+        })
+      }
+      go(plan)
+      buf.toSeq
+    }
 
     // Command covers DDL; DML statements (INSERT/...) parse to dedicated
     // statement nodes that only become commands after analysis — match both.

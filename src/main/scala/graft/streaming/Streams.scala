@@ -21,13 +21,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Streams {
 
   /** Tumbling 1h event-time window with watermark — streaming form of
-    * Relational.hourlyEvents. Works on any events-shaped source. */
+    * Relational.hourlyEvents. Works on any events-shaped source.
+    *
+    * The groupBy key is the FULL window struct, with `start` projected
+    * after the agg: extracting the field inside the key strips the
+    * event-time tag, so the unsupported-operation checker saw "aggregation
+    * without watermark" and refused Append mode — leaving only Complete,
+    * whose state never evicts (found by the round-13 late-data gate; the
+    * old form only ever ran under Complete in tests, which masked it). */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
-        col("event_type"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
 
   /** Sliding window (1h window, 15m slide) per event type. */
   def slidingCounts(events: DataFrame): DataFrame =

@@ -702,4 +702,73 @@ class ExecutorApiSpec extends SparkSpec {
       assert(rc2 == 200 && rb2.contains("keepme"), rb2)
     } finally api.stop()
   }
+
+  test("concurrency: racing /execute, /upload_dataset eviction churn, and " +
+      "/remove_primary_dataset never cross bindings, crash, or go partial") {
+    // the round-13 property: with the request pool, every /execute response
+    // must be a COMPLETE result of the df_id it named (old or new binding,
+    // or a clean 404 after a remove) — never another request's table, a
+    // 5xx, or a torn response. Two tables with disjoint column names make
+    // any cross-request binding leak visible in the JSON itself.
+    val dir = "target/executor_race"
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a.csv"),
+      "ka,va\n" + (1 to 50).map(i => s"$i,a$i").mkString("\n") + "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b.csv"),
+      "kb,vb\n" + (1 to 50).map(i => s"$i,b$i").mkString("\n") + "\n")
+    val api = new ExecutorApi(new EngineSession(spark))
+    val port = api.start()
+    try {
+      def upload(id: String, f: String): (Int, String) = call(port,
+        "/upload_dataset", Some(s"""{"df_id":"$id","path":"$dir/$f"}"""))
+      assert(upload("race_x", "a.csv")._1 == 200)
+      assert(upload("race_y", "b.csv")._1 == 200)
+
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      def worker(id: String, own: String, other: String): Runnable = () => {
+        var i = 0
+        while (i < 25) {
+          try {
+            val (c, b) = call(port, "/execute",
+              Some(s"""{"df_id":"$id","sql":"SELECT * FROM df"}"""))
+            if (c == 200 && !b.contains("\"error\"")) {
+              // a complete result of THIS request's table, never the other's
+              if (!b.contains(own) || b.contains(other))
+                errors.add(s"$id cross-binding or torn response: $b")
+            } else if (c != 404)
+              // 404 = cleanly removed mid-race; anything else is a failure
+              errors.add(s"$id unexpected $c: $b")
+          } catch { case e: Exception => errors.add(s"$id threw: $e") }
+          i += 1
+        }
+      }
+      val churn: Runnable = () => {
+        var i = 0
+        while (i < 15) {
+          try {
+            // evict/re-bind X, remove then restore Y — the mutation mix the
+            // verdict names, against live /execute traffic
+            upload("race_x", "a.csv")
+            call(port, "/remove_primary_dataset", Some("""{"df_id":"race_y"}"""))
+            upload("race_y", "b.csv")
+          } catch { case e: Exception => errors.add(s"churn threw: $e") }
+          i += 1
+        }
+      }
+      val threads = Seq(
+        new Thread(worker("race_x", "\"ka\"", "\"kb\"")),
+        new Thread(worker("race_y", "\"kb\"", "\"ka\"")),
+        new Thread(churn))
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(threads.forall(!_.isAlive), "race threads hung")
+      assert(errors.isEmpty, errors.toArray.mkString("\n"))
+      // the server survived the race and still answers
+      val (hc, hb) = call(port, "/health", None)
+      assert(hc == 200 && hb.contains("ok"), hb)
+    } finally api.stop()
+  }
 }

@@ -479,4 +479,75 @@ class StreamsSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(streamed.sameElements(batch))
   }
+
+  private def ts(h: Int, m: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+
+  test("late data (s1): within-horizon late event updates its open window, " +
+      "beyond-horizon late event is dropped") {
+    // THE event-time contract a 100 TB pipeline leans on: a late row inside
+    // the watermark horizon must still land in its (not-yet-finalized)
+    // window; a row older than the horizon must be dropped, not resurrected
+    // as a phantom window. Append mode, so emission == finalization.
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, String, Double)]
+    val streamDf = ms.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Streams.hourlyCounts(streamDf).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("late_hourly").start()
+    // batch 1: two 10:xx events + a 13:05 mover -> watermark 12:05;
+    // window [10:00,11:00) finalizes with n=2
+    ms.addData(Seq((ts(10, 0), 1L, "click", 1.0),
+      (ts(10, 30), 1L, "click", 1.0), (ts(13, 5), 2L, "click", 1.0)))
+    q.processAllAvailable()
+    // batch 2, both LATE vs max event time 13:05:
+    //  - 12:30 is inside the horizon (window [12:00,13:00) end > watermark
+    //    12:05) -> MUST be aggregated;
+    //  - 11:30 is beyond it (window end 12:00 <= watermark) -> MUST drop
+    ms.addData(Seq((ts(12, 30), 3L, "click", 2.0),
+      (ts(11, 30), 4L, "click", 5.0)))
+    q.processAllAvailable()
+    // batch 3: a 14:30 mover -> watermark 13:30 finalizes [12:00,13:00)
+    ms.addData(Seq((ts(14, 30), 5L, "click", 1.0)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT hour, n, total_value FROM late_hourly")
+      .collect().map(r => r.getTimestamp(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows.get(ts(10, 0)).contains((2L, 2.0)), rows)
+    // the within-horizon late event was counted in its window
+    assert(rows.get(ts(12, 0)).contains((1L, 2.0)), rows)
+    // the beyond-horizon event resurrected no [11:00,12:00) window
+    assert(!rows.contains(ts(11, 0)), rows)
+  }
+
+  test("late data (s3): session_window merges a within-horizon gap-filler " +
+      "into ONE session; a beyond-horizon event creates no session") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, String, Double)]
+    val streamDf = ms.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Streams.sessionWindows(streamDf).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("late_sess").start()
+    // batch 1: user 1 at 10:00 and 10:20 (one open session, end 10:50);
+    // user 2 mover at 11:00 -> watermark 10:00
+    ms.addData(Seq((ts(10, 0), 1L, "click", 1.0),
+      (ts(10, 20), 1L, "click", 2.0), (ts(11, 0), 2L, "click", 1.0)))
+    q.processAllAvailable()
+    // batch 2: user 1's 10:45 arrives late but within the horizon — the
+    // 30-min gap rule makes it EXTEND the open session (10:20 + 30m);
+    // user 1's 08:00 is beyond the horizon (session end 08:30 < watermark
+    // 10:00) and must vanish, not become a one-event session
+    ms.addData(Seq((ts(10, 45), 1L, "click", 4.0),
+      (ts(8, 0), 1L, "click", 100.0)))
+    q.processAllAvailable()
+    // batch 3: mover at 13:00 -> watermark 12:00 finalizes every session
+    ms.addData(Seq((ts(13, 0), 2L, "click", 1.0)))
+    q.processAllAvailable(); q.stop()
+    val user1 = spark.sql(
+      "SELECT session_start, n_events, total_value FROM late_sess WHERE user_id = 1")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    // exactly ONE merged session: 10:00 .. 10:45+gap, three events — not
+    // two split sessions, not a phantom 08:00 session
+    assert(user1.toSeq == Seq((ts(10, 0), 3L, 7.0)), user1.mkString(", "))
+  }
 }

@@ -183,6 +183,84 @@ class TransformerEmbedderSpec extends SparkSpec {
     assert(ex.getMessage.contains("no BERT embedding tensors"))
   }
 
+  /** Fabricate a FULL-GEOMETRY checkpoint — the published MiniLM-L6 shape
+    * (6 layers, 384 hidden, 12 heads, 1536 intermediate, 512 positions,
+    * 30522-entry vocab) with seeded random weights — in the exact
+    * safetensors + vocab.txt + config.json formats. ~90 MB on disk: the
+    * same parser, the same tensor names, the REAL file sizes and shapes
+    * the env-gated case would exercise, minus only the semantic weights.
+    * Regenerated when absent (seeded, so any run writes identical bytes). */
+  private def buildFullGeometry(dir: String): Unit = {
+    val H = 384; val Layers = 6; val Inter = 1536; val MaxPos = 512
+    val V = 30522
+    val f = new java.io.File(dir, "model.safetensors")
+    if (f.isFile && f.length > 80L * 1024 * 1024) return
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    new java.io.File(dir).mkdirs()
+    val rnd = new java.util.Random(7)
+    def arr(n: Int): Array[Float] =
+      Array.fill(n)((rnd.nextFloat() - 0.5f) * 0.05f)
+    def gamma(n: Int): Array[Float] = arr(n).map(_ + 1.0f)
+    val tensors = Seq.newBuilder[(String, Seq[Int], Array[Float])]
+    tensors += (("embeddings.word_embeddings.weight", Seq(V, H), arr(V * H)))
+    tensors += (("embeddings.position_embeddings.weight", Seq(MaxPos, H), arr(MaxPos * H)))
+    tensors += (("embeddings.token_type_embeddings.weight", Seq(2, H), arr(2 * H)))
+    tensors += (("embeddings.LayerNorm.weight", Seq(H), gamma(H)))
+    tensors += (("embeddings.LayerNorm.bias", Seq(H), arr(H)))
+    (0 until Layers).foreach { i =>
+      val p = s"encoder.layer.$i."
+      tensors += ((p + "attention.self.query.weight", Seq(H, H), arr(H * H)))
+      tensors += ((p + "attention.self.query.bias", Seq(H), arr(H)))
+      tensors += ((p + "attention.self.key.weight", Seq(H, H), arr(H * H)))
+      tensors += ((p + "attention.self.key.bias", Seq(H), arr(H)))
+      tensors += ((p + "attention.self.value.weight", Seq(H, H), arr(H * H)))
+      tensors += ((p + "attention.self.value.bias", Seq(H), arr(H)))
+      tensors += ((p + "attention.output.dense.weight", Seq(H, H), arr(H * H)))
+      tensors += ((p + "attention.output.dense.bias", Seq(H), arr(H)))
+      tensors += ((p + "attention.output.LayerNorm.weight", Seq(H), gamma(H)))
+      tensors += ((p + "attention.output.LayerNorm.bias", Seq(H), arr(H)))
+      tensors += ((p + "intermediate.dense.weight", Seq(Inter, H), arr(Inter * H)))
+      tensors += ((p + "intermediate.dense.bias", Seq(Inter), arr(Inter)))
+      tensors += ((p + "output.dense.weight", Seq(H, Inter), arr(H * Inter)))
+      tensors += ((p + "output.dense.bias", Seq(H), arr(H)))
+      tensors += ((p + "output.LayerNorm.weight", Seq(H), gamma(H)))
+      tensors += ((p + "output.LayerNorm.bias", Seq(H), arr(H)))
+    }
+    writeSafetensors(f.toPath, tensors.result())
+    // a real-cardinality vocab: the four specials, the test words, then
+    // generated fillers (plain + ##-continuation) up to 30522 entries
+    val words = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]",
+      "the", "hot", "cold", "weather", "un", "##afford", "##able", "today") ++
+      (0 until (V - 12)).map(i => if (i % 4 == 0) s"##f$i" else s"w$i")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/vocab.txt"), words.mkString("\n") + "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"num_attention_heads":12,"hidden_size":$H,"model_type":"bert"}""")
+  }
+
+  test("full-geometry generated checkpoint (6x384x30522, ~90MB) drives the " +
+      "real-shape path unconditionally") {
+    // the env-gated real-checkout case below needs a network-fetched model
+    // this container lacks; this case runs the SAME load/parse/forward path
+    // at the SAME geometry on fabricated weights, every CI run
+    val dir = "target/transformer_full"
+    buildFullGeometry(dir)
+    assert(new java.io.File(dir, "model.safetensors").length > 80L * 1024 * 1024)
+    val m = TransformerEmbedder.load(dir)
+    assert(m.hidden == 384 && m.heads == 12 && m.layers.length == 6)
+    val e = new TransformerEmbedder(dir)
+    assert(e.dim == 384)
+    val a = e.embed("the hot weather today")
+    assert(a.length == 384)
+    assert(math.abs(a.map(x => x * x).sum - 1.0) < 1e-9)
+    assert(a == e.embed("the hot weather today")) // deterministic
+    assert(a != e.embed("the cold weather today")) // token-sensitive
+    assert(e.embed("hot cold") != e.embed("cold hot")) // position-sensitive
+    // wordpiece at real vocab cardinality: un + ##afford + ##able
+    assert(m.tokenize("unaffordable") == Seq(2, 8, 9, 10, 3))
+  }
+
   test("real MiniLM checkout drives the same code path (env-gated)") {
     // point GRAFT_MINILM_DIR at an all-MiniLM-L6-v2 checkout
     // (model.safetensors + vocab.txt + config.json) to run; absent in
