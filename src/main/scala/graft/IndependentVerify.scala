@@ -771,19 +771,26 @@ object IndependentVerify {
 
   /** RP-LSH banding front shared by v3/v6/v8: per-vector band keys,
     * norms, and the bucket → member-index lists. */
-  private def rpFront(vecs: Array[Vec], bands: Int)
+  /** Banded RP-LSH front: per-band sign keys, norms, and the bucket lists.
+    * `planes` generalizes the pinned 4-bit config to the AUTO operating
+    * points (round 13: the sixth-decade checks derive planes from corpus
+    * size via the same [[graft.operators.OperatingPoint]] formula the
+    * library entrypoint uses — the operating point is shared CONFIG, the
+    * computation below stays independent). Bucket keys are longs
+    * ((band << 32) | key) so any planes ≤ 24 fits. */
+  private def rpFront(vecs: Array[Vec], bands: Int, planes: Int = 4)
       : (Array[Array[Int]], Array[Double], Vector[Array[Int]]) = {
-    val signs = buildSigns(bands * 4, 64, (j, k0) => rpSignPos(j, k0 + 1))
+    val signs = buildSigns(bands * planes, 64, (j, k0) => rpSignPos(j, k0 + 1))
     val n = vecs.length
     val keys = new Array[Array[Int]](n)
-    (0 until n).par.foreach(i => keys(i) = rpKeys(vecs(i).v, signs, 4))
+    (0 until n).par.foreach(i => keys(i) = rpKeys(vecs(i).v, signs, planes))
     val norms = new Array[Double](n)
     (0 until n).par.foreach(i => norms(i) = math.sqrt(norm2(vecs(i).v)))
-    val buckets = new java.util.HashMap[Int, java.util.ArrayList[Integer]]()
+    val buckets = new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
     (0 until n).foreach { i =>
       var b = 0
       while (b < bands) {
-        buckets.computeIfAbsent(b << 8 | keys(i)(b),
+        buckets.computeIfAbsent((b.toLong << 32) | keys(i)(b),
           _ => new java.util.ArrayList[Integer]()).add(i)
         b += 1
       }
@@ -791,7 +798,7 @@ object IndependentVerify {
     val bucketList = Vector.newBuilder[Array[Int]]
     buckets.forEach { (bk, lst) =>
       val arr = new Array[Int](lst.size + 1)
-      arr(0) = bk >> 8 // the band index rides in slot 0
+      arr(0) = (bk >> 32).toInt // the band index rides in slot 0
       var i = 0
       while (i < lst.size) { arr(i + 1) = lst.get(i); i += 1 }
       bucketList += arr
@@ -813,10 +820,12 @@ object IndependentVerify {
     false
   }
 
-  /** Banded RP-LSH near-dup pair digest (v3: 4 bands, v6: 2 bands). */
+  /** Banded RP-LSH near-dup pair digest (v3: 4 bands, v6: 2 bands;
+    * `planes` = 4 pinned, or the derived AUTO point for the `*_auto`
+    * sixth-decade checks). */
   private def checkRpPairs(spark: SparkSession, vecs: Array[Vec],
-      bands: Int, out: String): (Digest, Digest) = {
-    val (keys, norms, bucketList) = rpFront(vecs, bands)
+      bands: Int, out: String, planes: Int = 4): (Digest, Digest) = {
+    val (keys, norms, bucketList) = rpFront(vecs, bands, planes)
     val exp = mergeAll(bucketList.par.map { arr =>
       val dg = new Digest
       val band = arr(0)
@@ -846,11 +855,11 @@ object IndependentVerify {
     * set, compared row-wise against the output. Returns mismatch count in
     * the digest slot (exp == act iff zero mismatches). */
   private def checkV8(spark: SparkSession, vecs: Array[Vec],
-      out: String): (Digest, Digest) = {
+      out: String, planes: Int = 4): (Digest, Digest) = {
     // edges pack as (a<<32)|b — loud guard instead of silent aliasing
     require(vecs.forall(v => v.id >= 0 && v.id < (1L << 32)),
       "edge packing assumes vec_id in [0, 2^32)")
-    val (keys, norms, bucketList) = rpFront(vecs, 4)
+    val (keys, norms, bucketList) = rpFront(vecs, 4, planes)
     // per-bucket primitive edge arrays (first-band dedup), then one
     // sequential union-find — never a boxed global set
     val edgeChunks = bucketList.par.map { arr =>
@@ -881,11 +890,14 @@ object IndependentVerify {
     (exp, digestOutput(spark, out, Seq("vec_id", "component")))
   }
 
-  /** v4: IVF batch k-NN join (K=16 fixed centroids, 2 probes, top-3). */
+  /** v4: IVF batch k-NN join (first-`kCells` centroids, 2 probes, top-3;
+    * 16 pinned, or the derived √n AUTO point for `v4_auto`). */
   private def checkV4(spark: SparkSession, vecs: Array[Vec],
-      out: String): (Digest, Digest) = {
-    val cent = vecs.filter(_.id < 16).sortBy(_.id)
+      out: String, kCells: Int = 16): (Digest, Digest) = {
+    val cent = vecs.filter(_.id < kCells).sortBy(_.id)
       .map(v => (v.id.toInt, v.v))
+    require(cent.length == kCells,
+      s"v4: expected $kCells seed centroids, found ${cent.length}")
     val n = vecs.length
     // per vector: rounded-cosine ranking over the 16 centroids
     val member = new Array[Int](n)   // rn == 1 cell
@@ -905,7 +917,7 @@ object IndependentVerify {
       }
       member(i) = best._2; probe2(i) = second._2
     }
-    val cells = Array.fill(16)(new java.util.ArrayList[Integer]())
+    val cells = Array.fill(kCells)(new java.util.ArrayList[Integer]())
     (0 until n).foreach(i => cells(member(i)).add(i))
     val cellArr = cells.map { l =>
       val a = new Array[Int](l.size); var i = 0
@@ -1042,23 +1054,23 @@ object IndependentVerify {
 
   /** dd5: banded ≥0.94 match + rank-gated upsert replay. */
   private def checkDd5(spark: SparkSession, vecs: Array[Vec],
-      out: String): (Digest, Digest) = {
-    val signs = buildSigns(32, 64, ddSignPos)
+      out: String, planes: Int = 4): (Digest, Digest) = {
+    val signs = buildSigns(8 * planes, 64, ddSignPos)
     final case class Item(id: Long, v: Array[Double], rank: Long, nrm: Double,
       keys: Array[Int])
     def items(src: Array[Vec], idOff: Long, rankOff: Long): Array[Item] =
       src.map { x =>
         Item(x.id + idOff, x.v, (x.id + rankOff) % 11, math.sqrt(norm2(x.v)),
-          rpKeys(x.v, signs, 4))
+          rpKeys(x.v, signs, planes))
       }
     val store = items(vecs, 0L, 0L)
     val cand = items(vecs.filter(_.id % 3 == 0), 10000L, 5L)
-    // bucket the store; probe with candidates
-    val buckets = new java.util.HashMap[Int, java.util.ArrayList[Integer]]()
+    // bucket the store; probe with candidates (long keys — see rpFront)
+    val buckets = new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
     store.zipWithIndex.foreach { case (s, i) =>
       var b = 0
       while (b < 8) {
-        buckets.computeIfAbsent(b << 8 | s.keys(b),
+        buckets.computeIfAbsent((b.toLong << 32) | s.keys(b),
           _ => new java.util.ArrayList[Integer]()).add(i)
         b += 1
       }
@@ -1071,7 +1083,7 @@ object IndependentVerify {
       var bestSim = -2.0; var bestSid = Long.MaxValue; var bestSrank = 0L
       var b = 0
       while (b < 8) {
-        val lst = buckets.get(b << 8 | c.keys(b))
+        val lst = buckets.get((b.toLong << 32) | c.keys(b))
         if (lst != null) {
           var i = 0
           while (i < lst.size) {
@@ -1174,10 +1186,13 @@ object IndependentVerify {
       "c1_curation_funnel", "c5_curation_pipeline", "v3_neardup_embeddings",
       "v4_knn_join", "v5_ivf_assign", "v5_kmeans_ivf", "v6_rp_lsh_neardup",
       "v8_embed_clusters")
+    // the AUTO operating-point recomputes (graft.SixthDecade dumps them) —
+    // opt-in by name, never part of the default pinned sweep
+    val autoNames = Seq("v3_auto", "v6_auto", "v8_auto", "v4_auto", "dd5_auto")
     val wanted =
       if (args.length >= 3) {
         val fs = args(2).split(",").toSeq
-        all.filter(n => fs.exists(n.contains))
+        (all ++ autoNames).filter(n => fs.exists(n.contains))
       } else all
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -1213,6 +1228,19 @@ object IndependentVerify {
           case "v4_knn_join"           => checkV4(spark, vecs, path)
           case "v5_ivf_assign"         => checkV5Assign(spark, vecs, path)
           case "v5_kmeans_ivf"         => checkV5Kmeans(spark, vecs, path)
+          // AUTO operating points: derived from corpus size by the SAME
+          // OperatingPoint formulas the library entrypoints use (shared
+          // config, independent computation)
+          case "v3_auto" => checkRpPairs(spark, vecs, 4, path,
+            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length))
+          case "v6_auto" => checkRpPairs(spark, vecs, 2, path,
+            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length))
+          case "v8_auto" => checkV8(spark, vecs, path,
+            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length))
+          case "v4_auto" => checkV4(spark, vecs, path,
+            graft.operators.OperatingPoint.ivfCells(vecs.length))
+          case "dd5_auto" => checkDd5(spark, vecs, path,
+            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length))
         }
         val secs = (System.nanoTime() - t0) / 1e9
         val ok = exp.same(act)

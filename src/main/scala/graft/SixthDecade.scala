@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Sixth-decade dump harness (round 13): runs the AUTO operating-point
+  * library entrypoints over a widened doc/vector fixture and dumps each
+  * result as parquet for [[IndependentVerify]]'s matching `*_auto`
+  * recomputes (same outDir layout as Verify, so the IV digest compare is
+  * unchanged machinery).
+  *
+  * Why these are not SparkEntry queries: the pinned queries keep STATIC
+  * DuckDB oracle SQL, which is exactly why their blocking constants are
+  * pinned; the AUTO siblings derive the blocking from corpus size, so
+  * their cross-engine gate is the independent plain-JVM recompute instead.
+  * And the pinned forms themselves are not runnable at 1000 copies: their
+  * outputs go pair-quadratic past the anchor decade BY DESIGN (the
+  * OperatingPoint contract; measured projections from the x10 smoke — e.g.
+  * the pinned v3 would emit ~6.2e9 pairs at x1000 — live in BASELINE §5).
+  * The AUTO forms hold the pair sets ~linear, which is precisely the
+  * behavior the sixth decade needs to witness.
+  *
+  * Usage: runMain graft.SixthDecade <sfDir> <outDir> [namesCsv]
+  * Env: SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE, SPARK_GRAFT_VERIFY_PARTS —
+  * same contract as [[Verify]]. */
+object SixthDecade {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: graft.SixthDecade <sfDir> <outDir> [namesCsv]")
+    val sfDir = args(0); val outDir = args(1)
+    val all = Seq("v3_auto", "v6_auto", "v8_auto", "v4_auto", "dd5_auto")
+    val wanted =
+      if (args.length >= 3) {
+        val fs = args(2).split(",").toSeq
+        all.filter(n => fs.exists(n.contains))
+      } else all
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    val parts = sys.env.get("SPARK_GRAFT_VERIFY_PARTS").map(_.toInt)
+    def vecs = {
+      graft.functions.CosineSimilarity.register(spark)
+      Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    }
+    wanted.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        val df = name match {
+          case "v3_auto"  => operators.VectorOps.nearDupPairsAuto(vecs)
+          case "v6_auto"  => operators.VectorOps.nearDupPairsAuto(vecs, bands = 2)
+          case "v8_auto"  => operators.VectorOps.embedClustersAuto(vecs)
+          case "v4_auto"  => operators.VectorOps.knnJoinAuto(vecs)
+          case "dd5_auto" => operators.RankDedup.rankUpsertQueryPlanes(0)(spark, sfDir)
+        }
+        parts.fold(df.coalesce(1))(p => df.repartition(p))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        println(f"dumped $name (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[sixth-decade] $name failed: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -572,6 +572,22 @@ object VectorOps {
       forceShuffle = OperatingPoint.preferShuffleJoin(n, bands, dim))
   }
 
+  /** Library entrypoint: v8's transitive cluster resolution over the
+    * AUTO-blocked pair graph — [[nearDupPairsAuto]] pairs (planes derived
+    * from corpus size) into the same [[GraphOps.connectedComponents]] the
+    * pinned [[embedClusters]] uses. The sixth-decade harness form: past
+    * the pinned anchor's decade the 4-plane pair graph is edge-quadratic
+    * BY DESIGN, so the cluster operator you would actually run on a
+    * larger corpus is this one. */
+  def embedClustersAuto(e: DataFrame,
+      countEstimate: Option[Long] = None): DataFrame = {
+    val pairs = nearDupPairsAuto(e, countEstimate = countEstimate)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    GraphOps.connectedComponents(
+        e.select(col("vec_id").as("id")), pairs)
+      .select(col("id").as("vec_id"), col("component"))
+  }
+
   /** Library entrypoint: IVF batch k-NN join with the cell count derived
     * from corpus size (K ≈ √n, [[OperatingPoint.ivfCells]] — balances
     * n·K assignment against n²/K candidate work). The oracle-gated
