@@ -245,10 +245,12 @@ object IndependentVerify {
     * groups shares bucket membership and jaccard identically. */
   private def lshGroupPairs(groups: Array[TextGroup])
       : Vector[(Int, Int, Double)] = {
-    // pair keys pack as gi*2e6+gj — loud guard instead of silent aliasing
-    // (the same discipline as dd7Components' group-span require)
-    require(groups.length < 2000000,
-      s"pair-key packing assumes <2e6 distinct text groups, got ${groups.length}")
+    // pair keys pack as (gi << 32) | gj — loud guard instead of silent
+    // aliasing (the same discipline as dd7Components' group-span require);
+    // 32-bit halves hold any realistic distinct-text count (round 13: the
+    // sixth-decade fixture has 5.6M distinct texts, past the old 2e6 form)
+    require(groups.length.toLong < (1L << 31),
+      s"pair-key packing assumes <2^31 distinct text groups, got ${groups.length}")
     val buckets = new java.util.HashMap[String, java.util.ArrayList[Integer]]()
     groups.zipWithIndex.foreach { case (g, gi) =>
       var b = 0
@@ -263,12 +265,12 @@ object IndependentVerify {
       var i = 0
       while (i < lst.size) {
         if (groups(lst.get(i)).ids.length >= 2)
-          cand.add(lst.get(i).toLong * 2000000L + lst.get(i))
+          cand.add((lst.get(i).toLong << 32) | lst.get(i).toLong)
         var j = i + 1
         while (j < lst.size) {
           val x = math.min(lst.get(i), lst.get(j))
           val y = math.max(lst.get(i), lst.get(j))
-          cand.add(x.toLong * 2000000L + y)
+          cand.add((x.toLong << 32) | y.toLong)
           j += 1
         }
         i += 1
@@ -276,7 +278,7 @@ object IndependentVerify {
     }
     val pairs = cand.toArray(new Array[java.lang.Long](0)).map(_.longValue)
     pairs.par.flatMap { pk =>
-      val gi = (pk / 2000000L).toInt; val gj = (pk % 2000000L).toInt
+      val gi = (pk >>> 32).toInt; val gj = (pk & 0xffffffffL).toInt
       val j6 = exactJaccard6(groups(gi), groups(gj))
       if (j6 >= 0.4) Some((gi, gj, j6)) else None
     }.toVector
@@ -573,10 +575,10 @@ object IndependentVerify {
     byFp.forEach((fp, l) => fps.add((fp.longValue,
       l.toArray(new Array[java.lang.Long](0)).map(_.longValue).sorted)))
     val fpArr = (0 until fps.size).map(fps.get).toArray
-    // pair keys pack as i*2e6+j over distinct fingerprints — loud guard
-    // instead of silent aliasing (see lshGroupPairs)
-    require(fpArr.length < 2000000,
-      s"pair-key packing assumes <2e6 distinct fingerprints, got ${fpArr.length}")
+    // pair keys pack as (i << 32) | j over distinct fingerprints — loud
+    // guard instead of silent aliasing (see lshGroupPairs)
+    require(fpArr.length.toLong < (1L << 31),
+      s"pair-key packing assumes <2^31 distinct fingerprints, got ${fpArr.length}")
     // chunk-blocked candidates over DISTINCT fingerprints
     val buckets = new java.util.HashMap[Long, java.util.ArrayList[Integer]]()
     fpArr.zipWithIndex.foreach { case ((fp, _), i) =>
@@ -592,12 +594,12 @@ object IndependentVerify {
       var i = 0
       while (i < lst.size) {
         if (fpArr(lst.get(i))._2.length >= 2)
-          cand.add(lst.get(i).toLong * 2000000L + lst.get(i))
+          cand.add((lst.get(i).toLong << 32) | lst.get(i).toLong)
         var j = i + 1
         while (j < lst.size) {
           val x = math.min(lst.get(i), lst.get(j))
           val y = math.max(lst.get(i), lst.get(j))
-          cand.add(x.toLong * 2000000L + y)
+          cand.add((x.toLong << 32) | y.toLong)
           j += 1
         }
         i += 1
@@ -606,7 +608,7 @@ object IndependentVerify {
     val pairs = cand.toArray(new Array[java.lang.Long](0)).map(_.longValue)
     val exp = mergeAll(pairs.par.map { pk =>
       val dg = new Digest
-      val gi = (pk / 2000000L).toInt; val gj = (pk % 2000000L).toInt
+      val gi = (pk >>> 32).toInt; val gj = (pk & 0xffffffffL).toInt
       val ham = java.lang.Long.bitCount(fpArr(gi)._1 ^ fpArr(gj)._1)
       if (ham <= 5) {
         val A = fpArr(gi)._2; val B = fpArr(gj)._2

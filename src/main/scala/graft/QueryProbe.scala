@@ -21,15 +21,27 @@ object QueryProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_CLUSTER_SHAPE=1 reproduces Bench's cluster config
     // (200 shuffle partitions, auto-broadcast off) so a per-query ratio
-    // can be re-measured in an isolated JVM
+    // can be re-measured in an isolated JVM. Two further knobs isolate
+    // WHICH cluster-shape ingredient a drift comes from (round 13, the
+    // dd5/c1 ratio pin): SPARK_GRAFT_AQE=0 turns adaptive execution off
+    // (it is on by default — so the default rows already include AQE
+    // shuffle coalescing); SPARK_GRAFT_ADAPTIVE_BROADCAST=<bytes> sets
+    // spark.sql.adaptive.autoBroadcastJoinThreshold, letting AQE convert
+    // sort-merge joins back to broadcast at runtime even when the STATIC
+    // threshold is -1 — the A/B that shows whether the fixed overhead is
+    // the shuffle partition count or the lost broadcast.
     val cluster = sys.env.get("SPARK_GRAFT_CLUSTER_SHAPE").contains("1")
-    val b = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", if (cluster) "200" else cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    val spark = (if (cluster)
-      b.config("spark.sql.autoBroadcastJoinThreshold", "-1") else b)
+    val b1 = if (cluster)
+      b0.config("spark.sql.autoBroadcastJoinThreshold", "-1") else b0
+    val b2 = sys.env.get("SPARK_GRAFT_AQE").fold(b1)(v =>
+      b1.config("spark.sql.adaptive.enabled", (v != "0").toString))
+    val spark = sys.env.get("SPARK_GRAFT_ADAPTIVE_BROADCAST").fold(b2)(v =>
+      b2.config("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries.getOrElse(name, extras(name))

@@ -86,15 +86,20 @@ object ScaleProbe {
     * practical ceiling for a Verify dump). This widening makes BOTH
     * corpora scale to 1000 copies with bounded pair growth:
     *
-    *  - documents: copies carry one of 32 text VARIANTS (cp % 32);
-    *    variant 0 is the base text, variant v suffixes every word with
-    *    `_v<v>` — word-shingle sets across variants are disjoint (cross-
-    *    variant jaccard 0, so no c² pair blowup), within a variant the
-    *    base near-dup structure is preserved EXACTLY (suffixing is a
+    *  - documents: every copy cp ≥ 1 is its own text VARIANT — each word
+    *    suffixed with `_v<cp>` (copy 0 keeps the base text verbatim).
+    *    Word-shingle sets across variants are disjoint (cross-variant
+    *    jaccard 0, so no c² pair blowup); within a variant the base
+    *    near-dup structure is preserved EXACTLY (suffixing is a
     *    word-level bijection) and each variant's shingles land in fresh
-    *    hash ranges. ~31 copies share each variant, so exact-dup member
-    *    lists still grow an order past sf10's — the id-list/packing
-    *    paths are probed, the pair count stays ~100M not ~40G.
+    *    hash ranges. Copies are fully distinct on purpose: a 32-variant
+    *    draft (31 exact copies per variant) made every doc a 31-member
+    *    dup group, whose all-bands band collisions put the minhash pair
+    *    verify's candidate shuffle near ~400 GB at ×1000 (measured: dd3
+    *    filled this host's disk) — exact-dup member growth is a
+    *    FIFTH-decade fact already covered by target/sf10's verbatim
+    *    ×100 copies; the sixth decade's new axis is distinct-text
+    *    corpus size.
     *  - embeddings: rotation by (cp % 64) as in [[synth]], then a
     *    per-copy sign PATTERN from murmur3 `hash(cp, i)` — 2^64 possible
     *    patterns, so no two copies repeat at any copy count (the r12
@@ -117,9 +122,9 @@ object ScaleProbe {
     val cps = spark.range(copies).select(col("id").as("cp"))
     Tables.load(spark, base, "documents").repartition(64).crossJoin(cps)
       .withColumn("text", expr(
-        """CASE WHEN cp % 32 = 0 THEN text
+        """CASE WHEN cp = 0 THEN text
           | ELSE array_join(transform(split(text, ' '),
-          |        w -> concat(w, '_v', cast(cp % 32 as string))), ' ')
+          |        w -> concat(w, '_v', cast(cp as string))), ' ')
           | END""".stripMargin))
       .withColumn("doc_id", col("doc_id") + col("cp") * 1000000L)
       .drop("cp")

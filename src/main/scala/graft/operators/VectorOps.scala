@@ -367,16 +367,24 @@ object VectorOps {
     val e = e0.localCheckpoint(eager = false) // feeds centroids+scan
     val cent = e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
-    // round(·,6) before the argmax so the cell choice is engine-independent
+    // round(·,6) before the argmax so the cell choice is engine-independent.
+    // The rn <= 2 prune comes BEFORE the checkpoint (round 13, found by the
+    // sixth-decade run at derived K = 506): checkpointing the raw n·K
+    // ranked expansion materializes n·K rows WITH their vectors (~550 GB
+    // at 2M×506 — it filled the disk), and the interposed checkpoint also
+    // blocked the WindowGroupLimit rewrite that prunes the window to its
+    // top-2 rows per vector map-side, BEFORE the exchange. Filtered first,
+    // the checkpoint holds exactly 2n rows at any K.
     val ranked = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("v"), col("cid"),
         round(expr("cosine_sim(v, c)"), 6).as("csim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("csim"), col("cid"))))
+      .filter(col("rn") <= 2)
       .localCheckpoint(eager = false) // feeds both members and probes
     val members = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("b_id"), col("cid"), col("v").as("vb"))
-    val probes = ranked.filter(col("rn") <= 2)
+    val probes = ranked
       .select(col("vec_id").as("a_id"), col("cid"), col("v").as("va"))
     val w = Window.partitionBy("a_id").orderBy(desc("sim"), col("b_id"))
     probes.join(members, Seq("cid"))
