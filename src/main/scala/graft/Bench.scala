@@ -19,7 +19,9 @@ import org.apache.spark.sql.SparkSession
   *  - the local[32] defaults (shuffle.partitions = cores, broadcast on) —
   *    "queries"/"spread"/"errors"/"value" keep their historical meaning;
   *  - a CLUSTER-SHAPE config under "cluster_queries"/"cluster_spread"/
-  *    "cluster_errors": autoBroadcastJoinThreshold=-1 and
+  *    "cluster_errors": static autoBroadcastJoinThreshold=-1,
+  *    AQE runtime autoBroadcastJoinThreshold=10m (what a real cluster
+  *    keeps — see session()), and
   *    shuffle.partitions=200. SkewProbe showed toy-scale plans can invert
   *    under real-cluster settings (BASELINE.md §5); this row makes plan
   *    inversion a tracked number instead of a one-off probe. A query whose
@@ -34,9 +36,24 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
+      // TopKRows (TypedImperativeAggregate) plans as ObjectHashAggregate,
+      // whose sort-based fallback fires at 128 distinct keys by default —
+      // the heap buffers are <= k tiny rows each, so the hash path is safe
+      // far beyond the per-task group counts these plans produce
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        String.valueOf(1 << 21))
       .config("spark.ui.enabled", "false")
     val s = broadcastThreshold
-      .fold(b)(t => b.config("spark.sql.autoBroadcastJoinThreshold", t))
+      .fold(b)(t => b
+        .config("spark.sql.autoBroadcastJoinThreshold", t)
+        // the STATIC threshold above is off because cluster planners lack
+        // file-size statistics for intermediate frames — but a real cluster
+        // still broadcasts at RUNTIME when AQE measures an exchange small
+        // (this is AQE's default behavior with its own threshold; r13's
+        // isolated QueryProbe A/B pinned c1's 2x cluster ratio to this one
+        // knob: 4.23 s -> 2.80 s with the runtime threshold restored). The
+        // cluster arm models that: static off, AQE runtime threshold on.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -119,7 +136,7 @@ object Bench {
 
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$TimedRuns,"errors":$failed,""" +
-      s""""cluster_config":{"autoBroadcastJoinThreshold":-1,"shuffle_partitions":200},""" +
+      s""""cluster_config":{"autoBroadcastJoinThreshold":-1,"adaptive_autoBroadcastJoinThreshold":"10m","shuffle_partitions":200},""" +
       s""""cluster_total":$ctotal,"cluster_queries":$cqs,"cluster_spread":$cspreads,"cluster_errors":$cfailed,"sf":"$sfDir"}"""
     // Two bare JSON lines (no prefix — build.sbt's StdoutOutput passes the
     // forked stdout through raw, so a line-wise json.loads over the run's
@@ -144,7 +161,7 @@ object Bench {
       .mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs4,"runs":$TimedRuns,"errors":$failed,""" +
-      s""""cluster_config":{"autoBroadcastJoinThreshold":-1,"shuffle_partitions":200},""" +
+      s""""cluster_config":{"autoBroadcastJoinThreshold":-1,"adaptive_autoBroadcastJoinThreshold":"10m","shuffle_partitions":200},""" +
       s""""cluster_total":${r4(ctotal)},"cluster_errors":$cfailed,"sf":"$sfDir"}"""
     println(compact)
     // a failed query's -1.0 sentinel stays -1 in the ms arrays

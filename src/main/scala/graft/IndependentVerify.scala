@@ -1194,7 +1194,11 @@ object IndependentVerify {
     val wanted =
       if (args.length >= 3) {
         val fs = args(2).split(",").toSeq
-        (all ++ autoNames).filter(n => fs.exists(n.contains))
+        // substring match selects only the PINNED sweep; an auto variant
+        // must be named exactly — 'v4' against a pinned-only dump dir must
+        // not drag in 'v4_auto' and fail on its missing parquet (the
+        // opt-in-by-name contract)
+        all.filter(n => fs.exists(n.contains)) ++ autoNames.filter(fs.contains)
       } else all
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")

@@ -36,6 +36,12 @@ object PlanAudit {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", if (cluster) "200" else "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // TopKRows (TypedImperativeAggregate) plans as ObjectHashAggregate,
+      // whose sort-based fallback fires at 128 distinct keys by default —
+      // the heap buffers are <= k tiny rows each, so the hash path is safe
+      // far beyond the per-task group counts these plans produce
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        String.valueOf(1 << 21))
       .config("spark.ui.enabled", "false")
     val spark = (if (cluster)
       b.config("spark.sql.autoBroadcastJoinThreshold", "-1") else b)

@@ -35,6 +35,12 @@ object QueryProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", if (cluster) "200" else cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // TopKRows (TypedImperativeAggregate) plans as ObjectHashAggregate,
+      // whose sort-based fallback fires at 128 distinct keys by default —
+      // the heap buffers are <= k tiny rows each, so the hash path is safe
+      // far beyond the per-task group counts these plans produce
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        String.valueOf(1 << 21))
       .config("spark.ui.enabled", "false")
     val b1 = if (cluster)
       b0.config("spark.sql.autoBroadcastJoinThreshold", "-1") else b0

@@ -116,9 +116,22 @@ object ScaleProbe {
     * target/sf10 fixtures (and the BASELINE §5 laws priced on them)
     * remain reproducible as written. */
   private[graft] def synthDv(spark: SparkSession, base: String, out: String,
-      copies: Int): Unit = {
+      copies: Int, dim: Int = 64): Unit = {
     require(copies >= 1 && copies <= 1000,
       s"copies=$copies outside [1,1000] for the doc/vector widening")
+    require(dim == 64 || dim == 384,
+      s"dim=$dim: the widening supports the fixture's native 64 or the " +
+        "production-embedder 384 (6 rotated 64-blocks) only")
+    // id stride is 1,000,000 per copy: a base fixture whose ids reach the
+    // stride would silently collide copies (duplicate keys corrupt the
+    // dedup/near-dup ground truth) — refuse loudly like the copies bound
+    val idMax = Tables.load(spark, base, "documents")
+      .agg(max(col("doc_id"))).head.getLong(0)
+    val vecIdMax = Tables.load(spark, base, "embeddings")
+      .agg(max(col("vec_id"))).head.getLong(0)
+    require(idMax < 1000000L && vecIdMax < 1000000L,
+      s"base id ranges (max doc_id=$idMax, max vec_id=$vecIdMax) must stay " +
+        "under the 1,000,000 copy stride or copies collide")
     val cps = spark.range(copies).select(col("id").as("cp"))
     Tables.load(spark, base, "documents").repartition(64).crossJoin(cps)
       .withColumn("text", expr(
@@ -129,10 +142,25 @@ object ScaleProbe {
       .withColumn("doc_id", col("doc_id") + col("cp") * 1000000L)
       .drop("cp")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    Tables.load(spark, base, "embeddings").repartition(64).crossJoin(cps)
+    val baseE = Tables.load(spark, base, "embeddings").repartition(64)
+    // dim=384: 6 per-block circular shifts (b*11 % 64) of the 64-dim base,
+    // SHARED by every vector — each block's dot equals the base dot, so
+    // every within-copy cosine is EXACTLY the base cosine and the planted
+    // near-dup structure carries to 384-dim intact, while the cross-copy
+    // sign walk below now averages over 384 components (sigma = 1/sqrt(384);
+    // cos >= 0.30 sits at ~5.9 sigma — the production operating point the
+    // dimensionality law names, vs 2.4 sigma at 64-dim)
+    val expanded =
+      if (dim == 64) baseE
+      else baseE.withColumn("embedding", expr(
+        (0 until 6).map { b =>
+          val sh = (b * 11) % 64
+          s"concat(slice(embedding, ${sh + 1}, ${64 - sh}), slice(embedding, 1, $sh))"
+        }.mkString("concat(", ", ", ")")))
+    expanded.crossJoin(cps)
       .withColumn("embedding", expr(
-        """concat(slice(embedding, (cp % 64) + 1, 64 - (cp % 64)),
-          |       slice(embedding, 1, cp % 64))""".stripMargin))
+        s"""concat(slice(embedding, (cp % $dim) + 1, $dim - (cp % $dim)),
+           |       slice(embedding, 1, cp % $dim))""".stripMargin))
       .withColumn("embedding", expr(
         """CASE WHEN cp = 0 THEN embedding
           | ELSE transform(embedding, (x, i) ->
@@ -206,6 +234,12 @@ object ScaleProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
+      // TopKRows (TypedImperativeAggregate) plans as ObjectHashAggregate,
+      // whose sort-based fallback fires at 128 distinct keys by default —
+      // the heap buffers are <= k tiny rows each, so the hash path is safe
+      // far beyond the per-task group counts these plans produce
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        String.valueOf(1 << 21))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -217,8 +251,11 @@ object ScaleProbe {
       return
     }
     if (dvOnly) {
-      synthDv(spark, base, out, copies)
-      println(s"""{"metric":"scale_synth_dv","copies":$copies}""")
+      // optional 6th arg: embedding dim (64 default, 384 = the production
+      // operating point of the dimensionality law — see synthDv)
+      val dim = if (args.length > 5) args(5).toInt else 64
+      synthDv(spark, base, out, copies, dim)
+      println(s"""{"metric":"scale_synth_dv","copies":$copies,"dim":$dim}""")
       spark.stop()
       return
     }

@@ -28,7 +28,8 @@ object SixthDecade {
     require(args.length >= 2,
       "usage: graft.SixthDecade <sfDir> <outDir> [namesCsv]")
     val sfDir = args(0); val outDir = args(1)
-    val all = Seq("v3_auto", "v6_auto", "v8_auto", "v4_auto", "dd5_auto")
+    val all =
+      Seq("v3_auto", "v6_auto", "v8_auto", "v4_auto", "dd5_auto", "dd6w_auto")
     val wanted =
       if (args.length >= 3) {
         val fs = args(2).split(",").toSeq
@@ -40,6 +41,12 @@ object SixthDecade {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
+      // TopKRows (TypedImperativeAggregate) plans as ObjectHashAggregate,
+      // whose sort-based fallback fires at 128 distinct keys by default —
+      // the heap buffers are <= k tiny rows each, so the hash path is safe
+      // far beyond the per-task group counts these plans produce
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        String.valueOf(1 << 21))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -50,6 +57,7 @@ object SixthDecade {
       Tables.load(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     }
+    var failed = 0
     wanted.foreach { name =>
       val t0 = System.nanoTime()
       try {
@@ -59,15 +67,24 @@ object SixthDecade {
           case "v8_auto"  => operators.VectorOps.embedClustersAuto(vecs)
           case "v4_auto"  => operators.VectorOps.knnJoinAuto(vecs)
           case "dd5_auto" => operators.RankDedup.rankUpsertQueryPlanes(0)(spark, sfDir)
+          case "dd6w_auto" =>
+            operators.DedupOps.simhashPairsWideAutoQ(spark, sfDir)
         }
         parts.fold(df.coalesce(1))(p => df.repartition(p))
           .write.mode("overwrite").parquet(s"$outDir/$name")
         println(f"dumped $name (${(System.nanoTime() - t0) / 1e9}%.1f s)")
       } catch {
         case e: Throwable =>
-          System.err.println(s"[sixth-decade] $name failed: ${e.getMessage}")
+          failed += 1
+          // e.toString, not getMessage: NPE/OOM messages can be null, and a
+          // scripted pipeline must see WHICH exception class fired
+          System.err.println(s"[sixth-decade] $name failed: $e")
       }
     }
     spark.stop()
+    // a failed dump must fail the process (mirrors IndependentVerify.main):
+    // exit 0 here would let a scripted sweep proceed to IV believing every
+    // dump landed
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -106,7 +106,14 @@ case class SimHashAgg(left: Expression, right: Expression, bits: Int,
 object SimHashAgg {
   /** Register `simhash_agg(wh, w)` producing a `bits`-wide fingerprint. */
   def register(spark: SparkSession, bits: Int): Unit =
+    register(spark, bits, "simhash_agg")
+
+  /** Same, under a caller-chosen function name — the wide-fingerprint
+    * variant registers one instance per word ([[graft.operators.DedupOps]]
+    * `simhashPairsWide`) and must not clobber the pinned 48-bit form's
+    * resolved expressions. */
+  def register(spark: SparkSession, bits: Int, name: String): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_agg", exprs => SimHashAgg(exprs.head, exprs(1), bits),
+      name, exprs => SimHashAgg(exprs.head, exprs(1), bits),
       "scala_udf")
 }

@@ -63,6 +63,17 @@ object OperatingPoint {
     * (e.g. xxhash64 pairs), which is a different operator variant. */
   def simhashChunkBits(n: Long): Int = clamp(8 + extraBits(n, 5300L), 8, 10)
 
+  /** Chunk width for the WIDE-fingerprint SimHash variant
+    * ([[graft.operators.DedupOps]] `simhashPairsWide`: xxhash64-pair word
+    * hashes, 6 chunks across two 63-bit BIGINT words) — the same
+    * +1-bit-per-doubling rule as [[simhashChunkBits]], but the ceiling is
+    * the two-word geometry's 21 (6·21 = 126-bit fingerprint), not the
+    * single-BIGINT fold's 10: bits keep growing through ~43M docs, so at
+    * the sixth decade (5M docs → 18 bits) chunk buckets hold ~20 docs
+    * where the narrow form's 10-bit cap left ~800 and went
+    * candidate-quadratic (BASELINE §5 r13). */
+  def simhashChunkBitsWide(n: Long): Int = clamp(8 + extraBits(n, 5300L), 8, 21)
+
   /** Gram-representation switch for the t7 decontamination broadcast:
     * above this corpus size the eval set's distinct 8-gram table is
     * md5-folded to 48-bit longs before broadcasting — 8 bytes per gram

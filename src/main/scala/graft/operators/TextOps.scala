@@ -482,25 +482,31 @@ object TextOps {
   /** t10: per-domain document caps — the domain-balancing pass every web
     * corpus runs before training (cap each source/domain at N docs so no
     * single crawl dominates the mixture), keeping the best docs per domain
-    * (longest, doc_id tie-break): one row_number window partitioned by
-    * source, rank <= cap.
+    * (longest, doc_id tie-break).
     *
-    * Scale shape: because the rank filter is adjacent to the window,
-    * Catalyst rewrites it to WindowGroupLimit and — critically — inserts a
-    * PARTIAL group-limit before the Exchange, so each input partition ships
-    * at most cap rows per domain into the shuffle: shuffle volume is
-    * bounded by partitions × domains × cap regardless of corpus size, and
-    * a mega-domain cannot flood its reducer. A hand-written mapPartitions
-    * pre-prune would duplicate exactly this; PipelineOpsSpec pins the
-    * map-side WindowGroupLimit so a regression (e.g. a filter shape the
-    * rewrite no longer matches) is loud. */
-  def domainCaps: Q = (s, d) =>
+    * Scale shape (round 14): the bounded [[graft.functions.TopKRows]] heap
+    * aggregate per domain, not a row_number window. The window form DID
+    * rewrite to WindowGroupLimit with a partial group-limit before the
+    * Exchange (shuffle volume bounded at partitions × domains × cap) — but
+    * that partial pass SORTS each whole input partition by (source,
+    * n_chars, doc_id) first, a map-side external sort of the corpus. The
+    * heap agg ships the same bounded partial state with NO sort anywhere:
+    * O(n log cap) heap updates, ≤ domains·cap rows per task into the
+    * exchange. Ordering (n_chars DESC, doc_id ASC) is TopKRows' field
+    * convention — identical to the window's, so the oracle (written as
+    * row_number) stays hash-green, with pos + 1 as the rank.
+    * PipelineOpsSpec pins the ObjectHashAggregate plan shape. */
+  def domainCaps: Q = (s, d) => {
+    graft.functions.TopKRows.register(s)
     documents(s, d)
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("source"))
-          .orderBy(col("n_chars").desc, col("doc_id"))).cast("int"))
-      .filter(col("rk") <= DomainCap)
+      .select(col("source"),
+        struct(col("n_chars"), col("doc_id")).as("cand"))
+      .groupBy(col("source"))
+      .agg(expr(s"topk_rows(cand, $DomainCap)").as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.doc_id").as("doc_id"), col("source"),
+        col("t.n_chars").as("n_chars"), (col("pos") + 1).cast("int").as("rk"))
+  }
 
   /** c2: mixture weights — given a target language mixture for the training
     * blend, compute each language's actual corpus share and the sampling

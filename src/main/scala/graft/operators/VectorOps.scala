@@ -362,37 +362,52 @@ object VectorOps {
     * shuffle on its own, where K ≈ √n keeps per-cell partitions balanced;
     * no hint needed in either regime. */
   private[graft] def knnJoinOver(e0: DataFrame, K: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    CosineSimilarity.register(e0.sparkSession)
+    val s = e0.sparkSession
+    CosineSimilarity.register(s)
+    graft.functions.TopKRows.register(s)
     val e = e0.localCheckpoint(eager = false) // feeds centroids+scan
     val cent = e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
     // round(·,6) before the argmax so the cell choice is engine-independent.
-    // The rn <= 2 prune comes BEFORE the checkpoint (round 13, found by the
-    // sixth-decade run at derived K = 506): checkpointing the raw n·K
-    // ranked expansion materializes n·K rows WITH their vectors (~550 GB
-    // at 2M×506 — it filled the disk), and the interposed checkpoint also
-    // blocked the WindowGroupLimit rewrite that prunes the window to its
-    // top-2 rows per vector map-side, BEFORE the exchange. Filtered first,
-    // the checkpoint holds exactly 2n rows at any K.
+    // Both rank stages are the bounded [[graft.functions.TopKRows]] heap
+    // aggregate (round 14), not row_number windows: Spark plans a
+    // rank-adjacent window as WindowGroupLimitExec, whose map-side pass
+    // SORTS its whole input partition before applying the limit — here
+    // that sort would run over the n·K assignment expansion (~1e9 rows at
+    // 2M×506) and again over the ~1.6e10-row probe×candidate stream, the
+    // external sort that stopped the round-13 ×1000 run. The heap agg
+    // holds ≤ 2 (resp. 3) rows per group at all times, combines map-side,
+    // and ships only group-count·k tiny rows into each exchange. Ordering
+    // (csim DESC, cid ASC) / (sim DESC, b_id ASC) is TopKRows' field
+    // convention, identical to the windows it replaces, so the pinned v4
+    // DuckDB oracle (written as row_number) stays hash-green.
+    // The top-2 prune still lands BEFORE the checkpoint (round 13): the
+    // checkpoint holds exactly 2n rows at any K.
     val ranked = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("v"), col("cid"),
         round(expr("cosine_sim(v, c)"), 6).as("csim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("csim"), col("cid"))))
-      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(expr("first(v)").as("v"), // constant within the group
+        expr("topk_rows(struct(csim, cid), 2)").as("cells"))
+      .select(col("vec_id"), col("v"),
+        posexplode(col("cells")).as(Seq("pos", "cell")))
+      .select(col("vec_id"), col("v"), col("cell.cid").as("cid"),
+        (col("pos") + 1).as("rn"))
       .localCheckpoint(eager = false) // feeds both members and probes
     val members = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("b_id"), col("cid"), col("v").as("vb"))
     val probes = ranked
       .select(col("vec_id").as("a_id"), col("cid"), col("v").as("va"))
-    val w = Window.partitionBy("a_id").orderBy(desc("sim"), col("b_id"))
     probes.join(members, Seq("cid"))
       .filter(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(expr("cosine_sim(va, vb)"), 6).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
+      .select(col("a_id"), struct(
+        round(expr("cosine_sim(va, vb)"), 6).as("sim"),
+        col("b_id")).as("cand"))
+      .groupBy(col("a_id"))
+      .agg(expr("topk_rows(cand, 3)").as("top"))
+      .select(col("a_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("a_id"), col("t.b_id").as("b_id"), col("t.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rk"))
   }
 
   /** DuckDB oracle for [[knnJoin]] — the identical fixed-centroid IVF
@@ -643,7 +658,6 @@ object VectorOps {
     * query's probed cells can never drift from the index's assignment. */
   private def rankCells(e: DataFrame, cent: DataFrame, key: String,
       topN: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = e.crossJoin(broadcast(cent))
       .select(col(key), col("v"), col("cid"),
         round(expr("cosine_sim(v, c)"), 6).as("csim"))
@@ -658,12 +672,19 @@ object VectorOps {
           struct(col("csim"), (-col("cid")).as("ncid"), col("v")).as("cand"))
         .groupBy(key).agg(max("cand").as("best"))
         .select(col(key), col("best.v").as("v"), (-col("best.ncid")).as("cid"))
-    else
+    else {
+      // topN > 1 (batch probing): same partial-aggregate reasoning, via the
+      // bounded [[graft.functions.TopKRows]] heap — the row_number window
+      // this replaces planned as WindowGroupLimitExec, whose map-side pass
+      // sorts the whole n·K expansion per task (see knnJoinOver). Ordering
+      // (csim DESC, cid ASC) is TopKRows' field convention.
+      graft.functions.TopKRows.register(e.sparkSession)
       scored
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(key).orderBy(desc("csim"), col("cid"))))
-        .filter(col("rn") <= topN)
-        .select(col(key), col("v"), col("cid"))
+        .groupBy(col(key))
+        .agg(expr("first(v)").as("v"), // constant within the group
+          expr(s"topk_rows(struct(csim, cid), $topN)").as("cells"))
+        .select(col(key), col("v"), explode(col("cells.cid")).as("cid"))
+    }
   }
 
   /** Nearest-existing-centroid assignment of a (vec_id, v) frame. */
@@ -928,7 +949,6 @@ object VectorOps {
     * [[ivfProbe]] is asserted in ScaleOpsSpec. */
   def ivfProbeBatch(queries: DataFrame, path: String,
       probes: Int = 2, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val s = queries.sparkSession
     CosineSimilarity.register(s)
     val cent = s.read.parquet(s"$path/centroids")
@@ -949,13 +969,21 @@ object VectorOps {
       if (idx.columns.contains("code")) { Sq8.register(s)
         expr("cosine_sim_q8(code, qv)") }
       else expr("cosine_sim(qv, v)")
+    // per-query top-k via the bounded heap aggregate (round 14): the
+    // row_number window planned as WindowGroupLimitExec, whose map-side
+    // pass sorts each task's whole probe×candidate stream (see
+    // knnJoinOver); the heap ships ≤ k rows per query per task instead.
+    // Ordering (sim DESC, vec_id ASC) is TopKRows' field convention; cid
+    // rides behind the unique vec_id tie-break, so it never participates.
+    graft.functions.TopKRows.register(s)
     qCells.join(idx, Seq("cid"))
-      .select(col("qid"), col("vec_id"), col("cid"),
-        round(score, 6).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))))
-      .filter(col("rn") <= k)
-      .drop("rn")
+      .select(col("qid"), struct(
+        round(score, 6).as("sim"), col("vec_id"), col("cid")).as("cand"))
+      .groupBy(col("qid"))
+      .agg(expr(s"topk_rows(cand, $k)").as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.vec_id").as("vec_id"),
+        col("t.cid").as("cid"), col("t.sim").as("sim"))
   }
 
   /** Oracle-gated at-rest IVF query (v7): build the cell-partitioned index

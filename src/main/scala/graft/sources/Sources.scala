@@ -430,16 +430,35 @@ object Sources {
 
   private val GzipMagic = Array(0x1f.toByte, 0x8b.toByte)
 
+  /** Inflation ceiling for one archive: past this the member is treated as
+    * corrupt (truncated octets → flagged rows), never inflated further. An
+    * unbounded inflate would buffer the whole expansion on the executor —
+    * an OutOfMemoryError the catch below can never see, so a gzip bomb
+    * would be a single-record task killer, breaking the one-rotten-archive
+    * contract. 1 GiB is ~4x Common Crawl's largest inflated archives and
+    * far under the task heap at 32 tasks/128 GiB. */
+  private[graft] val MaxInflatedBytes: Int = 1 << 30
+
   /** Inflate a (possibly multi-member) gzip stream; on a mid-stream error
-    * returns the octets recovered so far instead of throwing. */
-  private[graft] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(math.max(bytes.length * 4, 1024))
+    * OR on crossing [[MaxInflatedBytes]] returns the octets recovered so
+    * far instead of throwing (the cap is enforced in the read loop — an
+    * OutOfMemoryError cannot be caught usefully). */
+  private[graft] def gunzipAll(bytes: Array[Byte],
+      maxBytes: Int = MaxInflatedBytes): Array[Byte] = {
+    // size hint: bytes.length * 4L can exceed Int range on ~512 MB+ inputs
+    // (harmless before, but compute it in Long and clamp properly)
+    val hint = math.min(math.max(bytes.length.toLong * 4L, 1024L),
+      64L << 20).toInt
+    val out = new java.io.ByteArrayOutputStream(hint)
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes), 64 << 10)
       val buf = new Array[Byte](64 << 10)
       var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      while (n >= 0 && out.size() < maxBytes) {
+        out.write(buf, 0, math.min(n, maxBytes - out.size()))
+        n = if (out.size() >= maxBytes) -1 else in.read(buf)
+      }
     } catch { case _: java.io.IOException => () }
     out.toByteArray
   }

@@ -98,10 +98,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("v4 knn join: top-3 per query crosses shuffle via WindowGroupLimit") {
+  test("v4 knn join: top-3 per query crosses shuffle via the TopKRows heap") {
     val df = VectorOps.knnJoin(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"), plan)
+    // round 14: the rank windows are gone — the bounded heap aggregate
+    // plans as partial+final ObjectHashAggregate, and NOTHING in the
+    // candidate path may sort (WindowGroupLimitExec's map-side pass sorts
+    // its whole input partition; that sort is what stopped the x1000 run)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("Window"), plan)
     val rows = df.collect()
     // every query vector has <= 3 neighbors, ranks contiguous from 1
     val byA = rows.groupBy(_.getLong(0))
@@ -119,18 +125,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!rows.map(_.getLong(0)).contains(1L)) // probe excluded
   }
 
-  test("t10 domain caps: map-side WindowGroupLimit bounds the shuffle") {
+  test("t10 domain caps: map-side heap aggregate bounds the shuffle") {
     val df = TextOps.domainCaps(spark, sf)
-    // the rank<=cap filter must rewrite to a group limit BOTH sides of the
-    // exchange — the partial (map-side) one is what bounds shuffle volume
-    // to partitions x domains x cap when a mega-domain shows up
-    // tree prints root-first, so the map-side (partial) group limit is the
+    // round 14: the cap is the TopKRows heap — partial ObjectHashAggregate
+    // BELOW the exchange bounds shuffle volume to partitions x domains x
+    // cap (what the former WindowGroupLimit's partial pass did), with no
+    // map-side sort of the corpus (what it did NOT do).
+    // tree prints root-first, so the map-side (partial) aggregate is the
     // one BELOW the last Exchange in the string
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.split("WindowGroupLimit").length >= 3,
-      "expected partial + final WindowGroupLimit:\n" + plan)
-    assert(plan.split("Exchange").last.contains("WindowGroupLimit"),
-      "expected the partial WindowGroupLimit below the exchange:\n" + plan)
+    assert(plan.split("ObjectHashAggregate").length >= 3,
+      "expected partial + final ObjectHashAggregate:\n" + plan)
+    assert(plan.split("Exchange").last.contains("ObjectHashAggregate"),
+      "expected the partial aggregate below the exchange:\n" + plan)
+    assert(!plan.contains("Sort"), plan)
     // each domain is actually capped, with contiguous ranks from 1
     val bySrc = df.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
