@@ -57,6 +57,21 @@ object IndependentVerify {
   private def hex12(s: String): Long =
     java.lang.Long.parseLong(md5hex(s).substring(0, 12), 16)
 
+  /** Spark's `xxhash64(s)` over a string column: XXH64 of the UTF-8 bytes,
+    * seed 42. The XXH64 primitive is reused from Spark's public catalyst
+    * class the same way md5 reuses MessageDigest — a hash CONSTANT; the
+    * pipeline around it is what this file recomputes independently.
+    * Spec-pinned against the SQL function in DedupSpec. */
+  private[graft] def xxh64(s: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+  /** Spark's `xxhash64(s, 1L)`: multi-argument xxhash64 seed-chains, so
+    * the long literal re-mixes the string hash. */
+  private[graft] def xxh64b(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(1L, xxh64(s))
+
   /** Spark's round(col, scale) on doubles: HALF_UP on the shortest decimal
     * representation (BigDecimal.valueOf). */
   private def rnd(x: Double, scale: Int): Double =
@@ -638,6 +653,132 @@ object IndependentVerify {
     (exp, digestOutput(spark, out, Seq("a_id", "b_id", "hamming")))
   }
 
+  /** dd6w: WIDE-fingerprint SimHash pairs (xxhash64-pair word hashes, 6
+    * chunks of `chunkBits` across two 63-bit words — the
+    * [[graft.operators.DedupOps]] `simhashPairsWide` variant) over the
+    * planted corpus, at the [[graft.operators.OperatingPoint]]
+    * `simhashChunkBitsWide` width the library derives from the same corpus
+    * count. Mirrors [[checkDd6]]'s distinct-text exploitation; fingerprints
+    * are (fp0, fp1) pairs and Hamming sums both words. */
+  private def checkDd6Wide(spark: SparkSession, docs: Array[Doc], st: Long,
+      out: String): (Digest, Digest) = {
+    val corpus = planted2(docs, st).toVector
+    val nd = corpus.size.toLong
+    val chunkBits = graft.operators.OperatingPoint.simhashChunkBitsWide(nd)
+    val bitsPerWord = 3 * chunkBits
+    val wMask = (1L << bitsPerWord) - 1
+    val cMask = (1L << chunkBits) - 1
+    val grouped = groupByTextLite(corpus)
+    val df = new java.util.HashMap[String, Long]()
+    grouped.foreach { case (text, ids) =>
+      words(text).distinct.foreach { w =>
+        df.merge(w, ids.length.toLong, (a, b) => a + b)
+      }
+    }
+    def weight(w: String): Long = {
+      val f = df.get(w)
+      if (f * 20 <= nd) 4L else if (f * 5 <= nd) 2L else 1L
+    }
+    // word hashes are text-functions — cache once per distinct word so the
+    // vote pass is hash-free (the corpus re-observes its head constantly)
+    val wh = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val sh = grouped.par.map { case (text, ids) =>
+      val votes0 = new Array[Long](bitsPerWord)
+      val votes1 = new Array[Long](bitsPerWord)
+      words(text).foreach { w =>
+        val (h0, h1) = wh.computeIfAbsent(w,
+          x => (xxh64(x) & wMask, xxh64b(x) & wMask))
+        val wt = weight(w)
+        var b = 0
+        while (b < bitsPerWord) {
+          votes0(b) += (if (((h0 >> b) & 1L) != 0L) wt else -wt)
+          votes1(b) += (if (((h1 >> b) & 1L) != 0L) wt else -wt)
+          b += 1
+        }
+      }
+      var fp0 = 0L; var fp1 = 0L; var b = 0
+      while (b < bitsPerWord) {
+        if (votes0(b) > 0) fp0 |= 1L << b
+        if (votes1(b) > 0) fp1 |= 1L << b
+        b += 1
+      }
+      ((fp0, fp1), ids)
+    }.seq.toVector
+    // group member lists by (fp0, fp1) — identical texts share one, and
+    // distinct texts can collide
+    val byFp = new java.util.HashMap[(Long, Long), java.util.ArrayList[Long]]()
+    sh.foreach { case (fp, ids) =>
+      val l = byFp.computeIfAbsent(fp, _ => new java.util.ArrayList[Long]())
+      ids.foreach(l.add)
+    }
+    val fps = new java.util.ArrayList[((Long, Long), Array[Long])](byFp.size)
+    byFp.forEach((fp, l) => fps.add((fp,
+      l.toArray(new Array[java.lang.Long](0)).map(_.longValue).sorted)))
+    val fpArr = (0 until fps.size).map(fps.get).toArray
+    require(fpArr.length.toLong < (1L << 31),
+      s"pair-key packing assumes <2^31 distinct fingerprints, got ${fpArr.length}")
+    // chunk-blocked candidates over DISTINCT fingerprints: chunk c's value
+    // comes from word c/3; key packs (c << 48) | value (chunkBits ≤ 21)
+    val buckets = new java.util.HashMap[Long, java.util.ArrayList[Integer]]()
+    fpArr.zipWithIndex.foreach { case (((fp0, fp1), _), i) =>
+      var c = 0
+      while (c < 6) {
+        val ck = ((if (c < 3) fp0 else fp1) >> ((c % 3) * chunkBits)) & cMask
+        buckets.computeIfAbsent(c.toLong << 48 | ck,
+          _ => new java.util.ArrayList[Integer]()).add(i)
+        c += 1
+      }
+    }
+    val cand = new java.util.HashSet[Long]()
+    buckets.forEach { (_, lst) =>
+      var i = 0
+      while (i < lst.size) {
+        if (fpArr(lst.get(i))._2.length >= 2)
+          cand.add((lst.get(i).toLong << 32) | lst.get(i).toLong)
+        var j = i + 1
+        while (j < lst.size) {
+          val x = math.min(lst.get(i), lst.get(j))
+          val y = math.max(lst.get(i), lst.get(j))
+          cand.add((x.toLong << 32) | y.toLong)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val pairs = cand.toArray(new Array[java.lang.Long](0)).map(_.longValue)
+    val exp = mergeAll(pairs.par.map { pk =>
+      val dg = new Digest
+      val gi = (pk >>> 32).toInt; val gj = (pk & 0xffffffffL).toInt
+      val ham = java.lang.Long.bitCount(fpArr(gi)._1._1 ^ fpArr(gj)._1._1) +
+        java.lang.Long.bitCount(fpArr(gi)._1._2 ^ fpArr(gj)._1._2)
+      if (ham <= 5) {
+        val A = fpArr(gi)._2; val B = fpArr(gj)._2
+        if (gi == gj) {
+          var i = 0
+          while (i < A.length) {
+            var j = i + 1
+            while (j < A.length) { dg.add(s"${A(i)}$Sep${A(j)}$Sep$ham"); j += 1 }
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < A.length) {
+            var j = 0
+            while (j < B.length) {
+              val a = A(i); val b = B(j)
+              if (a < b) dg.add(s"$a$Sep$b$Sep$ham")
+              else if (b < a) dg.add(s"$b$Sep$a$Sep$ham")
+              j += 1
+            }
+            i += 1
+          }
+        }
+      }
+      dg
+    }.seq)
+    (exp, digestOutput(spark, out, Seq("a_id", "b_id", "hamming")))
+  }
+
   private def groupByTextLite(corpus: Iterable[(Long, String)])
       : Vector[(String, Array[Long])] = {
     val m = new java.util.HashMap[String, java.util.ArrayList[Long]]()
@@ -1067,40 +1208,74 @@ object IndependentVerify {
       }
     val store = items(vecs, 0L, 0L)
     val cand = items(vecs.filter(_.id % 3 == 0), 10000L, 5L)
-    // bucket the store; probe with candidates (long keys — see rpFront)
-    val buckets = new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
-    store.zipWithIndex.foreach { case (s, i) =>
+    // Bucket-centric probe walk (round 14): the r13 form walked each
+    // candidate's 8 buckets inside one .par iteration, so a HOT sign-key
+    // bucket was rescanned serially by every one of its candidates through
+    // boxed ArrayList cells — the ×1000 recompute was killed at 55 min on
+    // exactly those buckets while the Spark side spread them over 200
+    // reducers. Here the work units are (bucket, candidate-chunk) pairs
+    // with bounded pair count (~2^22 dot products each), over primitive
+    // int arrays, so hot buckets parallelize like any other work and the
+    // total is Σ|cand_b|·|store_b| dots with no serialization point.
+    val sBuckets = new java.util.HashMap[java.lang.Long,
+      scala.collection.mutable.ArrayBuilder.ofInt]()
+    store.indices.foreach { i =>
       var b = 0
       while (b < 8) {
-        buckets.computeIfAbsent((b.toLong << 32) | s.keys(b),
-          _ => new java.util.ArrayList[Integer]()).add(i)
+        sBuckets.computeIfAbsent((b.toLong << 32) | store(i).keys(b),
+          _ => new scala.collection.mutable.ArrayBuilder.ofInt) += i
         b += 1
       }
     }
-    // best store match per candidate: (msim desc, sid asc). Duplicate
-    // (cand, store) encounters across bands carry the identical msim, so
-    // they cannot change the max — no dedup set needed.
-    val best = new java.util.concurrent.ConcurrentHashMap[Long, (Double, Long, Long)]()
-    cand.par.foreach { c =>
-      var bestSim = -2.0; var bestSid = Long.MaxValue; var bestSrank = 0L
+    val cBuckets = new java.util.HashMap[java.lang.Long,
+      scala.collection.mutable.ArrayBuilder.ofInt]()
+    cand.indices.foreach { i =>
       var b = 0
       while (b < 8) {
-        val lst = buckets.get((b.toLong << 32) | c.keys(b))
-        if (lst != null) {
-          var i = 0
-          while (i < lst.size) {
-            val s = store(lst.get(i))
-            val msim = dot(c.v, s.v) / (c.nrm * s.nrm)
-            if (msim >= 0.94 &&
-                (msim > bestSim || (msim == bestSim && s.id < bestSid))) {
-              bestSim = msim; bestSid = s.id; bestSrank = s.rank
-            }
-            i += 1
-          }
-        }
+        val k = (b.toLong << 32) | cand(i).keys(b)
+        if (sBuckets.containsKey(k))
+          cBuckets.computeIfAbsent(k,
+            _ => new scala.collection.mutable.ArrayBuilder.ofInt) += i
         b += 1
       }
-      if (bestSim >= 0.94) best.put(c.id, (bestSim, bestSid, bestSrank))
+    }
+    val units = Vector.newBuilder[(Array[Int], Array[Int], Int, Int)]
+    cBuckets.forEach { (k, cb) =>
+      val sArr = sBuckets.get(k).result()
+      val cArr = cb.result()
+      val chunk = math.max(1, (1 << 22) / math.max(1, sArr.length))
+      var f = 0
+      while (f < cArr.length) {
+        units += ((sArr, cArr, f, math.min(f + chunk, cArr.length)))
+        f += chunk
+      }
+    }
+    // per-unit local bests, merged with the (msim desc, sid asc) order.
+    // Duplicate (cand, store) encounters across bands carry the identical
+    // msim, so re-merging cannot change the max — no dedup set needed.
+    val best = new java.util.concurrent.ConcurrentHashMap[Long, (Double, Long, Long)]()
+    units.result().par.foreach { case (sArr, cArr, from, to) =>
+      var ci = from
+      while (ci < to) {
+        val c = cand(cArr(ci))
+        var bestSim = -2.0; var bestSid = Long.MaxValue; var bestSrank = 0L
+        var i = 0
+        while (i < sArr.length) {
+          val s = store(sArr(i))
+          val msim = dot(c.v, s.v) / (c.nrm * s.nrm)
+          if (msim >= 0.94 &&
+              (msim > bestSim || (msim == bestSim && s.id < bestSid))) {
+            bestSim = msim; bestSid = s.id; bestSrank = s.rank
+          }
+          i += 1
+        }
+        if (bestSim >= 0.94) {
+          val v = (bestSim, bestSid, bestSrank)
+          best.merge(c.id, v, (a, b) =>
+            if (b._1 > a._1 || (b._1 == a._1 && b._2 < a._2)) b else a)
+        }
+        ci += 1
+      }
     }
     val exp = new Digest
     val replaced = new java.util.HashSet[Long]()
@@ -1190,7 +1365,8 @@ object IndependentVerify {
       "v8_embed_clusters")
     // the AUTO operating-point recomputes (graft.SixthDecade dumps them) —
     // opt-in by name, never part of the default pinned sweep
-    val autoNames = Seq("v3_auto", "v6_auto", "v8_auto", "v4_auto", "dd5_auto")
+    val autoNames = Seq("v3_auto", "v6_auto", "v8_auto", "v4_auto",
+      "dd5_auto", "dd6w_auto")
     val wanted =
       if (args.length >= 3) {
         val fs = args(2).split(",").toSeq
@@ -1247,6 +1423,7 @@ object IndependentVerify {
             graft.operators.OperatingPoint.ivfCells(vecs.length))
           case "dd5_auto" => checkDd5(spark, vecs, path,
             graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length))
+          case "dd6w_auto" => checkDd6Wide(spark, docs, st, path)
         }
         val secs = (System.nanoTime() - t0) / 1e9
         val ok = exp.same(act)
