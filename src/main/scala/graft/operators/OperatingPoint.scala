@@ -100,6 +100,27 @@ object OperatingPoint {
     * fixture). */
   def perplexityCalibrationDocs: Long = 100000L
 
+  /** t13/c5 keep ceiling (micro-scaled average surprisal) derived from the
+    * corpus's OWN surprisal distribution — a QUALITY operating point like
+    * [[h1MinWords]]: it tracks where the corpus's typical document sits,
+    * not a universal constant. The pinned 7.0 literal is calibrated to the
+    * fixture corpus (median avg-surprisal 3.402214 at sf0.1, so 7.0 cuts
+    * ~2.06× median — a loose high-perplexity-tail ceiling, CCNet-style);
+    * on a corpus whose base rate shifts (the ×1000 disjoint-vocabulary
+    * widening adds ln 1000 ≈ +6.9 to every word's surprisal; a multi-domain
+    * crawl shifts it less dramatically but in the same way) the literal
+    * degenerates to keep-nothing even though relative quality is unchanged
+    * — measured in round 13. Anchored so the fixture median reproduces the
+    * pinned gate EXACTLY: surprisalKeepMicro(3402214) == 7000000.
+    * The oracle-gated t13/c5 stay pinned at 7.0 (static SQL mirrors the
+    * exact filter — the fixture-pin discipline); the auto entrypoints
+    * derive from the corpus median. */
+  def surprisalKeepMicro(medianSurprisalMicro: Long): Long = {
+    require(medianSurprisalMicro > 0,
+      s"median surprisal must be positive, got $medianSurprisalMicro")
+    medianSurprisalMicro * 7000000L / 3402214L
+  }
+
   /** Next power of two ≥ x (x already clamped to int range by callers). */
   private def pow2Ceil(x: Long): Int = {
     require(x <= (1L << 30), s"pow2Ceil input $x out of range")

@@ -545,13 +545,31 @@ object TextOps {
     * per-doc score groupBy and the final small roll-up — no
     * materialization barrier between stages, so Catalyst pipelines the
     * filters into the scans at any scale. */
-  def curationPipeline: Q = (s, d) => {
-    val docs = documents(s, d)
+  def curationPipeline: Q = (s, d) =>
+    curationPipelineOver(documents(s, d), derivedKeep = false)
+
+  /** Library entrypoint: c5 with the perplexity keep ceiling
+    * corpus-DERIVED ([[surprisalKeepMicroOf]] — the median-anchored
+    * [[OperatingPoint.surprisalKeepMicro]]). The pinned [[curationPipeline]]
+    * keeps the 7.0 literal so its static DuckDB oracle mirrors the exact
+    * filter; this is the form a shifted-base-rate corpus runs (the ×1000
+    * disjoint-vocab widening drove the literal to keep-nothing — measured
+    * round 13; spec-gated here in PipelineOpsSpec). */
+  def curationPipelineAuto(docs: DataFrame): DataFrame =
+    curationPipelineOver(docs, derivedKeep = true)
+
+  private[graft] def curationPipelineOver(docs: DataFrame,
+      derivedKeep: Boolean): DataFrame = {
     val (model, oov) = unigramModel(docs)
     val quality = qualityLrOf(docs).filter(col("keep")).select("doc_id")
-    val scored = surprisalAgg(docs.select("doc_id", "text"), model, oov)
-      // same integer-quotient keep gate as surprisalScored (tie-proof)
-      .filter(expr("(-sum_lp) div n_words") <= 7000000L)
+    val scoredAgg0 = surprisalAgg(docs.select("doc_id", "text"), model, oov)
+    val scoredAgg =
+      if (derivedKeep) scoredAgg0.localCheckpoint(eager = false) // + quantile
+      else scoredAgg0
+    // same integer-quotient keep gate as surprisalScored (tie-proof)
+    val keepMicro = if (derivedKeep) surprisalKeepMicroOf(scoredAgg)
+      else 7000000L
+    val scored = scoredAgg.filter(expr("(-sum_lp) div n_words") <= keepMicro)
     val kept = quality.join(scored, "doc_id")
       .join(docs.select("doc_id", "lang"), "doc_id")
     withSplit(kept).groupBy("split", "lang")
@@ -1152,7 +1170,19 @@ object TextOps {
             s"1, 12), 16, 10) as bigint) % 1000000 < $keep"))
       }
     val (model, oov) = unigramModel(modelCorpus)
-    surprisalScored(corpus.select("doc_id", "text"), model, oov)
+    // the keep ceiling is corpus-DERIVED here (round 14): the pinned 7.0
+    // literal is a fixture calibration — on a corpus whose surprisal base
+    // rate shifts (×1000 disjoint vocabularies: +ln 1000 per word; any
+    // multi-domain crawl: less, same direction) it degenerates to
+    // keep-nothing while relative quality is unchanged. The median-anchored
+    // ceiling keeps cutting the same RELATIVE tail; at the fixture it
+    // reproduces the literal's decisions exactly (PipelineOpsSpec parity).
+    val scored = surprisalAgg(corpus.select("doc_id", "text"), model, oov)
+      .localCheckpoint(eager = false) // feeds the quantile AND the output
+    val keepMicro = surprisalKeepMicroOf(scored)
+    scored.select(col("doc_id"), col("n_words"), col("n_oov"),
+      expr("cast((-sum_lp) div n_words as double) / 1e6").as("avg_surprisal"),
+      (expr("(-sum_lp) div n_words") <= keepMicro).as("keep"))
   }
 
   /** ScaleProbe harness form of [[perplexityAuto]]. */
@@ -1183,7 +1213,7 @@ object TextOps {
     * `readStream` of arriving documents against a static pre-trained
     * model (curation-on-ingest; StreamsSpec proves parity with batch). */
   private[graft] def surprisalScored(docs: DataFrame, model: DataFrame,
-      oov: DataFrame): DataFrame =
+      oov: DataFrame, keepMicro: Long = 7000000L): DataFrame =
     surprisalAgg(docs, model, oov)
       .select(col("doc_id"), col("n_words"), col("n_oov"),
         // INTEGER quotient of the 1e6-scaled sum, display-scaled — the
@@ -1191,9 +1221,29 @@ object TextOps {
         // real 6th-decimal tie at sf0.1 (one doc, Spark 3.402035 vs
         // DuckDB 3.402036). -sum_lp and n_words are both positive, so
         // Spark's truncating div and DuckDB's flooring // agree.
+        // keep compares the INTEGER quotient against the micro ceiling
+        // (micro <= 7000000 ⟺ micro/1e6 <= 7.0 exactly, so the pinned
+        // t13 oracle is unchanged); the auto path passes a corpus-derived
+        // ceiling ([[surprisalKeepMicroOf]]) instead of the literal.
         expr("cast((-sum_lp) div n_words as double) / 1e6")
-          .as("avg_surprisal"))
-      .withColumn("keep", col("avg_surprisal") <= 7.0)
+          .as("avg_surprisal"),
+        (expr("(-sum_lp) div n_words") <= keepMicro).as("keep"))
+
+  /** Corpus-derived keep ceiling for the surprisal gate: the (approximate)
+    * median of the corpus's integer micro-surprisal quotients, mapped
+    * through [[OperatingPoint.surprisalKeepMicro]] (anchored to reproduce
+    * the pinned 7.0 on the fixture). One single-row aggregate over the
+    * scored frame — the quantile sketch is the scale form (an exact
+    * percentile buffers a per-value count map); its tiny run-to-run
+    * rigidity is irrelevant here because the ceiling gates a QUALITY
+    * decision, not a hash-checked value (the pinned queries keep the
+    * literal precisely so their oracles stay static). */
+  private[graft] def surprisalKeepMicroOf(scoredAgg: DataFrame): Long = {
+    val med = scoredAgg
+      .agg(expr("percentile_approx((-sum_lp) div n_words, 0.5, 10000)"))
+      .head().getLong(0)
+    OperatingPoint.surprisalKeepMicro(med)
+  }
 
   /** The exact-integer half of the scoring: (doc_id, n_words, n_oov,
     * sum_lp) — kept separate so c5's roll-up can aggregate the UNROUNDED

@@ -147,6 +147,47 @@ class PipelineOpsSpec extends SparkSpec {
       g.map(_._4).sorted.sameElements(1 to g.length)))
   }
 
+  test("derived surprisal gate keeps the corpus the pinned literal kills") {
+    // 64 disjoint-vocabulary variants (the synthDv scheme): every word's
+    // probability divides by ~64, adding ln 64 ≈ 4.16 to every doc's
+    // surprisal — base docs sit at 3.4-4.0, so ALL shift past the pinned
+    // 7.0 and the literal keeps NOTHING, though relative quality is
+    // untouched (the round-13 ×1000 finding, reproduced small). The
+    // median-anchored derived ceiling must keep cutting the same relative
+    // tail instead.
+    val base = graft.Q.documents(spark, sf).select("doc_id", "text", "lang")
+    val corpus = base.crossJoin(
+        spark.range(64).select(col("id").as("cp")))
+      .select((col("doc_id") + col("cp") * 1000000L).as("doc_id"),
+        expr("""CASE WHEN cp = 0 THEN text
+                | ELSE array_join(transform(split(text, ' '),
+                |        w -> concat(w, '_v', cast(cp as string))), ' ')
+                | END""".stripMargin).as("text"),
+        col("lang"))
+      .localCheckpoint()
+    val n = corpus.count()
+    val (model, oov) = TextOps.unigramModel(corpus)
+    val pinnedKept = TextOps.surprisalScored(
+        corpus.select("doc_id", "text"), model, oov)
+      .filter(col("keep")).count()
+    assert(pinnedKept == 0L, s"pinned literal kept $pinnedKept of $n")
+    val autoKept = TextOps.perplexityAuto(corpus, Some(n))
+      .filter(col("keep")).count()
+    assert(autoKept >= n * 9 / 10, s"derived gate kept $autoKept of $n")
+    // at the FIXTURE the derived ceiling reproduces the pinned decisions
+    // exactly (the anchor contract) — c5's auto form equals the pinned c5
+    val fixtureDocs = graft.Q.documents(spark, sf)
+    val pinnedC5 = TextOps.curationPipelineOver(fixtureDocs, derivedKeep = false)
+      .collect().map(_.toSeq).toSet
+    val autoC5 = TextOps.curationPipelineAuto(fixtureDocs)
+      .collect().map(_.toSeq).toSet
+    assert(autoC5 == pinnedC5)
+    // and on the shifted corpus c5's auto form keeps a sane population
+    val autoC5Big = TextOps.curationPipelineAuto(corpus)
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(autoC5Big > 0L)
+  }
+
   test("c2 mixture weights: shares sum to 1, weights rebalance to target") {
     val rows = TextOps.mixtureWeights(spark, sf).collect()
     val actual = rows.map(_.getDouble(3)).sum
