@@ -73,7 +73,10 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
     store: Option[SessionStore] = None,
     dataDir: java.nio.file.Path = java.nio.file.Paths.get("target/executor_api"),
     memoryDir: Option[String] = None,
-    callLogCap: Int = 10000) {
+    callLogCap: Int = 10000,
+    maxConcurrent: Int = 24) {
+
+  require(maxConcurrent >= 1, s"maxConcurrent=$maxConcurrent must be >= 1")
 
   // the eviction hook drops the temp view /upload_dataset bound for the
   // id — without it every LRU eviction leaks a catalog view (and its
@@ -88,22 +91,47 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
   // pool threads (round 13)
   @volatile private var lastChain: Option[(String, Agents.ChainResult)] = None
 
+  /** Admission gate (round 14): at most `maxConcurrent` requests are IN
+    * WORK at once; excess requests are REJECTED immediately with 503, not
+    * queued and not given a new thread — the r13 pool fixed the
+    * single-thread serialization but was a `newCachedThreadPool`, so a
+    * slow-loris burst of /execute calls created one thread per request
+    * with no cap. tryAcquire + 503 is the serving-surface shape: saturation
+    * is loud and cheap (the rejecting thread frees instantly), and /health
+    * bypasses the gate so liveness probes always answer. */
+  private val admission = new java.util.concurrent.Semaphore(maxConcurrent)
+
   /** Start on `port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
     val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    val gate = new com.sun.net.httpserver.Filter {
+      override def description: String = "bounded-concurrency admission gate"
+      override def doFilter(ex: HttpExchange,
+          chain: com.sun.net.httpserver.Filter.Chain): Unit = {
+        if (!admission.tryAcquire())
+          respond(ex, 503, err("server saturated: try again"))
+        else try chain.doFilter(ex) finally admission.release()
+      }
+    }
+    // every context except /health goes through the admission gate
+    def createContext(path: String,
+        h: com.sun.net.httpserver.HttpHandler): Unit = {
+      val c = srv.createContext(path, h)
+      if (path != "/health") c.getFilters.add(gate)
+    }
     srv.createContext("/health", (ex: HttpExchange) => respond(ex, 200,
       s"""{"status":"ok","cached":${cache.size}}"""))
-    srv.createContext("/execute", handler(execute))
-    srv.createContext("/upload_dataset", handler(uploadDataset))
-    srv.createContext("/upload", uploadMultipart _)
-    srv.createContext("/df_utils/compute_df_sample",
+    createContext("/execute", handler(execute))
+    createContext("/upload_dataset", handler(uploadDataset))
+    createContext("/upload", uploadMultipart _)
+    createContext("/df_utils/compute_df_sample",
       handler(withDf(_) { (_, df) => (200, recordsJson(Profile.sample(df))) }))
-    srv.createContext("/df_utils/df_to_string", handler(dfToString))
-    srv.createContext("/df_utils/df_summary",
+    createContext("/df_utils/df_to_string", handler(dfToString))
+    createContext("/df_utils/df_summary",
       handler(withDf(_) { (_, df) =>
         (200, s"""{"data":${jstr(Profile.summaryString(df))}}""")
       }))
-    srv.createContext("/df_utils/df_columns",
+    createContext("/df_utils/df_columns",
       handler(withDf(_) { (_, df) =>
         // SQL-facing dtype names (bigint/double/string…), the vocabulary
         // the API's SQL surface speaks — not Scala's DataType class names
@@ -113,41 +141,41 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
         val cols = df.columns.map(jstr).mkString("[", ",", "]")
         (200, s"""{"columns":$cols,"dtypes":$dtypes}""")
       }))
-    srv.createContext("/query", query _)
-    srv.createContext("/submit_rank", handler(submitRank))
-    srv.createContext("/metrics", handler(_ => metrics))
-    srv.createContext("/storage/favourites", handler(storeFavourite))
-    srv.createContext("/download_generated_dataset", download _)
-    srv.createContext("/update_ontology", handler(updateOntology))
-    srv.createContext("/get_ontology_state", handler(_ => (200,
+    createContext("/query", query _)
+    createContext("/submit_rank", handler(submitRank))
+    createContext("/metrics", handler(_ => metrics))
+    createContext("/storage/favourites", handler(storeFavourite))
+    createContext("/download_generated_dataset", download _)
+    createContext("/update_ontology", handler(updateOntology))
+    createContext("/get_ontology_state", handler(_ => (200,
       s"""{"current_state":${ontologyTtl.nonEmpty}}""")))
-    srv.createContext("/update_planning", handler(updatePlanning))
-    srv.createContext("/get_planning_state", handler(_ => (200,
+    createContext("/update_planning", handler(updatePlanning))
+    createContext("/get_planning_state", handler(_ => (200,
       s"""{"planning":$planning}""")))
-    srv.createContext("/get_threads", handler(_ => getThreads))
-    srv.createContext("/load_thread/", handlerWithPath(loadThread))
-    srv.createContext("/delete_chain/", handlerWithPath(deleteChain))
-    srv.createContext("/submit_feedback", handler(submitFeedback))
-    srv.createContext("/get_vector_db_status", handler(_ => (200,
+    createContext("/get_threads", handler(_ => getThreads))
+    createContext("/load_thread/", handlerWithPath(loadThread))
+    createContext("/delete_chain/", handlerWithPath(deleteChain))
+    createContext("/submit_feedback", handler(submitFeedback))
+    createContext("/get_vector_db_status", handler(_ => (200,
       s"""{"enabled":${memory.nonEmpty},"records":${
         memory.map(_.size).getOrElse(0)}}""")))
-    srv.createContext("/new_conversation", handler(_ => newConversation))
-    srv.createContext("/search_threads", handler(searchThreads))
-    srv.createContext("/file_utils/upload_aux_dataset", handler(auxUpload))
-    srv.createContext("/file_utils/remove_aux_dataset", handler(auxRemove))
-    srv.createContext("/file_utils/aux_datasets_to_string",
+    createContext("/new_conversation", handler(_ => newConversation))
+    createContext("/search_threads", handler(searchThreads))
+    createContext("/file_utils/upload_aux_dataset", handler(auxUpload))
+    createContext("/file_utils/remove_aux_dataset", handler(auxRemove))
+    createContext("/file_utils/aux_datasets_to_string",
       handler(auxPerPath(_, "Head:\n", df =>
         Profile.renderTable(df))))
-    srv.createContext("/file_utils/get_aux_datasets_columns",
+    createContext("/file_utils/get_aux_datasets_columns",
       handler(auxPerPath(_, "Columns:\n", df =>
         df.columns.mkString(", "))))
-    srv.createContext("/file_utils/compute_aux_dataset_sample",
+    createContext("/file_utils/compute_aux_dataset_sample",
       handler(auxSampleHtml))
-    srv.createContext("/get_chain_preview/", handlerWithPath(chainPreview))
-    srv.createContext("/remove_primary_dataset",
+    createContext("/get_chain_preview/", handlerWithPath(chainPreview))
+    createContext("/remove_primary_dataset",
       handler(removePrimaryDataset))
-    srv.createContext("/get_primary_dataset_preview", handler(primaryPreview))
-    srv.createContext("/get_dataset_preview", handler(datasetPreview))
+    createContext("/get_primary_dataset_preview", handler(primaryPreview))
+    createContext("/get_dataset_preview", handler(datasetPreview))
     // a real pool (round 13): the former setExecutor(null) dispatched every
     // request on the server's single accept thread, so one long /execute
     // blocked /health, previews, and uploads for its whole duration — the
@@ -155,10 +183,19 @@ final class ExecutorApi(session: EngineSession, cacheSize: Int = 4,
     // shared state is safe under concurrency: TableCache is synchronized,
     // the cross-request `df` exec-scope binding is serialized by execLock
     // (see execute()), callLogs/SessionStore guard themselves.
-    val pool = java.util.concurrent.Executors.newCachedThreadPool(
+    // BOUNDED (round 14): fixed at maxConcurrent workers + headroom so the
+    // admission gate's instant 503s and /health always find a thread — the
+    // r13 cached pool grew one thread per queued request with no cap. The
+    // queue is unbounded but cannot build: anything past the gate's
+    // permits occupies a thread only long enough to answer 503.
+    val pool = new java.util.concurrent.ThreadPoolExecutor(
+      maxConcurrent + 4, maxConcurrent + 4, 60L,
+      java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](),
       (r: Runnable) => {
         val t = new Thread(r, "executor-api"); t.setDaemon(true); t
       })
+    pool.allowCoreThreadTimeOut(true)
     srv.setExecutor(pool)
     srv.start()
     server = Some(srv)

@@ -771,4 +771,44 @@ class ExecutorApiSpec extends SparkSpec {
       assert(hc == 200 && hb.contains("ok"), hb)
     } finally api.stop()
   }
+
+  test("saturation: overflow requests get 503, /health stays live, " +
+      "threads stay bounded, and permits recover") {
+    // round-14 property: the request pool is FIXED-SIZE and fronted by an
+    // admission semaphore — a burst beyond maxConcurrent must be REJECTED
+    // loudly (503), not grow a thread per request (the r13 cached pool) and
+    // not queue behind the slow work; /health bypasses the gate.
+    val api = new ExecutorApi(new EngineSession(spark), maxConcurrent = 2)
+    val port = api.start()
+    try {
+      val slowSql = // a few hundred ms of real aggregation work
+        "SELECT sum(x * x) AS s FROM (SELECT explode(sequence(1, 3000000)) AS x)"
+      val codes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+      val ready = new java.util.concurrent.CyclicBarrier(12)
+      val threads = (1 to 12).map { _ =>
+        new Thread(() => {
+          ready.await()
+          val (c, _) = call(port, "/execute", Some(s"""{"sql":"$slowSql"}"""))
+          codes.add(c)
+        })
+      }
+      threads.foreach(_.start())
+      Thread.sleep(300) // mid-storm: liveness must not queue behind work
+      val (hc, _) = call(port, "/health", None)
+      assert(hc == 200)
+      val before = Thread.activeCount()
+      threads.foreach(_.join(60000))
+      assert(threads.forall(!_.isAlive), "storm threads hung")
+      val cs = codes.toArray(new Array[Integer](0)).map(_.intValue).toSeq
+      assert(cs.count(_ == 503) >= 1, s"no rejection in $cs")
+      assert(cs.count(_ == 200) >= 1, s"no success in $cs")
+      assert(cs.forall(c => c == 200 || c == 503), cs.toString)
+      // pool threads bounded by maxConcurrent + 4 (plus JVM/test threads
+      // that exist regardless): no thread-per-request growth
+      assert(before < 12 + 64, s"thread explosion: $before live threads")
+      // permits released: the server accepts work again after the storm
+      val (ac, ab) = call(port, "/execute", Some("""{"sql":"SELECT 1 AS one"}"""))
+      assert(ac == 200 && !ab.contains("\"error\""), s"$ac $ab")
+    } finally api.stop()
+  }
 }

@@ -290,6 +290,30 @@ class SourcesSpec extends SparkSpec {
     assert(!ttext("http://example.com/logo.jpg").getBoolean(5))
   }
 
+  test("gunzipAll: inflation cap truncates a gzip bomb instead of buffering " +
+      "it; normal archives inflate whole; corrupt streams degrade") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    // a 16 MB zero run compresses to ~16 KB — the bomb shape; a forced
+    // 1 MB cap must stop the read loop AT the cap (the OutOfMemoryError
+    // an unbounded inflate risks is uncatchable, so the cap is the only
+    // defense the one-rotten-archive contract can have)
+    val bomb = gz(new Array[Byte](16 << 20))
+    val capped = Sources.gunzipAll(bomb, maxBytes = 1 << 20)
+    assert(capped.length == (1 << 20))
+    // under the cap: byte-identical roundtrip, incl. concatenated members
+    val a = "first member ".getBytes("UTF-8")
+    val b = "second member".getBytes("UTF-8")
+    assert(java.util.Arrays.equals(Sources.gunzipAll(gz(a) ++ gz(b)), a ++ b))
+    // corrupt tail: octets recovered so far come back, nothing throws
+    val cut = gz(a).dropRight(6) // inside the deflate stream + trailer
+    val partial = Sources.gunzipAll(cut)
+    assert(partial.length <= a.length)
+  }
+
   test("warc: Content-Length reassembles bodies quoting WARC records; " +
       "mismatches flagged, never silent") {
     def record(headers: Seq[(String, String)], payload: String): String =
