@@ -923,7 +923,11 @@ object IndependentVerify {
     * ((band << 32) | key) so any planes ≤ 24 fits. */
   private def rpFront(vecs: Array[Vec], bands: Int, planes: Int = 4)
       : (Array[Array[Int]], Array[Double], Vector[Array[Int]]) = {
-    val signs = buildSigns(bands * planes, 64, (j, k0) => rpSignPos(j, k0 + 1))
+    // dim from the DATA (round 14: the 384-dim fixture arm) — the sign
+    // formula itself stays `j * 64 + k` at any dim, matching
+    // VectorOps.rpSign exactly
+    val signs = buildSigns(bands * planes, vecs(0).v.length,
+      (j, k0) => rpSignPos(j, k0 + 1))
     val n = vecs.length
     val keys = new Array[Array[Int]](n)
     (0 until n).par.foreach(i => keys(i) = rpKeys(vecs(i).v, signs, planes))
@@ -1198,7 +1202,7 @@ object IndependentVerify {
   /** dd5: banded ≥0.94 match + rank-gated upsert replay. */
   private def checkDd5(spark: SparkSession, vecs: Array[Vec],
       out: String, planes: Int = 4): (Digest, Digest) = {
-    val signs = buildSigns(8 * planes, 64, ddSignPos)
+    val signs = buildSigns(8 * planes, vecs(0).v.length, ddSignPos)
     final case class Item(id: Long, v: Array[Double], rank: Long, nrm: Double,
       keys: Array[Int])
     def items(src: Array[Vec], idOff: Long, rankOff: Long): Array[Item] =

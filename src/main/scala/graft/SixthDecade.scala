@@ -57,14 +57,19 @@ object SixthDecade {
       Tables.load(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     }
+    // embedding dim comes from the FIXTURE (the 384-dim arm measures the
+    // dimensionality law at the production operating point; the RP-LSH
+    // planes must span whatever the data carries)
+    lazy val dim = vecs.select(size(col("v"))).head.getInt(0)
     var failed = 0
     wanted.foreach { name =>
       val t0 = System.nanoTime()
       try {
         val df = name match {
-          case "v3_auto"  => operators.VectorOps.nearDupPairsAuto(vecs)
-          case "v6_auto"  => operators.VectorOps.nearDupPairsAuto(vecs, bands = 2)
-          case "v8_auto"  => operators.VectorOps.embedClustersAuto(vecs)
+          case "v3_auto"  => operators.VectorOps.nearDupPairsAuto(vecs, dim = dim)
+          case "v6_auto"  =>
+            operators.VectorOps.nearDupPairsAuto(vecs, bands = 2, dim = dim)
+          case "v8_auto"  => operators.VectorOps.embedClustersAuto(vecs, dim = dim)
           case "v4_auto"  => operators.VectorOps.knnJoinAuto(vecs)
           case "dd5_auto" => operators.RankDedup.rankUpsertQueryPlanes(0)(spark, sfDir)
           case "dd6w_auto" =>

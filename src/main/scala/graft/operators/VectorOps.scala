@@ -603,8 +603,8 @@ object VectorOps {
     * BY DESIGN, so the cluster operator you would actually run on a
     * larger corpus is this one. */
   def embedClustersAuto(e: DataFrame,
-      countEstimate: Option[Long] = None): DataFrame = {
-    val pairs = nearDupPairsAuto(e, countEstimate = countEstimate)
+      countEstimate: Option[Long] = None, dim: Int = Dim): DataFrame = {
+    val pairs = nearDupPairsAuto(e, countEstimate = countEstimate, dim = dim)
       .select(col("a_id").as("a"), col("b_id").as("b"))
     GraphOps.connectedComponents(
         e.select(col("vec_id").as("id")), pairs)

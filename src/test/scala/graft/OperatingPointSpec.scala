@@ -33,6 +33,27 @@ class OperatingPointSpec extends SparkSpec {
     assert(OperatingPoint.simhashChunkBits(5300L << 20) == 10)
   }
 
+  test("wide simhash chunk bits: same rule, two-word 21-bit ceiling") {
+    assert(OperatingPoint.simhashChunkBitsWide(5300) == 8)   // anchor
+    assert(OperatingPoint.simhashChunkBitsWide(53000) == 11) // past the old cap
+    assert(OperatingPoint.simhashChunkBitsWide(5300000) == 18) // sixth decade
+    assert(OperatingPoint.simhashChunkBitsWide(5300L << 40) == 21) // ceiling
+    // the wide rule equals the narrow rule wherever the narrow cap allows
+    (1L to 9L).map(i => i * 2000).foreach { n =>
+      assert(OperatingPoint.simhashChunkBitsWide(n) ==
+        OperatingPoint.simhashChunkBits(n), s"n=$n")
+    }
+  }
+
+  test("surprisal keep ceiling: fixture median reproduces the 7.0 literal") {
+    assert(OperatingPoint.surprisalKeepMicro(3402214L) == 7000000L) // anchor
+    // proportional in the corpus base rate: +ln 1000 per word (the x1000
+    // disjoint-vocab shift) moves the ceiling past the shifted median
+    val shifted = 3402214L + 6907755L // + ln(1000) * 1e6
+    assert(OperatingPoint.surprisalKeepMicro(shifted) > shifted)
+    intercept[IllegalArgumentException](OperatingPoint.surprisalKeepMicro(0))
+  }
+
   test("pq codebook size: doubles with corpus, >=64 points/centroid, cap 256") {
     assert(OperatingPoint.pqCodebookSize(200) == 16)     // floor
     assert(OperatingPoint.pqCodebookSize(2000) == 16)    // anchor
