@@ -121,9 +121,20 @@ class SqlValidatorPropertySpec extends SparkSpec {
         name <- Gen.oneOf("cte_a", "cte_b", "secrets") // 'secrets' = shadow case
         defn <- Gen.lzy(query(depth - 1, scope, dirtyBias))
         body <- Gen.lzy(query(depth - 1, scope + name, dirtyBias))
-      } yield Q(s"WITH $name AS (${defn.sql}) ${body.sql}",
-        defn.rels ++ body.rels, defn.fns ++ body.fns,
-        defn.dirty || body.dirty)
+      } yield {
+        // a body that is ITSELF a WITH query cannot follow this clause
+        // directly — `WITH a AS (...) WITH b AS (...) SELECT` does not
+        // parse (generator bug found by a full-suite run, round 14: the
+        // composed "clean" query was a parse error). Nest such a body in a
+        // FROM subquery instead; the outer CTE stays in scope inside it
+        // and SELECT * adds no functions or relations.
+        val bodySql =
+          if (body.sql.startsWith("WITH ")) s"SELECT * FROM (${body.sql}) w"
+          else body.sql
+        Q(s"WITH $name AS (${defn.sql}) $bodySql",
+          defn.rels ++ body.rels, defn.fns ++ body.fns,
+          defn.dirty || body.dirty)
+      }
       Gen.frequency(3 -> leaf, 1 -> values, 2 -> fromSubquery,
         2 -> scalarSubquery, 1 -> existsSubquery, 1 -> inSubquery,
         1 -> lateral, 1 -> union, 2 -> cte)
