@@ -717,66 +717,93 @@ object IndependentVerify {
     val fpArr = (0 until fps.size).map(fps.get).toArray
     require(fpArr.length.toLong < (1L << 31),
       s"pair-key packing assumes <2^31 distinct fingerprints, got ${fpArr.length}")
-    // chunk-blocked candidates over DISTINCT fingerprints: chunk c's value
-    // comes from word c/3; key packs (c << 48) | value (chunkBits ≤ 21)
-    val buckets = new java.util.HashMap[Long, java.util.ArrayList[Integer]]()
-    fpArr.zipWithIndex.foreach { case (((fp0, fp1), _), i) =>
+    // chunk c's value comes from word c/3 (chunkBits ≤ 21)
+    @inline def chunkVal(g: Int, c: Int): Long =
+      ((if (c < 3) fpArr(g)._1._1 else fpArr(g)._1._2)
+        >> ((c % 3) * chunkBits)) & cMask
+    // Chunk-blocked candidates over DISTINCT fingerprints, in primitive
+    // buffers with the checkRpPairs first-collision dedup (a pair is
+    // emitted only from the FIRST chunk whose values collide) — at the
+    // sixth decade the prior global boxed HashSet held ~3e8 candidate
+    // keys and blew a 48 GB heap; this walk allocates nothing per pair.
+    val buckets = new java.util.HashMap[Long, IntBuf]()
+    fpArr.indices.foreach { i =>
       var c = 0
       while (c < 6) {
-        val ck = ((if (c < 3) fp0 else fp1) >> ((c % 3) * chunkBits)) & cMask
-        buckets.computeIfAbsent(c.toLong << 48 | ck,
-          _ => new java.util.ArrayList[Integer]()).add(i)
+        buckets.computeIfAbsent(c.toLong << 48 | chunkVal(i, c),
+          _ => new IntBuf).add(i)
         c += 1
       }
     }
-    val cand = new java.util.HashSet[Long]()
-    buckets.forEach { (_, lst) =>
-      var i = 0
-      while (i < lst.size) {
-        if (fpArr(lst.get(i))._2.length >= 2)
-          cand.add((lst.get(i).toLong << 32) | lst.get(i).toLong)
-        var j = i + 1
-        while (j < lst.size) {
-          val x = math.min(lst.get(i), lst.get(j))
-          val y = math.max(lst.get(i), lst.get(j))
-          cand.add((x.toLong << 32) | y.toLong)
+    val bucketList = Vector.newBuilder[Array[Int]]
+    buckets.forEach { (bk, buf) =>
+      val arr = new Array[Int](buf.n + 1)
+      arr(0) = (bk >>> 48).toInt // the chunk index rides in slot 0
+      System.arraycopy(buf.a, 0, arr, 1, buf.n)
+      bucketList += arr
+    }
+    buckets.clear()
+    val cross = mergeAll(bucketList.result().par.map { arr =>
+      val dg = new Digest
+      val c = arr(0)
+      var i = 1
+      while (i < arr.length) {
+        val gi = arr(i); var j = i + 1
+        while (j < arr.length) {
+          val gj = arr(j)
+          var cc = 0; var met = false
+          while (cc < c && !met) {
+            if (chunkVal(gi, cc) == chunkVal(gj, cc)) met = true
+            cc += 1
+          }
+          if (!met) {
+            val ham =
+              java.lang.Long.bitCount(fpArr(gi)._1._1 ^ fpArr(gj)._1._1) +
+                java.lang.Long.bitCount(fpArr(gi)._1._2 ^ fpArr(gj)._1._2)
+            if (ham <= 5) {
+              val A = fpArr(gi)._2; val B = fpArr(gj)._2
+              var x = 0
+              while (x < A.length) {
+                var y = 0
+                while (y < B.length) {
+                  val a = A(x); val b = B(y)
+                  if (a < b) dg.add(s"$a$Sep$b$Sep$ham")
+                  else if (b < a) dg.add(s"$b$Sep$a$Sep$ham")
+                  y += 1
+                }
+                x += 1
+              }
+            }
+          }
           j += 1
         }
         i += 1
       }
-    }
-    val pairs = cand.toArray(new Array[java.lang.Long](0)).map(_.longValue)
-    val exp = mergeAll(pairs.par.map { pk =>
+      dg
+    }.seq)
+    // within-fingerprint pairs (hamming 0) once per multi-member group —
+    // every fingerprint collides with itself in all six of its chunks
+    val self = mergeAll(fpArr.par.map { case (_, a) =>
       val dg = new Digest
-      val gi = (pk >>> 32).toInt; val gj = (pk & 0xffffffffL).toInt
-      val ham = java.lang.Long.bitCount(fpArr(gi)._1._1 ^ fpArr(gj)._1._1) +
-        java.lang.Long.bitCount(fpArr(gi)._1._2 ^ fpArr(gj)._1._2)
-      if (ham <= 5) {
-        val A = fpArr(gi)._2; val B = fpArr(gj)._2
-        if (gi == gj) {
-          var i = 0
-          while (i < A.length) {
-            var j = i + 1
-            while (j < A.length) { dg.add(s"${A(i)}$Sep${A(j)}$Sep$ham"); j += 1 }
-            i += 1
-          }
-        } else {
-          var i = 0
-          while (i < A.length) {
-            var j = 0
-            while (j < B.length) {
-              val a = A(i); val b = B(j)
-              if (a < b) dg.add(s"$a$Sep$b$Sep$ham")
-              else if (b < a) dg.add(s"$b$Sep$a$Sep$ham")
-              j += 1
-            }
-            i += 1
-          }
-        }
+      var i = 0
+      while (i < a.length) {
+        var j = i + 1
+        while (j < a.length) { dg.add(s"${a(i)}$Sep${a(j)}${Sep}0"); j += 1 }
+        i += 1
       }
       dg
     }.seq)
-    (exp, digestOutput(spark, out, Seq("a_id", "b_id", "hamming")))
+    (cross.merge(self), digestOutput(spark, out, Seq("a_id", "b_id", "hamming")))
+  }
+
+  /** Growable primitive int buffer — bucket lists at sixth-decade counts
+    * can't afford boxed Integers. */
+  private final class IntBuf {
+    var a = new Array[Int](8); var n = 0
+    def add(v: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
+      a(n) = v; n += 1
+    }
   }
 
   private def groupByTextLite(corpus: Iterable[(Long, String)])
