@@ -1445,15 +1445,19 @@ object IndependentVerify {
           // OperatingPoint formulas the library entrypoints use (shared
           // config, independent computation)
           case "v3_auto" => checkRpPairs(spark, vecs, 4, path,
-            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length))
+            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length,
+              vecs.headOption.map(_.v.length).getOrElse(64)))
           case "v6_auto" => checkRpPairs(spark, vecs, 2, path,
-            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length))
+            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length,
+              vecs.headOption.map(_.v.length).getOrElse(64)))
           case "v8_auto" => checkV8(spark, vecs, path,
-            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length))
+            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length,
+              vecs.headOption.map(_.v.length).getOrElse(64)))
           case "v4_auto" => checkV4(spark, vecs, path,
             graft.operators.OperatingPoint.ivfCells(vecs.length))
           case "dd5_auto" => checkDd5(spark, vecs, path,
-            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length))
+            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length,
+              vecs.headOption.map(_.v.length).getOrElse(64)))
           case "dd6w_auto" => checkDd6Wide(spark, docs, st, path)
         }
         val secs = (System.nanoTime() - t0) / 1e9

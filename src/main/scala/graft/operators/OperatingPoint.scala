@@ -43,9 +43,21 @@ object OperatingPoint {
 
   /** RP-LSH sign planes per band for embedding near-dup blocking.
     * Anchor: 4 planes at n=2000 (the sf0.1 fixture; ~6× candidate
-    * reduction there). Ceiling 24: 16M buckets per band is past any
-    * realistic per-band occupancy need and keys stay cheap ints. */
-  def rpPlanesPerBand(n: Long): Int = clamp(4 + extraBits(n, 2000L), 4, 24)
+    * reduction there), +1 bit per corpus doubling, and — since round 14
+    * — +1 bit per DIM doubling over the 64-dim anchor: candidate
+    * VERIFICATION cost is candidates × dim (each survivor pays a
+    * dim-wide dot), so a dim-blind point lets the same bucket occupancy
+    * that priced fine at 64-dim burn 6× the FLOPs at 384 (measured:
+    * the 2M×384 v3_auto dump ran 2.5 h where 64-dim priced in minutes
+    * — BASELINE §5 r14 addendum). Each extra plane halves expected
+    * occupancy, so +log2(dim/64) holds verify work ≈ flat across dims.
+    * The honest trade: more planes per band lower banding recall
+    * (per-band hit rate (1−θ/π)^planes), which is the AUTO family's
+    * documented candidates-stay-linear contract — the pinned 4-plane
+    * oracle form is unchanged. Ceiling 24: 16M buckets per band is
+    * past any realistic occupancy need and keys stay cheap ints. */
+  def rpPlanesPerBand(n: Long, dim: Int = 64): Int =
+    clamp(4 + extraBits(n, 2000L) + extraBits(dim.toLong, 64L), 4, 24)
 
   /** IVF coarse-quantizer cell count: K ≈ √n, anchored at the measured
     * K=16 @ n=2000 point (16·√(n/2000)). Floor 8 keeps the probe-2-of-K

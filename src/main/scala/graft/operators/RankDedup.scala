@@ -64,7 +64,7 @@ object RankDedup {
     val auto = planesPerBand <= 0
     val n = if (auto) storeCountEstimate.getOrElse(math.max(1L, store.count()))
             else 0L
-    val planes = if (auto) OperatingPoint.rpPlanesPerBand(n) else planesPerBand
+    val planes = if (auto) OperatingPoint.rpPlanesPerBand(n, dim) else planesPerBand
     val matches = bandedMatches(store, cand, dim, planes,
       forceShuffle = auto && OperatingPoint.preferShuffleJoin(n, Bands, dim))
     // best feeds both the accept and the replace branch — materialize it

@@ -593,7 +593,7 @@ object VectorOps {
       countEstimate: Option[Long] = None, bands: Int = V3Bands,
       dim: Int = Dim): DataFrame = {
     val n = countEstimate.getOrElse(e.count())
-    val planes = OperatingPoint.rpPlanesPerBand(n)
+    val planes = OperatingPoint.rpPlanesPerBand(n, dim)
     rpBandedNearDupOver(e, bands, s"rp_band_keys_auto_${bands}_$planes",
       planes, threshold, dim,
       forceShuffle = OperatingPoint.preferShuffleJoin(n, bands, dim))

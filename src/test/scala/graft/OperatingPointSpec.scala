@@ -16,6 +16,12 @@ class OperatingPointSpec extends SparkSpec {
     assert(OperatingPoint.rpPlanesPerBand(20000) == 7) // 10x: round(log2 10)=3
     assert(OperatingPoint.rpPlanesPerBand(200000) == 11)
     assert(OperatingPoint.rpPlanesPerBand(2000L << 40) == 24) // ceiling
+    // dim-aware arm (r14): +1 bit per dim doubling over the 64-dim anchor
+    // — candidate verify cost is candidates x dim, so planes absorb it
+    assert(OperatingPoint.rpPlanesPerBand(2000, 64) == 4)    // anchors
+    assert(OperatingPoint.rpPlanesPerBand(20000, 384) == 10) // 7 + log2(6)~3
+    assert(OperatingPoint.rpPlanesPerBand(2000000L, 64) == 14)  // the x1000 run
+    assert(OperatingPoint.rpPlanesPerBand(2000000L, 384) == 17) // its 384 sibling
   }
 
   test("ivf cells: K ~ 16*sqrt(n/2000), floored and capped") {
@@ -96,7 +102,8 @@ class OperatingPointSpec extends SparkSpec {
     val ns = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L, 100000000L)
     def mono(f: Long => Int) =
       ns.zip(ns.tail).foreach { case (a, b) => assert(f(a) <= f(b)) }
-    mono(OperatingPoint.rpPlanesPerBand)
+    mono(OperatingPoint.rpPlanesPerBand(_))
+    mono(OperatingPoint.rpPlanesPerBand(_, 384))
     mono(OperatingPoint.ivfCells)
     mono(OperatingPoint.simhashChunkBits)
     mono(OperatingPoint.clusterIndexParts)
