@@ -1418,6 +1418,15 @@ object IndependentVerify {
     lazy val docs = loadDocs(spark, sfDir)
     lazy val st = stride(docs)
     lazy val vecs = loadVecs(spark, sfDir)
+    // Embedding dim, inferred ONCE for every dim-aware dispatch arm — a
+    // mixed-dimension corpus must fail loudly here, not silently derive
+    // planes from whichever row loads first on each side.
+    lazy val vecDim = {
+      val d = vecs.headOption.map(_.v.length).getOrElse(64)
+      require(vecs.forall(_.v.length == d),
+        s"mixed embedding dimensions in $sfDir (first row has $d)")
+      d
+    }
 
     var failed = 0
     wanted.foreach { name =>
@@ -1445,19 +1454,15 @@ object IndependentVerify {
           // OperatingPoint formulas the library entrypoints use (shared
           // config, independent computation)
           case "v3_auto" => checkRpPairs(spark, vecs, 4, path,
-            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length,
-              vecs.headOption.map(_.v.length).getOrElse(64)))
+            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length, vecDim))
           case "v6_auto" => checkRpPairs(spark, vecs, 2, path,
-            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length,
-              vecs.headOption.map(_.v.length).getOrElse(64)))
+            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length, vecDim))
           case "v8_auto" => checkV8(spark, vecs, path,
-            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length,
-              vecs.headOption.map(_.v.length).getOrElse(64)))
+            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length, vecDim))
           case "v4_auto" => checkV4(spark, vecs, path,
             graft.operators.OperatingPoint.ivfCells(vecs.length))
           case "dd5_auto" => checkDd5(spark, vecs, path,
-            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length,
-              vecs.headOption.map(_.v.length).getOrElse(64)))
+            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length, vecDim))
           case "dd6w_auto" => checkDd6Wide(spark, docs, st, path)
         }
         val secs = (System.nanoTime() - t0) / 1e9

@@ -175,8 +175,34 @@ object TopKRows {
     * stable owned-rows contract. */
   final class Buffer(val pq: java.util.PriorityQueue[InternalRow])
 
+  private val warnedSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** CONFIG CONTRACT (warn-once per session): topk_rows plans as
+    * ObjectHashAggregate, which silently switches to a SORT-BASED pass
+    * once a task's hash map exceeds
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (default 128 distinct keys — tiny). The fallback is CORRECT
+    * (TopKRowsSpec pins output equality at threshold=1) but reintroduces
+    * the map-side sort this aggregate exists to avoid; harness sessions
+    * and real clusters should raise it (the harness uses 1<<21 — each
+    * buffer is ≤ k tiny rows, so millions of group buffers per task stay
+    * bounded-memory). */
+  private def warnLowFallbackThreshold(spark: SparkSession): Unit = {
+    val t = spark.conf
+      .get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+    if (t.toLong <= 128 && warnedSessions.add(spark))
+      System.err.println("[graft] WARN topk_rows: " +
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold=" + t +
+        " (default) — plans stay correct but fall back to a sort-based " +
+        "aggregate beyond " + t + " groups/task; raise it (e.g. 1<<21) to " +
+        "keep the hash path")
+  }
+
   /** Register `topk_rows(payload_struct, k)` (k a literal int). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
+    warnLowFallbackThreshold(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_rows", exprs => {
         require(exprs.length == 2, "usage: topk_rows(payload_struct, k)")
@@ -187,4 +213,5 @@ object TopKRows {
         }
         TopKRows(exprs.head, k)
       }, "scala_udf")
+  }
 }

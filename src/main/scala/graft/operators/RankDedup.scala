@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.CosineSimilarity
 
@@ -17,19 +16,29 @@ import graft.functions.CosineSimilarity
   *      · otherwise → candidate discarded;
   *  - no qualifying match → candidate inserted (:200-202).
   *
-  * Expressed Spark-first as set algebra: best-match via window row_number
-  * over the sim-join, then (store ∖ replaced) ∪ accepted. The reference
-  * applies candidates one-by-one; this operator applies a batch, which is
-  * equivalent whenever candidates don't match each other (guaranteed here by
-  * the ≥0.94 threshold against a candidate set drawn from distinct sources).
+  * Expressed Spark-first as set algebra: best-match via a bounded
+  * [[graft.functions.TopKRows]] k=1 argmax over the sim-join (a heap
+  * aggregate that partial-aggregates map-side — the banded match stream is
+  * corpus-sized in auto mode, and a rank-adjacent row_number window here
+  * planned as WindowGroupLimit whose map-side pass SORTS the whole stream;
+  * the round-13/14 sixth-decade finding), then
+  * (store ∖ replaced) ∪ accepted. The reference applies candidates
+  * one-by-one; this operator applies a batch, which is equivalent whenever
+  * candidates don't match each other (guaranteed here by the ≥0.94
+  * threshold against a candidate set drawn from distinct sources).
   *
   * Scale: the sim-join is RP-LSH BANDED — candidates and store rows meet on
   * an equi-join over (band, key) buckets, and the exact ≥0.94 cosine runs on
   * bucket-mates only, so the plan is a hash join, not a
   * BroadcastNestedLoop/cartesian over store × candidates (asserted in
-  * RankDedupSpec). 8 bands × 4 planes keeps recall ≥ 99.9% at the 0.94
-  * threshold (miss rate (1-p⁴)⁸ with p = 1-θ/π ≥ 0.889) and is exact for
-  * identical vectors, which is what the ≥0.94 gate admits in practice.
+  * RankDedupSpec). The PINNED 8 bands × 4 planes config keeps recall
+  * ≥ 99.9% at the 0.94 threshold (miss rate (1-p⁴)⁸ with p = 1-θ/π ≥
+  * 0.889). AUTO mode ([[OperatingPoint.rpPlanesPerBand]]) raises planes
+  * with corpus size and dimension to keep candidate counts linear,
+  * trading that recall guarantee away for non-identical matches —
+  * IDENTICAL vectors (what the ≥0.94 upsert gate admits in practice)
+  * always share every band key, so the reference's replace/discard
+  * semantics are preserved at any plane count.
   */
 object RankDedup {
   import graft.Q.{Q, embeddings}
@@ -73,12 +82,13 @@ object RankDedup {
     // conversation turn (EpisodicMemory.store), and a cache() entry per
     // call would accumulate in the CacheManager for the session's lifetime;
     // checkpoint blocks are released when the plan is GC'd.
-    val best = matches
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("cid").orderBy(desc("msim"), col("sid"))))
-      .filter(col("rn") === 1)
-      .select(col("cid"), col("crank"), col("sid"), col("srank"))
-      .localCheckpoint(eager = false)
+    // Keep-best is TopKRows k=1, NOT a row_number window: the match stream
+    // is store-sized in auto mode and WindowGroupLimit's map-side pass
+    // sorts its whole input partition; the heap aggregate holds one row
+    // per cid and combines map-side. struct field order IS the rank order
+    // (msim DESC, then sid ASC — TopKRows' field convention), identical to
+    // the window's ORDER BY msim DESC, sid and to the DuckDB oracle.
+    val best = bestMatch(matches).localCheckpoint(eager = false)
     val eligible = cand.filter(col("rank") >= MinRank)
     val accepted = eligible.join(best, eligible("id") === best("cid"), "left")
       .filter(col("cid").isNull || col("rank") > col("srank"))
@@ -90,6 +100,21 @@ object RankDedup {
     val kept = store.join(replaced, store("id") === replaced("sid"), "left_anti")
       .select(col("id"), col("rank"), lit("kept").as("status"))
     kept.unionByName(accepted)
+  }
+
+  /** Keep-best of [[upsert]], pre-checkpoint — factored out so its plan
+    * shape is assertable (ObjectHashAggregate, no WindowGroupLimit —
+    * RankDedupSpec). struct field order IS TopKRows' rank order
+    * (msim DESC, then sid ASC), identical to the retired window's
+    * ORDER BY msim DESC, sid and to the DuckDB oracle's row_number. */
+  private[graft] def bestMatch(matches: DataFrame): DataFrame = {
+    graft.functions.TopKRows.register(matches.sparkSession)
+    matches
+      .groupBy(col("cid"))
+      .agg(expr("topk_rows(struct(msim, sid, srank, crank), 1)").as("top"))
+      .select(col("cid"), col("top")(0).getField("crank").as("crank"),
+        col("top")(0).getField("sid").as("sid"),
+        col("top")(0).getField("srank").as("srank"))
   }
 
   /** The banded ≥-threshold similarity join of [[upsert]], pre-checkpoint —
@@ -134,7 +159,11 @@ object RankDedup {
   def rankUpsertQuery: Q = rankUpsertQueryPlanes(PlanesPerBand)
 
   /** [[rankUpsertQuery]] at an explicit bucket-sparsity setting —
-    * ScaleProbe's scaled operating point. */
+    * ScaleProbe's scaled operating point. planes ≤ 0 = AUTO: the embedding
+    * dim is then MEASURED from the fixture (one `size(v)` head job, the
+    * SixthDecade discipline) so the library and IndependentVerify derive
+    * the same dim-aware plane count on any fixture arm; the pinned path
+    * keeps the literal 64 of its static oracle's fixture. */
   private[graft] def rankUpsertQueryPlanes(planes: Int): Q = (s, d) => {
     CosineSimilarity.register(s)
     val e = embeddings(s, d).select(col("vec_id"),
@@ -144,7 +173,8 @@ object RankDedup {
     val cand = e.filter(col("vec_id") % 3 === 0)
       .select((col("vec_id") + 10000).as("id"), col("v"),
         ((col("vec_id") + 5) % 11).as("rank"))
-    upsert(store, cand, 64, planes)
+    val dim = if (planes <= 0) e.select(size(col("v"))).head.getInt(0) else 64
+    upsert(store, cand, dim, planes)
   }
 
   val oracle: String =

@@ -599,21 +599,28 @@ object Relational {
       .select(col("o_orderkey").as("order_key"), col("o_totalprice").as("price"))
       .limit(10)
 
-  /** Top-k per group (largest orders per status) — window + filter.
-    * Plan note: Spark's InferWindowGroupLimit rewrites this shape into
-    * `WindowGroupLimit Partial → Exchange → WindowGroupLimit Final`
-    * (verified via explain) — a bounded per-group top-k computed BEFORE the
-    * shuffle, so only ≤k rows per group per mapper move. A hand-built
-    * custom top-k operator was prototyped and measured; the built-in path
-    * is strictly better (the custom node cannot limit map-side), confirming
-    * SURVEY §4.4: no §2 operator lacks a built-in physical implementation. */
+  /** Top-k per group (largest orders per status) — the bounded
+    * [[graft.functions.TopKRows]] heap aggregate (round 15; the last
+    * gated per-group top-k still on the window form). Spark's
+    * InferWindowGroupLimit does bound the window shape's shuffle
+    * (`WindowGroupLimit Partial → Exchange → Final`), but its map-side
+    * GroupedLimitIterator SORTS the whole input partition first — over
+    * corpus-sized orders that is an O(n log n) map-side sort for a top-3.
+    * The heap aggregate holds ≤ k rows per group with no sort anywhere
+    * and the same shuffle bound (≤ groups·k rows per mapper). Ordering
+    * (price DESC, order_key ASC) is TopKRows' field convention;
+    * `pos + 1` IS the row_number the oracle's window assigns (exact
+    * equivalence incl. ties is TopKRowsSpec's pinned property). */
   def topKPerGroup: Q = (s, d) => {
-    val w = Window.partitionBy("o_orderstatus")
-      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    graft.functions.TopKRows.register(s)
     orders(s, d)
-      .select(col("o_orderstatus").as("status"), col("o_orderkey").as("order_key"),
-        col("o_totalprice").as("price"), row_number().over(w).as("rk"))
-      .filter(col("rk") <= 3)
+      .select(col("o_orderstatus").as("status"),
+        struct(col("o_totalprice"), col("o_orderkey")).as("cand"))
+      .groupBy("status").agg(expr("topk_rows(cand, 3)").as("top"))
+      .select(col("status"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("status"), col("t.o_orderkey").as("order_key"),
+        col("t.o_totalprice").as("price"),
+        (col("pos") + 1).cast("int").as("rk"))
   }
 
   /** D1 distinct values. Ref: web_app/app.py:358,367. */

@@ -118,6 +118,18 @@ class PlanGateSpec extends SparkSpec {
         } => j.simpleStringWithNodeId()
   }
 
+  test("o6 per-group top-k is the bounded heap aggregate (no window sort)") {
+    // round-15 rewiring of the last gated per-group top-k: the window
+    // form's WindowGroupLimit bounds the shuffle but SORTS each map-side
+    // input partition; the TopKRows heap needs no sort anywhere
+    val plan = SparkEntry.queries("o6_topk_per_group")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("Window "), plan)
+    assert(!plan.contains("Sort "), plan)
+  }
+
   test("no query shuffle-joins a fixed-cardinality dim when auto-broadcast is off") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)

@@ -55,6 +55,22 @@ class RankDedupSpec extends SparkSpec {
     assert(again.count() == 2)
   }
 
+  test("keep-best is the bounded heap aggregate: ObjectHashAggregate, " +
+      "no WindowGroupLimit / window sort") {
+    CosineSimilarity.register(spark)
+    val matches = RankDedup.bandedMatches(df((1L, vA, 7L), (2L, vB, 8L)),
+      df((100L, vA, 9L)), dim = 3, planes = 4, forceShuffle = false)
+    val plan = RankDedup.bestMatch(matches)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("Window "), plan)
+    // and the argmax agrees with the window it replaced: best match for
+    // cid=100 is the identical store vector (sid=1), not the orthogonal one
+    val rows = RankDedup.bestMatch(matches).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSeq == Seq((100L, 1L)))
+  }
+
   test("sim-join is band-blocked: equi hash join, no nested-loop/cartesian") {
     CosineSimilarity.register(spark)
     val plan = RankDedup.upsert(df((1L, vA, 7L)), df((100L, vA, 9L)), dim = 3)

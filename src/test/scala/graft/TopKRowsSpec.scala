@@ -60,6 +60,27 @@ class TopKRowsSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Sort"), plan)
   }
 
+  test("sort-based fallback path (threshold=1) yields identical output") {
+    // ObjectHashAggregate falls back to a SORT-BASED pass once a task's
+    // hash map exceeds spark.sql.objectHashAggregate.sortBased.
+    // fallbackThreshold (default 128 keys). Harness sessions raise it to
+    // 2^21 so the hash path holds; this case pins the CONTRACT that a
+    // cluster left at the default is still CORRECT — the fallback drives
+    // serialize + merge-under-sorted-spill, which nothing else exercises.
+    import spark.implicits._
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      val rows = (0 until 2000).map { i =>
+        (i % 40, ((i * 2654435761L) % 17).toDouble / 16.0, i.toLong)
+      } ++ Seq((777, 0.5, 9001L), (777, 0.5, 9002L))
+      val df = rows.toDF("g", "s", "id").repartition(7)
+      val expected = asSet(windowForm(df, 3))
+      spark.conf.set(key, "1")
+      assert(asSet(heapForm(df, 3)) == expected)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("null payload structs are skipped; null fields rank last") {
     import spark.implicits._
     TopKRows.register(spark)
