@@ -432,6 +432,43 @@ object IndependentVerify {
     }
     if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
   }
+  /** Suffix-of-squares checkpoints, mirroring the library's VecSufSq:
+    * slot 0 the exact forward norm-square, slot j ≥ 1 the suffix sum from
+    * index 64j (backward accumulation — feeds bounds only). */
+  private def sufSq(a: Array[Double]): Array[Double] = {
+    val n = a.length
+    val out = new Array[Double](math.max(1, (n + 63) / 64))
+    var fwd = 0.0; var i = 0
+    while (i < n) { fwd += a(i) * a(i); i += 1 }
+    out(0) = fwd
+    var s = 0.0; i = n - 1
+    while (i >= 64) {
+      s += a(i) * a(i)
+      if ((i & 63) == 0) out(i >> 6) = s
+      i -= 1
+    }
+    out
+  }
+  /** Early-exit dot mirroring the library's CosineSimBounded: the EXACT
+    * left-assoc dot of [[dot]] unless the Cauchy-Schwarz suffix bound
+    * proves it below `t` at a 64-element checkpoint (then -∞; callers
+    * pass t with the 1e-9 relative margin already subtracted, so any pair
+    * whose keep-test could pass always completes and its digest string is
+    * bit-identical to the unbounded walk's). */
+  private def dotGte(a: Array[Double], b: Array[Double],
+      sa: Array[Double], sb: Array[Double], t: Double): Double = {
+    val lim = math.min(sa.length, sb.length)
+    val n = a.length
+    var s = 0.0; var i = 0
+    while (i < n) {
+      if (i > 0 && (i & 63) == 0 && (i >> 6) < lim &&
+          s + math.sqrt(sa(i >> 6) * sb(i >> 6)) < t)
+        return Double.NegativeInfinity
+      s += a(i) * b(i)
+      i += 1
+    }
+    s
+  }
 
   // ---------- per-query checks ----------
 
@@ -949,7 +986,8 @@ object IndependentVerify {
     * computation below stays independent). Bucket keys are longs
     * ((band << 32) | key) so any planes ≤ 24 fits. */
   private def rpFront(vecs: Array[Vec], bands: Int, planes: Int = 4)
-      : (Array[Array[Int]], Array[Double], Vector[Array[Int]]) = {
+      : (Array[Array[Int]], Array[Double], Array[Array[Double]],
+         Vector[Array[Int]]) = {
     // dim from the DATA (round 14: the 384-dim fixture arm) — the sign
     // formula itself stays `j * 64 + k` at any dim, matching
     // VectorOps.rpSign exactly
@@ -960,6 +998,8 @@ object IndependentVerify {
     (0 until n).par.foreach(i => keys(i) = rpKeys(vecs(i).v, signs, planes))
     val norms = new Array[Double](n)
     (0 until n).par.foreach(i => norms(i) = math.sqrt(norm2(vecs(i).v)))
+    val sufs = new Array[Array[Double]](n)
+    (0 until n).par.foreach(i => sufs(i) = sufSq(vecs(i).v))
     val buckets = new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
     (0 until n).foreach { i =>
       var b = 0
@@ -977,7 +1017,7 @@ object IndependentVerify {
       while (i < lst.size) { arr(i + 1) = lst.get(i); i += 1 }
       bucketList += arr
     }
-    (keys, norms, bucketList.result())
+    (keys, norms, sufs, bucketList.result())
   }
 
   /** True iff the pair already met in an EARLIER band — the allocation-free
@@ -999,7 +1039,7 @@ object IndependentVerify {
     * sixth-decade checks). */
   private def checkRpPairs(spark: SparkSession, vecs: Array[Vec],
       bands: Int, out: String, planes: Int = 4): (Digest, Digest) = {
-    val (keys, norms, bucketList) = rpFront(vecs, bands, planes)
+    val (keys, norms, sufs, bucketList) = rpFront(vecs, bands, planes)
     val exp = mergeAll(bucketList.par.map { arr =>
       val dg = new Digest
       val band = arr(0)
@@ -1008,7 +1048,12 @@ object IndependentVerify {
         val vi = vecs(arr(i)); var j = i + 1
         while (j < arr.length) {
           val vj = vecs(arr(j))
-          val raw = dot(vi.v, vj.v) / (norms(arr(i)) * norms(arr(j)))
+          // early-exit at the keep-test floor (margin inside the t):
+          // pruned pairs are provably below 0.2999985, kept pairs carry
+          // the exact dot — digests unchanged by construction
+          val d = dotGte(vi.v, vj.v, sufs(arr(i)), sufs(arr(j)),
+            (0.2999985 - 1e-9) * (norms(arr(i)) * norms(arr(j))))
+          val raw = d / (norms(arr(i)) * norms(arr(j)))
           if (raw >= 0.2999985 && !metEarlier(keys, arr(i), arr(j), band)) {
             val sim = rnd(raw, 6)
             if (sim >= 0.30) {
@@ -1033,7 +1078,7 @@ object IndependentVerify {
     // edges pack as (a<<32)|b — loud guard instead of silent aliasing
     require(vecs.forall(v => v.id >= 0 && v.id < (1L << 32)),
       "edge packing assumes vec_id in [0, 2^32)")
-    val (keys, norms, bucketList) = rpFront(vecs, 4, planes)
+    val (keys, norms, sufs, bucketList) = rpFront(vecs, 4, planes)
     // per-bucket primitive edge arrays (first-band dedup), then one
     // sequential union-find — never a boxed global set
     val edgeChunks = bucketList.par.map { arr =>
@@ -1043,7 +1088,9 @@ object IndependentVerify {
       while (i < arr.length) {
         var j = i + 1
         while (j < arr.length) {
-          val raw = dot(vecs(arr(i)).v, vecs(arr(j)).v) /
+          val raw = dotGte(vecs(arr(i)).v, vecs(arr(j)).v,
+            sufs(arr(i)), sufs(arr(j)),
+            (0.2999985 - 1e-9) * (norms(arr(i)) * norms(arr(j)))) /
             (norms(arr(i)) * norms(arr(j)))
           if (raw >= 0.2999985 && !metEarlier(keys, arr(i), arr(j), band) &&
               rnd(raw, 6) >= 0.30) {
@@ -1231,11 +1278,11 @@ object IndependentVerify {
       out: String, planes: Int = 4): (Digest, Digest) = {
     val signs = buildSigns(8 * planes, vecs(0).v.length, ddSignPos)
     final case class Item(id: Long, v: Array[Double], rank: Long, nrm: Double,
-      keys: Array[Int])
+      suf: Array[Double], keys: Array[Int])
     def items(src: Array[Vec], idOff: Long, rankOff: Long): Array[Item] =
       src.map { x =>
         Item(x.id + idOff, x.v, (x.id + rankOff) % 11, math.sqrt(norm2(x.v)),
-          rpKeys(x.v, signs, planes))
+          sufSq(x.v), rpKeys(x.v, signs, planes))
       }
     val store = items(vecs, 0L, 0L)
     val cand = items(vecs.filter(_.id % 3 == 0), 10000L, 5L)
@@ -1293,7 +1340,11 @@ object IndependentVerify {
         var i = 0
         while (i < sArr.length) {
           val s = store(sArr(i))
-          val msim = dot(c.v, s.v) / (c.nrm * s.nrm)
+          // early-exit at the 0.94 gate — at 384-dim most candidates
+          // abandon at the FIRST checkpoint (0.94 - sqrt(suffix energy)
+          // goes positive almost immediately); kept msims are exact
+          val msim = dotGte(c.v, s.v, c.suf, s.suf,
+            (0.94 - 1e-9) * (c.nrm * s.nrm)) / (c.nrm * s.nrm)
           if (msim >= 0.94 &&
               (msim > bestSim || (msim == bestSim && s.id < bestSid))) {
             bestSim = msim; bestSid = s.id; bestSrank = s.rank

@@ -135,17 +135,27 @@ object RankDedup {
     val signs = bandSigns(dim, planes)
     Seq(store.sparkSession, cand.sparkSession).distinct.foreach { s =>
       graft.functions.CosineSimilarity.register(s)
+      graft.functions.CosineSimBounded.register(s)
       graft.functions.RpBandKeys.register(s, signs, planes,
         s"rp_band_keys_dd_$planes")
     }
     def banded(df: DataFrame, p: String) = df.select(col("id").as(p + "id"),
         col("v").as(p + "v"), col("rank").as(p + "rank"),
+        expr("vec_sufsq(v)").as(p + "sfx"),
         posexplode(expr(s"rp_band_keys_dd_$planes(v)")).as(Seq("b", "key")))
     val bandedStore0 = banded(store, "s")
     val bandedStore =
       if (forceShuffle) bandedStore0.hint("merge") else bandedStore0
+    // msim is filtered UNROUNDED at the 0.94 gate, so the early-exit
+    // prune floor is the threshold itself (CosineSimBounded's internal
+    // 1e-9 relative margin keeps boundary pairs on the full-dot path;
+    // survivor msims are bit-identical to the cosine_sim form)
+    val msim =
+      if (VectorOps.EarlyExit)
+        expr(s"cosine_sim_bounded(cv, sv, csfx, ssfx, ${StrongThreshold}D)")
+      else expr("cosine_sim(cv, sv)")
     banded(cand, "c").join(bandedStore, Seq("b", "key"))
-      .withColumn("msim", expr("cosine_sim(cv, sv)"))
+      .withColumn("msim", msim)
       .filter(col("msim") >= StrongThreshold)
       .select(col("cid"), col("crank"), col("sid"), col("srank"), col("msim"))
       .distinct()

@@ -495,22 +495,46 @@ object VectorOps {
       dim: Int = Dim, forceShuffle: Boolean = false): DataFrame = {
     val s = e.sparkSession
     CosineSimilarity.register(s)
+    graft.functions.CosineSimBounded.register(s)
     val signs = Array.tabulate(bands * planes, dim) {
       (j, k0) => if (rpSign(j, k0 + 1) == "+") 1.0 else -1.0
     }
     graft.functions.RpBandKeys.register(s, signs, planes, fname)
+    // suffix-of-squares checkpoints computed ONCE per vector (pre-explode,
+    // so the bands copies and every pair appearance share them through the
+    // checkpoint) — they let the verify run as an early-exiting dot
+    // instead of CosineSimilarity's per-pair 3·dim fused loop
     val bk0 = e.select(col("vec_id"), col("v"),
+      expr("vec_sufsq(v)").as("sfx"),
       posexplode(expr(s"$fname(v)")).as(Seq("b", "key")))
       .localCheckpoint(eager = false)
     val bk = if (forceShuffle) bk0.hint("merge") else bk0
+    // prune floor: the filter keeps round(sim, 6) >= threshold, so a pair
+    // may be abandoned only when provably below threshold - 5e-7 (the
+    // round-half-up boundary); 1e-6 leaves that boundary strictly inside
+    // the must-complete band. Survivor sims are bit-identical to the
+    // cosine_sim plan (CosineSimBounded's contract), so the DuckDB oracle
+    // and the x1000 digests are unchanged. -Dgraft.earlyExit=false pins
+    // the old full-dot verify for A/B pricing.
+    val sim =
+      if (EarlyExit)
+        expr(s"cosine_sim_bounded(a.v, x.v, a.sfx, x.sfx, " +
+          s"${threshold - 1e-6}D)")
+      else expr("cosine_sim(a.v, x.v)")
     bk.as("a").join(bk.as("x"),
         col("a.b") === col("x.b") && col("a.key") === col("x.key") &&
           col("a.vec_id") < col("x.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("x.vec_id").as("b_id"),
-        round(expr("cosine_sim(a.v, x.v)"), 6).as("sim"))
+        round(sim, 6).as("sim"))
       .filter(col("sim") >= threshold)
       .distinct()
   }
+
+  /** Early-exit candidate verify, ON unless `-Dgraft.earlyExit=false`
+    * (the A/B pricing switch — see [[graft.functions.CosineSimBounded]];
+    * both arms produce identical output by construction). */
+  private[graft] def EarlyExit: Boolean =
+    !"false".equalsIgnoreCase(System.getProperty("graft.earlyExit", "true"))
 
   /** The RP-LSH pair pipeline in DuckDB as a CTE chain ending in
     * `pairs(a_id, b_id, sim)` — shared by the v3/v6 and v8 oracles. */

@@ -44,6 +44,55 @@ class VectorGateSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall@10 $recall below pinned floor 0.95 (measured 1.0)")
   }
 
+  test("dim-aware blocking retains the pinned recall floors at x10x384") {
+    // The r14 dim-aware operating point (OperatingPoint.rpPlanesPerBand
+    // grows planes with DIM, not just corpus size) bought linear verify
+    // cost at 384-dim for a MEASURED pair-set price at x10x384: the
+    // derived 10-plane point retained 86% (v3: 4 bands) / 82% (v6: 2
+    // bands) of the dim-blind 7-plane pair sets. This gate pins those
+    // floors (just below measured, the v5 recall discipline) so a future
+    // derivation change that silently erodes blocking recall at the
+    // production dimensionality fails loudly. Fixture: the deterministic
+    // synthDv x10x384 widening of sf0.1 (built on demand if no probe run
+    // left it behind).
+    import graft.operators.OperatingPoint
+    val dir = "target/sfdv_smoke384"
+    if (!new java.io.File(s"$dir/embeddings.parquet").exists())
+      ScaleProbe.synthDv(spark, "/root/testdata/sf0.1", dir, copies = 10,
+        dim = 384)
+    val ds = VectorOps.vecsCheckpointed(spark, dir)
+    val n = ds.count()
+    val derived = OperatingPoint.rpPlanesPerBand(n, 384)
+    val dimBlind = OperatingPoint.rpPlanesPerBand(n, 64)
+    assert(derived == 10 && dimBlind == 7,
+      s"x10 operating points moved: derived=$derived dimBlind=$dimBlind " +
+        "(re-measure the retention floors before re-pinning)")
+    def pairSet(bands: Int, planes: Int): Set[(Long, Long)] =
+      VectorOps.rpBandedNearDupOver(ds, bands,
+          s"rp_gate_${bands}_$planes", planes, dim = 384)
+        .select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Two pinned metrics per band count: the SIZE ratio (what BASELINE §5's
+    // r14 addendum measured as 86%/82% — how many pairs the sparser
+    // blocking still yields overall) and the stricter INTERSECTION
+    // retention (how many of the dim-blind set's specific pairs survive —
+    // lower, since each plane family also finds pairs the other misses).
+    for ((bands, sizeFloor, keepFloor) <- Seq((4, 0.85, 0.75),
+        (2, 0.80, 0.70))) {
+      val ref = pairSet(bands, dimBlind)
+      val der = pairSet(bands, derived)
+      val sizeRatio = der.size.toDouble / ref.size
+      val kept = der.intersect(ref).size.toDouble / ref.size
+      info(f"bands=$bands: ${der.size} derived vs ${ref.size} dim-blind " +
+        f"pairs; size ratio $sizeRatio%.3f (floor $sizeFloor), " +
+        f"intersection $kept%.3f (floor $keepFloor)")
+      assert(sizeRatio >= sizeFloor,
+        f"bands=$bands size ratio $sizeRatio%.3f < pinned floor $sizeFloor")
+      assert(kept >= keepFloor,
+        f"bands=$bands intersection $kept%.3f < pinned floor $keepFloor")
+    }
+  }
+
   test("Lloyd objective is non-increasing across every iteration") {
     def meanSim(iters: Int): Double =
       VectorOps.kmeansAssign(e, VectorOps.kmeansCentroids(e, iters))
