@@ -26,7 +26,7 @@ run() {
   java $ADD_OPENS -Xmx48g \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -Duser.timezone=UTC -Duser.language=en -Duser.country=US \
-    -cp "/root/repo/target/r15cls:/opt/spark/jars/*" "$@" \
+    -cp "/root/repo/target/r15cls3:/opt/spark/jars/*" "$@" \
     || { step "FAILED: $*"; exit 1; }
 }
 

@@ -384,15 +384,22 @@ object IndependentVerify {
 
   // ---------- RP-LSH planes / cosine (v3, v6, v8, dd5) ----------
 
-  /** VectorOps' plane-sign LCG (j 0-based plane, k 1-based component). */
+  /** splitmix64-style finalizer mirroring VectorOps.mix64 (round 15: the
+    * raw-LCG family had period-7 plane negations — see that scaladoc). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + -7046029254386353131L
+    z = (z ^ (z >>> 30)) * -4658895280553007687L
+    z = (z ^ (z >>> 27)) * -7723592293110705685L
+    z ^ (z >>> 31)
+  }
+  /** VectorOps' plane-sign family (j 0-based plane, k 1-based component). */
   private def rpSignPos(j: Int, k: Int): Boolean = {
-    val x = (j * 64 + k).toLong * 6364136223846793005L + 1442695040888963407L
+    val x = mix64((j.toLong << 32) | k.toLong)
     ((x >>> 33) & 1L) == 0L
   }
   /** RankDedup's family, offset by 1000 planes. */
   private def ddSignPos(j: Int, k0: Int): Boolean = {
-    val x = ((j + 1000) * 64 + k0 + 1).toLong * 6364136223846793005L +
-      1442695040888963407L
+    val x = mix64(((j + 1000).toLong << 32) | (k0 + 1).toLong)
     ((x >>> 33) & 1L) == 0L
   }
 
@@ -400,19 +407,44 @@ object IndependentVerify {
       pos: (Int, Int) => Boolean): Array[Array[Double]] =
     Array.tabulate(numPlanes, dim)((j, k0) => if (pos(j, k0)) 1.0 else -1.0)
 
-  /** Band keys, left-assoc dot per plane (strictly > 0 sets the bit). */
+  /** Band keys, left-assoc dot per plane (strictly > offset sets the bit;
+    * null offsets = the uncentered pinned form, bit-identical to r14). */
   private def rpKeys(v: Array[Double], signs: Array[Array[Double]],
-      planesPerBand: Int): Array[Int] = {
+      planesPerBand: Int, offsets: Array[Double] = null): Array[Int] = {
     val keys = new Array[Int](signs.length / planesPerBand)
     var j = 0
     while (j < signs.length) {
       var dot = 0.0; var k = 0
       while (k < v.length) { dot += signs(j)(k) * v(k); k += 1 }
-      if (dot > 0) keys(j / planesPerBand) |= 1 << (j % planesPerBand)
+      val o = if (offsets == null) 0.0 else offsets(j)
+      if (dot > o) keys(j / planesPerBand) |= 1 << (j % planesPerBand)
       j += 1
     }
     keys
   }
+  /** Mirror of VectorOps.keyCenterOf: component mean via the exact
+    * order-free truncated-integer sum (`(x*1e8).toLong`, summed as longs),
+    * then the same two double divisions — bit-identical to the library's
+    * Spark-side center on any partitioning. */
+  private def keyCenter(vecs: Array[Vec]): Array[Double] = {
+    val dim = vecs(0).v.length
+    val s = new Array[Long](dim)
+    vecs.foreach { x =>
+      var k = 0
+      while (k < dim) { s(k) += (x.v(k) * 1e8).toLong; k += 1 }
+    }
+    val n = vecs.length.toDouble
+    Array.tabulate(dim)(k => s(k).toDouble / n / 1e8)
+  }
+  /** Mirror of VectorOps.planeOffsets (left-assoc dot per plane). */
+  private def planeOffsets(signs: Array[Array[Double]],
+      center: Array[Double]): Array[Double] =
+    if (center == null) null
+    else signs.map { p =>
+      var o = 0.0; var k = 0
+      while (k < p.length) { o += p(k) * center(k); k += 1 }
+      o
+    }
 
   private def dot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
@@ -985,7 +1017,8 @@ object IndependentVerify {
     * library entrypoint uses — the operating point is shared CONFIG, the
     * computation below stays independent). Bucket keys are longs
     * ((band << 32) | key) so any planes ≤ 24 fits. */
-  private def rpFront(vecs: Array[Vec], bands: Int, planes: Int = 4)
+  private def rpFront(vecs: Array[Vec], bands: Int, planes: Int = 4,
+      centered: Boolean = false)
       : (Array[Array[Int]], Array[Double], Array[Array[Double]],
          Vector[Array[Int]]) = {
     // dim from the DATA (round 14: the 384-dim fixture arm) — the sign
@@ -993,9 +1026,12 @@ object IndependentVerify {
     // VectorOps.rpSign exactly
     val signs = buildSigns(bands * planes, vecs(0).v.length,
       (j, k0) => rpSignPos(j, k0 + 1))
+    // auto arms center the keys on the corpus mean (round 15 — the
+    // library's AUTO operating point); pinned arms stay uncentered
+    val offs = if (centered) planeOffsets(signs, keyCenter(vecs)) else null
     val n = vecs.length
     val keys = new Array[Array[Int]](n)
-    (0 until n).par.foreach(i => keys(i) = rpKeys(vecs(i).v, signs, planes))
+    (0 until n).par.foreach(i => keys(i) = rpKeys(vecs(i).v, signs, planes, offs))
     val norms = new Array[Double](n)
     (0 until n).par.foreach(i => norms(i) = math.sqrt(norm2(vecs(i).v)))
     val sufs = new Array[Array[Double]](n)
@@ -1038,8 +1074,9 @@ object IndependentVerify {
     * `planes` = 4 pinned, or the derived AUTO point for the `*_auto`
     * sixth-decade checks). */
   private def checkRpPairs(spark: SparkSession, vecs: Array[Vec],
-      bands: Int, out: String, planes: Int = 4): (Digest, Digest) = {
-    val (keys, norms, sufs, bucketList) = rpFront(vecs, bands, planes)
+      bands: Int, out: String, planes: Int = 4,
+      centered: Boolean = false): (Digest, Digest) = {
+    val (keys, norms, sufs, bucketList) = rpFront(vecs, bands, planes, centered)
     val exp = mergeAll(bucketList.par.map { arr =>
       val dg = new Digest
       val band = arr(0)
@@ -1074,11 +1111,12 @@ object IndependentVerify {
     * set, compared row-wise against the output. Returns mismatch count in
     * the digest slot (exp == act iff zero mismatches). */
   private def checkV8(spark: SparkSession, vecs: Array[Vec],
-      out: String, planes: Int = 4): (Digest, Digest) = {
+      out: String, planes: Int = 4,
+      centered: Boolean = false): (Digest, Digest) = {
     // edges pack as (a<<32)|b — loud guard instead of silent aliasing
     require(vecs.forall(v => v.id >= 0 && v.id < (1L << 32)),
       "edge packing assumes vec_id in [0, 2^32)")
-    val (keys, norms, sufs, bucketList) = rpFront(vecs, 4, planes)
+    val (keys, norms, sufs, bucketList) = rpFront(vecs, 4, planes, centered)
     // per-bucket primitive edge arrays (first-band dedup), then one
     // sequential union-find — never a boxed global set
     val edgeChunks = bucketList.par.map { arr =>
@@ -1275,14 +1313,18 @@ object IndependentVerify {
 
   /** dd5: banded ≥0.94 match + rank-gated upsert replay. */
   private def checkDd5(spark: SparkSession, vecs: Array[Vec],
-      out: String, planes: Int = 4): (Digest, Digest) = {
+      out: String, planes: Int = 4,
+      centered: Boolean = false): (Digest, Digest) = {
     val signs = buildSigns(8 * planes, vecs(0).v.length, ddSignPos)
+    // auto mode centers on the STORE mean (= the full fixture here),
+    // mirroring RankDedup.upsert's auto path
+    val offs = if (centered) planeOffsets(signs, keyCenter(vecs)) else null
     final case class Item(id: Long, v: Array[Double], rank: Long, nrm: Double,
       suf: Array[Double], keys: Array[Int])
     def items(src: Array[Vec], idOff: Long, rankOff: Long): Array[Item] =
       src.map { x =>
         Item(x.id + idOff, x.v, (x.id + rankOff) % 11, math.sqrt(norm2(x.v)),
-          sufSq(x.v), rpKeys(x.v, signs, planes))
+          sufSq(x.v), rpKeys(x.v, signs, planes, offs))
       }
     val store = items(vecs, 0L, 0L)
     val cand = items(vecs.filter(_.id % 3 == 0), 10000L, 5L)
@@ -1462,6 +1504,9 @@ object IndependentVerify {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // the verifier COLLECTS the corpus by design (plain-JVM recompute);
+      // the 2M×384 fixture is ~6 GB of vectors, over the 1g default cap
+      .config("spark.driver.maxResultSize", "0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -274,7 +274,11 @@ object DedupOps {
     * against a (doc_id, hs, n) lookup covering both sides — a map-side
     * array_intersect on the two fetched hash sets, in candidate-pair
     * cardinality (the LSH point). */
-  private[graft] def lshVerify(cand: DataFrame, lookup: DataFrame): DataFrame =
+  private[graft] def lshVerify(cand: DataFrame, lookup: DataFrame): DataFrame = {
+    // round6, not round: the jaccard rounds once per CANDIDATE pair, and
+    // Spark's round pays a BigDecimal-via-string per call (the r15
+    // profile); bit-equal swap, oracle unchanged
+    graft.functions.Round6.register(cand.sparkSession)
     cand
       .join(lookup.select(col("doc_id").as("a_id"), col("hs").as("ha"),
         col("n").as("na")), Seq("a_id"))
@@ -282,10 +286,11 @@ object DedupOps {
         col("n").as("nb")), Seq("b_id"))
       .withColumn("ninter", size(array_intersect(col("ha"), col("hb"))))
       .select(col("a_id"), col("b_id"),
-        round(col("ninter") /
-          (col("na") + col("nb") - col("ninter")).cast("double"), 6)
+        call_function("round6", col("ninter") /
+          (col("na") + col("nb") - col("ninter")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.4)
+  }
 
   /** Full banded pair discovery over an [[lshDocsOf]] frame. */
   private[graft] def lshPairsFromDocs(docs: DataFrame): DataFrame = {

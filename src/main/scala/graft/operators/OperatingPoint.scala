@@ -43,21 +43,29 @@ object OperatingPoint {
 
   /** RP-LSH sign planes per band for embedding near-dup blocking.
     * Anchor: 4 planes at n=2000 (the sf0.1 fixture; ~6× candidate
-    * reduction there), +1 bit per corpus doubling, and — since round 14
-    * — +1 bit per DIM doubling over the 64-dim anchor: candidate
-    * VERIFICATION cost is candidates × dim (each survivor pays a
-    * dim-wide dot), so a dim-blind point lets the same bucket occupancy
-    * that priced fine at 64-dim burn 6× the FLOPs at 384 (measured:
-    * the 2M×384 v3_auto dump ran 2.5 h where 64-dim priced in minutes
-    * — BASELINE §5 r14 addendum). Each extra plane halves expected
-    * occupancy, so +log2(dim/64) holds verify work ≈ flat across dims.
-    * The honest trade: more planes per band lower banding recall
-    * (per-band hit rate (1−θ/π)^planes), which is the AUTO family's
-    * documented candidates-stay-linear contract — the pinned 4-plane
-    * oracle form is unchanged. Ceiling 24: 16M buckets per band is
-    * past any realistic occupancy need and keys stay cheap ints. */
+    * reduction there), +1 bit per corpus doubling — candidate pairs per
+    * band ≈ n²/2^(planes+1), so one bit per doubling holds CANDIDATES
+    * ∝ n. The honest trade: more planes per band lower banding recall
+    * (per-band hit rate (1−θ/π)^planes), the AUTO family's documented
+    * candidates-stay-linear contract — the pinned 4-plane oracle form
+    * is unchanged. Ceiling 24: 16M buckets per band is past any
+    * realistic occupancy need and keys stay cheap ints.
+    *
+    * `dim` no longer adds bits (round 15). The r14 "+1 per dim
+    * doubling" surcharge was fit to the RAW-LCG sign family whose
+    * period-7 plane negations capped a 14-plane key at ~7 effective
+    * bits ([[VectorOps.mix64]]): under that family candidates NEVER
+    * halved past 7 planes (measured 1.66e11 at ×1000×64 where the
+    * formula predicted ~1e9), so extra "planes" looked like the only
+    * lever and verify cost grew with dim. With the mixed family the
+    * bucket math actually holds (measured: 8.4e8 at ×1000×64,
+    * 7.0e7 at ×1000×384 — RpOccupancyProbe), the per-candidate dot is
+    * round6/early-exit cheap, and the surcharge would only buy recall
+    * loss. The parameter stays so call sites keep declaring the dim
+    * they derived for (and for corpora where a future re-derivation
+    * wants it). */
   def rpPlanesPerBand(n: Long, dim: Int = 64): Int =
-    clamp(4 + extraBits(n, 2000L) + extraBits(dim.toLong, 64L), 4, 24)
+    clamp(4 + extraBits(n, 2000L), 4, 24)
 
   /** IVF coarse-quantizer cell count: K ≈ √n, anchored at the measured
     * K=16 @ n=2000 point (16·√(n/2000)). Floor 8 keeps the probe-2-of-K

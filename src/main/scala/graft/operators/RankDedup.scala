@@ -48,12 +48,12 @@ object RankDedup {
   private val Bands = 8
   private val PlanesPerBand = 4
 
-  /** Deterministic ±1 plane signs (LCG family independent of VectorOps'
-    * by the 1000-plane offset). */
+  /** Deterministic ±1 plane signs (mixed-seed family, round 15 — see
+    * VectorOps.mix64 for the period-7 negation structure the raw LCG
+    * had); independent of VectorOps' planes by the 1000-plane offset. */
   private def bandSigns(dim: Int, planes: Int): Array[Array[Double]] =
     Array.tabulate(Bands * planes, dim) { (j, k) =>
-      val x = ((j + 1000) * 64 + k + 1).toLong * 6364136223846793005L +
-        1442695040888963407L
+      val x = VectorOps.mix64(((j + 1000).toLong << 32) | (k + 1).toLong)
       if (((x >>> 33) & 1L) == 0L) 1.0 else -1.0
     }
 
@@ -128,16 +128,18 @@ object RankDedup {
     * oracle-gated pinned-planes path keeps the planner's choice so
     * toy-scale plans stay toy-optimal. */
   private[graft] def bandedMatches(store: DataFrame, cand: DataFrame,
-      dim: Int, planes: Int, forceShuffle: Boolean): DataFrame = {
+      dim: Int, planes: Int, forceShuffle: Boolean,
+      center: Array[Double] = null): DataFrame = {
     // candidates may live in a DIFFERENT session than the store (streaming
     // foreachBatch hands batches a cloned session); each side's expressions
     // resolve against its own registry, so register on both when they differ
     val signs = bandSigns(dim, planes)
+    val offs = VectorOps.planeOffsets(signs, center)
     Seq(store.sparkSession, cand.sparkSession).distinct.foreach { s =>
       graft.functions.CosineSimilarity.register(s)
       graft.functions.CosineSimBounded.register(s)
       graft.functions.RpBandKeys.register(s, signs, planes,
-        s"rp_band_keys_dd_$planes")
+        s"rp_band_keys_dd_$planes", offs)
     }
     def banded(df: DataFrame, p: String) = df.select(col("id").as(p + "id"),
         col("v").as(p + "v"), col("rank").as(p + "rank"),

@@ -37,7 +37,7 @@ object VectorOps {
     val probe = e.filter(col("vec_id") === 0).select(col("v").as("p"))
     e.crossJoin(broadcast(probe))
       .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), round(expr("cosine_sim(v, p)"), 6).as("sim"))
+      .select(col("vec_id"), expr("round6(cosine_sim(v, p))").as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(10)
   }
@@ -92,7 +92,7 @@ object VectorOps {
     val shortlist = e.crossJoin(broadcast(probe))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("v"),
-        round(expr("cosine_sim(v, p)"), 6).as("sim"))
+        expr("round6(cosine_sim(v, p))").as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(20)
       .collect()
@@ -126,7 +126,7 @@ object VectorOps {
       .crossJoin(broadcast(probe))
       .filter(col("vec_id") =!= 1)
       .select(col("vec_id"), col("label"),
-        round(expr("cosine_sim(v, p)"), 6).as("sim"))
+        expr("round6(cosine_sim(v, p))").as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(10)
   }
@@ -163,7 +163,7 @@ object VectorOps {
       centroids: DataFrame): DataFrame =
     e.crossJoin(broadcast(centroids))
       .select(col("vec_id"), struct(
-        expr("round(cosine_sim(v, c), 6)").as("sim"),
+        expr("round6(cosine_sim(v, c))").as("sim"),
         (-col("cid")).as("ncid"), col("v")).as("cand"))
       .groupBy("vec_id").agg(max("cand").as("best"))
       .select(col("vec_id"), col("best.v").as("v"),
@@ -217,14 +217,14 @@ object VectorOps {
     def assign(centroids: DataFrame) = kmeansAssign(e, centroids)
     val probe = e.filter(col("vec_id") === 1).select(col("v").as("p"))
     val topCells = cent.crossJoin(broadcast(probe))
-      .select(col("cid"), expr("round(cosine_sim(c, p), 6)").as("csim"))
+      .select(col("cid"), expr("round6(cosine_sim(c, p))").as("csim"))
       .orderBy(desc("csim"), col("cid")).limit(Probes)
     assign(cent)
       .join(broadcast(topCells.select("cid")), Seq("cid"))
       .crossJoin(broadcast(probe))
       .filter(col("vec_id") =!= 1)
       .select(col("vec_id"), col("cid"),
-        round(expr("cosine_sim(v, p)"), 6).as("sim"))
+        expr("round6(cosine_sim(v, p))").as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(TopK)
   }
@@ -246,18 +246,18 @@ object VectorOps {
     val probe = e.filter(col("vec_id") === 1).select(col("v").as("p"))
     val assigned = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("v"), col("cid"),
-        round(expr("cosine_sim(v, c)"), 6).as("csim"))
+        expr("round6(cosine_sim(v, c))").as("csim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("csim"), col("cid"))))
       .filter(col("rn") === 1)
     val topCells = cent.crossJoin(broadcast(probe))
-      .select(col("cid"), round(expr("cosine_sim(c, p)"), 6).as("csim"))
+      .select(col("cid"), expr("round6(cosine_sim(c, p))").as("csim"))
       .orderBy(desc("csim"), col("cid")).limit(Probes)
     assigned.join(broadcast(topCells.select("cid")), Seq("cid"))
       .crossJoin(broadcast(probe))
       .filter(col("vec_id") =!= 1)
       .select(col("vec_id"), col("cid"),
-        round(expr("cosine_sim(v, p)"), 6).as("sim"))
+        expr("round6(cosine_sim(v, p))").as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(TopK)
   }
@@ -389,7 +389,7 @@ object VectorOps {
     // checkpoint holds exactly 2n rows at any K.
     val ranked = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("v"), col("cid"),
-        round(expr("cosine_sim(v, c)"), 6).as("csim"))
+        expr("round6(cosine_sim(v, c))").as("csim"))
       .groupBy(col("vec_id"))
       .agg(expr("first(v)").as("v"), // constant within the group
         expr("topk_rows(struct(csim, cid), 2)").as("cells"))
@@ -405,7 +405,7 @@ object VectorOps {
     probes.join(members, Seq("cid"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), struct(
-        round(expr("cosine_sim(va, vb)"), 6).as("sim"),
+        expr("round6(cosine_sim(va, vb))").as("sim"),
         col("b_id")).as("cand"))
       .groupBy(col("a_id"))
       .agg(expr("topk_rows(cand, 3)").as("top"))
@@ -439,11 +439,28 @@ object VectorOps {
 
   // ---- random-hyperplane LSH (the data-independent ANN/blocking path) ----
 
-  /** Deterministic ±1 hyperplane signs from a 64-bit LCG, generated once in
-    * Scala and embedded into BOTH the Spark and DuckDB SQL texts, so the
-    * engines evaluate the identical sign pattern. */
+  /** splitmix64-style finalizer — FULL avalanche, so sign bits behave as
+    * independent coins across (j, k). Round-15 lesson: the former raw-LCG
+    * family (`(j·64+k)·A + C`, bit 33) had PERIOD-7 NEGATION structure —
+    * planes j and j+7 were exact complements (measured: 0/64 agreements
+    * for (0,7), (2,9), (4,11)), so a 14-plane key carried ~7 bits and a
+    * 17-plane key ~9: at ×1000 the "2^planes buckets" math collapsed to
+    * ~13k occupied buckets with 94k-vector hot buckets — 1.66e11
+    * candidate pairs where uniform occupancy predicted ~1e9
+    * (RpOccupancyProbe measures this directly). The pinned ≤4-plane
+    * oracle configs never span 7 planes, which is why toy scales hid it. */
+  private[graft] def mix64(z0: Long): Long = {
+    var z = z0 + -7046029254386353131L // 0x9e3779b97f4a7c15
+    z = (z ^ (z >>> 30)) * -4658895280553007687L // 0xbf58476d1ce4e5b9
+    z = (z ^ (z >>> 27)) * -7723592293110705685L // 0x94d049bb133111eb
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic ±1 hyperplane signs (mixed seeds, round 15), generated
+    * once in Scala and embedded into BOTH the Spark and DuckDB SQL texts,
+    * so the engines evaluate the identical sign pattern. */
   private def rpSign(j: Int, k: Int): String = {
-    val x = (j * 64 + k).toLong * 6364136223846793005L + 1442695040888963407L
+    val x = mix64((j.toLong << 32) | k.toLong)
     if (((x >>> 33) & 1L) == 0L) "+" else "-"
   }
   private val RpBands = 2
@@ -492,14 +509,16 @@ object VectorOps {
     * broadcast 20.4s vs sort-merge 2.2-3.6s at 10x). */
   private[graft] def rpBandedNearDupOver(e: DataFrame, bands: Int,
       fname: String, planes: Int, threshold: Double = 0.30,
-      dim: Int = Dim, forceShuffle: Boolean = false): DataFrame = {
+      dim: Int = Dim, forceShuffle: Boolean = false,
+      center: Array[Double] = null): DataFrame = {
     val s = e.sparkSession
     CosineSimilarity.register(s)
     graft.functions.CosineSimBounded.register(s)
     val signs = Array.tabulate(bands * planes, dim) {
       (j, k0) => if (rpSign(j, k0 + 1) == "+") 1.0 else -1.0
     }
-    graft.functions.RpBandKeys.register(s, signs, planes, fname)
+    graft.functions.RpBandKeys.register(s, signs, planes, fname,
+      planeOffsets(signs, center))
     // suffix-of-squares checkpoints computed ONCE per vector (pre-explode,
     // so the bands copies and every pair appearance share them through the
     // checkpoint) — they let the verify run as an early-exiting dot
@@ -525,7 +544,7 @@ object VectorOps {
         col("a.b") === col("x.b") && col("a.key") === col("x.key") &&
           col("a.vec_id") < col("x.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("x.vec_id").as("b_id"),
-        round(sim, 6).as("sim"))
+        call_function("round6", sim).as("sim"))
       .filter(col("sim") >= threshold)
       .distinct()
   }
@@ -535,6 +554,65 @@ object VectorOps {
     * both arms produce identical output by construction). */
   private[graft] def EarlyExit: Boolean =
     !"false".equalsIgnoreCase(System.getProperty("graft.earlyExit", "true"))
+
+  /** Candidate-pair count of the banded blocking (Σ C(occupancy, 2) over
+    * (band, key) buckets) — the quantity the AUTO derivation must hold
+    * ∝ n, measured directly (RpOccupancyProbe's core, shared with the
+    * VectorGateSpec candidates-linear gate: the round-15 sign-family bug
+    * made this 196-1646× the uniform-occupancy prediction, and nothing
+    * failed until a ×1000 run ground for hours). */
+  private[graft] def rpBandedCandidateCount(e: DataFrame, bands: Int,
+      planes: Int, dim: Int): Long = {
+    val s = e.sparkSession
+    val signs = Array.tabulate(bands * planes, dim) {
+      (j, k0) => if (rpSign(j, k0 + 1) == "+") 1.0 else -1.0
+    }
+    graft.functions.RpBandKeys.register(s, signs, planes,
+      s"rp_candcount_${bands}_$planes")
+    e.select(posexplode(expr(s"rp_candcount_${bands}_$planes(v)"))
+        .as(Seq("b", "key")))
+      .groupBy("b", "key").count()
+      .agg(sum(col("count") * (col("count") - 1) / 2)).head.getDouble(0).toLong
+  }
+
+  /** Corpus key-center for the AUTO RP-LSH blocking (round 15): the
+    * component-wise mean, computed with the kmeans integer-sum discipline
+    * — `sum((x·1e8)::bigint)` is order-free and exact, so the plain-JVM
+    * verifier derives the IDENTICAL center bit-for-bit regardless of
+    * partitioning, and the two final double divisions are
+    * IEEE-deterministic on identical operands.
+    *
+    * Why centering: RP sign bits are `[dot(v, plane) > 0]`; on a corpus
+    * with nonzero mean the constant `dot(mu, plane)` term dominates every
+    * plane dot and whole regions of the corpus share key bits — measured
+    * at ×1000×384, the uncentered 17-plane point put 72,258 vectors in
+    * one bucket (1.15e11 candidate pairs; the dump ground >60 min where
+    * uniform-occupancy math priced minutes). Centering (bit =
+    * `[dot(v, plane) > dot(mu, plane)]`) restores per-vector entropy.
+    * AUTO-only: the pinned 4-plane forms are oracle-locked to the
+    * uncentered keys their static SQL mirrors. */
+  private[graft] def keyCenterOf(e: DataFrame, dim: Int): Array[Double] = {
+    val rows = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum((col("x") * 1e8).cast("bigint")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    val mu = new Array[Double](dim)
+    rows.foreach { r =>
+      mu(r.getInt(0)) = r.getLong(1).toDouble / r.getLong(2).toDouble / 1e8
+    }
+    mu
+  }
+
+  /** Per-plane key offsets from a center (left-assoc dot, the exact order
+    * the verifier mirrors); null center → null (zero offsets). */
+  private[graft] def planeOffsets(signs: Array[Array[Double]],
+      center: Array[Double]): Array[Double] =
+    if (center == null) null
+    else signs.map { p =>
+      var o = 0.0; var k = 0
+      while (k < p.length) { o += p(k) * center(k); k += 1 }
+      o
+    }
 
   /** The RP-LSH pair pipeline in DuckDB as a CTE chain ending in
     * `pairs(a_id, b_id, sim)` — shared by the v3/v6 and v8 oracles. */
@@ -618,6 +696,10 @@ object VectorOps {
       dim: Int = Dim): DataFrame = {
     val n = countEstimate.getOrElse(e.count())
     val planes = OperatingPoint.rpPlanesPerBand(n, dim)
+    // NOT centered: RpOccupancyProbe measured key-centering a no-op on
+    // this corpus (the ×1000 hot buckets were the sign family's period-7
+    // negation structure, fixed in rpSign/mix64, not a mean shift); the
+    // offsets mechanism stays available for mean-shifted corpora
     rpBandedNearDupOver(e, bands, s"rp_band_keys_auto_${bands}_$planes",
       planes, threshold, dim,
       forceShuffle = OperatingPoint.preferShuffleJoin(n, bands, dim))
@@ -688,7 +770,7 @@ object VectorOps {
       topN: Int): DataFrame = {
     val scored = e.crossJoin(broadcast(cent))
       .select(col(key), col("v"), col("cid"),
-        round(expr("cosine_sim(v, c)"), 6).as("csim"))
+        expr("round6(cosine_sim(v, c))").as("csim"))
     if (topN == 1)
       // the assignment case (index build/append/retrain — the bulk paths)
       // as a PARTIAL aggregate: max(struct(csim, -cid, v)) is the same
@@ -895,8 +977,8 @@ object VectorOps {
     s.read.parquet(s"$path/index")
       .filter(col("cid").isin(topCells: _*))
       .select(col("vec_id"), col("cid"),
-        round(call_function("cosine_sim", col("v"),
-          typedLit(probe.toArray)), 6).as("sim"))
+        call_function("round6", call_function("cosine_sim", col("v"),
+          typedLit(probe.toArray))).as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
   }
@@ -956,12 +1038,13 @@ object VectorOps {
   def ivfProbeQ8(s: SparkSession, path: String, probe: Seq[Double],
       probes: Int = 2, k: Int = 10): DataFrame = {
     Sq8.register(s)
+    graft.functions.Round6.register(s)
     val topCells = topCellsFor(s, path, probe, probes)
     s.read.parquet(s"$path/index")
       .filter(col("cid").isin(topCells: _*))
       .select(col("vec_id"), col("cid"),
-        round(call_function("cosine_sim_q8", col("code"),
-          typedLit(probe.toArray)), 6).as("sim"))
+        call_function("round6", call_function("cosine_sim_q8", col("code"),
+          typedLit(probe.toArray))).as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
   }
@@ -1008,7 +1091,7 @@ object VectorOps {
     graft.functions.TopKRows.register(s)
     qCells.join(idx, Seq("cid"))
       .select(col("qid"), struct(
-        round(score, 6).as("sim"), col("vec_id"), col("cid")).as("cand"))
+        call_function("round6", score).as("sim"), col("vec_id"), col("cid")).as("cand"))
       .groupBy(col("qid"))
       .agg(expr(s"topk_rows(cand, $k)").as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
@@ -1183,8 +1266,8 @@ object VectorOps {
       .orderBy(desc("adc"), col("vec_id"))
       .limit(k * overfetch)
       .select(col("vec_id"), col("cid"),
-        round(call_function("cosine_sim_q8", col("code"),
-          typedLit(probe.toArray)), 6).as("sim"))
+        call_function("round6", call_function("cosine_sim_q8", col("code"),
+          typedLit(probe.toArray))).as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
   }
@@ -1204,7 +1287,7 @@ object VectorOps {
     e.crossJoin(broadcast(probe))
       .filter(col("vec_id") =!= 2)
       .select(col("vec_id"),
-        round(expr("cosine_sim_q8(sq8_encode(v), p)"), 6).as("sim"))
+        expr("round6(cosine_sim_q8(sq8_encode(v), p))").as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(10)
   }

@@ -16,12 +16,15 @@ class OperatingPointSpec extends SparkSpec {
     assert(OperatingPoint.rpPlanesPerBand(20000) == 7) // 10x: round(log2 10)=3
     assert(OperatingPoint.rpPlanesPerBand(200000) == 11)
     assert(OperatingPoint.rpPlanesPerBand(2000L << 40) == 24) // ceiling
-    // dim-aware arm (r14): +1 bit per dim doubling over the 64-dim anchor
-    // — candidate verify cost is candidates x dim, so planes absorb it
+    // dim adds NO bits since r15: the r14 dim surcharge was fit to the
+    // raw-LCG sign family whose period-7 plane negations broke the bucket
+    // math (see rpPlanesPerBand scaladoc + VectorOps.mix64); under the
+    // mixed family candidates truly halve per plane at any dim, and the
+    // per-candidate dot is round6/early-exit cheap
     assert(OperatingPoint.rpPlanesPerBand(2000, 64) == 4)    // anchors
-    assert(OperatingPoint.rpPlanesPerBand(20000, 384) == 10) // 7 + log2(6)~3
+    assert(OperatingPoint.rpPlanesPerBand(20000, 384) == 7)  // == 64-dim point
     assert(OperatingPoint.rpPlanesPerBand(2000000L, 64) == 14)  // the x1000 run
-    assert(OperatingPoint.rpPlanesPerBand(2000000L, 384) == 17) // its 384 sibling
+    assert(OperatingPoint.rpPlanesPerBand(2000000L, 384) == 14) // its 384 sibling
   }
 
   test("ivf cells: K ~ 16*sqrt(n/2000), floored and capped") {

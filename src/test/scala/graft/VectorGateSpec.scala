@@ -44,52 +44,65 @@ class VectorGateSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall@10 $recall below pinned floor 0.95 (measured 1.0)")
   }
 
-  test("dim-aware blocking retains the pinned recall floors at x10x384") {
-    // The r14 dim-aware operating point (OperatingPoint.rpPlanesPerBand
-    // grows planes with DIM, not just corpus size) bought linear verify
-    // cost at 384-dim for a MEASURED pair-set price at x10x384: the
-    // derived 10-plane point retained 86% (v3: 4 bands) / 82% (v6: 2
-    // bands) of the dim-blind 7-plane pair sets. This gate pins those
-    // floors (just below measured, the v5 recall discipline) so a future
-    // derivation change that silently erodes blocking recall at the
-    // production dimensionality fails loudly. Fixture: the deterministic
-    // synthDv x10x384 widening of sf0.1 (built on demand if no probe run
-    // left it behind).
+  test("auto blocking: candidates stay linear AND high-sim recall holds (x10, both dims)") {
+    // The two sides of the AUTO blocking contract, both MEASURED (round
+    // 15, after the sign-family fix — VectorOps.mix64 scaladoc):
+    //  (a) candidate pairs ∝ n. This is the gate the round-15 bug class
+    //      needed: the raw-LCG family's period-7 plane negations capped
+    //      key entropy, candidates ran 196-1646× the n²/2^planes math at
+    //      ×1000, and NOTHING failed until a full-scale run ground for
+    //      hours. Any future family/derivation change that re-correlates
+    //      key bits fails here instead.
+    //  (b) recall at the dedup-relevant sim band (≥ 0.8) vs PLANTED
+    //      ground truth: within-copy cosines replicate the 2000-vector
+    //      base corpus exactly (synthDv's shared-rotation construction)
+    //      and cross-copy sims sit σ-far below 0.8 at either dim, so
+    //      truth(×10) = 10 × brute-force truth(base) — free and exact.
+    // Floors pinned just below measured (the v5 discipline). Candidate
+    // budget: bucket occupancy at the derived point is the ANCHOR's
+    // (n/2^planes tracks 2000/2^4 by construction), so candidates/n ≈
+    // bands·anchorOcc/2 ≈ 250 uniform — the cap allows 2× for real-data
+    // skew, and the broken family sat 5-50× above it. Recall is over the
+    // PLANTED pair set (the base corpus's ≥0.30 pairs, replicated exactly
+    // within every copy by synthDv's shared-rotation construction) — the
+    // honest AUTO recall at the derived point is LOW by design (the
+    // candidates-stay-linear contract trades it away; the pinned 4-plane
+    // form keeps the high-recall anchor), so this is a REGRESSION floor,
+    // not a quality claim.
     import graft.operators.OperatingPoint
-    val dir = "target/sfdv_smoke384"
-    if (!new java.io.File(s"$dir/embeddings.parquet").exists())
-      ScaleProbe.synthDv(spark, "/root/testdata/sf0.1", dir, copies = 10,
-        dim = 384)
-    val ds = VectorOps.vecsCheckpointed(spark, dir)
-    val n = ds.count()
-    val derived = OperatingPoint.rpPlanesPerBand(n, 384)
-    val dimBlind = OperatingPoint.rpPlanesPerBand(n, 64)
-    assert(derived == 10 && dimBlind == 7,
-      s"x10 operating points moved: derived=$derived dimBlind=$dimBlind " +
-        "(re-measure the retention floors before re-pinning)")
-    def pairSet(bands: Int, planes: Int): Set[(Long, Long)] =
-      VectorOps.rpBandedNearDupOver(ds, bands,
-          s"rp_gate_${bands}_$planes", planes, dim = 384)
-        .select(col("a_id"), col("b_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // Two pinned metrics per band count: the SIZE ratio (what BASELINE §5's
-    // r14 addendum measured as 86%/82% — how many pairs the sparser
-    // blocking still yields overall) and the stricter INTERSECTION
-    // retention (how many of the dim-blind set's specific pairs survive —
-    // lower, since each plane family also finds pairs the other misses).
-    for ((bands, sizeFloor, keepFloor) <- Seq((4, 0.85, 0.75),
-        (2, 0.80, 0.70))) {
-      val ref = pairSet(bands, dimBlind)
-      val der = pairSet(bands, derived)
-      val sizeRatio = der.size.toDouble / ref.size
-      val kept = der.intersect(ref).size.toDouble / ref.size
-      info(f"bands=$bands: ${der.size} derived vs ${ref.size} dim-blind " +
-        f"pairs; size ratio $sizeRatio%.3f (floor $sizeFloor), " +
-        f"intersection $kept%.3f (floor $keepFloor)")
-      assert(sizeRatio >= sizeFloor,
-        f"bands=$bands size ratio $sizeRatio%.3f < pinned floor $sizeFloor")
-      assert(kept >= keepFloor,
-        f"bands=$bands intersection $kept%.3f < pinned floor $keepFloor")
+    for ((dir, dim, recallFloor) <- Seq(
+        ("target/sfdv_smoke", 64, 0.10),
+        ("target/sfdv_smoke384", 384, 0.10))) {
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists())
+        ScaleProbe.synthDv(spark, "/root/testdata/sf0.1", dir, copies = 10,
+          dim = dim)
+      val ds = VectorOps.vecsCheckpointed(spark, dir)
+      val n = ds.count()
+      val planes = OperatingPoint.rpPlanesPerBand(n, dim)
+      assert(planes == 7, s"x10 operating point moved: planes=$planes — " +
+        "re-measure the floors before re-pinning")
+      val cands = VectorOps.rpBandedCandidateCount(ds, 4, planes, dim)
+      val base = ds.filter(col("vec_id") < 1000000L)
+      val planted = base.as("a").crossJoin(base.as("x"))
+        .filter(col("a.vec_id") < col("x.vec_id"))
+        .filter(expr("round(cosine_sim(a.v, x.v), 6)") >= 0.30)
+        .select(col("a.vec_id").as("pa"), col("x.vec_id").as("pb"))
+        .localCheckpoint()
+      val plantedN = planted.count()
+      val foundPlanted = VectorOps.nearDupPairsAuto(ds, dim = dim)
+        .filter((col("a_id") / 1000000L).cast("long") ===
+          (col("b_id") / 1000000L).cast("long"))
+        .select((col("a_id") % 1000000L).as("pa"),
+          (col("b_id") % 1000000L).as("pb"))
+        .join(planted, Seq("pa", "pb")).count()
+      val recall = foundPlanted.toDouble / (plantedN * 10.0)
+      info(f"dim=$dim: candidates=$cands%,d (${cands.toDouble / n}%.1f·n, " +
+        f"cap 500·n); planted recall $foundPlanted%,d / ${plantedN * 10}%,d " +
+        f"= $recall%.3f (floor $recallFloor)")
+      assert(cands <= 500L * n,
+        f"dim=$dim candidates $cands%,d exceed 500·n — key entropy regression?")
+      assert(recall >= recallFloor,
+        f"dim=$dim planted recall $recall%.3f < pinned floor $recallFloor")
     }
   }
 
