@@ -1026,8 +1026,13 @@ object IndependentVerify {
     // VectorOps.rpSign exactly
     val signs = buildSigns(bands * planes, vecs(0).v.length,
       (j, k0) => rpSignPos(j, k0 + 1))
-    // auto arms center the keys on the corpus mean (round 15 — the
-    // library's AUTO operating point); pinned arms stay uncentered
+    // centering is AVAILABLE-BUT-DORMANT: no *_auto dispatch passes
+    // centered=true and the library's auto path is explicitly uncentered
+    // (VectorOps.nearDupPairsAuto "NOT centered" — the round-15 hot
+    // buckets were the sign family's period-7 negations, not a mean
+    // shift). The offsets mechanism is kept for mean-shifted corpora;
+    // any caller that flips it must flip the library side in the same
+    // change or digests diverge.
     val offs = if (centered) planeOffsets(signs, keyCenter(vecs)) else null
     val n = vecs.length
     val keys = new Array[Array[Int]](n)
@@ -1316,8 +1321,9 @@ object IndependentVerify {
       out: String, planes: Int = 4,
       centered: Boolean = false): (Digest, Digest) = {
     val signs = buildSigns(8 * planes, vecs(0).v.length, ddSignPos)
-    // auto mode centers on the STORE mean (= the full fixture here),
-    // mirroring RankDedup.upsert's auto path
+    // centering is AVAILABLE-BUT-DORMANT (see rpFront): RankDedup's auto
+    // path is uncentered, and no dispatch passes centered=true; the flag
+    // stays for mean-shifted corpora, to be flipped on BOTH sides at once
     val offs = if (centered) planeOffsets(signs, keyCenter(vecs)) else null
     final case class Item(id: Long, v: Array[Double], rank: Long, nrm: Double,
       suf: Array[Double], keys: Array[Int])

@@ -141,6 +141,17 @@ case class CosineSimBounded(vecA: Expression, vecB: Expression,
     if (a0 == null || b0 == null || sa0 == null || sb0 == null) return null
     val a = a0.asInstanceOf[ArrayData]; val b = b0.asInstanceOf[ArrayData]
     val sa = sa0.asInstanceOf[ArrayData]; val sb = sb0.asInstanceOf[ArrayData]
+    // EQUAL-LENGTH PRECONDITION: the full-vector norms come from the
+    // suffix checkpoints (sa[0]/sb[0]) while CosineSimilarity computes
+    // norms over min(lenA, lenB) elements — the documented bit-equality
+    // holds ONLY for uniform-dim pairs, so a mixed-length caller must
+    // fail loudly here rather than silently diverge from the cosine_sim
+    // plan (every in-repo pipeline guarantees uniform dim upstream via
+    // rp_band_keys' own length check).
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException("cosine_sim_bounded: vector " +
+        s"lengths differ (${a.numElements()} vs ${b.numElements()}) — " +
+        "bit-equality with cosine_sim requires uniform dimension")
     val n = math.min(a.numElements(), b.numElements())
     val naF = sa.getDouble(0); val nbF = sb.getDouble(0)
     if (naF == 0.0 || nbF == 0.0) return 0.0
@@ -187,6 +198,12 @@ case class CosineSimBounded(vecA: Expression, vecB: Expression,
       |boolean ${ev.isNull} = $anyNull;
       |double ${ev.value} = -1.0;
       |if (!${ev.isNull}) {
+      |  if (${aC.value}.numElements() != ${bC.value}.numElements()) {
+      |    throw new IllegalArgumentException(
+      |      "cosine_sim_bounded: vector lengths differ (" +
+      |      ${aC.value}.numElements() + " vs " + ${bC.value}.numElements() +
+      |      ") - bit-equality with cosine_sim requires uniform dimension");
+      |  }
       |  int $n = java.lang.Math.min(${aC.value}.numElements(),
       |    ${bC.value}.numElements());
       |  double $naF = ${saC.value}.getDouble(0);
@@ -225,6 +242,39 @@ case class CosineSimBounded(vecA: Expression, vecB: Expression,
 }
 
 object CosineSimBounded {
+
+  /** Primitive-array form of the bounded verify — the per-pair kernel of
+    * [[BucketPairs]] (bucket-local pair enumeration decodes each member's
+    * vector/suffix ONCE, then runs this over primitive arrays).
+    *
+    * MUST mirror [[CosineSimBounded.eval]]/codegen operation-for-operation
+    * — same left-to-right dot, same checkpoint positions ((i & 63) == 0,
+    * i > 0, (i >> 6) < lim), same `dot + sqrt(sa·sb) < (prune − 1e-9)·‖a‖‖b‖`
+    * abandon test, same `dot / (sqrt(na)·sqrt(nb))` final form and 0.0 on a
+    * zero norm — so the emitted sims are bit-identical to the expression
+    * plan's (double arithmetic on the same values in the same order is
+    * container-independent; CosineSimBoundedSpec pins the equality on a
+    * generative sweep). Returns -2.0 for an abandoned pair, exactly like
+    * the expression.
+    */
+  def boundedSim(a: Array[Double], b: Array[Double],
+      sa: Array[Double], sb: Array[Double], pruneBelow: Double): Double = {
+    val n = math.min(a.length, b.length)
+    val naF = sa(0); val nbF = sb(0)
+    if (naF == 0.0 || nbF == 0.0) return 0.0
+    val t = (pruneBelow - 1e-9) * (math.sqrt(naF) * math.sqrt(nbF))
+    val lim = math.min(sa.length, sb.length)
+    var dot = 0.0; var i = 0
+    while (i < n) {
+      if (i > 0 && (i & 63) == 0 && (i >> 6) < lim &&
+          dot + math.sqrt(sa(i >> 6) * sb(i >> 6)) < t)
+        return -2.0
+      dot += a(i) * b(i)
+      i += 1
+    }
+    dot / (math.sqrt(naF) * math.sqrt(nbF))
+  }
+
   /** Register `vec_sufsq(v)` and
     * `cosine_sim_bounded(a, b, sufa, sufb, pruneBelowLit)`. */
   def register(spark: SparkSession): Unit = {

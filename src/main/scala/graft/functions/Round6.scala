@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
@@ -36,7 +36,14 @@ import org.apache.spark.sql.types._
   * through; results that round to zero return POSITIVE 0.0 regardless of
   * input sign (BigDecimal has no signed zero); HALF_UP is away-from-zero.
   */
-case class Round6(child: Expression) extends UnaryExpression {
+case class Round6(child: Expression) extends UnaryExpression
+  with ImplicitCastInputTypes {
+
+  // analysis-time: demand a double (int/float/decimal inputs get an
+  // implicit cast, mirroring Spark's round; without this, interpreted
+  // eval threw ClassCastException where codegen silently widened — the
+  // two execution paths diverged on non-double inputs)
+  override def inputTypes = Seq(DoubleType)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "round6"

@@ -192,7 +192,10 @@ object TopKRows {
   private def warnLowFallbackThreshold(spark: SparkSession): Unit = {
     val t = spark.conf
       .get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
-    if (t.toLong <= 128 && warnedSessions.add(spark))
+    // diagnostics only: an unparseable value (whitespace, "2m"-style
+    // suffix) must skip the warning, never fail registration
+    val tParsed = scala.util.Try(t.trim.toLong).getOrElse(Long.MaxValue)
+    if (tParsed <= 128 && warnedSessions.add(spark))
       System.err.println("[graft] WARN topk_rows: " +
         "spark.sql.objectHashAggregate.sortBased.fallbackThreshold=" + t +
         " (default) — plans stay correct but fall back to a sort-based " +

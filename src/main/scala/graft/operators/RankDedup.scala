@@ -59,7 +59,10 @@ object RankDedup {
 
   /** Batch upsert: returns the resulting store (id, rank, status). `dim` is
     * the embedding dimension (the band planes are generated for it; vectors
-    * of any other length fail loudly in rp_band_keys). `planesPerBand` is
+    * of any other length fail loudly in rp_band_keys). The default 0 means
+    * MEASURE it from the store (one `size(v)` head job; empty store →
+    * candidates) — the former dim-64 default was a footgun for a direct
+    * caller on a 384-dim store (round-15 verdict). `planesPerBand` is
     * the bucket-sparsity knob: buckets per band = 2^planes, raised with
     * corpus size (ScaleProbe measures the scaled operating point). The
     * default 0 means AUTO: derive it from the store's size via
@@ -67,14 +70,17 @@ object RankDedup {
     * `storeCountEstimate` to skip it when the cardinality is known). The
     * oracle-gated [[rankUpsertQuery]] pins planes=4 explicitly so the
     * static DuckDB oracle stays exact. */
-  def upsert(store: DataFrame, cand: DataFrame, dim: Int = 64,
+  def upsert(store: DataFrame, cand: DataFrame, dim: Int = 0,
       planesPerBand: Int = 0,
       storeCountEstimate: Option[Long] = None): DataFrame = {
+    val d = if (dim > 0) dim else measureDim(store).orElse(measureDim(cand))
+      .getOrElse(throw new IllegalArgumentException(
+        "RankDedup.upsert: store and candidates both empty — pass dim explicitly"))
     val auto = planesPerBand <= 0
     val n = if (auto) storeCountEstimate.getOrElse(math.max(1L, store.count()))
             else 0L
-    val planes = if (auto) OperatingPoint.rpPlanesPerBand(n, dim) else planesPerBand
-    val matches = bandedMatches(store, cand, dim, planes,
+    val planes = if (auto) OperatingPoint.rpPlanesPerBand(n, d) else planesPerBand
+    val matches = bandedMatches(store, cand, d, planes,
       forceShuffle = auto && OperatingPoint.preferShuffleJoin(n, Bands, dim))
     // best feeds both the accept and the replace branch — materialize it
     // once so the banded similarity join (the expensive part) doesn't
@@ -101,6 +107,11 @@ object RankDedup {
       .select(col("id"), col("rank"), lit("kept").as("status"))
     kept.unionByName(accepted)
   }
+
+  /** Embedding dimension measured from a frame's `v` column (one head
+    * job); None on an empty frame. */
+  private def measureDim(df: DataFrame): Option[Int] =
+    df.select(size(col("v"))).head(1).headOption.map(_.getInt(0))
 
   /** Keep-best of [[upsert]], pre-checkpoint — factored out so its plan
     * shape is assertable (ObjectHashAggregate, no WindowGroupLimit —

@@ -55,6 +55,26 @@ class RankDedupSpec extends SparkSpec {
     assert(again.count() == 2)
   }
 
+  test("dim defaults to MEASURED from the store: a 384-dim upsert works " +
+      "without passing dim (the former dim-64 default failed loudly here)") {
+    CosineSimilarity.register(spark)
+    def unit384(seed: Int): Seq[Double] = {
+      val raw = Array.tabulate(384)(k =>
+        1.0 + 0.001 * (((seed * 384 + k) * 2654435761L >>> 40) & 0xff))
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n).toSeq
+    }
+    val store = df((1L, unit384(1), 7L), (2L, unit384(2), 8L))
+    val out = RankDedup.upsert(store, df((100L, unit384(1), 9L)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // identical vector, higher rank => replace; the other store row keeps
+    assert(out == Map(100L -> (9L, "inserted"), 2L -> (8L, "kept")))
+    // and an empty store derives the dim from the candidates instead
+    val ins = RankDedup.upsert(df(), df((200L, unit384(3), 9L)))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(ins == Seq((200L, "inserted")))
+  }
+
   test("keep-best is the bounded heap aggregate: ObjectHashAggregate, " +
       "no WindowGroupLimit / window sort") {
     CosineSimilarity.register(spark)
