@@ -519,35 +519,66 @@ object VectorOps {
     }
     graft.functions.RpBandKeys.register(s, signs, planes, fname,
       planeOffsets(signs, center))
-    // suffix-of-squares checkpoints computed ONCE per vector (pre-explode,
-    // so the bands copies and every pair appearance share them through the
-    // checkpoint) — they let the verify run as an early-exiting dot
-    // instead of CosineSimilarity's per-pair 3·dim fused loop
-    val bk0 = e.select(col("vec_id"), col("v"),
-      expr("vec_sufsq(v)").as("sfx"),
-      posexplode(expr(s"$fname(v)")).as(Seq("b", "key")))
-      .localCheckpoint(eager = false)
-    val bk = if (forceShuffle) bk0.hint("merge") else bk0
     // prune floor: the filter keeps round(sim, 6) >= threshold, so a pair
     // may be abandoned only when provably below threshold - 5e-7 (the
     // round-half-up boundary); 1e-6 leaves that boundary strictly inside
     // the must-complete band. Survivor sims are bit-identical to the
     // cosine_sim plan (CosineSimBounded's contract), so the DuckDB oracle
     // and the x1000 digests are unchanged. -Dgraft.earlyExit=false pins
-    // the old full-dot verify for A/B pricing.
-    val sim =
-      if (EarlyExit)
-        expr(s"cosine_sim_bounded(a.v, x.v, a.sfx, x.sfx, " +
-          s"${threshold - 1e-6}D)")
-      else expr("cosine_sim(a.v, x.v)")
-    bk.as("a").join(bk.as("x"),
-        col("a.b") === col("x.b") && col("a.key") === col("x.key") &&
-          col("a.vec_id") < col("x.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("x.vec_id").as("b_id"),
-        call_function("round6", sim).as("sim"))
-      .filter(col("sim") >= threshold)
-      .distinct()
+    // the full-dot verify for A/B pricing (in the bucket-local arm a
+    // below-range prune floor makes the bounded kernel a plain full dot).
+    if (BucketLocal) {
+      // BUCKET-LOCAL pair enumeration (round 16, the r15 close-out lead):
+      // one shuffle of n·bands member rows into (band, key) groups, then
+      // [[graft.functions.BucketPairs]] enumerates and verifies each
+      // bucket's C(m,2) pairs inline — candidate pairs are never rows, so
+      // the join plan's ~6 KB-per-candidate UnsafeRow payload (measured
+      // 3.5 TB at ×1000×384) disappears; only survivors materialize.
+      // Identical output to the join arm by construction
+      // (-Dgraft.bucketLocal=false pins the join arm for A/B).
+      graft.functions.BucketPairs.register(s)
+      val prune = if (EarlyExit) threshold - 1e-6 else -10.0
+      e.select(col("vec_id"), col("v"), expr("vec_sufsq(v)").as("sfx"),
+          posexplode(expr(s"$fname(v)")).as(Seq("b", "key")))
+        .groupBy(col("b"), col("key"))
+        .agg(collect_list(struct(col("vec_id"), col("v"), col("sfx")))
+          .as("ms"))
+        .select(expr(s"bucket_pairs(ms, ${prune}D)")
+          .as(Seq("a_id", "b_id", "sim")))
+        .select(col("a_id"), col("b_id"),
+          call_function("round6", col("sim")).as("sim"))
+        .filter(col("sim") >= threshold)
+        .distinct()
+    } else {
+      // legacy banded self-join arm: suffix checkpoints computed ONCE per
+      // vector pre-explode; the banded table is materialized once so the
+      // self-join's two sides share the key computation
+      val bk0 = e.select(col("vec_id"), col("v"),
+        expr("vec_sufsq(v)").as("sfx"),
+        posexplode(expr(s"$fname(v)")).as(Seq("b", "key")))
+        .localCheckpoint(eager = false)
+      val bk = if (forceShuffle) bk0.hint("merge") else bk0
+      val sim =
+        if (EarlyExit)
+          expr(s"cosine_sim_bounded(a.v, x.v, a.sfx, x.sfx, " +
+            s"${threshold - 1e-6}D)")
+        else expr("cosine_sim(a.v, x.v)")
+      bk.as("a").join(bk.as("x"),
+          col("a.b") === col("x.b") && col("a.key") === col("x.key") &&
+            col("a.vec_id") < col("x.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("x.vec_id").as("b_id"),
+          call_function("round6", sim).as("sim"))
+        .filter(col("sim") >= threshold)
+        .distinct()
+    }
   }
+
+  /** Bucket-local candidate enumeration, ON unless
+    * `-Dgraft.bucketLocal=false` (the A/B switch pinning the legacy
+    * banded self-join; both arms produce identical output by
+    * construction — see [[graft.functions.BucketPairs]]). */
+  private[graft] def BucketLocal: Boolean =
+    !"false".equalsIgnoreCase(System.getProperty("graft.bucketLocal", "true"))
 
   /** Early-exit candidate verify, ON unless `-Dgraft.earlyExit=false`
     * (the A/B pricing switch — see [[graft.functions.CosineSimBounded]];

@@ -134,22 +134,34 @@ class OperatingPointSpec extends SparkSpec {
     assert(auto.nonEmpty)
   }
 
-  test("auto near-dup pins sort-merge above the broadcast-size threshold") {
-    // below threshold (the anchor fixture): planner's choice, no hint
+  test("auto near-dup plans bucket-local: one grouped shuffle + generator, " +
+      "no candidate-row join; legacy arm keeps the sort-merge pin") {
+    // the join-strategy knob itself is unchanged (the legacy arm and
+    // RankDedup still consult it)
     assert(!OperatingPoint.preferShuffleJoin(500, 4, 64))
-    // above: the banded side outgrows a broadcast build (SkewProbe measured
-    // broadcast 20.4s vs sort-merge 2.2-3.6s at 10x — BASELINE.md §skew)
     assert(OperatingPoint.preferShuffleJoin(20000, 2, 64))
     val e = Tables.load(spark, sf, "embeddings")
       .selectExpr("vec_id", "cast(embedding as array<double>) as v")
-    // the countEstimate, not the actual fixture size, drives the strategy —
-    // so the at-scale plan shape is assertable on the small fixture
-    val big = VectorOps.nearDupPairsAuto(e, countEstimate = Some(100000L))
-    val plan = big.queryExecution.executedPlan.toString
-    assert(plan.contains("SortMergeJoin"), plan)
-    assert(!plan.contains("BroadcastHashJoin"), plan)
-    val small = VectorOps.nearDupPairsAuto(e, countEstimate = Some(500L))
-    assert(!small.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    // default (bucket-local, round 16): candidates are enumerated inside
+    // the generator, so the plan has NO join of any kind — the r15-profiled
+    // ~6 KB/candidate join-row payload cannot exist in this shape
+    val plan = VectorOps.nearDupPairsAuto(e, countEstimate = Some(100000L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), plan)
+    assert(plan.contains("bucket_pairs"), plan)
+    assert(!plan.contains("Join"), plan)
+    // legacy A/B arm (-Dgraft.bucketLocal=false): the countEstimate, not
+    // the fixture size, drives the join strategy — at-scale shape pins
+    // sort-merge (SkewProbe: broadcast 20.4s vs sort-merge 2.2-3.6s at 10x)
+    System.setProperty("graft.bucketLocal", "false")
+    try {
+      val big = VectorOps.nearDupPairsAuto(e, countEstimate = Some(100000L))
+      val legacy = big.queryExecution.executedPlan.toString
+      assert(legacy.contains("SortMergeJoin"), legacy)
+      assert(!legacy.contains("BroadcastHashJoin"), legacy)
+      val small = VectorOps.nearDupPairsAuto(e, countEstimate = Some(500L))
+      assert(!small.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    } finally System.clearProperty("graft.bucketLocal")
   }
 
   test("auto rank-upsert pins sort-merge on the sim-join at scale estimates") {
