@@ -1112,6 +1112,71 @@ object IndependentVerify {
     (exp, digestOutput(spark, out, Seq("a_id", "b_id", "sim")))
   }
 
+  /** VectorOps' sketch-plane family (offset 2000; RankDedup owns 1000). */
+  private def sketchSignPos(j: Int, k: Int): Boolean = {
+    val x = mix64(((j + 2000).toLong << 32) | k.toLong)
+    ((x >>> 33) & 1L) == 0L
+  }
+
+  /** v12 / high-sim: sketch-gated banded near-dup
+    * ([[graft.operators.VectorOps.nearDupPairsHighSimOver]]) — band
+    * buckets, the 128-bit sign-sketch hamming gate (h ≤ H, bits from the
+    * offset-2000 mix64 family), exact round6 verify ≥ threshold on gate
+    * survivors. The gate depends only on the PAIR, never the bucket, so
+    * first-band emission (metEarlier) dedups exactly like the library's
+    * distinct-then-gather. */
+  private def checkSketchPairs(spark: SparkSession, vecs: Array[Vec],
+      out: String, bands: Int, planes: Int, maxHamming: Int,
+      threshold: Double): (Digest, Digest) = {
+    val (keys, norms, sufs, bucketList) = rpFront(vecs, bands, planes)
+    val dim = vecs(0).v.length
+    val skSigns = buildSigns(128, dim, (j, k0) => sketchSignPos(j, k0 + 1))
+    val n = vecs.length
+    val sk0 = new Array[Long](n)
+    val sk1 = new Array[Long](n)
+    (0 until n).par.foreach { i =>
+      var w0 = 0L; var w1 = 0L
+      val v = vecs(i).v
+      var j = 0
+      while (j < 128) {
+        var d = 0.0; var k = 0
+        while (k < dim) { d += skSigns(j)(k) * v(k); k += 1 }
+        if (d > 0.0) { if (j < 64) w0 |= 1L << j else w1 |= 1L << (j - 64) }
+        j += 1
+      }
+      sk0(i) = w0; sk1(i) = w1
+    }
+    val prune = threshold - 1e-6
+    val exp = mergeAll(bucketList.par.map { arr =>
+      val dg = new Digest
+      val band = arr(0)
+      var i = 1
+      while (i < arr.length) {
+        var j = i + 1
+        while (j < arr.length) {
+          val a = arr(i); val b = arr(j)
+          if (java.lang.Long.bitCount(sk0(a) ^ sk0(b)) +
+              java.lang.Long.bitCount(sk1(a) ^ sk1(b)) <= maxHamming &&
+              !metEarlier(keys, a, b, band)) {
+            val raw = dotGte(vecs(a).v, vecs(b).v, sufs(a), sufs(b),
+              (prune - 1e-9) * (norms(a) * norms(b))) / (norms(a) * norms(b))
+            val sim = rnd(raw, 6)
+            if (sim >= threshold) {
+              val (x, y) =
+                if (vecs(a).id < vecs(b).id) (vecs(a).id, vecs(b).id)
+                else (vecs(b).id, vecs(a).id)
+              dg.add(s"$x$Sep$y$Sep${java.lang.Double.toString(sim)}")
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      dg
+    }.seq)
+    (exp, digestOutput(spark, out, Seq("a_id", "b_id", "sim")))
+  }
+
   /** v8: labels from union-find over the independently recomputed v3 pair
     * set, compared row-wise against the output. Returns mismatch count in
     * the digest slot (exp == act iff zero mismatches). */
@@ -1492,11 +1557,11 @@ object IndependentVerify {
       "dd8_cluster_retention", "dd9_span_grams", "dd10_span_scrub",
       "c1_curation_funnel", "c5_curation_pipeline", "v3_neardup_embeddings",
       "v4_knn_join", "v5_ivf_assign", "v5_kmeans_ivf", "v6_rp_lsh_neardup",
-      "v8_embed_clusters")
+      "v8_embed_clusters", "v12_sketch_neardup")
     // the AUTO operating-point recomputes (graft.SixthDecade dumps them) —
     // opt-in by name, never part of the default pinned sweep
     val autoNames = Seq("v3_auto", "v6_auto", "v8_auto", "v4_auto",
-      "dd5_auto", "dd6w_auto")
+      "dd5_auto", "dd6w_auto", "v12_auto")
     val wanted =
       if (args.length >= 3) {
         val fs = args(2).split(",").toSeq
@@ -1550,6 +1615,8 @@ object IndependentVerify {
           case "v6_rp_lsh_neardup"     => checkRpPairs(spark, vecs, 2, path)
           case "v8_embed_clusters"     => checkV8(spark, vecs, path)
           case "v4_knn_join"           => checkV4(spark, vecs, path)
+          case "v12_sketch_neardup"    => checkSketchPairs(spark, vecs, path,
+            2, 4, graft.operators.OperatingPoint.sketchMaxHamming(0.30), 0.30)
           case "v5_ivf_assign"         => checkV5Assign(spark, vecs, path)
           case "v5_kmeans_ivf"         => checkV5Kmeans(spark, vecs, path)
           // AUTO operating points: derived from corpus size by the SAME
@@ -1566,6 +1633,10 @@ object IndependentVerify {
           case "dd5_auto" => checkDd5(spark, vecs, path,
             graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length, vecDim))
           case "dd6w_auto" => checkDd6Wide(spark, docs, st, path)
+          case "v12_auto" => checkSketchPairs(spark, vecs, path,
+            graft.operators.OperatingPoint.rpHighSimBands(vecs.length, vecDim),
+            graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length, vecDim),
+            graft.operators.OperatingPoint.sketchMaxHamming(0.8), 0.8)
         }
         val secs = (System.nanoTime() - t0) / 1e9
         val ok = exp.same(act)

@@ -116,7 +116,7 @@ object ScaleProbe {
     * target/sf10 fixtures (and the BASELINE §5 laws priced on them)
     * remain reproducible as written. */
   private[graft] def synthDv(spark: SparkSession, base: String, out: String,
-      copies: Int, dim: Int = 64): Unit = {
+      copies: Int, dim: Int = 64, twins: Boolean = false): Unit = {
     require(copies >= 1 && copies <= 1000,
       s"copies=$copies outside [1,1000] for the doc/vector widening")
     require(dim == 64 || dim == 384,
@@ -142,7 +142,27 @@ object ScaleProbe {
       .withColumn("doc_id", col("doc_id") + col("cp") * 1000000L)
       .drop("cp")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    val baseE = Tables.load(spark, base, "embeddings").repartition(64)
+    val baseE0 = Tables.load(spark, base, "embeddings").repartition(64)
+    // twins=true plants a HIGH-SIM near-dup twin for every 17th base vector
+    // (the dd6w planted-twin discipline, ported to the embedding family):
+    // twin = v + ε·rot₁₃(v) with ε ∈ {0.3, 0.5, 0.7} by id — cosines land
+    // ≈{0.96, 0.89, 0.82}±, populating the dedup-relevant ≥0.8 band the
+    // natural fixture lacks entirely (measured max base sim 0.60). Twin id
+    // = base id + 500,000 (inside the copy stride). Twins join the base
+    // BEFORE expansion/replication, so the shared-rotation construction
+    // replicates each twin pair's cosine EXACTLY into every copy — recall
+    // vs planted truth is then measurable at any copy count
+    // (RpRecallProbe), which is what the high-sim blocking's floors gate.
+    val baseE =
+      if (!twins) baseE0
+      else baseE0.unionByName(baseE0.filter(col("vec_id") % 17 === 0)
+        .withColumn("embedding", expr(
+          """zip_with(embedding,
+            | concat(slice(embedding, 14, size(embedding) - 13),
+            |        slice(embedding, 1, 13)),
+            | (x, y) -> x + (0.3 + 0.2 * cast(vec_id % 3 as double)) * y)"""
+            .stripMargin))
+        .withColumn("vec_id", col("vec_id") + 500000L))
     // dim=384: 6 per-block circular shifts (b*11 % 64) of the 64-dim base,
     // SHARED by every vector — each block's dot equals the base dot, so
     // every within-copy cosine is EXACTLY the base cosine and the planted
@@ -220,7 +240,10 @@ object ScaleProbe {
     // 'dv': the sixth-decade doc/vector widening (synthesize-only, like
     // 'relational') — decorrelated documents AND embeddings to any copy
     // count in [1,1000]; see [[synthDv]]
-    val dvOnly = args.length > 4 && args(4) == "dv"
+    val dvOnly = args.length > 4 && (args(4) == "dv" || args(4) == "dvt")
+    // 'dvt': the dv widening with planted high-sim twins (see synthDv) —
+    // the recall-probe fixtures for the ≥0.8 dedup band
+    val dvTwins = args.length > 4 && args(4) == "dvt"
     // rotation gives 64 distinct copies and the sign flip doubles that;
     // copy 128 would equal copy 64 exactly, re-creating the c² pair
     // blowup the decorrelation exists to prevent — refuse loudly
@@ -254,8 +277,9 @@ object ScaleProbe {
       // optional 6th arg: embedding dim (64 default, 384 = the production
       // operating point of the dimensionality law — see synthDv)
       val dim = if (args.length > 5) args(5).toInt else 64
-      synthDv(spark, base, out, copies, dim)
-      println(s"""{"metric":"scale_synth_dv","copies":$copies,"dim":$dim}""")
+      synthDv(spark, base, out, copies, dim, twins = dvTwins)
+      println(s"""{"metric":"scale_synth_dv","copies":$copies,"dim":$dim,""" +
+        s""""twins":$dvTwins}""")
       spark.stop()
       return
     }

@@ -28,8 +28,8 @@ object SixthDecade {
     require(args.length >= 2,
       "usage: graft.SixthDecade <sfDir> <outDir> [namesCsv]")
     val sfDir = args(0); val outDir = args(1)
-    val all =
-      Seq("v3_auto", "v6_auto", "v8_auto", "v4_auto", "dd5_auto", "dd6w_auto")
+    val all = Seq("v3_auto", "v6_auto", "v8_auto", "v4_auto", "dd5_auto",
+      "dd6w_auto", "v12_auto")
     val wanted =
       if (args.length >= 3) {
         val fs = args(2).split(",").toSeq
@@ -72,6 +72,8 @@ object SixthDecade {
           case "v8_auto"  => operators.VectorOps.embedClustersAuto(vecs, dim = dim)
           case "v4_auto"  => operators.VectorOps.knnJoinAuto(vecs)
           case "dd5_auto" => operators.RankDedup.rankUpsertQueryPlanes(0)(spark, sfDir)
+          case "v12_auto" =>
+            operators.VectorOps.nearDupPairsHighSim(vecs, dim = dim)
           case "dd6w_auto" =>
             operators.DedupOps.simhashPairsWideAutoQ(spark, sfDir)
         }

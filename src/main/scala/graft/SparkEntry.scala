@@ -100,6 +100,7 @@ object SparkEntry {
     "v7_ivf_at_rest" -> VectorOps.ivfAtRest,
     "v8_embed_clusters" -> VectorOps.embedClusters,
     "v9_sq8_topk" -> VectorOps.sq8TopK,
+    "v12_sketch_neardup" -> VectorOps.sketchNearDup,
     // text analysis (F6/F9 + pipeline ops)
     "h1_html_extract" -> TextOps.htmlExtract,
     "h2_web_curation" -> TextOps.webCuration,
@@ -533,6 +534,7 @@ object SparkEntry {
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "v3_neardup_embeddings" -> VectorOps.nearDupPairsOracle,
     "v4_knn_join" -> VectorOps.knnJoinOracle,
+    "v12_sketch_neardup" -> VectorOps.sketchNearDupOracle,
     "h1_html_extract" -> TextOps.oracle("h1_html_extract"),
     "h2_web_curation" -> TextOps.oracle("h2_web_curation"),
     "t1_word_chunks" -> TextOps.oracle("t1_word_chunks"),

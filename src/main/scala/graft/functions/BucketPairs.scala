@@ -8,26 +8,29 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Bucket-local near-dup pair enumeration — the banded self-join without
-  * the join (round 16).
+  * the join (round 16, the `-Dgraft.bucketLocal=true` A/B arm).
   *
-  * The r15 close-out profile isolated the dominant cost of the ×1000×384
-  * RP-LSH dump as JOIN-ROW MATERIALIZATION: the banded self-join emitted
-  * 5.6e8 candidate rows, each copying BOTH ~3 KB vector payloads through
-  * the join's shuffle — ~3.5 TB of UnsafeRow writes that exist only to be
-  * reduced to a single double by the verify. At 100 TB grain that
-  * ~6 KB/candidate constant dwarfs the verify arithmetic itself.
+  * Built to test the r15 close-out theory that the ×1000×384 RP-LSH dump
+  * was bound by JOIN-ROW MATERIALIZATION (5.6e8 candidate rows × two
+  * ~3 KB vectors ≈ 3.5 TB of UnsafeRow copies). The plan here groups the
+  * banded table by (band, key) — one shuffle, each vector moving exactly
+  * once — and enumerates each bucket's C(m,2) pairs INSIDE the generator,
+  * verifying inline with the early-exit kernel and emitting only
+  * survivors (a_id, b_id, rawsim).
   *
-  * This generator inverts the plan: group the banded table by (band, key)
-  * — ONE shuffle of n·bands member rows, each vector moving exactly once —
-  * then enumerate each bucket's C(m,2) pairs INSIDE the generator,
-  * verifying inline with the early-exit kernel and emitting only survivors
-  * (a_id, b_id, rawsim). Candidate pairs are never rows: the per-pair cost
-  * is the bounded dot alone, and the only post-shuffle bytes are the
-  * survivor set the query was going to keep anyway. This is also exactly
-  * the shape the plain-JVM verifier has always used
-  * (IndependentVerify.checkRpPairs enumerates bucket member lists), so the
-  * two engines now share the candidate-enumeration structure as well as
-  * the arithmetic.
+  * The ×1000 A/B FALSIFIED the theory (BASELINE §5 r16): the self-join
+  * arm reuses a single exchange of the banded table, so both plans move
+  * the same bytes, and the join's whole-stage-codegen'd verify beats this
+  * arm's interpreted per-pair generator once candidates dominate
+  * (×1000×64: join 56.1 s vs 69.2 s; ×384 a wash). The join arm is
+  * therefore the default; this arm stays as the digest-verified
+  * alternative (×1000 digests exact under BOTH plans — a full-scale
+  * output-invariance A/B) and as the structural template the sketch-gated
+  * high-sim blocker builds on ([[SketchHammingGate]]), where bucket rows
+  * are 24-byte sketches and bucket-locality genuinely pays. It also
+  * mirrors the plain-JVM verifier's shape (IndependentVerify.checkRpPairs
+  * enumerates bucket member lists), so the two engines share candidate-
+  * enumeration structure as well as arithmetic.
   *
   * Emission contract: a pair is emitted iff its bounded verify returns a
   * value ≥ `pruneBelow` (abandoned pairs return the -2.0 sentinel, and a

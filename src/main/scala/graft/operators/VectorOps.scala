@@ -528,14 +528,20 @@ object VectorOps {
     // the full-dot verify for A/B pricing (in the bucket-local arm a
     // below-range prune floor makes the bounded kernel a plain full dot).
     if (BucketLocal) {
-      // BUCKET-LOCAL pair enumeration (round 16, the r15 close-out lead):
-      // one shuffle of n·bands member rows into (band, key) groups, then
-      // [[graft.functions.BucketPairs]] enumerates and verifies each
-      // bucket's C(m,2) pairs inline — candidate pairs are never rows, so
-      // the join plan's ~6 KB-per-candidate UnsafeRow payload (measured
-      // 3.5 TB at ×1000×384) disappears; only survivors materialize.
-      // Identical output to the join arm by construction
-      // (-Dgraft.bucketLocal=false pins the join arm for A/B).
+      // BUCKET-LOCAL pair enumeration (round 16): groupBy (band, key) +
+      // [[graft.functions.BucketPairs]] enumerating each bucket's C(m,2)
+      // pairs inline. Built to kill the r15-theorized ~3.5 TB candidate-
+      // row payload — and the ×1000 A/B FALSIFIED that theory: the join
+      // arm reuses one exchange of the banded table, so both plans are
+      // exchange-bound and the join's codegen'd verify beats this arm's
+      // interpreted generator at high candidate counts (×1000×64: join
+      // 56.1 s vs 69.2 s here; ×384 a wash — BASELINE §5 r16). The join
+      // arm therefore stays DEFAULT; this arm remains the digest-verified
+      // alternative (-Dgraft.bucketLocal=true; identical output, ×1000
+      // digests exact under both) and the structural template for the
+      // sketch-gated high-sim plan, where 24-byte bucket rows — not
+      // vectors — make bucket-locality actually pay
+      // ([[nearDupPairsHighSimOver]]).
       graft.functions.BucketPairs.register(s)
       val prune = if (EarlyExit) threshold - 1e-6 else -10.0
       e.select(col("vec_id"), col("v"), expr("vec_sufsq(v)").as("sfx"),
@@ -557,7 +563,7 @@ object VectorOps {
         expr("vec_sufsq(v)").as("sfx"),
         posexplode(expr(s"$fname(v)")).as(Seq("b", "key")))
         .localCheckpoint(eager = false)
-      val bk = if (forceShuffle) bk0.hint("merge") else bk0
+      val bk = if (forceShuffle) bk0.hint(BandedJoinHint) else bk0
       val sim =
         if (EarlyExit)
           expr(s"cosine_sim_bounded(a.v, x.v, a.sfx, x.sfx, " +
@@ -573,12 +579,20 @@ object VectorOps {
     }
   }
 
-  /** Bucket-local candidate enumeration, ON unless
-    * `-Dgraft.bucketLocal=false` (the A/B switch pinning the legacy
-    * banded self-join; both arms produce identical output by
-    * construction — see [[graft.functions.BucketPairs]]). */
+  /** Bucket-local candidate enumeration, OFF unless
+    * `-Dgraft.bucketLocal=true` — the A/B switch that tested (and
+    * falsified) the r15 candidate-row-payload theory; both arms produce
+    * identical output by construction and both carry ×1000 digests
+    * (see [[graft.functions.BucketPairs]] and the branch comment above). */
   private[graft] def BucketLocal: Boolean =
-    !"false".equalsIgnoreCase(System.getProperty("graft.bucketLocal", "true"))
+    "true".equalsIgnoreCase(System.getProperty("graft.bucketLocal", "false"))
+
+  /** Join hint for the forced-shuffle banded self-join arm: "merge"
+    * (default — SkewProbe-measured at 10×, re-affirmed by the r16 ×1000
+    * A/B vs shuffle_hash) or "shuffle_hash" via
+    * `-Dgraft.bandedJoinHint=shuffle_hash` for strategy A/Bs. */
+  private[graft] def BandedJoinHint: String =
+    System.getProperty("graft.bandedJoinHint", "merge")
 
   /** Early-exit candidate verify, ON unless `-Dgraft.earlyExit=false`
     * (the A/B pricing switch — see [[graft.functions.CosineSimBounded]];
@@ -734,6 +748,142 @@ object VectorOps {
     rpBandedNearDupOver(e, bands, s"rp_band_keys_auto_${bands}_$planes",
       planes, threshold, dim,
       forceShuffle = OperatingPoint.preferShuffleJoin(n, bands, dim))
+  }
+
+  // ---- high-sim (dedup-band) blocking: sketch-gated, recall-targeted ----
+
+  /** Deterministic ±1 sketch-plane signs — the [[mix64]] family in its own
+    * namespace (offset 2000; RankDedup owns 1000) so the 128 sketch bits
+    * are independent of every band key. */
+  private[graft] def sketchSign(j: Int, k: Int): String = {
+    val x = mix64(((j + 2000).toLong << 32) | k.toLong)
+    if (((x >>> 33) & 1L) == 0L) "+" else "-"
+  }
+
+  private[graft] def sketchSignMatrix(dim: Int): Array[Array[Double]] =
+    Array.tabulate(128, dim) {
+      (j, k0) => if (sketchSign(j, k0 + 1) == "+") 1.0 else -1.0
+    }
+
+  /** Core of the HIGH-SIM near-dup (round 16): banded RP-LSH blocking whose
+    * banded stream carries a 24-byte sign SKETCH instead of the vector, a
+    * bucket-local hamming gate emitting candidate ID pairs, and an exact
+    * verify that gathers each surviving pair's vectors once.
+    *
+    * Why this shape: holding recall at the dedup band (cos ≥ 0.8) as the
+    * corpus grows requires bands ~ n^ρ ([[OperatingPoint.rpHighSimBands]];
+    * 57 bands at ×1000), and at tens of bands the vector-carrying
+    * bucket-local plan ([[rpBandedNearDupOver]]) would shuffle ≈3 KB ×
+    * bands per vector (≈365 GB at ×1000×384). Here the banded rows are
+    * (id, s0, s1, band, key) — dimension-independent 24 B payloads — the
+    * per-candidate cost is two XOR+popcounts, and full vectors move
+    * exactly TWICE (the two gather joins), on the output-scale survivor
+    * set, not the candidate set.
+    *
+    * Recall = banding recall (targeted by the band count) × the sketch
+    * gate's ≥99.8% pass rate at the target sim
+    * ([[OperatingPoint.sketchMaxHamming]]'s 3σ budget) — both terms
+    * deterministic, measured against planted-twin truth in RpRecallProbe
+    * and floored in VectorGateSpec. Emitted sims are the exact
+    * round6(cosine) — bit-identical to every other family's verify. */
+  private[graft] def nearDupPairsHighSimOver(e: DataFrame, bands: Int,
+      planes: Int, maxHamming: Int, threshold: Double, dim: Int,
+      fname: String): DataFrame = {
+    val s = e.sparkSession
+    CosineSimilarity.register(s)
+    graft.functions.CosineSimBounded.register(s)
+    graft.functions.SketchHammingGate.register(s)
+    val bandSigns = Array.tabulate(bands * planes, dim) {
+      (j, k0) => if (rpSign(j, k0 + 1) == "+") 1.0 else -1.0
+    }
+    graft.functions.RpBandKeys.register(s, bandSigns, planes, fname)
+    graft.functions.RpSketch.register(s, sketchSignMatrix(dim), fname + "_sk")
+    // feeds the banded stream AND both gather sides
+    val v = e.localCheckpoint(eager = false)
+    val banded = v
+      .select(col("vec_id"), expr(s"${fname}_sk(v)").as("sk"),
+        posexplode(expr(s"$fname(v)")).as(Seq("b", "key")))
+      .select(col("vec_id"), col("sk")(0).as("s0"), col("sk")(1).as("s1"),
+        col("b"), col("key"))
+    val cand = banded.groupBy(col("b"), col("key"))
+      .agg(collect_list(struct(col("vec_id"), col("s0"), col("s1"))).as("ms"))
+      .select(expr(s"sketch_gate_pairs(ms, $maxHamming)")
+        .as(Seq("a_id", "b_id")))
+      .distinct()
+    val va = v.select(col("vec_id").as("a_id"), col("v").as("va"),
+      expr("vec_sufsq(v)").as("sfa"))
+    val vb = v.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      expr("vec_sufsq(v)").as("sfb"))
+    val prune = if (EarlyExit) threshold - 1e-6 else -10.0
+    cand.join(va, Seq("a_id")).join(vb, Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        call_function("round6",
+          expr(s"cosine_sim_bounded(va, vb, sfa, sfb, ${prune}D)")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Library entrypoint: near-dup pairs AT A RECALL TARGET — the dedup
+    * operating point the 100 TB review asks for. Planes follow the
+    * candidates-linear rule; bands grow with the corpus to hold
+    * `targetRecall` at `targetSim` ([[OperatingPoint.rpHighSimBands]]);
+    * the sketch gate keeps the candidate bill at popcount cost. The plain
+    * [[nearDupPairsAuto]] remains the cheap low-band survey point (its
+    * recall DECAYS with corpus size by construction — the documented
+    * trade); this is the one to run when missing a ≥0.8 duplicate costs
+    * more than extra bands. */
+  def nearDupPairsHighSim(e: DataFrame, targetSim: Double = 0.8,
+      targetRecall: Double = 0.9, threshold: Double = 0.8,
+      countEstimate: Option[Long] = None, dim: Int = Dim): DataFrame = {
+    val n = countEstimate.getOrElse(e.count())
+    val planes = OperatingPoint.rpPlanesPerBand(n, dim)
+    val bands = OperatingPoint.rpHighSimBands(n, dim, targetSim, targetRecall)
+    nearDupPairsHighSimOver(e, bands, planes,
+      OperatingPoint.sketchMaxHamming(targetSim), threshold, dim,
+      s"rp_hs_${bands}_$planes")
+  }
+
+  /** Oracle-gated pinned form (v12): the v6 blocking (2 bands × 4 planes)
+    * with the sketch gate at the 0.30 operating point — every structural
+    * stage of [[nearDupPairsHighSimOver]] (sketch bits, hamming gate as a
+    * ±1 dot, id-pair distinct, gather-then-verify) mirrored exactly in
+    * static DuckDB SQL. The fixture has no ≥0.8 pairs (max base sim 0.60),
+    * so the pinned query runs the same PLAN at the fixture-supported 0.30
+    * threshold; the high-sim operating point itself is gated by planted-
+    * twin recall (VectorGateSpec) and ×1000 digests (IndependentVerify). */
+  def sketchNearDup: Q = (s, d) =>
+    nearDupPairsHighSimOver(vecs(s, d), bands = RpBands,
+      planes = RpPlanesPerBand,
+      maxHamming = OperatingPoint.sketchMaxHamming(0.30),
+      threshold = 0.30, dim = Dim, fname = "rp_hs_pinned")
+
+  val sketchNearDupOracle: String = {
+    val h = OperatingPoint.sketchMaxHamming(0.30)
+    val keys = (0 until RpBands).map(b => rpBandKey(b, k => s"v[$k]"))
+    val bIdx = (0 until RpBands).mkString(", ")
+    // ±1 per sketch plane: hamming h ⟺ pm-dot = 128 − 2h, so the gate
+    // h ≤ H is pm-dot ≥ 128 − 2H — list_dot_product, the oracle's native
+    // primitive, over the identical textual plane dots
+    val pm = (0 until 128).map { j =>
+      val dot = "(" + (1 to Dim).map(k => s"${sketchSign(j, k)} v[$k]")
+        .mkString(" ") + ")"
+      s"(CASE WHEN $dot > 0 THEN 1 ELSE -1 END)"
+    }.mkString("[", ", ", "]")
+    val cos = (a: String, b: String) =>
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+        s"sqrt(list_dot_product($b, $b))), 6)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       | bk AS (SELECT vec_id, pm, b, key FROM (
+       |   SELECT vec_id, $pm AS pm,
+       |          unnest([${keys.mkString(", ")}]) AS key,
+       |          unnest([$bIdx]) AS b FROM e)),
+       | cand AS (SELECT DISTINCT a.vec_id AS a_id, x.vec_id AS b_id
+       |  FROM bk a JOIN bk x
+       |   ON a.b = x.b AND a.key = x.key AND a.vec_id < x.vec_id
+       |   AND list_dot_product(a.pm, x.pm) >= ${128 - 2 * h})
+       |SELECT a_id, b_id, ${cos("ea.v", "eb.v")} AS sim
+       |FROM cand JOIN e ea ON cand.a_id = ea.vec_id
+       |          JOIN e eb ON cand.b_id = eb.vec_id
+       |WHERE ${cos("ea.v", "eb.v")} >= 0.30""".stripMargin
   }
 
   /** Library entrypoint: v8's transitive cluster resolution over the

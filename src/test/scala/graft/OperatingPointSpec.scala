@@ -134,33 +134,37 @@ class OperatingPointSpec extends SparkSpec {
     assert(auto.nonEmpty)
   }
 
-  test("auto near-dup plans bucket-local: one grouped shuffle + generator, " +
-      "no candidate-row join; legacy arm keeps the sort-merge pin") {
-    // the join-strategy knob itself is unchanged (the legacy arm and
-    // RankDedup still consult it)
+  test("auto near-dup pins sort-merge above the broadcast-size threshold; " +
+      "the bucket-local A/B arm plans generator-only (no join)") {
+    // below threshold (the anchor fixture): planner's choice, no hint
     assert(!OperatingPoint.preferShuffleJoin(500, 4, 64))
+    // above: the banded side outgrows a broadcast build (SkewProbe measured
+    // broadcast 20.4s vs sort-merge 2.2-3.6s at 10x — BASELINE.md §skew)
     assert(OperatingPoint.preferShuffleJoin(20000, 2, 64))
     val e = Tables.load(spark, sf, "embeddings")
       .selectExpr("vec_id", "cast(embedding as array<double>) as v")
-    // default (bucket-local, round 16): candidates are enumerated inside
-    // the generator, so the plan has NO join of any kind — the r15-profiled
-    // ~6 KB/candidate join-row payload cannot exist in this shape
-    val plan = VectorOps.nearDupPairsAuto(e, countEstimate = Some(100000L))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("Generate"), plan)
-    assert(plan.contains("bucket_pairs"), plan)
-    assert(!plan.contains("Join"), plan)
-    // legacy A/B arm (-Dgraft.bucketLocal=false): the countEstimate, not
-    // the fixture size, drives the join strategy — at-scale shape pins
-    // sort-merge (SkewProbe: broadcast 20.4s vs sort-merge 2.2-3.6s at 10x)
-    System.setProperty("graft.bucketLocal", "false")
+    // the countEstimate, not the actual fixture size, drives the strategy —
+    // so the at-scale plan shape is assertable on the small fixture. The
+    // join arm is DEFAULT: the r16 ×1000 A/B falsified the r15 candidate-
+    // row-payload theory (join 56.1s vs bucket-local 69.2s at ×1000×64 —
+    // the self-join reuses one exchange, so both arms are exchange-bound
+    // and codegen wins the verify).
+    val big = VectorOps.nearDupPairsAuto(e, countEstimate = Some(100000L))
+    val plan = big.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    val small = VectorOps.nearDupPairsAuto(e, countEstimate = Some(500L))
+    assert(!small.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    // the A/B arm (-Dgraft.bucketLocal=true): candidates enumerated inside
+    // the generator — no join of any kind; output identical
+    // (VectorOpsBucketLocalSpec), ×1000 digests exact under both arms
+    System.setProperty("graft.bucketLocal", "true")
     try {
-      val big = VectorOps.nearDupPairsAuto(e, countEstimate = Some(100000L))
-      val legacy = big.queryExecution.executedPlan.toString
-      assert(legacy.contains("SortMergeJoin"), legacy)
-      assert(!legacy.contains("BroadcastHashJoin"), legacy)
-      val small = VectorOps.nearDupPairsAuto(e, countEstimate = Some(500L))
-      assert(!small.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+      val bl = VectorOps.nearDupPairsAuto(e, countEstimate = Some(100000L))
+        .queryExecution.executedPlan.toString
+      assert(bl.contains("Generate"), bl)
+      assert(bl.contains("bucket_pairs"), bl)
+      assert(!bl.contains("Join"), bl)
     } finally System.clearProperty("graft.bucketLocal")
   }
 

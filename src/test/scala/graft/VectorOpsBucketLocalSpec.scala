@@ -5,9 +5,12 @@ import graft.functions.{CosineSimBounded, CosineSimilarity}
 import graft.operators.VectorOps
 
 /** Gates for the round-16 bucket-local pair enumeration
-  * ([[graft.functions.BucketPairs]]): output identity against the legacy
-  * banded self-join (the A/B contract the ×1000 digests ride on), the
-  * primitive-kernel/expression bit-equality, and the loud skew cap. */
+  * ([[graft.functions.BucketPairs]], the `-Dgraft.bucketLocal=true` A/B
+  * arm that tested — and falsified — the r15 candidate-row-payload
+  * theory): output identity against the default banded self-join (the
+  * contract the ×1000 digests ride on), the primitive-kernel/expression
+  * bit-equality the sketch-gated high-sim plan also relies on, and the
+  * loud skew cap. */
 class VectorOpsBucketLocalSpec extends SparkSpec {
 
   private def pairsWith(bucketLocal: Boolean, earlyExit: Boolean,
