@@ -117,10 +117,33 @@ object Bench {
     (qs, spreads, failed, total)
   }
 
+  /** OS page-cache pre-touch: stream every fixture byte once before any
+    * timing. The round-15 close measured a UNIFORM ~1.33× inflation on a
+    * bench taken right after multi-GB fixture builds (73.0 → 59.9 s on an
+    * idle re-run, identical code) — cold file-cache state, not a
+    * regression. The in-session warmup pass already re-reads the data,
+    * but making the touch explicit (and first) takes the cold-start out
+    * of the FIRST warmup too and documents the protocol in code: a
+    * driver/close comparison should never debate a phantom 33% again
+    * (BASELINE §4 protocol paragraph). Cost: one sequential read of the
+    * fixture (sf0.1 ≈ 17 MB — microseconds of steady-state noise). */
+  private def touchFixture(sfDir: String): Unit = {
+    val buf = new Array[Byte](1 << 20)
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(walk)
+      else {
+        val in = new java.io.FileInputStream(f)
+        try { while (in.read(buf) >= 0) () } finally in.close()
+      }
+    val root = new java.io.File(sfDir)
+    if (root.exists()) walk(root)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    touchFixture(sfDir)
 
     val defSpark = session(cpus, shufflePartitions = cpus,
       broadcastThreshold = None)
