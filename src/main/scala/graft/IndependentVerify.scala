@@ -1160,12 +1160,18 @@ object IndependentVerify {
               !metEarlier(keys, a, b, band)) {
             val raw = dotGte(vecs(a).v, vecs(b).v, sufs(a), sufs(b),
               (prune - 1e-9) * (norms(a) * norms(b))) / (norms(a) * norms(b))
-            val sim = rnd(raw, 6)
-            if (sim >= threshold) {
-              val (x, y) =
-                if (vecs(a).id < vecs(b).id) (vecs(a).id, vecs(b).id)
-                else (vecs(b).id, vecs(a).id)
-              dg.add(s"$x$Sep$y$Sep${java.lang.Double.toString(sim)}")
+            // abandoned pairs return -Inf (checkpoints exist only past 64
+            // dims — the ×64 arm never abandons, which is why only the
+            // 384 arm could hit rnd(-Inf)); filter BEFORE rounding, the
+            // checkRpPairs discipline
+            if (raw >= prune) {
+              val sim = rnd(raw, 6)
+              if (sim >= threshold) {
+                val (x, y) =
+                  if (vecs(a).id < vecs(b).id) (vecs(a).id, vecs(b).id)
+                  else (vecs(b).id, vecs(a).id)
+                dg.add(s"$x$Sep$y$Sep${java.lang.Double.toString(sim)}")
+              }
             }
           }
           j += 1
