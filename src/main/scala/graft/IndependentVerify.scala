@@ -1622,7 +1622,7 @@ object IndependentVerify {
           case "v8_embed_clusters"     => checkV8(spark, vecs, path)
           case "v4_knn_join"           => checkV4(spark, vecs, path)
           case "v12_sketch_neardup"    => checkSketchPairs(spark, vecs, path,
-            2, 4, graft.operators.OperatingPoint.sketchMaxHamming(0.30), 0.30)
+            2, 4, graft.operators.OperatingPoint.sketchMaxHamming(0.60), 0.30)
           case "v5_ivf_assign"         => checkV5Assign(spark, vecs, path)
           case "v5_kmeans_ivf"         => checkV5Kmeans(spark, vecs, path)
           // AUTO operating points: derived from corpus size by the SAME

@@ -843,21 +843,26 @@ object VectorOps {
   }
 
   /** Oracle-gated pinned form (v12): the v6 blocking (2 bands × 4 planes)
-    * with the sketch gate at the 0.30 operating point — every structural
-    * stage of [[nearDupPairsHighSimOver]] (sketch bits, hamming gate as a
-    * ±1 dot, id-pair distinct, gather-then-verify) mirrored exactly in
-    * static DuckDB SQL. The fixture has no ≥0.8 pairs (max base sim 0.60),
-    * so the pinned query runs the same PLAN at the fixture-supported 0.30
-    * threshold; the high-sim operating point itself is gated by planted-
-    * twin recall (VectorGateSpec) and ×1000 digests (IndependentVerify). */
+    * with the sketch gate pinned at the 0.6 operating point — every
+    * structural stage of [[nearDupPairsHighSimOver]] (sketch bits, hamming
+    * gate as a ±1 dot, id-pair distinct, gather-then-verify) mirrored
+    * exactly in static DuckDB SQL. The fixture has no ≥0.8 pairs (max base
+    * sim 0.60), so the pinned query keeps the fixture-supported 0.30
+    * verify threshold but sets the GATE at sketchMaxHamming(0.6) = 54 —
+    * a gate that measurably BITES at fixture scale (a cos-0.30 pair
+    * passes at only ~2/3, so the output is a strict, hash-checked subset
+    * of v6's identical blocking on both engines)
+    * instead of the production 0.8 point's vacuous-at-0.30 H=40…69 range;
+    * the high-sim operating point itself is gated by planted-twin recall
+    * (VectorGateSpec) and ×1000 digests (IndependentVerify). */
   def sketchNearDup: Q = (s, d) =>
     nearDupPairsHighSimOver(vecs(s, d), bands = RpBands,
       planes = RpPlanesPerBand,
-      maxHamming = OperatingPoint.sketchMaxHamming(0.30),
+      maxHamming = OperatingPoint.sketchMaxHamming(0.60),
       threshold = 0.30, dim = Dim, fname = "rp_hs_pinned")
 
   val sketchNearDupOracle: String = {
-    val h = OperatingPoint.sketchMaxHamming(0.30)
+    val h = OperatingPoint.sketchMaxHamming(0.60)
     val keys = (0 until RpBands).map(b => rpBandKey(b, k => s"v[$k]"))
     val bIdx = (0 until RpBands).mkString(", ")
     // ±1 per sketch plane: hamming h ⟺ pm-dot = 128 − 2h, so the gate
