@@ -1353,38 +1353,130 @@ object IndependentVerify {
     (exp, digestOutput(spark, out, Seq("vec_id", "cid", "sim")))
   }
 
-  private def checkV5Kmeans(spark: SparkSession, vecs: Array[Vec],
-      out: String): (Digest, Digest) = {
-    var cent = vecs.filter(_.id < 8).sortBy(_.id).map(v => (v.id.toInt, v.v))
+  /** Lloyd's centroids after `iters` steps, mirroring the library's
+    * kmeansCentroids: rounded-cosine argmax assignment ([[assign]]) and
+    * integer-scaled component means (sum(round(x·1e8)::long)/count/1e8 —
+    * order-free sums, IEEE-deterministic divisions). `modInit` seeds each
+    * cell with the mean of its id-mod-K partition (the auto paths' layout-
+    * independent init); otherwise cells seed from the first-K ids. */
+  private def lloydCentroids(vecs: Array[Vec], iters: Int, k: Int,
+      modInit: Boolean): Array[(Int, Array[Double])] = {
+    val dim = vecs(0).v.length
     // the integer-scaled components round(x*1e8) are functions of the
     // CONSTANT vectors — precompute once, in parallel
     val scaled = new Array[Array[Long]](vecs.length)
     (0 until vecs.length).par.foreach { i =>
       scaled(i) = vecs(i).v.map(x => rndLong(x * 1e8))
     }
-    for (_ <- 1 to 3) {
-      val assigned = assign(vecs, cent)
-      // integer-scaled component means: sum(round(x*1e8) as long)/count/1e8
+    def means(assigned: Array[Int]): Array[(Int, Array[Double])] = {
       val sums = new java.util.HashMap[Integer, (Array[Long], Array[Long])]()
       (0 until vecs.length).foreach { i =>
         val e = sums.computeIfAbsent(assigned(i),
-          _ => (new Array[Long](64), new Array[Long](1)))
-        val v = scaled(i); var k = 0
-        while (k < 64) { e._1(k) += v(k); k += 1 }
+          _ => (new Array[Long](dim), new Array[Long](1)))
+        val v = scaled(i); var j = 0
+        while (j < dim) { e._1(j) += v(j); j += 1 }
         e._2(0) += 1
       }
       val next = Vector.newBuilder[(Int, Array[Double])]
       sums.forEach { (cid, e) =>
-        val c = new Array[Double](64); var k = 0
-        while (k < 64) { c(k) = e._1(k).toDouble / e._2(0).toDouble / 1e8; k += 1 }
+        val c = new Array[Double](dim); var j = 0
+        while (j < dim) { c(j) = e._1(j).toDouble / e._2(0).toDouble / 1e8; j += 1 }
         next += ((cid.intValue, c))
       }
-      cent = next.result().sortBy(_._1).toArray
+      next.result().sortBy(_._1).toArray
     }
+    var cent =
+      if (modInit) means(vecs.map(v => (v.id % k).toInt))
+      else vecs.filter(_.id < k).sortBy(_.id).map(v => (v.id.toInt, v.v))
+    for (_ <- 1 to iters) cent = means(assign(vecs, cent))
+    cent
+  }
+
+  private def checkV5Kmeans(spark: SparkSession, vecs: Array[Vec],
+      out: String): (Digest, Digest) = {
+    val cent = lloydCentroids(vecs, 3, 8, modInit = false)
     val assigned = assign(vecs, cent)
     val exp = new Digest
     top10Rows(vecs, cent, assigned).foreach(exp.add)
     (exp, digestOutput(spark, out, Seq("vec_id", "cid", "sim")))
+  }
+
+  /** v13: SemDeDup-shape learned-cell near-dup
+    * ([[graft.operators.VectorOps.semDedupPairsOver]]) — Lloyd centroids,
+    * TOP-2 cell membership by (round6(cosine) desc, cid asc), in-cell
+    * pair enumeration (a pair sharing BOTH probed cells emits once, in
+    * its smaller shared cid — the library's distinct), exact round6
+    * verify ≥ threshold with the early-exit bound. */
+  private def checkSemPairs(spark: SparkSession, vecs: Array[Vec],
+      out: String, k: Int, iters: Int, threshold: Double,
+      modInit: Boolean): (Digest, Digest) = {
+    val cent = lloydCentroids(vecs, iters, k, modInit)
+    val n = vecs.length
+    // top-2 cells per vector, the assign() policy extended to rank 2
+    val cell1 = new Array[Int](n); val cell2 = new Array[Int](n)
+    (0 until n).par.foreach { i =>
+      var s1 = -2.0; var c1 = Int.MaxValue; var s2 = -2.0; var c2 = Int.MaxValue
+      cent.foreach { case (cid, c) =>
+        val cs = rnd(cosine(vecs(i).v, c), 6)
+        if (cs > s1 || (cs == s1 && cid < c1)) {
+          s2 = s1; c2 = c1; s1 = cs; c1 = cid
+        } else if (cs > s2 || (cs == s2 && cid < c2)) { s2 = cs; c2 = cid }
+      }
+      cell1(i) = c1; cell2(i) = c2
+    }
+    val norms = new Array[Double](n)
+    val sufs = new Array[Array[Double]](n)
+    (0 until n).par.foreach { i =>
+      norms(i) = math.sqrt(norm2(vecs(i).v)); sufs(i) = sufSq(vecs(i).v)
+    }
+    val buckets = new java.util.HashMap[Integer,
+      scala.collection.mutable.ArrayBuilder.ofInt]()
+    def bucketOf(cid: Int) = buckets.computeIfAbsent(cid,
+      _ => new scala.collection.mutable.ArrayBuilder.ofInt)
+    (0 until n).foreach { i =>
+      bucketOf(cell1(i)) += i
+      bucketOf(cell2(i)) += i
+    }
+    // smallest cid the pair shares — emission bucket (once per pair)
+    def minShared(a: Int, b: Int): Int = {
+      var m = Int.MaxValue
+      if (cell1(a) == cell1(b) || cell1(a) == cell2(b)) m = cell1(a)
+      if ((cell2(a) == cell1(b) || cell2(a) == cell2(b)) && cell2(a) < m)
+        m = cell2(a)
+      m
+    }
+    val prune = threshold - 1.5e-6
+    import scala.jdk.CollectionConverters._
+    val work = buckets.entrySet().asScala.toVector
+      .map(e => (e.getKey.intValue, e.getValue.result()))
+    val exp = mergeAll(work.par.map { case (cid, arr) =>
+      val dg = new Digest
+      var i = 0
+      while (i < arr.length) {
+        var j = i + 1
+        while (j < arr.length) {
+          val a = arr(i); val b = arr(j)
+          if (minShared(a, b) == cid) {
+            val raw = dotGte(vecs(a).v, vecs(b).v, sufs(a), sufs(b),
+              (prune - 1e-9) * (norms(a) * norms(b))) / (norms(a) * norms(b))
+            // abandoned pairs return -Inf: filter BEFORE rounding
+            if (raw >= prune) {
+              val sim = rnd(raw, 6)
+              if (sim >= threshold) {
+                val (x, y) =
+                  if (vecs(a).id < vecs(b).id) (vecs(a).id, vecs(b).id)
+                  else (vecs(b).id, vecs(a).id)
+                dg.add(s"$x$Sep$y$Sep${java.lang.Double.toString(sim)}")
+              }
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      dg
+    }.seq)
+    (exp, digestOutput(spark, out, Seq("a_id", "b_id", "sim")))
   }
 
   /** dd5: banded ≥0.94 match + rank-gated upsert replay. */
@@ -1563,11 +1655,11 @@ object IndependentVerify {
       "dd8_cluster_retention", "dd9_span_grams", "dd10_span_scrub",
       "c1_curation_funnel", "c5_curation_pipeline", "v3_neardup_embeddings",
       "v4_knn_join", "v5_ivf_assign", "v5_kmeans_ivf", "v6_rp_lsh_neardup",
-      "v8_embed_clusters", "v12_sketch_neardup")
+      "v8_embed_clusters", "v12_sketch_neardup", "v13_semdedup_pairs")
     // the AUTO operating-point recomputes (graft.SixthDecade dumps them) —
     // opt-in by name, never part of the default pinned sweep
     val autoNames = Seq("v3_auto", "v6_auto", "v8_auto", "v4_auto",
-      "dd5_auto", "dd6w_auto", "v12_auto")
+      "dd5_auto", "dd6w_auto", "v12_auto", "v13_auto")
     val wanted =
       if (args.length >= 3) {
         val fs = args(2).split(",").toSeq
@@ -1625,6 +1717,8 @@ object IndependentVerify {
             2, 4, graft.operators.OperatingPoint.sketchMaxHamming(0.60), 0.30)
           case "v5_ivf_assign"         => checkV5Assign(spark, vecs, path)
           case "v5_kmeans_ivf"         => checkV5Kmeans(spark, vecs, path)
+          case "v13_semdedup_pairs"    => checkSemPairs(spark, vecs, path,
+            8, 3, 0.30, modInit = false)
           // AUTO operating points: derived from corpus size by the SAME
           // OperatingPoint formulas the library entrypoints use (shared
           // config, independent computation)
@@ -1643,6 +1737,9 @@ object IndependentVerify {
             graft.operators.OperatingPoint.rpHighSimBands(vecs.length, vecDim),
             graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length, vecDim),
             graft.operators.OperatingPoint.sketchMaxHamming(0.8), 0.8)
+          case "v13_auto" => checkSemPairs(spark, vecs, path,
+            graft.operators.OperatingPoint.semDedupCells(vecs.length),
+            3, 0.8, modInit = true)
         }
         val secs = (System.nanoTime() - t0) / 1e9
         val ok = exp.same(act)

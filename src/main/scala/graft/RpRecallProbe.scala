@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
   * A blocker's found-pair dump is then scored per band as
   * found / (planted × copies).
   *
-  * Usage: runMain graft.RpRecallProbe <sfDir> <v3|hs|dump> [dumpDir]
+  * Usage: runMain graft.RpRecallProbe <sfDir> <v3|hs|sem|dump> [dumpDir]
   *  - v3:   run [[graft.operators.VectorOps.nearDupPairsAuto]] (threshold
   *          0.30) — the candidates-linear survey point whose recall DECAYS
   *          with corpus size by construction (the number this probe makes
   *          visible)
   *  - hs:   run [[graft.operators.VectorOps.nearDupPairsHighSim]]
   *          (threshold 0.8, target recall 0.9) — the recall-targeted point
+  *  - sem:  run [[graft.operators.VectorOps.semDedupPairsAuto]]
+  *          (threshold 0.8) — the LEARNED-cell blocker (SemDeDup shape),
+  *          scored on the same planted truth as the LSH arms
   *  - dump: score an existing pair dump at [dumpDir] (a_id, b_id, sim)
   */
 object RpRecallProbe {
@@ -68,6 +71,8 @@ object RpRecallProbe {
         .nearDupPairsAuto(e, countEstimate = Some(n), dim = dim)
       case "hs" => graft.operators.VectorOps
         .nearDupPairsHighSim(e, countEstimate = Some(n), dim = dim)
+      case "sem" => graft.operators.VectorOps
+        .semDedupPairsAuto(e, countEstimate = Some(n))
       case "dump" => spark.read.parquet(args(2))
       case other => sys.error(s"unknown mode $other")
     }).select(col("a_id"), col("b_id"))

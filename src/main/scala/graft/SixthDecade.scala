@@ -29,7 +29,7 @@ object SixthDecade {
       "usage: graft.SixthDecade <sfDir> <outDir> [namesCsv]")
     val sfDir = args(0); val outDir = args(1)
     val all = Seq("v3_auto", "v6_auto", "v8_auto", "v4_auto", "dd5_auto",
-      "dd6w_auto", "v12_auto")
+      "dd6w_auto", "v12_auto", "v13_auto")
     val wanted =
       if (args.length >= 3) {
         val fs = args(2).split(",").toSeq
@@ -74,6 +74,8 @@ object SixthDecade {
           case "dd5_auto" => operators.RankDedup.rankUpsertQueryPlanes(0)(spark, sfDir)
           case "v12_auto" =>
             operators.VectorOps.nearDupPairsHighSim(vecs, dim = dim)
+          case "v13_auto" =>
+            operators.VectorOps.semDedupPairsAuto(vecs)
           case "dd6w_auto" =>
             operators.DedupOps.simhashPairsWideAutoQ(spark, sfDir)
         }

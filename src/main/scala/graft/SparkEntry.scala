@@ -101,6 +101,7 @@ object SparkEntry {
     "v8_embed_clusters" -> VectorOps.embedClusters,
     "v9_sq8_topk" -> VectorOps.sq8TopK,
     "v12_sketch_neardup" -> VectorOps.sketchNearDup,
+    "v13_semdedup_pairs" -> VectorOps.semDedupPairs,
     // text analysis (F6/F9 + pipeline ops)
     "h1_html_extract" -> TextOps.htmlExtract,
     "h2_web_curation" -> TextOps.webCuration,
@@ -535,6 +536,7 @@ object SparkEntry {
     "v3_neardup_embeddings" -> VectorOps.nearDupPairsOracle,
     "v4_knn_join" -> VectorOps.knnJoinOracle,
     "v12_sketch_neardup" -> VectorOps.sketchNearDupOracle,
+    "v13_semdedup_pairs" -> VectorOps.semDedupPairsOracle,
     "h1_html_extract" -> TextOps.oracle("h1_html_extract"),
     "h2_web_curation" -> TextOps.oracle("h2_web_curation"),
     "t1_word_chunks" -> TextOps.oracle("t1_word_chunks"),

@@ -122,6 +122,24 @@ object OperatingPoint {
     clamp(math.round(16.0 * math.sqrt(n / 2000.0)).toInt, 8, 1 << 20)
   }
 
+  /** Cell count for the LEARNED-cell near-dup blocker
+    * ([[graft.operators.VectorOps.semDedupPairsAuto]], the SemDeDup
+    * shape) — a BLOCKING grain, not [[ivfCells]]'s serving grain: dedup
+    * needs candidates ∝ n, and with top-2 membership candidates ≈
+    * Σ C(m,2) ≈ 2n²/K, so K = n/128 pins ~128-vector occupancy and
+    * candidates ≈ 256·n (inside the embedding family's measured 500·n
+    * gate). The serving point K ≈ √n would put occupancy ∝ √n and
+    * candidates ∝ n^1.5 — fine for per-query probes, quadratic death for
+    * all-pairs. Floor 8 keeps fixture cells meaningful; the 1<<20 cap
+    * bounds the broadcast centroid table like [[ivfCells]] — past it
+    * (n ≈ 1.3e8 per table) the corpus has outgrown single-table Lloyd
+    * and wants the two-level quantizer documented at the operator. */
+  def semDedupCells(n: Long): Int = {
+    require(n > 0, s"corpus count must be positive, got $n")
+    // min on the Long BEFORE toInt: n/128 overflows Int past n ≈ 2.7e11
+    clamp(math.min(1L << 20, n / 128L).toInt, 8, 1 << 20)
+  }
+
   /** SimHash chunk width (fingerprint = 6·chunkBits wide).
     * Anchor: 8 bits at n≈5300 (sf0.1 planted corpus). Ceiling 10: the
     * 60-bit fingerprint is the widest a single BIGINT md5-fold word hash

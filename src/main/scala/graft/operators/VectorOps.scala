@@ -187,22 +187,40 @@ object VectorOps {
     * has no tie to resolve, so it needs no quotient trick.) Assignment
     * ties are engine-independent via round(·,6)-before-argmax in
     * [[kmeansAssign]]. */
-  private[graft] def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
-    var cent = e.filter(col("vec_id") < KmK)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+  private[graft] def kmeansCentroids(e: DataFrame, iters: Int,
+      k: Int = KmK, modInit: Boolean = false): DataFrame = {
+    var cent =
+      if (modInit)
+        // random-partition-mean init (cid = vec_id mod K): every cell
+        // non-empty for n ≥ K regardless of the corpus's id layout — the
+        // ×N fixtures hold base ids plus +1e6·copy blocks, so a first-K
+        // id filter past K ≈ 2118 seeds FEWER than K cells and occupancy
+        // (hence candidate count) silently multiplies. Same integer-sum
+        // mean as every Lloyd step, so the init is engine-replayable.
+        centroidMeans(e.select(pmod(col("vec_id"), lit(k.toLong))
+          .cast("int").as("cid"), col("v")))
+      else e.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
     for (_ <- 1 to iters) {
-      cent = kmeansAssign(e, cent)
-        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy("cid", "i")
-        .agg((sum(round(col("x") * 1e8).cast("bigint")).cast("double") /
-          count(lit(1)).cast("double") / lit(1e8)).as("cx"))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(i, cx))), t -> t.cx)")
-          .as("c"))
+      cent = centroidMeans(kmeansAssign(e, cent))
         .localCheckpoint(eager = false)
     }
     cent
   }
+
+  /** Component means of each cell's members, with the integer-sum
+    * discipline [[kmeansCentroids]] documents (order-free bigint sums →
+    * two IEEE-deterministic divisions) — shared by every Lloyd step and
+    * the mod-K init. */
+  private[graft] def centroidMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("cid", "i")
+      .agg((sum(round(col("x") * 1e8).cast("bigint")).cast("double") /
+        count(lit(1)).cast("double") / lit(1e8)).as("cx"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(i, cx))), t -> t.cx)")
+        .as("c"))
 
   private[graft] def vecsCheckpointed(s: SparkSession, d: String): DataFrame =
     vecs(s, d).localCheckpoint(eager = false)
@@ -239,17 +257,15 @@ object VectorOps {
     * runs before the argmax so the cell choice is engine-independent (same
     * policy as [[knnJoinOver]]). */
   def kmeansIvfAssign: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val Probes = 2; val TopK = 10
     val e = vecsCheckpointed(s, d)
     val cent = kmeansCentroids(e, 0) // deterministic first-K seed
     val probe = e.filter(col("vec_id") === 1).select(col("v").as("p"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("cid"),
-        expr("round6(cosine_sim(v, c))").as("csim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("csim"), col("cid"))))
-      .filter(col("rn") === 1)
+    // same max-over-struct partial-agg argmax as every other assignment
+    // site (the oracle's row_number text has the identical (sim desc,
+    // cid asc) tie policy, so the hash is unchanged) — this was the last
+    // non-oracle-text row_number argmax in the vector family
+    val assigned = kmeansAssign(e, cent).select("vec_id", "v", "cid")
     val topCells = cent.crossJoin(broadcast(probe))
       .select(col("cid"), expr("round6(cosine_sim(c, p))").as("csim"))
       .orderBy(desc("csim"), col("cid")).limit(Probes)
@@ -292,33 +308,47 @@ object VectorOps {
     * doubles. KmIters is a compile-time constant, so unrolling beats a
     * recursive CTE: every step is a plain group-by, no aggregate-in-
     * recursive-term restrictions to dodge. */
-  val kmeansIvfOracle: String = {
-    val cos = (a: String, b: String) =>
-      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
-        s"sqrt(list_dot_product($b, $b))), 6)"
-    def assign(prev: String, out: String): String =
-      s"""$out AS (SELECT vec_id, v, cid FROM (
-         |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (
-         |    PARTITION BY e.vec_id
-         |    ORDER BY ${cos("e.v", "c.c")} DESC, c.cid) AS rn
-         |  FROM e CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
-    def update(assigned: String, out: String): String =
-      s"""$out AS (SELECT cid, list(cx ORDER BY i) AS c FROM (
-         |  SELECT cid, i,
-         |   CAST(sum(CAST(round(x * 1e8) AS BIGINT)) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE) / 1e8 AS cx
-         |  FROM (SELECT cid, i, v[i] AS x FROM $assigned,
-         |   UNNEST(range(1, len(v)+1)) AS r(i))
-         |  GROUP BY cid, i) GROUP BY cid)""".stripMargin
+  /** The Lloyd CTE builders the iterated oracles share
+    * ([[kmeansIvfOracle]], [[semDedupPairsOracle]]): assignment replays
+    * [[kmeansAssign]]'s rounded-cosine argmax (rnMax = 1; rnMax = 2 is
+    * [[cellMembers]]'s top-2 membership — TopKRows' (f0 DESC, rest ASC)
+    * order is exactly this row_number's), update replays
+    * [[centroidMeans]]'s integer-sum component means. */
+  private def oracleCosSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+      s"sqrt(list_dot_product($b, $b))), 6)"
+  private def lloydAssignCte(prev: String, out: String,
+      rnMax: Int = 1): String =
+    s"""$out AS (SELECT vec_id, v, cid FROM (
+       |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+       |    PARTITION BY e.vec_id
+       |    ORDER BY ${oracleCosSql("e.v", "c.c")} DESC, c.cid) AS rn
+       |  FROM e CROSS JOIN $prev c) WHERE rn <= $rnMax)""".stripMargin
+  private def lloydUpdateCte(assigned: String, out: String): String =
+    s"""$out AS (SELECT cid, list(cx ORDER BY i) AS c FROM (
+       |  SELECT cid, i,
+       |   CAST(sum(CAST(round(x * 1e8) AS BIGINT)) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) / 1e8 AS cx
+       |  FROM (SELECT cid, i, v[i] AS x FROM $assigned,
+       |   UNNEST(range(1, len(v)+1)) AS r(i))
+       |  GROUP BY cid, i) GROUP BY cid)""".stripMargin
+  /** cent0 (first-[[KmK]] seed) → KmIters chained assign/update steps,
+    * ending at `cent$KmIters`. */
+  private def lloydChainCtes: String = {
     val lloyd = (1 to KmIters).map { it =>
-      assign(if (it == 1) "cent0" else s"cent${it - 1}", s"a$it") + ",\n " +
-        update(s"a$it", s"cent$it")
+      lloydAssignCte(if (it == 1) "cent0" else s"cent${it - 1}", s"a$it") +
+        ",\n " + lloydUpdateCte(s"a$it", s"cent$it")
     }.mkString(",\n ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       | cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS c FROM e
+    s"""cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS c FROM e
        |  WHERE vec_id < $KmK),
-       | $lloyd,
-       | ${assign(s"cent$KmIters", "afin")},
+       | $lloyd""".stripMargin
+  }
+
+  val kmeansIvfOracle: String = {
+    val cos = oracleCosSql _
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       | $lloydChainCtes,
+       | ${lloydAssignCte(s"cent$KmIters", "afin")},
        | probe AS (SELECT v AS p FROM e WHERE vec_id = 1),
        | topcells AS (SELECT cid FROM cent$KmIters CROSS JOIN probe
        |  ORDER BY ${cos("c", "p")} DESC, cid LIMIT 2)
@@ -889,6 +919,120 @@ object VectorOps {
        |FROM cand JOIN e ea ON cand.a_id = ea.vec_id
        |          JOIN e eb ON cand.b_id = eb.vec_id
        |WHERE ${cos("ea.v", "eb.v")} >= 0.30""".stripMargin
+  }
+
+  // ---- SemDeDup-shape near-dup: LEARNED cells as the blocking key ----
+
+  /** Top-2-cell membership of every vector (the [[knnJoinOver]] `ranked`
+    * shape, reused by the learned-cell blocker): rounded-cosine rank
+    * against a broadcast centroid table via the bounded TopKRows heap —
+    * the n·K expansion collapses map-side, ≤2 rows per vector cross the
+    * shuffle, and (csim DESC, cid ASC) mirrors the oracle's row_number. */
+  private[graft] def cellMembers(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("cid"),
+        expr("round6(cosine_sim(v, c))").as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(expr("first(v)").as("v"),
+        expr("topk_rows(struct(csim, cid), 2)").as("cells"))
+      .select(col("vec_id"), col("v"), explode(col("cells")).as("cell"))
+      .select(col("vec_id"), col("v"), col("cell.cid").as("cid"))
+
+  /** Near-dup pairs blocked on LEARNED k-means cells — the SemDeDup shape
+    * (Abbas et al. 2023: cluster the embeddings, compare within clusters),
+    * the data-ADAPTIVE alternative to the RP-LSH family: cells follow the
+    * corpus's own density, so a mean-shifted or clustered corpus that
+    * degrades data-independent hyperplane buckets still blocks well, and
+    * a pair's two members land in the same cell whenever their common
+    * neighborhood does — top-2 membership (each vector joins its two
+    * nearest cells) covers the cell-boundary pairs single-assignment
+    * SemDeDup misses.
+    *
+    * Structure: Lloyd centroids ([[kmeansCentroids]], hash-stable integer
+    * sums) → top-2 membership ([[cellMembers]]) → co-membership self-join
+    * on the cell id (a_id < b_id) → exact round6(cosine) ≥ threshold with
+    * the [[graft.functions.CosineSimBounded]] early-exit verify →
+    * distinct (a pair sharing both probed cells arrives twice).
+    *
+    * Scale: candidates = Σ_cells C(members, 2) ≈ 2n²/K, so K = n/c holds
+    * candidates ≈ 2c·n — LINEAR, gated like the RP family
+    * (VectorGateSpec). The bill is assignment: n·K rounded cosines per
+    * Lloyd pass (n²·dim/c at the blocking grain) — affordable to ×1000
+    * measured, and the documented mitigation at true 100 TB grain is a
+    * two-level quantizer (assign against √K super-cells, then only that
+    * super-cell's fine centroids: n·2√K cosines). The LSH family's
+    * counter-pitch is zero training passes; this operator is what you run
+    * when the corpus clusters (real embedding corpora do — SemDeDup's
+    * premise) and recall at the dedup band must not depend on hyperplane
+    * luck. */
+  private[graft] def semDedupPairsOver(e0: DataFrame, k: Int, iters: Int,
+      threshold: Double, modInit: Boolean = false): DataFrame = {
+    val s = e0.sparkSession
+    CosineSimilarity.register(s)
+    graft.functions.CosineSimBounded.register(s)
+    graft.functions.TopKRows.register(s)
+    val e = e0.localCheckpoint(eager = false) // feeds Lloyd + membership
+    val cent = kmeansCentroids(e, iters, k, modInit)
+    val member = cellMembers(e, cent)
+      .select(col("vec_id"), col("v"), expr("vec_sufsq(v)").as("sfx"),
+        col("cid"))
+      .localCheckpoint(eager = false) // both join sides share the assign
+    val sim =
+      if (EarlyExit)
+        expr(s"cosine_sim_bounded(a.v, x.v, a.sfx, x.sfx, " +
+          s"${threshold - 1e-6}D)")
+      else expr("cosine_sim(a.v, x.v)")
+    member.as("a").join(member.as("x"),
+        col("a.cid") === col("x.cid") && col("a.vec_id") < col("x.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("x.vec_id").as("b_id"),
+        call_function("round6", sim).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct()
+  }
+
+  /** Candidate-pair count of the learned-cell blocking (Σ C(members, 2)
+    * over cells of the top-2 membership) — the sem family's
+    * candidates-linear gate quantity, mirroring
+    * [[rpBandedCandidateCount]]. */
+  private[graft] def semDedupCandidateCount(e0: DataFrame, k: Int,
+      iters: Int, modInit: Boolean = true): Long = {
+    val s = e0.sparkSession
+    CosineSimilarity.register(s)
+    graft.functions.TopKRows.register(s)
+    val e = e0.localCheckpoint(eager = false)
+    cellMembers(e, kmeansCentroids(e, iters, k, modInit))
+      .groupBy("cid").count()
+      .agg(sum(col("count") * (col("count") - 1) / 2)).head.getDouble(0).toLong
+  }
+
+  /** Oracle-gated pinned form (v13): K = [[KmK]] cells, [[KmIters]] Lloyd
+    * steps from the deterministic first-K seed (the hash-stable training
+    * the v5 oracle already replays), top-2 membership, co-membership
+    * pairs, exact ≥ 0.30 verify — the ENTIRE learned pipeline (training
+    * included) hash-checked against DuckDB's unrolled-CTE replay. */
+  def semDedupPairs: Q = (s, d) =>
+    semDedupPairsOver(vecs(s, d).select(col("vec_id"), col("v")),
+      KmK, KmIters, 0.30)
+
+  val semDedupPairsOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       | $lloydChainCtes,
+       | ${lloydAssignCte(s"cent$KmIters", "m", rnMax = 2)}
+       |SELECT DISTINCT a.vec_id AS a_id, x.vec_id AS b_id,
+       |  ${oracleCosSql("a.v", "x.v")} AS sim
+       |FROM m a JOIN m x ON a.cid = x.cid AND a.vec_id < x.vec_id
+       |WHERE ${oracleCosSql("a.v", "x.v")} >= 0.30""".stripMargin
+
+  /** Library entrypoint: the learned-cell blocker at the corpus-derived
+    * operating point — K = [[OperatingPoint.semDedupCells]] (n/128:
+    * constant ~128-vector occupancy ⇒ candidates ≈ 256·n, inside the
+    * family's 500·n linear gate), mod-K partition-mean init (every cell
+    * seeded regardless of id layout), [[KmIters]] Lloyd steps. */
+  def semDedupPairsAuto(e: DataFrame, threshold: Double = 0.8,
+      countEstimate: Option[Long] = None): DataFrame = {
+    val n = countEstimate.getOrElse(e.count())
+    semDedupPairsOver(e, OperatingPoint.semDedupCells(n), KmIters,
+      threshold, modInit = true)
   }
 
   /** Library entrypoint: v8's transitive cluster resolution over the

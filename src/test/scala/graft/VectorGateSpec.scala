@@ -163,6 +163,53 @@ class VectorGateSpec extends SparkSpec {
     }
   }
 
+  test("learned-cell (SemDeDup) blocker: candidates stay linear AND " +
+      "dedup-band recall holds on the twin fixtures (x10, both dims)") {
+    // The sem family's version of the auto-blocking contract
+    // (semDedupPairsAuto): K = n/128 pins ~128-vector cell occupancy, so
+    // top-2 membership candidates ≈ 2n²/K = 256·n — same 500·n cap as
+    // the RP gate. Recall at the ≥0.8 band vs the planted twins: a twin
+    // pair is found iff the two vectors share a top-2 learned cell. NOTE
+    // the fixture is ADVERSARIAL for a data-adaptive blocker — the synth
+    // corpus is near-uniform random (no cluster structure to learn), so
+    // the measured number is the blocker's floor geometry, not its
+    // clustered-corpus behavior. Floors pinned just below measured.
+    import graft.operators.OperatingPoint
+    for ((dir, dim, recallFloor) <- Seq(
+        ("target/sfdvt_smoke", 64, 0.93),
+        ("target/sfdvt_smoke384", 384, 0.93))) {
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists())
+        ScaleProbe.synthDv(spark, "/root/testdata/sf0.1", dir, copies = 10,
+          dim = dim, twins = true)
+      val ds = VectorOps.vecsCheckpointed(spark, dir)
+      val n = ds.count()
+      val k = OperatingPoint.semDedupCells(n)
+      val cands = VectorOps.semDedupCandidateCount(ds, k, 3)
+      val base = ds.filter(col("vec_id") < 1000000L).localCheckpoint()
+      val twins = base.filter(col("vec_id") >= 500000L)
+        .select((col("vec_id") - 500000L).as("pa"), col("v").as("tv"))
+      val truth = base.join(twins, base("vec_id") === twins("pa"))
+        .select(col("pa"), (col("pa") + 500000L).as("pb"),
+          expr("round6(cosine_sim(v, tv))").as("ts"))
+        .filter(col("ts") >= 0.8).localCheckpoint()
+      val planted = truth.count()
+      val hits = VectorOps.semDedupPairsAuto(ds, countEstimate = Some(n))
+        .filter((col("a_id") / 1000000L).cast("long") ===
+          (col("b_id") / 1000000L).cast("long"))
+        .select((col("a_id") % 1000000L).as("pa"),
+          (col("b_id") % 1000000L).as("pb"))
+        .join(truth, Seq("pa", "pb")).count()
+      val recall = hits.toDouble / (planted * 10L)
+      info(f"dim=$dim K=$k candidates=$cands%,d (${cands.toDouble / n}%.1f·n," +
+        f" cap 500·n); >=0.8 recall $hits%,d / ${planted * 10}%,d = " +
+        f"$recall%.4f (floor $recallFloor)")
+      assert(cands <= 500L * n,
+        f"dim=$dim sem candidates $cands%,d exceed 500·n")
+      assert(recall >= recallFloor,
+        f"dim=$dim sem >=0.8 recall $recall%.4f < floor $recallFloor")
+    }
+  }
+
   test("Lloyd objective is non-increasing across every iteration") {
     def meanSim(iters: Int): Double =
       VectorOps.kmeansAssign(e, VectorOps.kmeansCentroids(e, iters))
