@@ -1359,6 +1359,37 @@ object IndependentVerify {
     * order-free sums, IEEE-deterministic divisions). `modInit` seeds each
     * cell with the mean of its id-mod-K partition (the auto paths' layout-
     * independent init); otherwise cells seed from the first-K ids. */
+  /** [[assign]] with the norms hoisted — bit-equal by construction:
+    * [[cosine]]'s fused loop accumulates d/na/nb in the same left-assoc
+    * order as [[dot]]/[[norm2]] over the same arrays, so
+    * d / (sqrt(na)·sqrt(nb)) sees identical operands. At the learned-cell
+    * blocking grain (K = n/128 ⇒ n·K = n²/128 rank evaluations) the
+    * fused form's 3-mult loop is pure waste: norms are per-VECTOR, not
+    * per-pair. */
+  private def assignFast(vecs: Array[Vec], cent: Array[(Int, Array[Double])])
+      : Array[Int] = {
+    val vn = new Array[Double](vecs.length)
+    (0 until vecs.length).par.foreach(i => vn(i) = math.sqrt(norm2(vecs(i).v)))
+    val cn = cent.map { case (_, c) => math.sqrt(norm2(c)) }
+    val out = new Array[Int](vecs.length)
+    (0 until vecs.length).par.foreach { i =>
+      var bestS = -2.0; var bestC = Int.MaxValue
+      var j = 0
+      while (j < cent.length) {
+        val nb = cn(j)
+        val raw =
+          if (vn(i) == 0.0 || nb == 0.0) 0.0
+          else dot(vecs(i).v, cent(j)._2) / (vn(i) * nb)
+        val cs = rnd(raw, 6)
+        val cid = cent(j)._1
+        if (cs > bestS || (cs == bestS && cid < bestC)) { bestS = cs; bestC = cid }
+        j += 1
+      }
+      out(i) = bestC
+    }
+    out
+  }
+
   private def lloydCentroids(vecs: Array[Vec], iters: Int, k: Int,
       modInit: Boolean): Array[(Int, Array[Double])] = {
     val dim = vecs(0).v.length
@@ -1388,7 +1419,7 @@ object IndependentVerify {
     var cent =
       if (modInit) means(vecs.map(v => (v.id % k).toInt))
       else vecs.filter(_.id < k).sortBy(_.id).map(v => (v.id.toInt, v.v))
-    for (_ <- 1 to iters) cent = means(assign(vecs, cent))
+    for (_ <- 1 to iters) cent = means(assignFast(vecs, cent))
     cent
   }
 
@@ -1412,22 +1443,30 @@ object IndependentVerify {
       modInit: Boolean): (Digest, Digest) = {
     val cent = lloydCentroids(vecs, iters, k, modInit)
     val n = vecs.length
-    // top-2 cells per vector, the assign() policy extended to rank 2
-    val cell1 = new Array[Int](n); val cell2 = new Array[Int](n)
-    (0 until n).par.foreach { i =>
-      var s1 = -2.0; var c1 = Int.MaxValue; var s2 = -2.0; var c2 = Int.MaxValue
-      cent.foreach { case (cid, c) =>
-        val cs = rnd(cosine(vecs(i).v, c), 6)
-        if (cs > s1 || (cs == s1 && cid < c1)) {
-          s2 = s1; c2 = c1; s1 = cs; c1 = cid
-        } else if (cs > s2 || (cs == s2 && cid < c2)) { s2 = cs; c2 = cid }
-      }
-      cell1(i) = c1; cell2(i) = c2
-    }
     val norms = new Array[Double](n)
     val sufs = new Array[Array[Double]](n)
     (0 until n).par.foreach { i =>
       norms(i) = math.sqrt(norm2(vecs(i).v)); sufs(i) = sufSq(vecs(i).v)
+    }
+    // top-2 cells per vector — the assign() policy extended to rank 2,
+    // norms hoisted (bit-equal; see assignFast)
+    val cn = cent.map { case (_, c) => math.sqrt(norm2(c)) }
+    val cell1 = new Array[Int](n); val cell2 = new Array[Int](n)
+    (0 until n).par.foreach { i =>
+      var s1 = -2.0; var c1 = Int.MaxValue; var s2 = -2.0; var c2 = Int.MaxValue
+      var j = 0
+      while (j < cent.length) {
+        val raw =
+          if (norms(i) == 0.0 || cn(j) == 0.0) 0.0
+          else dot(vecs(i).v, cent(j)._2) / (norms(i) * cn(j))
+        val cs = rnd(raw, 6)
+        val cid = cent(j)._1
+        if (cs > s1 || (cs == s1 && cid < c1)) {
+          s2 = s1; c2 = c1; s1 = cs; c1 = cid
+        } else if (cs > s2 || (cs == s2 && cid < c2)) { s2 = cs; c2 = cid }
+        j += 1
+      }
+      cell1(i) = c1; cell2(i) = c2
     }
     val buckets = new java.util.HashMap[Integer,
       scala.collection.mutable.ArrayBuilder.ofInt]()

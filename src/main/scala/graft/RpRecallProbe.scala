@@ -39,6 +39,11 @@ object RpRecallProbe {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      // TopKRows heap buffers are ≤ k tiny rows; keep ObjectHashAggregate
+      // on the hash path past 128 groups/task (the sem arm ranks n
+      // vector→cell groups through it)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        String.valueOf(1 << 21))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.CosineSimilarity.register(spark)
