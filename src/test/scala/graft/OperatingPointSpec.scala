@@ -35,6 +35,14 @@ class OperatingPointSpec extends SparkSpec {
     assert(OperatingPoint.ivfCells(2000L << 40) == (1 << 20)) // ceiling
   }
 
+  test("semdedup cells: K = n/128 blocking grain, floored and capped") {
+    assert(OperatingPoint.semDedupCells(100) == 8)        // floor
+    assert(OperatingPoint.semDedupCells(2000) == 15)
+    assert(OperatingPoint.semDedupCells(21180) == 165)    // the x10 gate's K
+    assert(OperatingPoint.semDedupCells(2118000) == 16546) // x1000
+    assert(OperatingPoint.semDedupCells(Long.MaxValue / 2) == (1 << 20)) // cap, no overflow
+  }
+
   test("simhash chunk bits: 8@5300 anchor, 60-bit fingerprint ceiling") {
     assert(OperatingPoint.simhashChunkBits(530) == 8)
     assert(OperatingPoint.simhashChunkBits(5300) == 8)
@@ -108,6 +116,7 @@ class OperatingPointSpec extends SparkSpec {
     mono(OperatingPoint.rpPlanesPerBand(_))
     mono(OperatingPoint.rpPlanesPerBand(_, 384))
     mono(OperatingPoint.ivfCells)
+    mono(OperatingPoint.semDedupCells)
     mono(OperatingPoint.simhashChunkBits)
     mono(OperatingPoint.clusterIndexParts)
     mono(OperatingPoint.bandIndexBuckets)
