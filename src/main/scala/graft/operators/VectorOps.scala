@@ -151,23 +151,32 @@ object VectorOps {
 
   /** One cosine-argmax assignment pass: every vector joined to its single
     * best centroid (broadcast of K centroids, no shuffle of the corpus).
-    * The argmax is a max-over-struct PARTIAL aggregate — (sim desc, cid
-    * asc via negation), combining map-side so the n·K candidate expansion
-    * collapses to n rows before the shuffle (the same rewrite
-    * [[rankCells]]'s topN=1 path carries; a row_number window here was
-    * measured shuffling the full expansion at the 100x probe scale).
-    * The similarity is round(·,6) BEFORE the argmax so the cell choice is
-    * engine-independent (the [[kmeansIvfAssign]] policy, now shared by
-    * the Lloyd loop so the iterated path is oracle-able too). */
+    * The argmax is the bounded [[graft.functions.TopKRows]] heap at k=1 —
+    * (csim desc, cid asc), round(·,6) BEFORE the rank so the cell choice
+    * is engine-independent (the [[kmeansIvfAssign]] policy, shared by the
+    * Lloyd loop so the iterated path is oracle-able too).
+    *
+    * Round-16 scale lesson: the former max-over-struct form carried `v`
+    * INSIDE the struct, and a struct with an array field has no mutable
+    * hash-agg buffer, so Catalyst planned SortAggregateExec — which SORTS
+    * the whole n·K expansion per partition. Invisible at the pinned K=8
+    * and the ×10 gate's K=165; at the ×1000 blocking grain (K=16,546,
+    * 3.5e10 expansion rows) the spill filled the disk. The heap agg is
+    * ObjectHashAggregate with ≤1 tiny row per group — same winner by the
+    * same (sim desc, cid asc) policy, so the v5/v13 oracles and digests
+    * are unchanged. */
   private[graft] def kmeansAssign(e: DataFrame,
-      centroids: DataFrame): DataFrame =
+      centroids: DataFrame): DataFrame = {
+    graft.functions.TopKRows.register(e.sparkSession)
     e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), struct(
-        expr("round6(cosine_sim(v, c))").as("sim"),
-        (-col("cid")).as("ncid"), col("v")).as("cand"))
-      .groupBy("vec_id").agg(max("cand").as("best"))
-      .select(col("vec_id"), col("best.v").as("v"),
-        (-col("best.ncid")).as("cid"), col("best.sim").as("sim"))
+      .select(col("vec_id"), col("v"), col("cid"),
+        expr("round6(cosine_sim(v, c))").as("csim"))
+      .groupBy("vec_id")
+      .agg(expr("first(v)").as("v"), // constant within the group
+        element_at(expr("topk_rows(struct(csim, cid), 1)"), 1).as("best"))
+      .select(col("vec_id"), col("v"),
+        col("best.cid").as("cid"), col("best.csim").as("sim"))
+  }
 
   /** Lloyd's centroids after `iters` update steps from the deterministic
     * first-K seed (iters = 0 returns the seed itself). Exposed for the
