@@ -1432,41 +1432,50 @@ object IndependentVerify {
     (exp, digestOutput(spark, out, Seq("vec_id", "cid", "sim")))
   }
 
-  /** v13: SemDeDup-shape learned-cell near-dup
-    * ([[graft.operators.VectorOps.semDedupPairsOver]]) — Lloyd centroids,
-    * TOP-2 cell membership by (round6(cosine) desc, cid asc), in-cell
-    * pair enumeration (a pair sharing BOTH probed cells emits once, in
-    * its smaller shared cid — the library's distinct), exact round6
-    * verify ≥ threshold with the early-exit bound. */
-  private def checkSemPairs(spark: SparkSession, vecs: Array[Vec],
-      out: String, k: Int, iters: Int, threshold: Double,
-      modInit: Boolean): (Digest, Digest) = {
-    val cent = lloydCentroids(vecs, iters, k, modInit)
+  /** Top-2 of `cands` cells per vector — [[assign]]'s (rnd-cosine desc,
+    * cid asc) policy extended to rank 2, norms hoisted (bit-equal; see
+    * [[assignFast]]). `cands(i)` lists a vector's candidate (cid, cvec,
+    * cnorm) triples; rank 2 absent → -1 (fewer than two candidates). */
+  private def top2Cells(vecs: Array[Vec], norms: Array[Double],
+      cands: Int => Array[(Int, Array[Double], Double)])
+      : (Array[Int], Array[Int]) = {
+    val n = vecs.length
+    val cell1 = new Array[Int](n); val cell2 = new Array[Int](n)
+    (0 until n).par.foreach { i =>
+      var s1 = -2.0; var c1 = Int.MaxValue; var s2 = -2.0; var c2 = Int.MaxValue
+      var found = 0
+      val cs0 = cands(i)
+      var j = 0
+      while (j < cs0.length) {
+        val (cid, c, nb) = cs0(j)
+        val raw =
+          if (norms(i) == 0.0 || nb == 0.0) 0.0
+          else dot(vecs(i).v, c) / (norms(i) * nb)
+        val cs = rnd(raw, 6)
+        if (cs > s1 || (cs == s1 && cid < c1)) {
+          s2 = s1; c2 = c1; s1 = cs; c1 = cid
+        } else if (cs > s2 || (cs == s2 && cid < c2)) { s2 = cs; c2 = cid }
+        found += 1
+        j += 1
+      }
+      cell1(i) = c1
+      cell2(i) = if (found < 2) -1 else c2
+    }
+    (cell1, cell2)
+  }
+
+  /** Shared tail of the sem checks: co-membership pairs over the top-2
+    * cell arrays (a pair sharing both cells emits once, in its smaller
+    * shared cid — the library's distinct), exact early-exit verify,
+    * digest. cell2 = -1 means no second membership. */
+  private def semPairsDigest(spark: SparkSession, vecs: Array[Vec],
+      cell1: Array[Int], cell2: Array[Int], threshold: Double,
+      out: String): (Digest, Digest) = {
     val n = vecs.length
     val norms = new Array[Double](n)
     val sufs = new Array[Array[Double]](n)
     (0 until n).par.foreach { i =>
       norms(i) = math.sqrt(norm2(vecs(i).v)); sufs(i) = sufSq(vecs(i).v)
-    }
-    // top-2 cells per vector — the assign() policy extended to rank 2,
-    // norms hoisted (bit-equal; see assignFast)
-    val cn = cent.map { case (_, c) => math.sqrt(norm2(c)) }
-    val cell1 = new Array[Int](n); val cell2 = new Array[Int](n)
-    (0 until n).par.foreach { i =>
-      var s1 = -2.0; var c1 = Int.MaxValue; var s2 = -2.0; var c2 = Int.MaxValue
-      var j = 0
-      while (j < cent.length) {
-        val raw =
-          if (norms(i) == 0.0 || cn(j) == 0.0) 0.0
-          else dot(vecs(i).v, cent(j)._2) / (norms(i) * cn(j))
-        val cs = rnd(raw, 6)
-        val cid = cent(j)._1
-        if (cs > s1 || (cs == s1 && cid < c1)) {
-          s2 = s1; c2 = c1; s1 = cs; c1 = cid
-        } else if (cs > s2 || (cs == s2 && cid < c2)) { s2 = cs; c2 = cid }
-        j += 1
-      }
-      cell1(i) = c1; cell2(i) = c2
     }
     val buckets = new java.util.HashMap[Integer,
       scala.collection.mutable.ArrayBuilder.ofInt]()
@@ -1474,13 +1483,17 @@ object IndependentVerify {
       _ => new scala.collection.mutable.ArrayBuilder.ofInt)
     (0 until n).foreach { i =>
       bucketOf(cell1(i)) += i
-      bucketOf(cell2(i)) += i
+      if (cell2(i) >= 0) bucketOf(cell2(i)) += i
     }
-    // smallest cid the pair shares — emission bucket (once per pair)
+    // smallest cid the pair shares — emission bucket (once per pair).
+    // cell1 is always a real cid (≥ 0) so comparing it to a -1 sentinel
+    // is harmlessly false; cell2 needs the ≥ 0 guard or two
+    // single-membership vectors would "share" the sentinel
     def minShared(a: Int, b: Int): Int = {
       var m = Int.MaxValue
       if (cell1(a) == cell1(b) || cell1(a) == cell2(b)) m = cell1(a)
-      if ((cell2(a) == cell1(b) || cell2(a) == cell2(b)) && cell2(a) < m)
+      if (cell2(a) >= 0 &&
+          (cell2(a) == cell1(b) || cell2(a) == cell2(b)) && cell2(a) < m)
         m = cell2(a)
       m
     }
@@ -1516,6 +1529,125 @@ object IndependentVerify {
       dg
     }.seq)
     (exp, digestOutput(spark, out, Seq("a_id", "b_id", "sim")))
+  }
+
+  /** v13: SemDeDup-shape learned-cell near-dup
+    * ([[graft.operators.VectorOps.semDedupPairsOver]]) — flat Lloyd
+    * centroids, top-2 cell membership, co-membership pairs, exact
+    * verify. */
+  private def checkSemPairs(spark: SparkSession, vecs: Array[Vec],
+      out: String, k: Int, iters: Int, threshold: Double,
+      modInit: Boolean): (Digest, Digest) = {
+    val cent = lloydCentroids(vecs, iters, k, modInit)
+    val norms = new Array[Double](vecs.length)
+    (0 until vecs.length).par.foreach(i =>
+      norms(i) = math.sqrt(norm2(vecs(i).v)))
+    val cands = cent.map { case (cid, c) => (cid, c, math.sqrt(norm2(c))) }
+    val (cell1, cell2) = top2Cells(vecs, norms, _ => cands)
+    semPairsDigest(spark, vecs, cell1, cell2, threshold, out)
+  }
+
+  /** v13 HIERARCHICAL arm
+    * ([[graft.operators.VectorOps.semDedupPairsHierOver]]): supers via
+    * Lloyd over the corpus (mod-K₁ init), home super per vector, local
+    * Lloyd within each super on the composite (sup, lc) key, membership =
+    * top-2 supers → top-2 composite cells over both supers' locals
+    * (cid = sup·Kl + lc), then the shared pairs/verify tail. */
+  private def checkSemPairsHier(spark: SparkSession, vecs: Array[Vec],
+      out: String, k: Int, iters: Int, threshold: Double): (Digest, Digest) = {
+    val n = vecs.length
+    val k1 = math.max(2, math.ceil(math.sqrt(2.0 * k)).toInt)
+    val kl = math.max(1, math.ceil(k.toDouble / k1).toInt)
+    val norms = new Array[Double](n)
+    (0 until n).par.foreach(i => norms(i) = math.sqrt(norm2(vecs(i).v)))
+    val scaled = new Array[Array[Long]](n)
+    (0 until n).par.foreach { i =>
+      scaled(i) = vecs(i).v.map(x => rndLong(x * 1e8))
+    }
+    val dim = vecs(0).v.length
+    // phase A: supers over the corpus; phase B: home super per vector
+    val sup = lloydCentroids(vecs, iters, k1, modInit = true)
+    val home = assignFast(vecs, sup)
+    // phase C: local Lloyd within each super — group members by home,
+    // then per super (parallel) run the mod-Kl-init Lloyd with the
+    // integer-sum means over the precomputed scaled components
+    val bySup = new java.util.HashMap[Integer,
+      scala.collection.mutable.ArrayBuilder.ofInt]()
+    (0 until n).foreach { i =>
+      bySup.computeIfAbsent(home(i),
+        _ => new scala.collection.mutable.ArrayBuilder.ofInt) += i
+    }
+    import scala.jdk.CollectionConverters._
+    val superGroups = bySup.entrySet().asScala.toVector
+      .map(e => (e.getKey.intValue, e.getValue.result()))
+    // locals(sup) = array of (lc, centroid, norm)
+    val locals = new java.util.concurrent.ConcurrentHashMap[Integer,
+      Array[(Int, Array[Double], Double)]]()
+    superGroups.par.foreach { case (s, members) =>
+      def means(assignedLc: Array[Int]): Array[(Int, Array[Double])] = {
+        val sums = new java.util.HashMap[Integer, (Array[Long], Array[Long])]()
+        var m = 0
+        while (m < members.length) {
+          val e = sums.computeIfAbsent(assignedLc(m),
+            _ => (new Array[Long](dim), new Array[Long](1)))
+          val v = scaled(members(m)); var j = 0
+          while (j < dim) { e._1(j) += v(j); j += 1 }
+          e._2(0) += 1
+          m += 1
+        }
+        val next = Vector.newBuilder[(Int, Array[Double])]
+        sums.forEach { (lc, e) =>
+          val c = new Array[Double](dim); var j = 0
+          while (j < dim) {
+            c(j) = e._1(j).toDouble / e._2(0).toDouble / 1e8; j += 1
+          }
+          next += ((lc.intValue, c))
+        }
+        next.result().sortBy(_._1).toArray
+      }
+      var loc = means(members.map(i => (vecs(i).id % kl).toInt))
+      for (_ <- 1 to iters) {
+        val ln = loc.map { case (_, c) => math.sqrt(norm2(c)) }
+        val assignedLc = members.map { i =>
+          var bestS = -2.0; var bestC = Int.MaxValue
+          var j = 0
+          while (j < loc.length) {
+            val raw =
+              if (norms(i) == 0.0 || ln(j) == 0.0) 0.0
+              else dot(vecs(i).v, loc(j)._2) / (norms(i) * ln(j))
+            val cs = rnd(raw, 6)
+            if (cs > bestS || (cs == bestS && loc(j)._1 < bestC)) {
+              bestS = cs; bestC = loc(j)._1
+            }
+            j += 1
+          }
+          bestC
+        }
+        loc = means(assignedLc)
+      }
+      locals.put(s, loc.map { case (lc, c) => (lc, c, math.sqrt(norm2(c))) })
+    }
+    // phase D: top-SuperProbes supers per vector ((rnd-cosine desc, sup
+    // asc) — TopKRows' total order), then top-2 composite cells over the
+    // probed supers' locals
+    val probes = graft.operators.VectorOps.SuperProbes
+    val supCands = sup.map { case (cid, c) => (cid, c, math.sqrt(norm2(c))) }
+    val topSup = new Array[Array[Int]](n)
+    (0 until n).par.foreach { i =>
+      topSup(i) = supCands.map { case (cid, c, nb) =>
+        val raw =
+          if (norms(i) == 0.0 || nb == 0.0) 0.0
+          else dot(vecs(i).v, c) / (norms(i) * nb)
+        (rnd(raw, 6), cid)
+      }.sortBy { case (cs, cid) => (-cs, cid) }.take(probes).map(_._2)
+    }
+    val (cell1, cell2) = top2Cells(vecs, norms, { i =>
+      topSup(i).flatMap { s =>
+        locals.getOrDefault(s, Array.empty[(Int, Array[Double], Double)])
+          .map { case (lc, c, nn) => (s * kl + lc, c, nn) }
+      }
+    })
+    semPairsDigest(spark, vecs, cell1, cell2, threshold, out)
   }
 
   /** dd5: banded ≥0.94 match + rank-gated upsert replay. */
@@ -1698,7 +1830,8 @@ object IndependentVerify {
     // the AUTO operating-point recomputes (graft.SixthDecade dumps them) —
     // opt-in by name, never part of the default pinned sweep
     val autoNames = Seq("v3_auto", "v6_auto", "v8_auto", "v4_auto",
-      "dd5_auto", "dd6w_auto", "v12_auto", "v13_auto")
+      "dd5_auto", "dd6w_auto", "v12_auto", "v13_auto", "v13flat_auto",
+      "v13hier_auto")
     val wanted =
       if (args.length >= 3) {
         val fs = args(2).split(",").toSeq
@@ -1776,9 +1909,20 @@ object IndependentVerify {
             graft.operators.OperatingPoint.rpHighSimBands(vecs.length, vecDim),
             graft.operators.OperatingPoint.rpPlanesPerBand(vecs.length, vecDim),
             graft.operators.OperatingPoint.sketchMaxHamming(0.8), 0.8)
-          case "v13_auto" => checkSemPairs(spark, vecs, path,
+          // v13_auto mirrors the library's flat/hier switch at the same
+          // OperatingPoint threshold; the explicit arm names pin one form
+          // for A/Bs regardless of corpus size
+          case "v13_auto" =>
+            val kA = graft.operators.OperatingPoint.semDedupCells(vecs.length)
+            if (kA > graft.operators.OperatingPoint.semHierCells)
+              checkSemPairsHier(spark, vecs, path, kA, 3, 0.8)
+            else checkSemPairs(spark, vecs, path, kA, 3, 0.8, modInit = true)
+          case "v13flat_auto" => checkSemPairs(spark, vecs, path,
             graft.operators.OperatingPoint.semDedupCells(vecs.length),
             3, 0.8, modInit = true)
+          case "v13hier_auto" => checkSemPairsHier(spark, vecs, path,
+            graft.operators.OperatingPoint.semDedupCells(vecs.length),
+            3, 0.8)
         }
         val secs = (System.nanoTime() - t0) / 1e9
         val ok = exp.same(act)

@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   *          (threshold 0.8, target recall 0.9) — the recall-targeted point
   *  - sem:  run [[graft.operators.VectorOps.semDedupPairsAuto]]
   *          (threshold 0.8) — the LEARNED-cell blocker (SemDeDup shape),
-  *          scored on the same planted truth as the LSH arms
+  *          scored on the same planted truth as the LSH arms; `semflat` /
+  *          `semhier` pin the flat / two-level arm for A/Bs
   *  - dump: score an existing pair dump at [dumpDir] (a_id, b_id, sim)
   */
 object RpRecallProbe {
@@ -78,6 +79,10 @@ object RpRecallProbe {
         .nearDupPairsHighSim(e, countEstimate = Some(n), dim = dim)
       case "sem" => graft.operators.VectorOps
         .semDedupPairsAuto(e, countEstimate = Some(n))
+      case "semflat" => graft.operators.VectorOps
+        .semDedupPairsFlatAuto(e, countEstimate = Some(n))
+      case "semhier" => graft.operators.VectorOps
+        .semDedupPairsHierAuto(e, countEstimate = Some(n))
       case "dump" => spark.read.parquet(args(2))
       case other => sys.error(s"unknown mode $other")
     }).select(col("a_id"), col("b_id"))

@@ -29,7 +29,7 @@ object SixthDecade {
       "usage: graft.SixthDecade <sfDir> <outDir> [namesCsv]")
     val sfDir = args(0); val outDir = args(1)
     val all = Seq("v3_auto", "v6_auto", "v8_auto", "v4_auto", "dd5_auto",
-      "dd6w_auto", "v12_auto", "v13_auto")
+      "dd6w_auto", "v12_auto", "v13_auto", "v13flat_auto", "v13hier_auto")
     val wanted =
       if (args.length >= 3) {
         val fs = args(2).split(",").toSeq
@@ -76,6 +76,10 @@ object SixthDecade {
             operators.VectorOps.nearDupPairsHighSim(vecs, dim = dim)
           case "v13_auto" =>
             operators.VectorOps.semDedupPairsAuto(vecs)
+          case "v13flat_auto" =>
+            operators.VectorOps.semDedupPairsFlatAuto(vecs)
+          case "v13hier_auto" =>
+            operators.VectorOps.semDedupPairsHierAuto(vecs)
           case "dd6w_auto" =>
             operators.DedupOps.simhashPairsWideAutoQ(spark, sfDir)
         }

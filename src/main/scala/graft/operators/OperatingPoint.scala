@@ -140,6 +140,18 @@ object OperatingPoint {
     clamp(math.min(1L << 20, n / 128L).toInt, 8, 1 << 20)
   }
 
+  /** Cell-count threshold where the learned-cell blocker switches from
+    * flat Lloyd to the two-level structure
+    * ([[graft.operators.VectorOps.hierCellMembers]]): flat training costs
+    * n·K ranked cosines per pass (with K = n/128 that is n²·dim/128 —
+    * measured in hours at the ×1000×384 grain), two-level costs
+    * n·(4√(2K) + 5·K/√(2K)). At K = 1024 (n ≈ 131k) the flat bill is
+    * ~16× the two-level one and growing with √n — past here the
+    * approximation (top-2-super probe, recall-gated) buys an order of
+    * magnitude; below it flat is cheap and exact, and the ×10 gate
+    * fixtures stay on it so both arms keep measured recall rows. */
+  def semHierCells: Int = 1024
+
   /** SimHash chunk width (fingerprint = 6·chunkBits wide).
     * Anchor: 8 bits at n≈5300 (sf0.1 planted corpus). Ceiling 10: the
     * 60-bit fingerprint is the widest a single BIGINT md5-fold word hash

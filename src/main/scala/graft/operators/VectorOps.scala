@@ -1004,13 +1004,15 @@ object VectorOps {
     * candidates-linear gate quantity, mirroring
     * [[rpBandedCandidateCount]]. */
   private[graft] def semDedupCandidateCount(e0: DataFrame, k: Int,
-      iters: Int, modInit: Boolean = true): Long = {
+      iters: Int, modInit: Boolean = true, hier: Boolean = false): Long = {
     val s = e0.sparkSession
     CosineSimilarity.register(s)
     graft.functions.TopKRows.register(s)
     val e = e0.localCheckpoint(eager = false)
-    cellMembers(e, kmeansCentroids(e, iters, k, modInit))
-      .groupBy("cid").count()
+    val members =
+      if (hier) hierCellMembers(e, k, iters)
+      else cellMembers(e, kmeansCentroids(e, iters, k, modInit))
+    members.groupBy("cid").count()
       .agg(sum(col("count") * (col("count") - 1) / 2)).head.getDouble(0).toLong
   }
 
@@ -1032,16 +1034,165 @@ object VectorOps {
        |FROM m a JOIN m x ON a.cid = x.cid AND a.vec_id < x.vec_id
        |WHERE ${oracleCosSql("a.v", "x.v")} >= 0.30""".stripMargin
 
+  // ---- hierarchical (two-level) k-means: the blocking grain's 100 TB
+  //      training/assignment cost answer ----
+
+  /** Two-level cell structure: K₁ ≈ √(2K) SUPER cells Lloyd-trained over
+    * the corpus, then each super's members Lloyd-split into Kl = ⌈K/K₁⌉
+    * LOCAL cells (composite cell id = sup·Kl + local) — the classic
+    * hierarchical/coarse-fine quantizer (FAISS IMI lineage). Flat Lloyd
+    * at the blocking grain K = n/128 costs n·K ranked cosines PER PASS —
+    * n²·dim/128, the quadratic bill the flat ×1000×384 arm measures in
+    * hours; here every pass ranks only K₁ supers or Kl locals, so
+    * training + membership total ≈ n·(4K₁ + 5Kl) ranked cosines — ~45×
+    * less at the ×1000 grain, and the ratio GROWS with n.
+    *
+    * Approximation (vs flat): a vector's true nearest fine cells might
+    * live in a super it does not probe; membership probes the top-
+    * [[SuperProbes]] supers and ranks ALL their locals — the probe width
+    * buys recall at pure RANK cost (n·probes·Kl cosines), never pair
+    * cost: final membership is still the top-2 composite cells, so the
+    * candidate bill is identical to flat. Measured at ×10: 2 probes lost
+    * 7pp of ≥0.8 recall vs flat (0.847 vs 0.919 at dim 64 — K₁ ≈ 19
+    * supers is coarse at fixture scale), 4 probes close the gap (gated
+    * in VectorGateSpec).
+    * Determinism: every stage is the same rounded-cosine rank + integer-
+    * sum means the flat path uses, so the whole pipeline replays in the
+    * plain-JVM verifier and carries ×1000 digests. */
+  /** Super cells ranked per vector before the local-cell rank — width of
+    * the coarse probe ([[hierCellMembers]] phase D). */
+  private[graft] val SuperProbes = 4
+
+  private[graft] def hierCellMembers(e: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    val s = e.sparkSession
+    CosineSimilarity.register(s)
+    graft.functions.TopKRows.register(s)
+    val k1 = math.max(2, math.ceil(math.sqrt(2.0 * k)).toInt)
+    val kl = math.max(1, math.ceil(k.toDouble / k1).toInt)
+    // phase A: supers over the corpus (mod-K1 partition-mean init)
+    val sup = kmeansCentroids(e, iters, k1, modInit = true)
+      .select(col("cid").as("sup"), col("c").as("sc"))
+      .localCheckpoint(eager = false)
+    // phase B: home super per vector (one K1-rank pass)
+    val homed = e.crossJoin(broadcast(sup))
+      .select(col("vec_id"), col("v"), col("sup"),
+        expr("round6(cosine_sim(v, sc))").as("csim"))
+      .groupBy("vec_id")
+      .agg(expr("first(v)").as("v"),
+        element_at(expr("topk_rows(struct(csim, sup), 1)"), 1).as("b"))
+      .select(col("vec_id"), col("v"), col("b.sup").as("sup"))
+      .localCheckpoint(eager = false)
+    // phase C: local Lloyd WITHIN each super, vectorized across supers —
+    // centroid key (sup, lc); assignment joins on the home super so each
+    // vector ranks only its super's Kl locals
+    def localMeans(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("sup"), col("lc"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("sup", "lc", "i")
+        .agg((sum(round(col("x") * 1e8).cast("bigint")).cast("double") /
+          count(lit(1)).cast("double") / lit(1e8)).as("cx"))
+        .groupBy("sup", "lc")
+        .agg(expr("transform(array_sort(collect_list(struct(i, cx))), t -> t.cx)")
+          .as("lcv"))
+    var loc = localMeans(homed.select(col("sup"),
+      pmod(col("vec_id"), lit(kl.toLong)).cast("int").as("lc"), col("v")))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      loc = localMeans(homed.join(broadcast(loc), Seq("sup"))
+        .select(col("vec_id"), col("v"), col("sup"), col("lc"),
+          expr("round6(cosine_sim(v, lcv))").as("csim"))
+        .groupBy("vec_id")
+        .agg(expr("first(v)").as("v"), expr("first(sup)").as("sup"),
+          element_at(expr("topk_rows(struct(csim, lc), 1)"), 1).as("b"))
+        .select(col("sup"), col("b.lc").as("lc"), col("v")))
+        .localCheckpoint(eager = false)
+    }
+    // phase D: membership — top-SuperProbes supers per vector, then top-2
+    // composite cells over the probed supers' locals (cid = sup·Kl + lc)
+    val topSup = e.crossJoin(broadcast(sup))
+      .select(col("vec_id"), col("v"), col("sup"),
+        expr("round6(cosine_sim(v, sc))").as("csim"))
+      .groupBy("vec_id")
+      .agg(expr("first(v)").as("v"),
+        expr(s"topk_rows(struct(csim, sup), $SuperProbes)").as("ss"))
+      .select(col("vec_id"), col("v"), explode(col("ss.sup")).as("sup"))
+    topSup.join(broadcast(loc), Seq("sup"))
+      .select(col("vec_id"), col("v"),
+        (col("sup") * kl + col("lc")).as("cid"),
+        expr("round6(cosine_sim(v, lcv))").as("csim"))
+      .groupBy("vec_id")
+      .agg(expr("first(v)").as("v"),
+        expr("topk_rows(struct(csim, cid), 2)").as("cells"))
+      .select(col("vec_id"), col("v"), explode(col("cells")).as("cell"))
+      .select(col("vec_id"), col("v"), col("cell.cid").as("cid"))
+  }
+
+  /** [[semDedupPairsOver]] with hierarchical membership — same
+    * co-membership join + exact verify, cells from [[hierCellMembers]]. */
+  private[graft] def semDedupPairsHierOver(e0: DataFrame, k: Int,
+      iters: Int, threshold: Double): DataFrame = {
+    val s = e0.sparkSession
+    CosineSimilarity.register(s)
+    graft.functions.CosineSimBounded.register(s)
+    graft.functions.TopKRows.register(s)
+    val e = e0.localCheckpoint(eager = false)
+    val member = hierCellMembers(e, k, iters)
+      .select(col("vec_id"), col("v"), expr("vec_sufsq(v)").as("sfx"),
+        col("cid"))
+      .localCheckpoint(eager = false)
+    val sim =
+      if (EarlyExit)
+        expr(s"cosine_sim_bounded(a.v, x.v, a.sfx, x.sfx, " +
+          s"${threshold - 1e-6}D)")
+      else expr("cosine_sim(a.v, x.v)")
+    member.as("a").join(member.as("x"),
+        col("a.cid") === col("x.cid") && col("a.vec_id") < col("x.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("x.vec_id").as("b_id"),
+        call_function("round6", sim).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct()
+  }
+
   /** Library entrypoint: the learned-cell blocker at the corpus-derived
     * operating point — K = [[OperatingPoint.semDedupCells]] (n/128:
     * constant ~128-vector occupancy ⇒ candidates ≈ 256·n, inside the
     * family's 500·n linear gate), mod-K partition-mean init (every cell
-    * seeded regardless of id layout), [[KmIters]] Lloyd steps. */
+    * seeded regardless of id layout), [[KmIters]] Lloyd steps. Above
+    * [[OperatingPoint.semHierCells]] the flat n·K training/assignment
+    * bill dominates everything else in the pipeline, so the operator
+    * switches to the two-level structure ([[hierCellMembers]]) — the
+    * form you would actually run at 100 TB; `-Dgraft.semHier` forces
+    * either arm for A/Bs. */
   def semDedupPairsAuto(e: DataFrame, threshold: Double = 0.8,
       countEstimate: Option[Long] = None): DataFrame = {
     val n = countEstimate.getOrElse(e.count())
+    val k = OperatingPoint.semDedupCells(n)
+    val hier = System.getProperty("graft.semHier") match {
+      case null => k > OperatingPoint.semHierCells
+      case s    => "true".equalsIgnoreCase(s)
+    }
+    if (hier) semDedupPairsHierAuto(e, threshold, Some(n))
+    else semDedupPairsFlatAuto(e, threshold, Some(n))
+  }
+
+  /** The flat arm at the auto operating point (A/B harness name:
+    * v13flat_auto). */
+  private[graft] def semDedupPairsFlatAuto(e: DataFrame,
+      threshold: Double = 0.8, countEstimate: Option[Long] = None)
+      : DataFrame = {
+    val n = countEstimate.getOrElse(e.count())
     semDedupPairsOver(e, OperatingPoint.semDedupCells(n), KmIters,
       threshold, modInit = true)
+  }
+
+  /** The two-level arm at the auto operating point. */
+  private[graft] def semDedupPairsHierAuto(e: DataFrame,
+      threshold: Double = 0.8, countEstimate: Option[Long] = None)
+      : DataFrame = {
+    val n = countEstimate.getOrElse(e.count())
+    semDedupPairsHierOver(e, OperatingPoint.semDedupCells(n), KmIters,
+      threshold)
   }
 
   /** Library entrypoint: v8's transitive cluster resolution over the

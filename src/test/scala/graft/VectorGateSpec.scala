@@ -197,20 +197,36 @@ class VectorGateSpec extends SparkSpec {
           expr("round6(cosine_sim(v, tv))").as("ts"))
         .filter(col("ts") >= 0.8).localCheckpoint()
       val planted = truth.count()
-      val hits = VectorOps.semDedupPairsAuto(ds, countEstimate = Some(n))
-        .filter((col("a_id") / 1000000L).cast("long") ===
-          (col("b_id") / 1000000L).cast("long"))
-        .select((col("a_id") % 1000000L).as("pa"),
-          (col("b_id") % 1000000L).as("pb"))
-        .join(truth, Seq("pa", "pb")).count()
-      val recall = hits.toDouble / (planted * 10L)
-      info(f"dim=$dim K=$k candidates=$cands%,d (${cands.toDouble / n}%.1f·n," +
-        f" cap 500·n); >=0.8 recall $hits%,d / ${planted * 10}%,d = " +
-        f"$recall%.4f (floor $recallFloor)")
+      def recallOf(found: org.apache.spark.sql.DataFrame): Double =
+        found
+          .filter((col("a_id") / 1000000L).cast("long") ===
+            (col("b_id") / 1000000L).cast("long"))
+          .select((col("a_id") % 1000000L).as("pa"),
+            (col("b_id") % 1000000L).as("pb"))
+          .join(truth, Seq("pa", "pb")).count().toDouble / (planted * 10L)
+      val recall = recallOf(
+        VectorOps.semDedupPairsFlatAuto(ds, countEstimate = Some(n)))
+      // the TWO-LEVEL arm (the form the auto operator takes past
+      // OperatingPoint.semHierCells — the 100 TB training-cost answer):
+      // same planted truth, floored 2pp under flat. At 2 super probes the
+      // boundary approximation cost 7pp (0.847 vs 0.919 at dim 64);
+      // SuperProbes=4 buys it back at pure rank cost. Candidates gated
+      // too: hier membership is still ≤ 2 cells/vector.
+      val recallH = recallOf(
+        VectorOps.semDedupPairsHierAuto(ds, countEstimate = Some(n)))
+      val candsH = VectorOps.semDedupCandidateCount(ds, k, 3, hier = true)
+      info(f"dim=$dim K=$k flat: candidates=$cands%,d " +
+        f"(${cands.toDouble / n}%.1f·n, cap 500·n), >=0.8 recall " +
+        f"$recall%.4f (floor $recallFloor); hier: candidates=$candsH%,d " +
+        f"(${candsH.toDouble / n}%.1f·n), recall $recallH%.4f")
       assert(cands <= 500L * n,
         f"dim=$dim sem candidates $cands%,d exceed 500·n")
       assert(recall >= recallFloor,
         f"dim=$dim sem >=0.8 recall $recall%.4f < floor $recallFloor")
+      assert(candsH <= 500L * n,
+        f"dim=$dim hier candidates $candsH%,d exceed 500·n")
+      assert(recallH >= recallFloor - 0.02,
+        f"dim=$dim hier >=0.8 recall $recallH%.4f < floor ${recallFloor - 0.02}")
     }
   }
 
