@@ -27,10 +27,15 @@ import org.apache.spark.sql.functions._
   *  - sem:  run [[graft.operators.VectorOps.semDedupPairsAuto]]
   *          (threshold 0.8) — the LEARNED-cell blocker (SemDeDup shape),
   *          scored on the same planted truth as the LSH arms; `semflat` /
-  *          `semhier` pin the flat / two-level arm for A/Bs
+  *          `semhier` pin the flat / two-level arm for A/Bs; a `:<occ>`
+  *          suffix (e.g. `semflat:192`) sets the occupancy dial and also
+  *          prints the measured candidate bill for the (c, candidates,
+  *          recall) trade rows
   *  - dump: score an existing pair dump at [dumpDir] (a_id, b_id, sim)
   */
 object RpRecallProbe {
+
+  private val SemOcc = "(sem|semflat|semhier):(\\d+)".r
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: RpRecallProbe <sfDir> <v3|hs|dump> [dumpDir]")
@@ -83,6 +88,27 @@ object RpRecallProbe {
         .semDedupPairsFlatAuto(e, countEstimate = Some(n))
       case "semhier" => graft.operators.VectorOps
         .semDedupPairsHierAuto(e, countEstimate = Some(n))
+      // occupancy-dial arms (`semflat:192` etc.): the recall-vs-candidates
+      // trade the sem family's targetOccupancy parameter exposes, measured
+      // against the same planted truth
+      case SemOcc(arm, occ) =>
+        val c = occ.toInt
+        val k = graft.operators.OperatingPoint.semDedupCells(n, c)
+        val cands = graft.operators.VectorOps.semDedupCandidateCount(
+          e, k, 3, hier = arm == "semhier")
+        println(f"occupancy=$c K=$k candidates=$cands%,d " +
+          f"(${cands.toDouble / n}%.1f·n, family cap 500·n)")
+        arm match {
+          case "sem" => graft.operators.VectorOps
+            .semDedupPairsAuto(e, countEstimate = Some(n),
+              targetOccupancy = c)
+          case "semflat" => graft.operators.VectorOps
+            .semDedupPairsFlatAuto(e, countEstimate = Some(n),
+              targetOccupancy = c)
+          case _ => graft.operators.VectorOps
+            .semDedupPairsHierAuto(e, countEstimate = Some(n),
+              targetOccupancy = c)
+        }
       case "dump" => spark.read.parquet(args(2))
       case other => sys.error(s"unknown mode $other")
     }).select(col("a_id"), col("b_id"))

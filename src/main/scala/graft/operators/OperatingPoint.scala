@@ -133,11 +133,23 @@ object OperatingPoint {
     * all-pairs. Floor 8 keeps fixture cells meaningful; the 1<<20 cap
     * bounds the broadcast centroid table like [[ivfCells]] — past it
     * (n ≈ 1.3e8 per table) the corpus has outgrown single-table Lloyd
-    * and wants the two-level quantizer documented at the operator. */
-  def semDedupCells(n: Long): Int = {
+    * and wants the two-level quantizer documented at the operator.
+    *
+    * `occupancy` is the family's RECALL DIAL (the "knob is occupancy c"
+    * claim in BASELINE §5, now an API): coarser cells (higher c) fragment
+    * ε-neighborhoods less, buying ≥0.8-band recall roughly linearly in c
+    * at a candidate bill of ≈ 2c·n — measured on the ×10 twin fixtures
+    * (RpRecallProbe `semflat:<c>`; see the BASELINE occupancy-dial rows).
+    * The cap 250 keeps every derived point inside the embedding family's
+    * measured 500·n candidates-linear gate; callers who want to spend
+    * more per pair should move to [[rpHighSimBands]]'s recall-targeted
+    * operating point instead of dialing past the gate. */
+  def semDedupCells(n: Long, occupancy: Int = 128): Int = {
     require(n > 0, s"corpus count must be positive, got $n")
-    // min on the Long BEFORE toInt: n/128 overflows Int past n ≈ 2.7e11
-    clamp(math.min(1L << 20, n / 128L).toInt, 8, 1 << 20)
+    require(occupancy >= 8 && occupancy <= 250,
+      s"occupancy=$occupancy outside [8, 250] (250 = the 500·n family gate)")
+    // min on the Long BEFORE toInt: n/occ overflows Int past n ≈ 2.1e11
+    clamp(math.min(1L << 20, n / occupancy.toLong).toInt, 8, 1 << 20)
   }
 
   /** Cell-count threshold where the learned-cell blocker switches from
@@ -151,6 +163,44 @@ object OperatingPoint {
     * magnitude; below it flat is cheap and exact, and the ×10 gate
     * fixtures stay on it so both arms keep measured recall rows. */
   def semHierCells: Int = 1024
+
+  /** Which near-dup blocker to run — the three measured scale laws
+    * (BASELINE §5 r16: one planted-twin fixture family, three designs)
+    * folded into one executable policy, so a caller states WHAT they
+    * need (sim band, recall guarantee) instead of which of the three
+    * operators to pick:
+    *
+    *  - `"rp-highsim"` when a recall TARGET is stated: the n^ρ-band LSH
+    *    ([[graft.operators.VectorOps.nearDupPairsHighSim]]) is the only
+    *    measured design that HOLDS its recall as the corpus grows
+    *    (planted ≥0.8 recall 0.975 at ×10 → 0.986 at ×1000) — bands grow
+    *    to pay for planes, the banded stream carries 24 B sketches.
+    *  - `"sem"` for dedup-band work (targetSim ≥ 0.7) without an explicit
+    *    recall contract: the learned-cell blocker
+    *    ([[graft.operators.VectorOps.semDedupPairsAuto]]) is
+    *    data-adaptive (density-following cells, no hyperplane luck), its
+    *    candidate bill is a flat ≈ 2·occupancy·n independent of the band
+    *    count, and at the production dim its near-identical-band recall
+    *    is competitive (0.930 at [0.9,1.0] ×1000×384) — the SemDeDup
+    *    shape production embedding dedup actually runs.
+    *  - `"rp-survey"` below the dedup band: the cheap candidates-linear
+    *    RP-LSH point ([[graft.operators.VectorOps.nearDupPairsAuto]]) —
+    *    the only blocker measured at the 0.30 gate; its recall DECAYS
+    *    with corpus size by construction (0.821 ×10 → 0.447 ×1000), the
+    *    documented survey trade.
+    */
+  def dedupBlocker(targetSim: Double,
+      recallTarget: Option[Double] = None): String = {
+    require(targetSim > 0.0 && targetSim < 1.0,
+      s"targetSim=$targetSim outside (0,1)")
+    recallTarget.foreach(r => require(r > 0.0 && r < 1.0,
+      s"recallTarget=$r outside (0,1)"))
+    recallTarget match {
+      case Some(_)                  => "rp-highsim"
+      case None if targetSim >= 0.7 => "sem"
+      case None                     => "rp-survey"
+    }
+  }
 
   /** SimHash chunk width (fingerprint = 6·chunkBits wide).
     * Anchor: 8 bits at n≈5300 (sf0.1 planted corpus). Ceiling 10: the

@@ -1165,35 +1165,69 @@ object VectorOps {
     * form you would actually run at 100 TB; `-Dgraft.semHier` forces
     * either arm for A/Bs. */
   def semDedupPairsAuto(e: DataFrame, threshold: Double = 0.8,
-      countEstimate: Option[Long] = None): DataFrame = {
+      countEstimate: Option[Long] = None,
+      targetOccupancy: Int = 128): DataFrame = {
     val n = countEstimate.getOrElse(e.count())
-    val k = OperatingPoint.semDedupCells(n)
+    val k = OperatingPoint.semDedupCells(n, targetOccupancy)
     val hier = System.getProperty("graft.semHier") match {
       case null => k > OperatingPoint.semHierCells
       case s    => "true".equalsIgnoreCase(s)
     }
-    if (hier) semDedupPairsHierAuto(e, threshold, Some(n))
-    else semDedupPairsFlatAuto(e, threshold, Some(n))
+    if (hier) semDedupPairsHierAuto(e, threshold, Some(n), targetOccupancy)
+    else semDedupPairsFlatAuto(e, threshold, Some(n), targetOccupancy)
   }
 
   /** The flat arm at the auto operating point (A/B harness name:
     * v13flat_auto). */
   private[graft] def semDedupPairsFlatAuto(e: DataFrame,
-      threshold: Double = 0.8, countEstimate: Option[Long] = None)
-      : DataFrame = {
+      threshold: Double = 0.8, countEstimate: Option[Long] = None,
+      targetOccupancy: Int = 128): DataFrame = {
     val n = countEstimate.getOrElse(e.count())
-    semDedupPairsOver(e, OperatingPoint.semDedupCells(n), KmIters,
+    semDedupPairsOver(e,
+      OperatingPoint.semDedupCells(n, targetOccupancy), KmIters,
       threshold, modInit = true)
   }
 
   /** The two-level arm at the auto operating point. */
   private[graft] def semDedupPairsHierAuto(e: DataFrame,
-      threshold: Double = 0.8, countEstimate: Option[Long] = None)
-      : DataFrame = {
+      threshold: Double = 0.8, countEstimate: Option[Long] = None,
+      targetOccupancy: Int = 128): DataFrame = {
     val n = countEstimate.getOrElse(e.count())
-    semDedupPairsHierOver(e, OperatingPoint.semDedupCells(n), KmIters,
+    semDedupPairsHierOver(e,
+      OperatingPoint.semDedupCells(n, targetOccupancy), KmIters,
       threshold)
   }
+
+  /** Library FRONT DOOR for embedding near-dup blocking: state the sim
+    * band and (optionally) a recall contract; the measured policy
+    * ([[OperatingPoint.dedupBlocker]] — three blockers, three measured
+    * scale laws on one planted-twin fixture family, BASELINE §5 r16)
+    * picks the operator you would actually run at 100 TB:
+    *
+    *  - a recall target ⇒ [[nearDupPairsHighSim]] (bands ~n^ρ — the only
+    *    design that HOLDS recall as the corpus grows);
+    *  - dedup band (targetSim ≥ 0.7), no contract ⇒ [[semDedupPairsAuto]]
+    *    (data-adaptive learned cells, flat 2·occupancy·n candidate bill);
+    *  - survey band ⇒ [[nearDupPairsAuto]] (cheapest linear point,
+    *    recall decays with n by construction — the documented trade).
+    *
+    * Every arm emits the same (a_id, b_id, sim) schema with the exact
+    * round6(cosine) sim, so downstream cluster resolution
+    * ([[GraphOps.connectedComponents]]) is arm-independent. */
+  def dedupPairsAuto(e: DataFrame, targetSim: Double = 0.8,
+      recallTarget: Option[Double] = None,
+      countEstimate: Option[Long] = None, dim: Int = Dim): DataFrame =
+    OperatingPoint.dedupBlocker(targetSim, recallTarget) match {
+      case "rp-highsim" =>
+        nearDupPairsHighSim(e, targetSim, recallTarget.get,
+          threshold = targetSim, countEstimate = countEstimate, dim = dim)
+      case "sem" =>
+        semDedupPairsAuto(e, threshold = targetSim,
+          countEstimate = countEstimate)
+      case _ =>
+        nearDupPairsAuto(e, threshold = targetSim,
+          countEstimate = countEstimate, dim = dim)
+    }
 
   /** Library entrypoint: v8's transitive cluster resolution over the
     * AUTO-blocked pair graph — [[nearDupPairsAuto]] pairs (planes derived

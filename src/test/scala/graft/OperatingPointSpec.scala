@@ -43,6 +43,38 @@ class OperatingPointSpec extends SparkSpec {
     assert(OperatingPoint.semDedupCells(Long.MaxValue / 2) == (1 << 20)) // cap, no overflow
   }
 
+  test("semdedup occupancy dial: K = n/c, candidates ~ 2c·n, gate-capped") {
+    // the recall dial (BASELINE §5 occupancy rows): coarser cells = higher
+    // recall at a 2c·n candidate bill; 250 is where 2c·n hits the family's
+    // 500·n candidates-linear gate
+    assert(OperatingPoint.semDedupCells(21180, 64) == 330)  // finer, cheaper
+    assert(OperatingPoint.semDedupCells(21180, 128) == 165) // == default
+    assert(OperatingPoint.semDedupCells(21180, 192) == 110)
+    assert(OperatingPoint.semDedupCells(21180, 250) == 84)  // gate ceiling
+    intercept[IllegalArgumentException] {
+      OperatingPoint.semDedupCells(21180, 251) // past the 500·n gate
+    }
+    intercept[IllegalArgumentException] {
+      OperatingPoint.semDedupCells(21180, 4) // cells would outnumber points
+    }
+  }
+
+  test("dedup blocker policy: recall contract > sim band > survey") {
+    // the three measured scale laws as a dispatch table (BASELINE §5 r16)
+    assert(OperatingPoint.dedupBlocker(0.8, Some(0.9)) == "rp-highsim")
+    assert(OperatingPoint.dedupBlocker(0.3, Some(0.9)) == "rp-highsim")
+    assert(OperatingPoint.dedupBlocker(0.8, None) == "sem")
+    assert(OperatingPoint.dedupBlocker(0.7, None) == "sem")
+    assert(OperatingPoint.dedupBlocker(0.69, None) == "rp-survey")
+    assert(OperatingPoint.dedupBlocker(0.3, None) == "rp-survey")
+    intercept[IllegalArgumentException] {
+      OperatingPoint.dedupBlocker(1.0, None)
+    }
+    intercept[IllegalArgumentException] {
+      OperatingPoint.dedupBlocker(0.8, Some(1.0))
+    }
+  }
+
   test("simhash chunk bits: 8@5300 anchor, 60-bit fingerprint ceiling") {
     assert(OperatingPoint.simhashChunkBits(530) == 8)
     assert(OperatingPoint.simhashChunkBits(5300) == 8)
@@ -116,7 +148,7 @@ class OperatingPointSpec extends SparkSpec {
     mono(OperatingPoint.rpPlanesPerBand(_))
     mono(OperatingPoint.rpPlanesPerBand(_, 384))
     mono(OperatingPoint.ivfCells)
-    mono(OperatingPoint.semDedupCells)
+    mono(OperatingPoint.semDedupCells(_))
     mono(OperatingPoint.simhashChunkBits)
     mono(OperatingPoint.clusterIndexParts)
     mono(OperatingPoint.bandIndexBuckets)

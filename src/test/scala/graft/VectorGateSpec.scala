@@ -230,6 +230,25 @@ class VectorGateSpec extends SparkSpec {
     }
   }
 
+  test("dedupPairsAuto front door: each policy arm equals its direct operator") {
+    // the dispatcher adds POLICY, not computation — every arm must be
+    // row-identical to calling the underlying operator directly, so the
+    // three blockers' oracle/digest/recall evidence transfers verbatim
+    def rows(df: DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val n = Some(e.count())
+    // recall contract -> the n^rho-band high-sim point
+    assert(rows(VectorOps.dedupPairsAuto(e, 0.8, Some(0.9), n)) ==
+      rows(VectorOps.nearDupPairsHighSim(e, 0.8, 0.9, threshold = 0.8,
+        countEstimate = n)))
+    // dedup band, no contract -> the learned-cell blocker
+    assert(rows(VectorOps.dedupPairsAuto(e, 0.8, None, n)) ==
+      rows(VectorOps.semDedupPairsAuto(e, 0.8, n)))
+    // survey band -> the candidates-linear RP point
+    assert(rows(VectorOps.dedupPairsAuto(e, 0.3, None, n)) ==
+      rows(VectorOps.nearDupPairsAuto(e, 0.3, n)))
+  }
+
   test("Lloyd objective is non-increasing across every iteration") {
     def meanSim(iters: Int): Double =
       VectorOps.kmeansAssign(e, VectorOps.kmeansCentroids(e, iters))
