@@ -102,6 +102,7 @@ object SparkEntry {
     "v9_sq8_topk" -> VectorOps.sq8TopK,
     "v12_sketch_neardup" -> VectorOps.sketchNearDup,
     "v13_semdedup_pairs" -> VectorOps.semDedupPairs,
+    "v14_embed_retention" -> VectorOps.embedRetention,
     // text analysis (F6/F9 + pipeline ops)
     "h1_html_extract" -> TextOps.htmlExtract,
     "h2_web_curation" -> TextOps.webCuration,
@@ -537,6 +538,7 @@ object SparkEntry {
     "v4_knn_join" -> VectorOps.knnJoinOracle,
     "v12_sketch_neardup" -> VectorOps.sketchNearDupOracle,
     "v13_semdedup_pairs" -> VectorOps.semDedupPairsOracle,
+    "v14_embed_retention" -> VectorOps.embedRetentionOracle,
     "h1_html_extract" -> TextOps.oracle("h1_html_extract"),
     "h2_web_curation" -> TextOps.oracle("h2_web_curation"),
     "t1_word_chunks" -> TextOps.oracle("t1_word_chunks"),

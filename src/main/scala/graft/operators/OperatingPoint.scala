@@ -135,19 +135,30 @@ object OperatingPoint {
     * (n ≈ 1.3e8 per table) the corpus has outgrown single-table Lloyd
     * and wants the two-level quantizer documented at the operator.
     *
-    * `occupancy` is the family's RECALL DIAL (the "knob is occupancy c"
-    * claim in BASELINE §5, now an API): coarser cells (higher c) fragment
-    * ε-neighborhoods less, buying ≥0.8-band recall roughly linearly in c
-    * at a candidate bill of ≈ 2c·n — measured on the ×10 twin fixtures
-    * (RpRecallProbe `semflat:<c>`; see the BASELINE occupancy-dial rows).
-    * The cap 250 keeps every derived point inside the embedding family's
-    * measured 500·n candidates-linear gate; callers who want to spend
-    * more per pair should move to [[rpHighSimBands]]'s recall-targeted
-    * operating point instead of dialing past the gate. */
+    * `occupancy` is the family's COST dial — and measuring it RETIRED
+    * the prior hypothesis: BASELINE §5 had claimed "candidates ≈ 2c·n
+    * buys recall linearly in c", but the ×10 twin-fixture sweep
+    * (RpRecallProbe `semflat:<c>`, c ∈ {64,128,192,240}) measured ≥0.8
+    * recall FLAT in c at dim 64 (0.905-0.919 across a 4× bill) and
+    * monotonically DECREASING at dim 384 (0.979 at c=64 → 0.944 at
+    * c=250): at the production dim FINER cells win on recall AND bill
+    * at once, because high-dim twins sit deep inside whatever cell
+    * contains them while coarse mod-init Lloyd cells are just worse
+    * separators. What recall actually rides on is corpus GROWTH at
+    * constant occupancy (K ∝ n fragmentation — the ~0.1/decade law in
+    * BASELINE §5), which no fixed dial fixes. So: dial DOWN for a
+    * cheaper bill at equal-or-better recall, dial up only to
+    * re-measure. The cap 240 keeps the
+    * measured bill (≈ 2c·n + ~2% top-2 spill) inside the embedding
+    * family's 500·n candidates-linear gate — c=250 measured 504-508·n,
+    * OVER the gate, which is why the ceiling sits below the naive
+    * 500/2; recall-critical callers should move to [[rpHighSimBands]]'s
+    * recall-targeted operating point instead of dialing past the gate. */
   def semDedupCells(n: Long, occupancy: Int = 128): Int = {
     require(n > 0, s"corpus count must be positive, got $n")
-    require(occupancy >= 8 && occupancy <= 250,
-      s"occupancy=$occupancy outside [8, 250] (250 = the 500·n family gate)")
+    require(occupancy >= 8 && occupancy <= 240,
+      s"occupancy=$occupancy outside [8, 240] (240 keeps the measured " +
+        "~2c·n bill inside the 500·n family gate; 250 measured 504·n)")
     // min on the Long BEFORE toInt: n/occ overflows Int past n ≈ 2.1e11
     clamp(math.min(1L << 20, n / occupancy.toLong).toInt, 8, 1 << 20)
   }

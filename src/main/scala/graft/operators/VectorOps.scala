@@ -764,6 +764,103 @@ object VectorOps {
        |   SELECT edges.w, r.comp FROM reach r JOIN edges ON edges.u = r.id)
        |SELECT id AS vec_id, min(comp) AS component FROM reach GROUP BY id""".stripMargin
 
+  /** Core of v14: cluster retention for the EMBEDDING family — the
+    * keep/drop decision dd8 ships for the MinHash family, with the keep
+    * policy semantic dedup actually uses (SemDeDup, Abbas et al. 2023):
+    * within a duplicate cluster keep the member FARTHEST from the
+    * cluster's mean vector (minimum round6 cosine; vec_id tie-break
+    * asc) — the diversity-preserving choice, the opposite pole from
+    * dd8's keep-the-most-complete text policy and deliberately so: text
+    * near-dups differ by truncation, embedding near-dups by semantic
+    * drift, and keeping the outlier retains the most information.
+    *
+    * Scale shape: the mean rides [[centroidMeans]]'s integer-sum
+    * discipline grouped by (component, i) — a cluster's bill spreads
+    * over dim-many groups, so even a hub component never lands on one
+    * task; the keep decision is the TopKRows k=1 heap (no window, no
+    * per-component sort); vectors join the component-keyed mean on the
+    * component key (clusters are near-dup groups — small by nature).
+    * Singletons keep themselves (centroid_sim = 1 by construction). */
+  private[graft] def embedRetentionOver(e: DataFrame,
+      comps: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    CosineSimilarity.register(s)
+    graft.functions.TopKRows.register(s)
+    val memb = comps.join(e, "vec_id")
+    val mean = centroidMeans(memb.select(col("component").as("cid"), col("v")))
+      .select(col("cid").as("component"), col("c").as("cv"))
+    val scored = memb.join(mean, "component")
+      .select(col("vec_id"), col("component"),
+        expr("round6(cosine_sim(v, cv))").as("centroid_sim"))
+      .localCheckpoint(eager = false) // feeds the keep rank AND the output
+    val keepRow = scored
+      .select(col("component"),
+        struct((-col("centroid_sim")).as("ns"), col("vec_id").as("vid"))
+          .as("cand"))
+      .groupBy("component")
+      .agg(element_at(expr("topk_rows(cand, 1)"), 1).as("k"))
+      .select(col("component"), col("k.vid").as("canonical"))
+    scored.join(keepRow, "component")
+      .select(col("vec_id"), col("component"), col("centroid_sim"),
+        (col("vec_id") === col("canonical")).as("keep"), col("canonical"))
+  }
+
+  /** v14: pinned oracle-gated form — retention over [[embedClusters]]'
+    * pinned 4-band pair graph, hash-checked end to end (CC, integer-sum
+    * cluster means, round6 centroid sims, the keep argmin) against the
+    * DuckDB replay. */
+  def embedRetention: Q = (s, d) =>
+    embedRetentionOver(vecs(s, d), embedClusters(s, d))
+
+  val embedRetentionOracle: String =
+    s"""WITH RECURSIVE ${rpPairsCtes(V3Bands)},
+       | edges AS (SELECT a_id AS u, b_id AS w FROM pairs
+       |   UNION ALL SELECT b_id AS u, a_id AS w FROM pairs),
+       | reach(id, comp) AS (
+       |   SELECT vec_id, vec_id FROM e
+       |   UNION
+       |   SELECT edges.w, r.comp FROM reach r JOIN edges ON edges.u = r.id),
+       | comps AS (SELECT id AS vec_id, min(comp) AS component
+       |   FROM reach GROUP BY id),
+       | memb AS (SELECT c.vec_id, c.component, e.v
+       |   FROM comps c JOIN e USING (vec_id)),
+       | mean AS (SELECT component, list(cx ORDER BY i) AS cv FROM (
+       |   SELECT component, i,
+       |    CAST(sum(CAST(round(x * 1e8) AS BIGINT)) AS DOUBLE)
+       |     / CAST(count(*) AS DOUBLE) / 1e8 AS cx
+       |   FROM (SELECT component, i, v[i] AS x FROM memb,
+       |    UNNEST(range(1, len(v)+1)) AS r(i))
+       |   GROUP BY component, i) GROUP BY component),
+       | scored AS (SELECT m.vec_id, m.component,
+       |   ${oracleCosSql("m.v", "mn.cv")} AS centroid_sim
+       |  FROM memb m JOIN mean mn USING (component)),
+       | keepr AS (SELECT component, vec_id AS canonical FROM (
+       |   SELECT component, vec_id, row_number() OVER (
+       |     PARTITION BY component
+       |     ORDER BY centroid_sim ASC, vec_id ASC) AS rn
+       |   FROM scored) WHERE rn = 1)
+       |SELECT s.vec_id, s.component, s.centroid_sim,
+       |  s.vec_id = k.canonical AS keep, k.canonical
+       |FROM scored s JOIN keepr k USING (component)""".stripMargin
+
+  /** Library entrypoint: retention over the policy-dispatched pair graph
+    * ([[dedupPairsAuto]]) — state the sim band and optional recall
+    * contract, get back per-vector keep/drop decisions with canonical
+    * survivors. The end-to-end form of the embedding dedup pipeline:
+    * blocker policy → exact-verified pairs → connected components →
+    * SemDeDup keep. */
+  def embedRetentionAuto(e: DataFrame, targetSim: Double = 0.8,
+      recallTarget: Option[Double] = None,
+      countEstimate: Option[Long] = None, dim: Int = Dim): DataFrame = {
+    val pairs = dedupPairsAuto(e, targetSim, recallTarget,
+        countEstimate, dim)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    val comps = GraphOps.connectedComponents(
+        e.select(col("vec_id").as("id")), pairs)
+      .select(col("id").as("vec_id"), col("component"))
+    embedRetentionOver(e, comps)
+  }
+
   // ---- corpus-size-derived (AUTO) library entrypoints ----
 
   /** Library entrypoint: embedding near-dup pairs over any

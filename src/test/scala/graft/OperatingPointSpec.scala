@@ -44,18 +44,20 @@ class OperatingPointSpec extends SparkSpec {
   }
 
   test("semdedup occupancy dial: K = n/c, candidates ~ 2c·n, gate-capped") {
-    // the recall dial (BASELINE §5 occupancy rows): coarser cells = higher
-    // recall at a 2c·n candidate bill; 250 is where 2c·n hits the family's
-    // 500·n candidates-linear gate
+    // the COST dial (BASELINE §5 occupancy rows): the ×10 sweep measured
+    // recall FLAT in c at dim 64 and DECREASING at dim 384, so finer is
+    // cheaper at equal-or-better recall; ceiling 240 because the measured
+    // bill (~2c·n + top-2 spill) crosses the family's 500·n gate at
+    // c=250 (measured 504-508·n)
     assert(OperatingPoint.semDedupCells(21180, 64) == 330)  // finer, cheaper
     assert(OperatingPoint.semDedupCells(21180, 128) == 165) // == default
     assert(OperatingPoint.semDedupCells(21180, 192) == 110)
-    assert(OperatingPoint.semDedupCells(21180, 250) == 84)  // gate ceiling
+    assert(OperatingPoint.semDedupCells(21180, 240) == 88)  // gate ceiling
     intercept[IllegalArgumentException] {
-      OperatingPoint.semDedupCells(21180, 251) // past the 500·n gate
+      OperatingPoint.semDedupCells(21180, 250) // measured 504·n: over gate
     }
     intercept[IllegalArgumentException] {
-      OperatingPoint.semDedupCells(21180, 4) // cells would outnumber points
+      OperatingPoint.semDedupCells(21180, 4) // below the floor
     }
   }
 
