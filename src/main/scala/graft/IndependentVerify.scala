@@ -1189,6 +1189,17 @@ object IndependentVerify {
   private def checkV8(spark: SparkSession, vecs: Array[Vec],
       out: String, planes: Int = 4,
       centered: Boolean = false): (Digest, Digest) = {
+    val labels = v8Labels(vecs, planes, centered)
+    val exp = new Digest
+    vecs.foreach(v => exp.add(s"${v.id}$Sep${labels(v.id)}"))
+    (exp, digestOutput(spark, out, Seq("vec_id", "component")))
+  }
+
+  /** Component labels from union-find over the independently recomputed
+    * v3 pair set ([[checkV8]]'s front half, shared with the v14
+    * retention replay). */
+  private def v8Labels(vecs: Array[Vec], planes: Int, centered: Boolean)
+      : scala.collection.mutable.LongMap[Long] = {
     // edges pack as (a<<32)|b — loud guard instead of silent aliasing
     require(vecs.forall(v => v.id >= 0 && v.id < (1L << 32)),
       "edge packing assumes vec_id in [0, 2^32)")
@@ -1219,10 +1230,92 @@ object IndependentVerify {
     }.seq
     val uf = new UnionFind
     edgeChunks.foreach(_.foreach(pk => uf.union(pk >>> 32, pk & 0xffffffffL)))
-    val labels = uf.labels(vecs.iterator.map(_.id).toVector)
+    uf.labels(vecs.iterator.map(_.id).toVector)
+  }
+
+  /** Shared tail of the v14 retention replays: component labels →
+    * integer-sum component means (the `centroidMeans` discipline:
+    * per-(component, i) bigint sums of round(x·1e8), then
+    * sum/count/1e8 in the library's division order) → round6 centroid
+    * sims → keep = (min sim, id asc) per component — the SemDeDup
+    * keep-farthest policy [[graft.operators.VectorOps.embedRetentionOver]]
+    * computes on the TopKRows heap. */
+  private def retentionDigest(spark: SparkSession, vecs: Array[Vec],
+      labels: scala.collection.mutable.LongMap[Long],
+      out: String): (Digest, Digest) = {
+    val dim = vecs(0).v.length
+    val sums = new scala.collection.mutable.LongMap[Array[Long]]()
+    val cnts = new scala.collection.mutable.LongMap[Long]()
+    vecs.foreach { v =>
+      val c = labels(v.id)
+      val s = sums.getOrElseUpdate(c, new Array[Long](dim))
+      var i = 0
+      while (i < dim) { s(i) += rndLong(v.v(i) * 1e8); i += 1 }
+      cnts(c) = cnts.getOrElse(c, 0L) + 1L
+    }
+    val means = new scala.collection.mutable.LongMap[Array[Double]]()
+    val meanNorm = new scala.collection.mutable.LongMap[Double]()
+    sums.foreach { case (c, s) =>
+      val cnt = cnts(c).toDouble
+      val m = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { m(i) = s(i).toDouble / cnt / 1e8; i += 1 }
+      means(c) = m; meanNorm(c) = math.sqrt(norm2(m))
+    }
+    val sims = new Array[Double](vecs.length)
+    (0 until vecs.length).par.foreach { i =>
+      val v = vecs(i); val c = labels(v.id)
+      val nv = math.sqrt(norm2(v.v)); val nm = meanNorm(c)
+      val raw =
+        if (nv == 0.0 || nm == 0.0) 0.0 else dot(v.v, means(c)) / (nv * nm)
+      sims(i) = rnd(raw, 6)
+    }
+    val bestIdx = new scala.collection.mutable.LongMap[Int]()
+    vecs.indices.foreach { i =>
+      val c = labels(vecs(i).id)
+      bestIdx.get(c) match {
+        case Some(j) =>
+          if (sims(i) < sims(j) ||
+              (sims(i) == sims(j) && vecs(i).id < vecs(j).id)) bestIdx(c) = i
+        case None => bestIdx(c) = i
+      }
+    }
     val exp = new Digest
-    vecs.foreach(v => exp.add(s"${v.id}$Sep${labels(v.id)}"))
-    (exp, digestOutput(spark, out, Seq("vec_id", "component")))
+    vecs.indices.foreach { i =>
+      val c = labels(vecs(i).id)
+      val canonical = vecs(bestIdx(c)).id
+      exp.add(s"${vecs(i).id}$Sep$c$Sep" +
+        s"${java.lang.Double.toString(sims(i))}$Sep" +
+        s"${vecs(i).id == canonical}$Sep$canonical")
+    }
+    (exp, digestOutput(spark, out,
+      Seq("vec_id", "component", "centroid_sim", "keep", "canonical")))
+  }
+
+  /** v14 pinned: retention over [[checkV8]]'s 4-plane pair graph. */
+  private def checkV14(spark: SparkSession, vecs: Array[Vec],
+      out: String): (Digest, Digest) =
+    retentionDigest(spark, vecs, v8Labels(vecs, 4, centered = false), out)
+
+  /** v14 AUTO: retention over the policy front door's dedup-band arm
+    * ([[graft.operators.VectorOps.embedRetentionAuto]] with no recall
+    * contract dispatches to the learned-cell blocker at the auto
+    * operating point — same flat/hier switch as v13_auto), replayed
+    * end to end: sem membership → pair edges → union-find → the shared
+    * retention tail. */
+  private def checkV14Auto(spark: SparkSession, vecs: Array[Vec],
+      out: String): (Digest, Digest) = {
+    val k = graft.operators.OperatingPoint.semDedupCells(vecs.length)
+    val (cell1, cell2) =
+      if (k > graft.operators.OperatingPoint.semHierCells)
+        semCellsHier(vecs, k, 3)
+      else semCellsFlat(vecs, k, 3, modInit = true)
+    val (_, edges) =
+      semPairsCompute(vecs, cell1, cell2, 0.8, collectEdges = true)
+    val uf = new UnionFind
+    edges.foreach(pk => uf.union(pk >>> 32, pk & 0xffffffffL))
+    retentionDigest(spark, vecs,
+      uf.labels(vecs.iterator.map(_.id).toVector), out)
   }
 
   /** v4: IVF batch k-NN join (first-`kCells` centroids, 2 probes, top-3;
@@ -1471,6 +1564,22 @@ object IndependentVerify {
   private def semPairsDigest(spark: SparkSession, vecs: Array[Vec],
       cell1: Array[Int], cell2: Array[Int], threshold: Double,
       out: String): (Digest, Digest) = {
+    val (exp, _) =
+      semPairsCompute(vecs, cell1, cell2, threshold, collectEdges = false)
+    (exp, digestOutput(spark, out, Seq("a_id", "b_id", "sim")))
+  }
+
+  /** The sem families' pair loop, emitting the expected-side digest and —
+    * when `collectEdges` — the surviving pairs packed as (a<<32)|b for
+    * the v14 retention replay's union-find (same packing/guard as
+    * [[v8Labels]]; ~8 B/pair, bounded by the family's candidates-linear
+    * gate). */
+  private def semPairsCompute(vecs: Array[Vec],
+      cell1: Array[Int], cell2: Array[Int], threshold: Double,
+      collectEdges: Boolean): (Digest, Array[Long]) = {
+    if (collectEdges)
+      require(vecs.forall(v => v.id >= 0 && v.id < (1L << 32)),
+        "edge packing assumes vec_id in [0, 2^32)")
     val n = vecs.length
     val norms = new Array[Double](n)
     val sufs = new Array[Array[Double]](n)
@@ -1501,8 +1610,9 @@ object IndependentVerify {
     import scala.jdk.CollectionConverters._
     val work = buckets.entrySet().asScala.toVector
       .map(e => (e.getKey.intValue, e.getValue.result()))
-    val exp = mergeAll(work.par.map { case (cid, arr) =>
+    val results = work.par.map { case (cid, arr) =>
       val dg = new Digest
+      val eb = new scala.collection.mutable.ArrayBuilder.ofLong
       var i = 0
       while (i < arr.length) {
         var j = i + 1
@@ -1519,6 +1629,7 @@ object IndependentVerify {
                   if (vecs(a).id < vecs(b).id) (vecs(a).id, vecs(b).id)
                   else (vecs(b).id, vecs(a).id)
                 dg.add(s"$x$Sep$y$Sep${java.lang.Double.toString(sim)}")
+                if (collectEdges) eb += (x << 32) | y
               }
             }
           }
@@ -1526,9 +1637,15 @@ object IndependentVerify {
         }
         i += 1
       }
-      dg
-    }.seq)
-    (exp, digestOutput(spark, out, Seq("a_id", "b_id", "sim")))
+      (dg, eb.result())
+    }.seq
+    val edges =
+      if (collectEdges) {
+        val out = new scala.collection.mutable.ArrayBuilder.ofLong
+        results.foreach(r => out ++= r._2)
+        out.result()
+      } else Array.emptyLongArray
+    (mergeAll(results.map(_._1)), edges)
   }
 
   /** v13: SemDeDup-shape learned-cell near-dup
@@ -1538,13 +1655,20 @@ object IndependentVerify {
   private def checkSemPairs(spark: SparkSession, vecs: Array[Vec],
       out: String, k: Int, iters: Int, threshold: Double,
       modInit: Boolean): (Digest, Digest) = {
+    val (cell1, cell2) = semCellsFlat(vecs, k, iters, modInit)
+    semPairsDigest(spark, vecs, cell1, cell2, threshold, out)
+  }
+
+  /** Flat-arm top-2 cell membership ([[checkSemPairs]]'s front half,
+    * shared with the v14 retention replay). */
+  private def semCellsFlat(vecs: Array[Vec], k: Int, iters: Int,
+      modInit: Boolean): (Array[Int], Array[Int]) = {
     val cent = lloydCentroids(vecs, iters, k, modInit)
     val norms = new Array[Double](vecs.length)
     (0 until vecs.length).par.foreach(i =>
       norms(i) = math.sqrt(norm2(vecs(i).v)))
     val cands = cent.map { case (cid, c) => (cid, c, math.sqrt(norm2(c))) }
-    val (cell1, cell2) = top2Cells(vecs, norms, _ => cands)
-    semPairsDigest(spark, vecs, cell1, cell2, threshold, out)
+    top2Cells(vecs, norms, _ => cands)
   }
 
   /** v13 HIERARCHICAL arm
@@ -1555,6 +1679,14 @@ object IndependentVerify {
     * (cid = sup·Kl + lc), then the shared pairs/verify tail. */
   private def checkSemPairsHier(spark: SparkSession, vecs: Array[Vec],
       out: String, k: Int, iters: Int, threshold: Double): (Digest, Digest) = {
+    val (cell1, cell2) = semCellsHier(vecs, k, iters)
+    semPairsDigest(spark, vecs, cell1, cell2, threshold, out)
+  }
+
+  /** Hier-arm top-2 composite-cell membership ([[checkSemPairsHier]]'s
+    * front half, shared with the v14 retention replay). */
+  private def semCellsHier(vecs: Array[Vec], k: Int,
+      iters: Int): (Array[Int], Array[Int]) = {
     val n = vecs.length
     val k1 = math.max(2, math.ceil(math.sqrt(2.0 * k)).toInt)
     val kl = math.max(1, math.ceil(k.toDouble / k1).toInt)
@@ -1641,13 +1773,12 @@ object IndependentVerify {
         (rnd(raw, 6), cid)
       }.sortBy { case (cs, cid) => (-cs, cid) }.take(probes).map(_._2)
     }
-    val (cell1, cell2) = top2Cells(vecs, norms, { i =>
+    top2Cells(vecs, norms, { i =>
       topSup(i).flatMap { s =>
         locals.getOrDefault(s, Array.empty[(Int, Array[Double], Double)])
           .map { case (lc, c, nn) => (s * kl + lc, c, nn) }
       }
     })
-    semPairsDigest(spark, vecs, cell1, cell2, threshold, out)
   }
 
   /** dd5: banded ≥0.94 match + rank-gated upsert replay. */
@@ -1826,12 +1957,13 @@ object IndependentVerify {
       "dd8_cluster_retention", "dd9_span_grams", "dd10_span_scrub",
       "c1_curation_funnel", "c5_curation_pipeline", "v3_neardup_embeddings",
       "v4_knn_join", "v5_ivf_assign", "v5_kmeans_ivf", "v6_rp_lsh_neardup",
-      "v8_embed_clusters", "v12_sketch_neardup", "v13_semdedup_pairs")
+      "v8_embed_clusters", "v12_sketch_neardup", "v13_semdedup_pairs",
+      "v14_embed_retention")
     // the AUTO operating-point recomputes (graft.SixthDecade dumps them) —
     // opt-in by name, never part of the default pinned sweep
     val autoNames = Seq("v3_auto", "v6_auto", "v8_auto", "v4_auto",
       "dd5_auto", "dd6w_auto", "v12_auto", "v13_auto", "v13flat_auto",
-      "v13hier_auto")
+      "v13hier_auto", "v14_auto")
     val wanted =
       if (args.length >= 3) {
         val fs = args(2).split(",").toSeq
@@ -1891,6 +2023,7 @@ object IndependentVerify {
           case "v5_kmeans_ivf"         => checkV5Kmeans(spark, vecs, path)
           case "v13_semdedup_pairs"    => checkSemPairs(spark, vecs, path,
             8, 3, 0.30, modInit = false)
+          case "v14_embed_retention"   => checkV14(spark, vecs, path)
           // AUTO operating points: derived from corpus size by the SAME
           // OperatingPoint formulas the library entrypoints use (shared
           // config, independent computation)
@@ -1923,6 +2056,7 @@ object IndependentVerify {
           case "v13hier_auto" => checkSemPairsHier(spark, vecs, path,
             graft.operators.OperatingPoint.semDedupCells(vecs.length),
             3, 0.8)
+          case "v14_auto" => checkV14Auto(spark, vecs, path)
         }
         val secs = (System.nanoTime() - t0) / 1e9
         val ok = exp.same(act)

@@ -29,7 +29,8 @@ object SixthDecade {
       "usage: graft.SixthDecade <sfDir> <outDir> [namesCsv]")
     val sfDir = args(0); val outDir = args(1)
     val all = Seq("v3_auto", "v6_auto", "v8_auto", "v4_auto", "dd5_auto",
-      "dd6w_auto", "v12_auto", "v13_auto", "v13flat_auto", "v13hier_auto")
+      "dd6w_auto", "v12_auto", "v13_auto", "v13flat_auto", "v13hier_auto",
+      "v14_auto")
     val wanted =
       if (args.length >= 3) {
         val fs = args(2).split(",").toSeq
@@ -82,6 +83,8 @@ object SixthDecade {
             operators.VectorOps.semDedupPairsHierAuto(vecs)
           case "dd6w_auto" =>
             operators.DedupOps.simhashPairsWideAutoQ(spark, sfDir)
+          case "v14_auto" =>
+            operators.VectorOps.embedRetentionAuto(vecs)
         }
         parts.fold(df.coalesce(1))(p => df.repartition(p))
           .write.mode("overwrite").parquet(s"$outDir/$name")
