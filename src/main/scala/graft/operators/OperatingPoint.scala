@@ -147,7 +147,9 @@ object OperatingPoint {
     * separators. What recall actually rides on is corpus GROWTH at
     * constant occupancy (K ∝ n fragmentation — the ~0.1/decade law in
     * BASELINE §5), which no fixed dial fixes. So: dial DOWN for a
-    * cheaper bill at equal-or-better recall, dial up only to
+    * cheaper bill at equal-or-better recall — confirmed one decade up
+    * at the production grain (×100×384, two-level arm: c=64 reads
+    * 0.896 at 127·n vs c=128's 0.874 at 254·n) — and dial up only to
     * re-measure. The cap 240 keeps the
     * measured bill (≈ 2c·n + ~2% top-2 spill) inside the embedding
     * family's 500·n candidates-linear gate — c=250 measured 504-508·n,

@@ -249,6 +249,30 @@ class VectorGateSpec extends SparkSpec {
       rows(VectorOps.nearDupPairsAuto(e, 0.3, n)))
   }
 
+  test("embed retention: SemDeDup keep-farthest semantics on a hand-built cluster") {
+    // component 7 = {v0 near the mean, v1 near, v2 the outlier}; component
+    // 9 = a singleton. The SemDeDup policy keeps the member FARTHEST from
+    // the integer-sum mean (min round6 cosine), so v2 is canonical and the
+    // singleton keeps itself at sim 1.0.
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)), (2L, Array(0.6, 0.4)),
+      (3L, Array(0.0, 1.0)))
+      .toDF("vec_id", "v")
+    val comps = Seq((0L, 7L), (1L, 7L), (2L, 7L), (3L, 9L))
+      .toDF("vec_id", "component")
+    val rows = VectorOps.embedRetentionOver(e, comps)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3), r.getLong(4))).toMap
+    assert(rows(2)._3 && rows(2)._4 == 2L, s"outlier v2 must be kept: $rows")
+    assert(!rows(0)._3 && rows(0)._4 == 2L)
+    assert(!rows(1)._3 && rows(1)._4 == 2L)
+    assert(rows(3)._3 && rows(3)._4 == 3L && rows(3)._2 == 1.0,
+      s"singleton keeps itself at sim 1: ${rows(3)}")
+    // the outlier really is the min-sim member
+    assert(rows(2)._2 < rows(0)._2 && rows(2)._2 < rows(1)._2)
+  }
+
   test("Lloyd objective is non-increasing across every iteration") {
     def meanSim(iters: Int): Double =
       VectorOps.kmeansAssign(e, VectorOps.kmeansCentroids(e, iters))
