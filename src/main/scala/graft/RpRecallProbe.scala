@@ -38,7 +38,8 @@ object RpRecallProbe {
   private val SemOcc = "(sem|semflat|semhier):(\\d+)".r
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: RpRecallProbe <sfDir> <v3|hs|dump> [dumpDir]")
+    require(args.length >= 2, "usage: RpRecallProbe <sfDir> " +
+      "<v3|hs|sem|semflat|semhier|sem[flat|hier]:<occ>|dump> [dumpDir]")
     val sfDir = args(0); val mode = args(1)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")

@@ -138,7 +138,7 @@ object OperatingPoint {
     * `occupancy` is the family's COST dial — and measuring it RETIRED
     * the prior hypothesis: BASELINE §5 had claimed "candidates ≈ 2c·n
     * buys recall linearly in c", but the ×10 twin-fixture sweep
-    * (RpRecallProbe `semflat:<c>`, c ∈ {64,128,192,240}) measured ≥0.8
+    * (RpRecallProbe `semflat:<c>`, c ∈ {64,128,192,250}) measured ≥0.8
     * recall FLAT in c at dim 64 (0.905-0.919 across a 4× bill) and
     * monotonically DECREASING at dim 384 (0.979 at c=64 → 0.944 at
     * c=250): at the production dim FINER cells win on recall AND bill

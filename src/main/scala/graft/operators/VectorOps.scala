@@ -1313,14 +1313,15 @@ object VectorOps {
     * ([[GraphOps.connectedComponents]]) is arm-independent. */
   def dedupPairsAuto(e: DataFrame, targetSim: Double = 0.8,
       recallTarget: Option[Double] = None,
-      countEstimate: Option[Long] = None, dim: Int = Dim): DataFrame =
+      countEstimate: Option[Long] = None, dim: Int = Dim,
+      targetOccupancy: Int = 128): DataFrame =
     OperatingPoint.dedupBlocker(targetSim, recallTarget) match {
       case "rp-highsim" =>
         nearDupPairsHighSim(e, targetSim, recallTarget.get,
           threshold = targetSim, countEstimate = countEstimate, dim = dim)
       case "sem" =>
         semDedupPairsAuto(e, threshold = targetSim,
-          countEstimate = countEstimate)
+          countEstimate = countEstimate, targetOccupancy = targetOccupancy)
       case _ =>
         nearDupPairsAuto(e, threshold = targetSim,
           countEstimate = countEstimate, dim = dim)

@@ -130,6 +130,22 @@ class PlanGateSpec extends SparkSpec {
     assert(!plan.contains("Sort "), plan)
   }
 
+  test("v14 keep decision is the bounded heap aggregate (no window)") {
+    // the retention keep is (min centroid_sim, id asc) per component —
+    // the dd8 shape, but on TopKRows k=1 instead of a window, so no
+    // per-component sort of the corpus-sized scored stream exists
+    // anywhere in the final stage (the SMJ's key sort is the honest
+    // scale plan and stays). The struct ranked is (double, long) — no
+    // array field, so the hash-agg path holds (the round-16 Lloyd
+    // SortAggregate lesson).
+    val plan = SparkEntry.queries("v14_embed_retention")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("Window "), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
   test("no query shuffle-joins a fixed-cardinality dim when auto-broadcast is off") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
