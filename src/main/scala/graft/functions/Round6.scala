@@ -102,4 +102,33 @@ object Round6 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "round6", exprs => Round6(exprs.head), "scala_udf")
+
+  /** Bit-equal replication of the integer-sum mean's per-element scaling,
+    * `CAST(round(x * 1e8, 0) AS BIGINT)`, for the driver-hosted Lloyd loop
+    * (VectorOps.kmeansCentroidsLocal): Spark's Round on a double is
+    * `BigDecimal.valueOf(s).setScale(0, HALF_UP).doubleValue()` and the
+    * bigint cast truncates toward zero. Fast path mirrors [[round6]]'s
+    * guard-band argument at scale 0: for |s| ≤ 1e9 (ulp ≈ 1.2e-7, so the
+    * shortest-decimal repr sits within 6e-8 of s — ≥ 8× inside the 1e-6
+    * band) the away-from-zero `floor(|s| + 0.5)` is provably the same
+    * integer; near a .5 boundary or beyond 1e9 it falls back to the exact
+    * BigDecimal arithmetic (Round6Spec drives the equality generatively
+    * and at the boundaries). */
+  def microLong(x: Double): Long = {
+    val s = x * 1.0e8
+    val as = math.abs(s)
+    if (as <= 1.0e9) {
+      val d = as - math.floor(as)
+      if (math.abs(d - 0.5) <= 1.0e-6) exactMicro(s)
+      else {
+        val r = math.floor(as + 0.5)
+        (if (s < 0) -r else r).toLong
+      }
+    } else exactMicro(s)
+  }
+
+  private def exactMicro(s: Double): Long =
+    if (java.lang.Double.isNaN(s) || java.lang.Double.isInfinite(s)) s.toLong
+    else java.math.BigDecimal.valueOf(s)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
 }

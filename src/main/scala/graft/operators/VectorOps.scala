@@ -149,23 +149,67 @@ object VectorOps {
     * greedy argmax, applied to Lloyd. */
   private val KmK = 8; private val KmIters = 3
 
-  /** One cosine-argmax assignment pass: every vector joined to its single
-    * best centroid (broadcast of K centroids, no shuffle of the corpus).
-    * The argmax is the bounded [[graft.functions.TopKRows]] heap at k=1 —
-    * (csim desc, cid asc), round(·,6) BEFORE the rank so the cell choice
-    * is engine-independent (the [[kmeansIvfAssign]] policy, shared by the
-    * Lloyd loop so the iterated path is oracle-able too).
+  /** Size guard for the fused-assignment path: the centroid matrix is
+    * collected to the driver and rides the stage's task-binary broadcast
+    * inside [[graft.functions.TopCells]], so it must stay comfortably
+    * plan-sized. 2^22 doubles = 32 MB — K ≤ 65k cells at dim 64, ≤ 10.9k
+    * at dim 384; every current operating point (pinned K=8, IVF K ≈
+    * 16·√(n/2000), the n/128 blocking grain through ×1000×64, hier
+    * supers/locals) fits. Beyond it the distributed crossJoin+heap form
+    * below remains the honest plan. */
+  private[graft] val TopCellsMaxDoubles: Long = 1L << 22
+
+  /** Collect a (cid, c) centroid frame to driver arrays, cid-ascending
+    * (rank result is order-independent; sorting keeps runs comparable). */
+  private[graft] def collectCentroids(centroids: DataFrame)
+      : Array[(Int, Array[Double])] =
+    centroids.select(col("cid"), col("c")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  private def centSize(cents: Array[(Int, Array[Double])]): Long =
+    cents.iterator.map(_._2.length.toLong).sum
+
+  /** One cosine-argmax assignment pass against DRIVER-HOSTED centroids
+    * (the MLlib shape: centroids live on the driver between Lloyd passes;
+    * each row ranks them in one fused loop — [[graft.functions.TopCells]]).
+    * Map-only: no n·K expansion, no aggregate, no exchange. Same
+    * round6-before-rank, same (csim DESC, cid ASC) policy, so the v5/v13
+    * oracles and every ×N digest are unchanged (TopCells' scaladoc pins
+    * the bit-equality argument). */
+  private[graft] def kmeansAssignLocal(e: DataFrame,
+      cents: Array[(Int, Array[Double])]): DataFrame =
+    e.select(col("vec_id"), col("v"),
+        element_at(graft.functions.TopCells.top(col("v"), 1, cents), 1)
+          .as("best"))
+      // empty centroid set ⇒ empty assignment, like the join form
+      .filter(col("best").isNotNull)
+      .select(col("vec_id"), col("v"),
+        col("best.cid").as("cid"), col("best.csim").as("sim"))
+
+  /** One cosine-argmax assignment pass: fused driver-hosted form when the
+    * centroid matrix fits [[TopCellsMaxDoubles]] (it always does at the
+    * current operating points), else the distributed crossJoin + bounded-
+    * heap form. The argmax policy is identical in both: round(·,6) BEFORE
+    * the rank, (csim desc, cid asc) — the [[kmeansIvfAssign]] policy,
+    * shared by the Lloyd loop so the iterated path is oracle-able too.
     *
-    * Round-16 scale lesson: the former max-over-struct form carried `v`
-    * INSIDE the struct, and a struct with an array field has no mutable
-    * hash-agg buffer, so Catalyst planned SortAggregateExec — which SORTS
-    * the whole n·K expansion per partition. Invisible at the pinned K=8
-    * and the ×10 gate's K=165; at the ×1000 blocking grain (K=16,546,
-    * 3.5e10 expansion rows) the spill filled the disk. The heap agg is
-    * ObjectHashAggregate with ≤1 tiny row per group — same winner by the
-    * same (sim desc, cid asc) policy, so the v5/v13 oracles and digests
-    * are unchanged. */
+    * Round-16 scale lesson (kept for the distributed arm): the former
+    * max-over-struct form carried `v` INSIDE the struct, and a struct
+    * with an array field has no mutable hash-agg buffer, so Catalyst
+    * planned SortAggregateExec — which SORTS the whole n·K expansion per
+    * partition. Invisible at the pinned K=8 and the ×10 gate's K=165; at
+    * the ×1000 blocking grain (K=16,546, 3.5e10 expansion rows) the spill
+    * filled the disk. The heap agg is ObjectHashAggregate with ≤1 tiny
+    * row per group — same winner by the same (sim desc, cid asc) policy. */
   private[graft] def kmeansAssign(e: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
+    if (centSize(cents) <= TopCellsMaxDoubles) kmeansAssignLocal(e, cents)
+    else kmeansAssignDistributed(e, centroids)
+  }
+
+  private[graft] def kmeansAssignDistributed(e: DataFrame,
       centroids: DataFrame): DataFrame = {
     graft.functions.TopKRows.register(e.sparkSession)
     e.crossJoin(broadcast(centroids))
@@ -197,24 +241,106 @@ object VectorOps {
     * ties are engine-independent via round(·,6)-before-argmax in
     * [[kmeansAssign]]. */
   private[graft] def kmeansCentroids(e: DataFrame, iters: Int,
-      k: Int = KmK, modInit: Boolean = false): DataFrame = {
-    var cent =
-      if (modInit)
-        // random-partition-mean init (cid = vec_id mod K): every cell
-        // non-empty for n ≥ K regardless of the corpus's id layout — the
-        // ×N fixtures hold base ids plus +1e6·copy blocks, so a first-K
-        // id filter past K ≈ 2118 seeds FEWER than K cells and occupancy
-        // (hence candidate count) silently multiplies. Same integer-sum
-        // mean as every Lloyd step, so the init is engine-replayable.
-        centroidMeans(e.select(pmod(col("vec_id"), lit(k.toLong))
-          .cast("int").as("cid"), col("v")))
-      else e.filter(col("vec_id") < k)
-        .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
-    for (_ <- 1 to iters) {
-      cent = centroidMeans(kmeansAssign(e, cent))
-        .localCheckpoint(eager = false)
-    }
-    cent
+      k: Int = KmK, modInit: Boolean = false): DataFrame =
+    toCentFrame(e.sparkSession, kmeansCentroidsLocal(e, iters, k, modInit))
+
+  /** Lloyd's training with DRIVER-HOSTED centroids (the MLlib loop shape):
+    * each pass is ONE job — fused argmax assignment
+    * ([[kmeansAssignLocal]], map-only) feeding the (cid, i) integer-sum
+    * aggregation, whose K·dim result rows collect back to the driver for
+    * the next pass. The former loop materialized each pass's centroids as
+    * a checkpointed DataFrame and re-derived the argmax through an n·K
+    * crossJoin + heap aggregate — 2 exchanges + a broadcast build + a
+    * checkpoint per pass of pure plan machinery around what is,
+    * per iteration, a K·dim-sized reduction (guide §1.2: fix the
+    * distributed algorithm first). Centroid VALUES are bit-identical:
+    * same per-element round(x·1e8)::bigint sums, same
+    * sum.double / count.double / 1e8 division order, same
+    * round6-before-argmax assignment — the v5/v13 oracle hashes and every
+    * ×N digest pin this.
+    *
+    * modInit: random-partition-mean init (cid = vec_id mod K) — every
+    * cell non-empty for n ≥ K regardless of the corpus's id layout (the
+    * ×N fixtures hold base ids plus +1e6·copy blocks, so a first-K id
+    * filter past K ≈ 2118 seeds FEWER than K cells and occupancy — hence
+    * candidate count — silently multiplies). Same integer-sum mean as
+    * every Lloyd step, so the init is engine-replayable. */
+  private[graft] def kmeansCentroidsLocal(e: DataFrame, iters: Int,
+      k: Int = KmK, modInit: Boolean = false): Array[(Int, Array[Double])] = {
+    // ONE Catalyst plan for the whole training: the loop below runs on a
+    // persisted RDD, so each Lloyd pass is a single ~10 ms RDD job with no
+    // per-iteration analysis/optimization/codegen (measured: the former
+    // per-iteration DataFrame plans spent more driver time BETWEEN jobs —
+    // planning — than in them at fixture scale)
+    val rdd = e.select(col("vec_id"), col("v")).rdd
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-partition (cid → integer component sums + count), merged on
+      // the driver: Long adds are order-free, so the totals are exactly
+      // the former hash-aggregate's, and the two final IEEE divisions run
+      // on identical operands — centroid VALUES are bit-identical
+      def means(assign: (Long, Array[Double]) => Int)
+          : Array[(Int, Array[Double])] = {
+        val partials = rdd.mapPartitions { it =>
+          val acc = new java.util.HashMap[Int, (Array[Long], Array[Long])]()
+          while (it.hasNext) {
+            val (id, v) = it.next()
+            val cid = assign(id, v)
+            var slot = acc.get(cid)
+            if (slot == null) {
+              slot = (new Array[Long](v.length), new Array[Long](1))
+              acc.put(cid, slot)
+            }
+            var i = 0
+            while (i < v.length) {
+              slot._1(i) += graft.functions.Round6.microLong(v(i))
+              i += 1
+            }
+            slot._2(0) += 1
+          }
+          import scala.jdk.CollectionConverters._
+          acc.entrySet().iterator().asScala
+            .map(en => (en.getKey, en.getValue._1, en.getValue._2(0)))
+        }.collect()
+        partials.groupBy(_._1).map { case (cid, parts) =>
+          val dim = parts.head._2.length
+          val sums = new Array[Long](dim); var cnt = 0L
+          parts.foreach { case (_, s, c) =>
+            var i = 0
+            while (i < dim) { sums(i) += s(i); i += 1 }
+            cnt += c
+          }
+          (cid, sums.map(s => s.toDouble / cnt.toDouble / 1e8))
+        }.toArray.sortBy(_._1)
+      }
+      var cents: Array[(Int, Array[Double])] =
+        if (modInit) means((id, _) => java.lang.Math.floorMod(id, k.toLong).toInt)
+        else e.filter(col("vec_id") < k)
+          .select(col("vec_id").cast("int").as("cid"), col("v"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+      for (_ <- 1 to iters) {
+        val (cids, cs) = (cents.map(_._1), cents.map(_._2))
+        cents = means((_, v) => graft.functions.TopCells.argmax(v, cids, cs))
+      }
+      cents
+    } finally rdd.unpersist(blocking = false)
+  }
+
+  private[graft] def toCentFrame(s: SparkSession,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      cents.map { case (cid, c) =>
+        org.apache.spark.sql.Row(cid, c.toSeq) }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false))))
   }
 
   /** Component means of each cell's members, with the integer-sum
@@ -1029,12 +1155,23 @@ object VectorOps {
 
   // ---- SemDeDup-shape near-dup: LEARNED cells as the blocking key ----
 
-  /** Top-2-cell membership of every vector (the [[knnJoinOver]] `ranked`
-    * shape, reused by the learned-cell blocker): rounded-cosine rank
-    * against a broadcast centroid table via the bounded TopKRows heap —
-    * the n·K expansion collapses map-side, ≤2 rows per vector cross the
-    * shuffle, and (csim DESC, cid ASC) mirrors the oracle's row_number. */
-  private[graft] def cellMembers(e: DataFrame, cent: DataFrame): DataFrame =
+  /** Top-2-cell membership of every vector: the fused driver-hosted rank
+    * ([[graft.functions.TopCells]] k=2 — map-only, no n·K expansion, no
+    * exchange) when the matrix fits [[TopCellsMaxDoubles]]; the broadcast
+    * crossJoin + bounded TopKRows heap beyond it. (csim DESC, cid ASC)
+    * mirrors the oracle's row_number in both arms. */
+  private[graft] def cellMembers(e: DataFrame, cent: DataFrame): DataFrame = {
+    val cents = collectCentroids(cent)
+    if (centSize(cents) <= TopCellsMaxDoubles)
+      e.select(col("vec_id"), col("v"),
+          explode(graft.functions.TopCells.top(col("v"), 2, cents))
+            .as("cell"))
+        .select(col("vec_id"), col("v"), col("cell.cid").as("cid"))
+    else cellMembersDistributed(e, cent)
+  }
+
+  private[graft] def cellMembersDistributed(e: DataFrame,
+      cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("v"), col("cid"),
         expr("round6(cosine_sim(v, c))").as("csim"))
