@@ -70,7 +70,8 @@ object GraphProbe {
     val smallE = chainEdges(smallN).localCheckpoint()
     smallE.count()
     val t0 = System.nanoTime()
-    val localComps = GraphOps.componentsLocal(smallNodes, smallE)
+    val localComps = GraphOps.componentsLocal(smallNodes,
+        smallE.collect().map(r => (r.getLong(0), r.getLong(1))))
       .select(countDistinct(col("component"))).head().getLong(0)
     val localWall = (System.nanoTime() - t0) / 1e9
     require(localComps == (smallN + 63) / 64)

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused distinct-shingle hash array: for a words array, returns the
+  * 48-bit md5 hashes of the distinct 3-word shingles, first-occurrence
+  * order — ONE primitive loop per document.
+  *
+  * Replaces the composed three-HOF chain
+  * `transform(array_distinct(transform(sequence(...), i ->
+  * array_join(slice(words, i+1, 3), ' '))), x ->
+  * cast(conv(substring(md5(x), 1, 12), 16, 10) as bigint))`, whose
+  * lambdas all evaluate INTERPRETED (per shingle: a slice allocation, a
+  * join, then an md5 → hex string → substring → base-16 re-parse). The
+  * fused loop builds each shingle's bytes once, digests them once, and
+  * reads the hash as the first 6 digest bytes — `substring(md5hex, 1,
+  * 12)` parsed base-16 IS the first 6 bytes of the digest as an unsigned
+  * 48-bit integer, so values are bit-identical to the composed form and
+  * the DuckDB oracle (ShingleHashesSpec pins equality generatively,
+  * including sub-3-word docs, empty docs, and duplicate shingles).
+  *
+  * Distinctness is on the SHINGLE STRING (as in the composed form), not
+  * the hash, so a 48-bit collision between distinct shingles still emits
+  * both hashes — exactly like the original.
+  */
+case class ShingleHashes(child: Expression) extends UnaryExpression
+  with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.eval(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = graft.functions.ShingleHashes.eval($v);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def eval(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    // sequence(0, greatest(n-3, 0)) → shingle starts 0..max(n-3, 0)
+    val last = math.max(n - 3, 0)
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new java.util.ArrayList[java.lang.Long](last + 1)
+    val md = digest.get()
+    var i = 0
+    while (i <= last) {
+      // slice(words, i+1, 3): up to 3 words from i, joined with ' '
+      val hi = math.min(i + 3, n)
+      var shingle = if (i < n) words.getUTF8String(i) else UTF8String.EMPTY_UTF8
+      var w = i + 1
+      while (w < hi) {
+        shingle = UTF8String.concat(shingle,
+          UTF8String.fromString(" "), words.getUTF8String(w))
+        w += 1
+      }
+      if (seen.add(shingle)) {
+        md.reset()
+        val d = md.digest(shingle.getBytes)
+        // first 6 digest bytes == substring(hex, 1, 12) parsed base 16
+        val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+          ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+          ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+        out.add(h)
+      }
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j).longValue(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Register `shingle_hashes(words)`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHashes(exprs.head), "scala_udf")
+}

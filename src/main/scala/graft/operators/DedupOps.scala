@@ -143,9 +143,23 @@ object DedupOps {
     }
 
   /** Shared front of the MinHash pipeline: doc_id + distinct shingle-hash
-    * array (48 bits of md5 per shingle, hex→int via codegen'd `conv`).
-    * Pure map-side projection — no shuffle, scales at scan speed. */
-  private def docShingleHashesOf(corpus: DataFrame): DataFrame =
+    * array (48 bits of md5 per shingle). Pure map-side projection — no
+    * shuffle, scales at scan speed. The shingling + hashing runs as the
+    * fused [[graft.functions.ShingleHashes]] expression (one primitive
+    * loop per document); the former three-HOF chain evaluated every
+    * lambda interpreted with a per-shingle hex→conv re-parse and measured
+    * ~0.5 s of the ~0.7 s LSH front at sf0.1. Values are bit-identical
+    * (ShingleHashesSpec pins the equality against the composed form). */
+  private def docShingleHashesOf(corpus: DataFrame): DataFrame = {
+    graft.functions.ShingleHashes.register(corpus.sparkSession)
+    corpus
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), expr("shingle_hashes(words)").as("hs"))
+  }
+
+  /** The composed-HOF form ShingleHashes replaced — kept as the
+    * equality oracle for ShingleHashesSpec. */
+  private[graft] def docShingleHashesComposed(corpus: DataFrame): DataFrame =
     corpus
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), expr(shinglesDistinctSpark).as("shs"))

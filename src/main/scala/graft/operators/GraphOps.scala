@@ -58,7 +58,13 @@ object GraphOps {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
     val e = canonical(edges).localCheckpoint()
-    if (e.count() <= DriverPathCutoff) componentsLocal(nodes, e)
+    // count-then-collect, NOT limit(cutoff+1).collect(): executeTake
+    // schedules partitions incrementally (1, then ×4 per round — up to 4
+    // jobs on a 32-partition checkpoint), measured SLOWER than these two
+    // single-job actions over the already-materialized blocks
+    if (e.count() <= DriverPathCutoff)
+      componentsLocal(nodes,
+        e.collect().map(r => (r.getLong(0), r.getLong(1))))
     else componentsDistributed(nodes, e, maxIter)
   }
 
@@ -69,10 +75,10 @@ object GraphOps {
       .filter(col("a") =!= col("b") && col("a").isNotNull)
       .distinct()
 
-  /** Small-graph path: collect the (bounded) edge list, union-find on the
-    * driver, broadcast the labels back as a join. */
-  private[graft] def componentsLocal(nodes: DataFrame, canonicalEdges: DataFrame): DataFrame = {
-    val pairs = canonicalEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+  /** Small-graph path: union-find over the (bounded, already collected)
+    * canonical edge list on the driver, labels broadcast back as a join. */
+  private[graft] def componentsLocal(nodes: DataFrame,
+      pairs: Array[(Long, Long)]): DataFrame = {
     // union by size + full-path compression: without balancing, a long
     // chain collected in descending order builds an O(n)-deep parent
     // chain and label resolution goes quadratic — near the 1M-edge
