@@ -28,20 +28,48 @@ import org.apache.spark.unsafe.types.UTF8String
   * the hash, so a 48-bit collision between distinct shingles still emits
   * both hashes — exactly like the original.
   */
-case class ShingleHashes(child: Expression) extends UnaryExpression
-  with ImplicitCastInputTypes {
+case class ShingleHashes(child: Expression, n: Int, distinct: Boolean)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(n >= 1, s"shingle width $n must be >= 1")
 
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "shingle_hashes"
+  override def prettyName: String = if (distinct) "shingle_hashes" else "gram_hashes"
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHashes.eval(input.asInstanceOf[ArrayData])
+    ShingleHashes.eval(input.asInstanceOf[ArrayData], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       s"""
-         |${ev.value} = graft.functions.ShingleHashes.eval($v);
+         |${ev.value} = graft.functions.ShingleHashes.eval($v, $n, $distinct);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** String sibling of [[ShingleHashes]]: all n-gram strings (order kept,
+  * duplicates kept) — the decontamination oracle's exact gram stream,
+  * minus the interpreted sequence/slice/array_join lambda chain. */
+case class GramStrings(child: Expression, n: Int) extends UnaryExpression
+  with ImplicitCastInputTypes {
+
+  require(n >= 1, s"gram width $n must be >= 1")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "gram_strings"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.evalStrings(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = graft.functions.ShingleHashes.evalStrings($v, $n);
        """.stripMargin
     })
 
@@ -55,17 +83,13 @@ object ShingleHashes {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def eval(words: ArrayData): ArrayData = {
+  def evalStrings(words: ArrayData, gramLen: Int): ArrayData = {
     val n = words.numElements()
-    // sequence(0, greatest(n-3, 0)) → shingle starts 0..max(n-3, 0)
-    val last = math.max(n - 3, 0)
-    val seen = new java.util.HashSet[UTF8String]()
-    val out = new java.util.ArrayList[java.lang.Long](last + 1)
-    val md = digest.get()
+    val last = math.max(n - gramLen, 0)
+    val out = new Array[Any](last + 1)
     var i = 0
     while (i <= last) {
-      // slice(words, i+1, 3): up to 3 words from i, joined with ' '
-      val hi = math.min(i + 3, n)
+      val hi = math.min(i + gramLen, n)
       var shingle = if (i < n) words.getUTF8String(i) else UTF8String.EMPTY_UTF8
       var w = i + 1
       while (w < hi) {
@@ -73,7 +97,31 @@ object ShingleHashes {
           UTF8String.fromString(" "), words.getUTF8String(w))
         w += 1
       }
-      if (seen.add(shingle)) {
+      out(i) = shingle
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def eval(words: ArrayData, gramLen: Int, distinct: Boolean): ArrayData = {
+    val n = words.numElements()
+    // sequence(0, greatest(n-gramLen, 0)) → shingle starts 0..max(n-gramLen, 0)
+    val last = math.max(n - gramLen, 0)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    val out = new java.util.ArrayList[java.lang.Long](last + 1)
+    val md = digest.get()
+    var i = 0
+    while (i <= last) {
+      // slice(words, i+1, gramLen): up to gramLen words from i, ' '-joined
+      val hi = math.min(i + gramLen, n)
+      var shingle = if (i < n) words.getUTF8String(i) else UTF8String.EMPTY_UTF8
+      var w = i + 1
+      while (w < hi) {
+        shingle = UTF8String.concat(shingle,
+          UTF8String.fromString(" "), words.getUTF8String(w))
+        w += 1
+      }
+      if (seen == null || seen.add(shingle)) {
         md.reset()
         val d = md.digest(shingle.getBytes)
         // first 6 digest bytes == substring(hex, 1, 12) parsed base 16
@@ -90,8 +138,32 @@ object ShingleHashes {
     new GenericArrayData(arr)
   }
 
-  /** Register `shingle_hashes(words)`. */
-  def register(spark: SparkSession): Unit =
+  /** Register `shingle_hashes(words)` (3-word shingles, distinct — the
+    * MinHash front) and `gram_hashes(words, n)` (all n-gram starts in
+    * order, duplicates kept — the decontamination probe stream). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => ShingleHashes(exprs.head), "scala_udf")
+      "shingle_hashes",
+      exprs => ShingleHashes(exprs.head, 3, distinct = true), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_hashes", exprs => {
+        require(exprs.length == 2, "usage: gram_hashes(words, n)")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"gram_hashes n must be a literal int, got $other")
+        }
+        ShingleHashes(exprs.head, n, distinct = false)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_strings", exprs => {
+        require(exprs.length == 2, "usage: gram_strings(words, n)")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"gram_strings n must be a literal int, got $other")
+        }
+        GramStrings(exprs.head, n)
+      }, "scala_udf")
+  }
 }

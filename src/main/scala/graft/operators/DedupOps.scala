@@ -534,14 +534,16 @@ object DedupOps {
   /** SimHash core over any (doc_id, text) frame: `bits`-wide fingerprint
     * from word-hash bit votes (weighted by word frequency); `whSql` maps the
     * hex word hash `h` to the integer whose low `bits` are voted on. */
-  private def simhashOf(df: DataFrame, bits: Int, whSql: String): DataFrame = {
+  private def simhashOf(df: DataFrame, bits: Int, digits: Int): DataFrame = {
+    graft.functions.Md5Prefix.register(df.sparkSession)
     val sums = (0 until bits).map(b =>
       sum(expr(contribExpr("wh", b))).as(s"s_$b"))
     val fp = (0 until bits).map(b =>
       s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
     df.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .select(col("doc_id"), md5(col("word")).as("h"))
-      .select(col("doc_id"), expr(whSql).as("wh"))
+      // fused digest-prefix word hash — identical to the former
+      // md5 → substring(1, digits) → conv base-16 chain (Md5PrefixSpec)
+      .select(col("doc_id"), expr(s"md5_prefix(word, $digits)").as("wh"))
       .groupBy("doc_id").agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), expr(fp).cast("bigint").as("simhash"))
   }
@@ -549,7 +551,7 @@ object DedupOps {
   /** SimHash: per-document fingerprint; near-dups differ in few bits. */
   def simhash: Q = (s, d) =>
     simhashOf(documents(s, d).select(col("doc_id"), col("text")),
-      SimBits, hexDigitsSpark.mkString(" + "))
+      SimBits, SimBits / 4)
 
   /** IDF-weighted 48-bit SimHash (the Manku/Charikar form: features carry
     * weights, not raw counts). Unweighted simhash degenerates on a
@@ -567,6 +569,7 @@ object DedupOps {
     // columns — see graft.functions.SimHashAgg. Values are identical to
     // the DuckDB oracle's per-bit sums + fold.
     graft.functions.SimHashAgg.register(s, bits)
+    graft.functions.Md5Prefix.register(s)
     // word-hash width follows the fingerprint: ceil(bits/4) hex digits of
     // md5, capped at 15 (60 bits — the BIGINT-safe fold); the pinned 48-bit
     // oracle query keeps its 12 digits exactly.
@@ -581,8 +584,9 @@ object DedupOps {
       .groupBy("word").agg(count(lit(1)).as("df_"))
     words.join(broadcast(dfreq), "word").crossJoin(broadcast(n))
       .select(col("doc_id"),
-        expr(s"cast(conv(substring(md5(word), 1, $digits), 16, 10) as bigint)")
-          .as("wh"),
+        // fused digest-prefix word hash — identical to the former
+        // md5 → substring → conv chain (Md5PrefixSpec pins the equality)
+        expr(s"md5_prefix(word, $digits)").as("wh"),
         expr("CASE WHEN df_ * 20 <= nd THEN 4 WHEN df_ * 5 <= nd THEN 2 ELSE 1 END")
           .as("w"))
       .groupBy("doc_id").agg(expr("simhash_agg(wh, w)").as("simhash"))

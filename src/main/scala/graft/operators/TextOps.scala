@@ -381,16 +381,18 @@ object TextOps {
     * fold collisions — TextOpsSpec asserts fixture parity). */
   private[graft] def decontaminationOver(corpus: org.apache.spark.sql.DataFrame,
       hashGrams: Boolean): org.apache.spark.sql.DataFrame = {
-    val gram8 =
-      """transform(sequence(0, greatest(size(words)-8, 0)),
-        | i -> array_join(slice(words, i+1, 8), ' '))""".stripMargin
+    // both gram streams run fused (graft.functions.ShingleHashes family):
+    // the former transform(sequence/slice/array_join) chain evaluated its
+    // lambdas interpreted per gram, and the hash arm re-parsed md5 hex —
+    // strings/hashes are bit-identical (ShingleHashesSpec)
+    graft.functions.ShingleHashes.register(corpus.sparkSession)
     val docs = corpus
       .select(col("doc_id"), split(col("text"), " ").as("words"))
-    val gramsStr = docs.select(col("doc_id"), explode(expr(gram8)).as("g"))
     val grams = if (hashGrams)
-      gramsStr.select(col("doc_id"), expr(
-        "cast(conv(substring(md5(g), 1, 12), 16, 10) as bigint)").as("g"))
-    else gramsStr
+      docs.select(col("doc_id"),
+        explode(expr("gram_hashes(words, 8)")).as("g"))
+    else docs.select(col("doc_id"),
+      explode(expr("gram_strings(words, 8)")).as("g"))
     val bench = grams.filter(col("doc_id") % 97 === 0)
       .select(col("g")).distinct()
     val hits = grams.join(broadcast(bench), Seq("g"))

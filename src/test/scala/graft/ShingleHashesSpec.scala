@@ -58,4 +58,53 @@ class ShingleHashesSpec extends SparkSpec {
     val (f, c) = viaBoth(texts)
     assert(f == c)
   }
+
+  test("gram_strings/gram_hashes == the composed 8-gram HOF chain (order and duplicates kept)") {
+    val rnd = new scala.util.Random(817)
+    val texts = Seq("", "one", "a b c d e f g h i j k",
+      "dup dup dup dup dup dup dup dup dup dup") ++
+      Seq.fill(200)(Seq.fill(rnd.nextInt(20))(s"w${rnd.nextInt(7)}").mkString(" "))
+    val corpus = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    graft.functions.ShingleHashes.register(spark)
+    val docs = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val gram8 =
+      """transform(sequence(0, greatest(size(words)-8, 0)),
+        | i -> array_join(slice(words, i+1, 8), ' '))""".stripMargin
+    val composedStr = docs
+      .select(col("doc_id"), posexplode(expr(gram8)).as(Seq("p", "g")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    val fusedStr = docs
+      .select(col("doc_id"),
+        posexplode(expr("gram_strings(words, 8)")).as(Seq("p", "g")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(fusedStr == composedStr)
+    val composedHash = docs
+      .select(col("doc_id"), posexplode(expr(gram8)).as(Seq("p", "g")))
+      .select(col("doc_id"), col("p"), expr(
+        "cast(conv(substring(md5(g), 1, 12), 16, 10) as bigint)").as("g"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val fusedHash = docs
+      .select(col("doc_id"),
+        posexplode(expr("gram_hashes(words, 8)")).as(Seq("p", "g")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(fusedHash == composedHash)
+  }
+
+  test("md5_prefix == conv(substring(md5(x), 1, digits), 16, 10) for digits 1..15") {
+    val rnd = new scala.util.Random(818)
+    val xs = (Seq("", "a", "héllo", "the quick brown fox") ++
+      Seq.fill(500)(rnd.alphanumeric.take(rnd.nextInt(24)).mkString))
+      .toDF("x")
+    graft.functions.Md5Prefix.register(spark)
+    for (digits <- Seq(1, 6, 12, 15)) {
+      val composed = xs.select(expr(
+        s"cast(conv(substring(md5(x), 1, $digits), 16, 10) as bigint)"))
+        .collect().map(_.getLong(0)).toSeq
+      val fused = xs.select(expr(s"md5_prefix(x, $digits)"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(fused == composed, s"md5_prefix mismatch at digits=$digits")
+    }
+  }
 }
