@@ -1081,19 +1081,34 @@ object TextOps {
     val feats = qualityFeaturesOf(docsDf)
       .withColumn("x_awl", col("f_awl") / 10.0)
       .localCheckpoint(eager = false)
-    import spark.implicits._
-    var w = Seq((0.0, 0.0, 0.0, 0.0, 0.0))
-      .toDF("wb", "wl", "wu", "ws", "wa")
-    var out: DataFrame = null
     // exact addend: quantize at 1e-9 (|p-y|·|x| ≤ ~7, so the scaled
     // addend fits a double exactly), sum as decimal — the moneySum rule
     def gsum(z: Column): Column =
       sum(floor(z * 1e9 + 0.5).cast("decimal(18,0)"))
+    // DRIVER-HOSTED weight updates (the MLlib loop shape, the same
+    // round-16 rework as the Lloyd loop): each round is ONE small-plan
+    // aggregate job whose 6-value result row collects to the driver; the
+    // weight step runs there on identical operands (decimal→double cast
+    // == Decimal.toDouble, then the same rate/1e9/n double chain), so
+    // weights are bit-identical to the former broadcast-crossJoin chain,
+    // whose 6-round nested plan re-analyzed and re-built 2 broadcasts per
+    // round inside one deep Catalyst tree. Null propagation (the
+    // empty-corpus contract: visibly null weights, never a silent zero
+    // vector) is preserved: a null gradient makes every later margin the
+    // null literal, exactly like the broadcast-null arithmetic.
+    var wv: Array[java.lang.Double] = Array(0.0, 0.0, 0.0, 0.0, 0.0)
+    val outRows = new scala.collection.mutable.ArrayBuffer[
+      (Int, java.lang.Double, java.lang.Double, java.lang.Double,
+        java.lang.Double, java.lang.Double)](rounds)
     for (k <- 1 to rounds) {
-      val m = col("wb") + col("wl") * col("f_len") +
-        col("wu") * col("f_uniq") + col("ws") * col("f_stop") +
-        col("wa") * col("x_awl")
-      val g = feats.crossJoin(broadcast(w))
+      val m: Column =
+        if (wv.exists(_ == null)) lit(null).cast("double")
+        else lit(wv(0).doubleValue) +
+          lit(wv(1).doubleValue) * col("f_len") +
+          lit(wv(2).doubleValue) * col("f_uniq") +
+          lit(wv(3).doubleValue) * col("f_stop") +
+          lit(wv(4).doubleValue) * col("x_awl")
+      val gRow = feats
         .withColumn("p", (m / (lit(1.0) + abs(m)) + 1.0) / 2.0)
         .withColumn("e", col("p") - col("y"))
         .agg(gsum(col("e")).as("gb"),
@@ -1102,18 +1117,24 @@ object TextOps {
           gsum(col("e") * col("f_stop")).as("gs"),
           gsum(col("e") * col("x_awl")).as("ga"),
           count(lit(1)).as("n"))
-      def step(wc: String, gc: String): Column =
-        (col(wc) - lit(LrTrainRate) *
-          (col(gc).cast("double") / 1e9 / col("n").cast("double"))).as(wc)
-      w = w.crossJoin(broadcast(g))
-        .select(step("wb", "gb"), step("wl", "gl"), step("wu", "gu"),
-          step("ws", "gs"), step("wa", "ga"))
-        .localCheckpoint(eager = false)
-      val row = w.select(lit(k).as("iter"), col("wb"), col("wl"),
-        col("wu"), col("ws"), col("wa"))
-      out = if (out == null) row else out.union(row)
+        .head()
+      val n = gRow.getLong(5)
+      def step(i: Int): java.lang.Double = {
+        if (wv(i) == null || gRow.isNullAt(i)) null
+        else wv(i).doubleValue - LrTrainRate *
+          (gRow.getDecimal(i).doubleValue() / 1e9 / n.toDouble)
+      }
+      wv = Array(step(0), step(1), step(2), step(3), step(4))
+      outRows += ((k, wv(0), wv(1), wv(2), wv(3), wv(4)))
     }
-    out
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows.toSeq.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4, r._5, r._6)), 1),
+      StructType(Seq(StructField("iter", IntegerType, nullable = false),
+        StructField("wb", DoubleType), StructField("wl", DoubleType),
+        StructField("wu", DoubleType), StructField("ws", DoubleType),
+        StructField("wa", DoubleType))))
   }
 
   /** t13: perplexity filtering — the CCNet-stage language-model filter
