@@ -26,12 +26,12 @@ case class Md5Prefix(child: Expression, digits: Int) extends UnaryExpression
   override def prettyName: String = "md5_prefix"
 
   override def nullSafeEval(input: Any): Any =
-    Md5Prefix.eval(input.asInstanceOf[UTF8String], digits)
+    Md5Prefix.evalPrefix(input.asInstanceOf[UTF8String], digits)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       s"""
-         |${ev.value} = graft.functions.Md5Prefix.eval($v, $digits);
+         |${ev.value} = graft.functions.Md5Prefix.evalPrefix($v, $digits);
        """.stripMargin
     })
 
@@ -45,7 +45,11 @@ object Md5Prefix {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def eval(s: UTF8String, digits: Int): Long = {
+  // NOT named `eval`: Expression.eval on the case class suppresses the
+  // static forwarder scalac would otherwise emit for a companion `eval`,
+  // so the generated static call fails Janino compilation and the whole
+  // stage silently falls back out of codegen (see ShingleHashes.evalHashes).
+  def evalPrefix(s: UTF8String, digits: Int): Long = {
     val md = digest.get()
     md.reset()
     val d = md.digest(s.getBytes)

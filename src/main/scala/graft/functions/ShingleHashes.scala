@@ -38,12 +38,12 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean)
   override def prettyName: String = if (distinct) "shingle_hashes" else "gram_hashes"
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHashes.eval(input.asInstanceOf[ArrayData], n, distinct)
+    ShingleHashes.evalHashes(input.asInstanceOf[ArrayData], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       s"""
-         |${ev.value} = graft.functions.ShingleHashes.eval($v, $n, $distinct);
+         |${ev.value} = graft.functions.ShingleHashes.evalHashes($v, $n, $distinct);
        """.stripMargin
     })
 
@@ -103,7 +103,12 @@ object ShingleHashes {
     new GenericArrayData(out)
   }
 
-  def eval(words: ArrayData, gramLen: Int, distinct: Boolean): ArrayData = {
+  // NOT named `eval`: the case class inherits Expression.eval, and scalac
+  // suppresses a companion's static forwarder when the class has a member
+  // of the same name — the generated code's static call then fails Janino
+  // compilation and the WHOLE STAGE silently falls back out of codegen
+  // (measured round 17: 78 CompileExceptions per bench run on this call).
+  def evalHashes(words: ArrayData, gramLen: Int, distinct: Boolean): ArrayData = {
     val n = words.numElements()
     // sequence(0, greatest(n-gramLen, 0)) → shingle starts 0..max(n-gramLen, 0)
     val last = math.max(n - gramLen, 0)
