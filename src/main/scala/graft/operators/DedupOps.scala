@@ -459,11 +459,11 @@ object DedupOps {
     // composes the REAL operators: TextOps' factored t3 formula pieces and
     // the t6 mixtureFilter — an inline copy would silently drift from the
     // oracle-gated queries if their weights/quotas changed
-    val words = plantedCorpus3(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-    val qual = words.select(col("doc_id"),
-      TextOps.uniqRatio(col("words")).as("uniq_ratio"),
-      TextOps.stopRatio(col("words")).as("stop_ratio"))
+    val qual = plantedCorpus3(s, d)
+      .select(col("doc_id"), TextOps.wordStats(col("text")).as("ws"))
+      .select(col("doc_id"),
+        TextOps.uniqRatioOf(col("ws")).as("uniq_ratio"),
+        TextOps.stopRatioOf(col("ws")).as("stop_ratio"))
     val lang = documents(s, d).select(col("doc_id").as("orig_id"), col("lang"))
     val survivors = clusterRetention(s, d).filter(col("keep"))
       .join(qual, "doc_id")

@@ -123,13 +123,40 @@ object TextOps {
 
   /** The t3 formula pieces, factored so the c1 funnel composes the SAME
     * expressions it claims to (a drifted inline copy would silently
-    * diverge from the oracle-gated operator). */
+    * diverge from the oracle-gated operator).
+    *
+    * [[uniqRatio]]/[[stopRatio]] are the COMPOSED array forms — since
+    * round 17 they are the equality oracle for the fused
+    * [[graft.functions.WordStats]] pass (WordStatsSpec pins both
+    * generatively and on the corpus); production paths go through
+    * [[wordStats]]/[[uniqRatioOf]]/[[stopRatioOf]], which compute the
+    * same three counts in one codegen byte scan instead of a regex
+    * split plus three interpreted HOF passes (the c1/c5 plans evaluated
+    * the stop-word filter lambda three times per doc). */
   private[graft] val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
   private[graft] def uniqRatio(words: Column): Column =
     round(size(array_distinct(words)) / size(words).cast("double"), 6)
   private[graft] def stopRatio(words: Column): Column =
     round(size(filter(words, w => w.isInCollection(StopWords))) /
       size(words).cast("double"), 6)
+
+  /** `word_stats(text)` = struct(n_words, n_distinct, n_stop) — one fused
+    * pass, bit-equal to size(split)/size(array_distinct)/size(filter). */
+  private[graft] def wordStats(text: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.WordStats(
+        org.apache.spark.sql.GraftColumnShim.expression(text)))
+  private[graft] def uniqRatioOf(ws: Column): Column =
+    round(ws.getField("n_distinct") / ws.getField("n_words").cast("double"), 6)
+  private[graft] def stopRatioOf(ws: Column): Column =
+    round(ws.getField("n_stop") / ws.getField("n_words").cast("double"), 6)
+  /** `length(regexp_replace(text, ' ', ''))` without the regex pass: the
+    * split regex is the literal single space, so the words array always
+    * has (number of spaces) + 1 elements and the space-stripped length
+    * is `length(text) - (n_words - 1)` — the same integer by identity,
+    * feeding the same division operands. */
+  private[graft] def strippedLenOf(text: Column, ws: Column): Column =
+    length(text) - (ws.getField("n_words") - lit(1))
   // round(8): the score is a sum of products of 6-dec-rounded ratios and
   // 1-dec weights → the true value has ≤7 decimals, so rounding at 8 can
   // never hit a decimal tie (rounding at 6 can, and did).
@@ -142,15 +169,15 @@ object TextOps {
     * composed into a bounded score — the pre-training-filter archetype. */
   def qualityScore: Q = (s, d) =>
     documents(s, d)
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("text"), wordStats(col("text")).as("ws"))
       .select(col("doc_id"),
         length(col("text")).as("len_chars"),
-        size(col("words")).as("n_words"),
-        round(length(regexp_replace(col("text"), " ", "")) /
-          size(col("words")).cast("double"), 6).as("avg_word_len"),
-        uniqRatio(col("words")).as("uniq_ratio"),
+        col("ws.n_words").as("n_words"),
+        round(strippedLenOf(col("text"), col("ws")) /
+          col("ws.n_words").cast("double"), 6).as("avg_word_len"),
+        uniqRatioOf(col("ws")).as("uniq_ratio"),
         size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha_tokens"),
-        stopRatio(col("words")).as("stop_ratio"))
+        stopRatioOf(col("ws")).as("stop_ratio"))
       .withColumn("quality_score", qualityScoreCol(col("n_words"),
         col("uniq_ratio"), col("stop_ratio")))
 
@@ -336,12 +363,17 @@ object TextOps {
   /** The t6 bucket + quota expressions over any (doc_id, lang) frame —
     * stateless, so the SAME call works on a `readStream` source unchanged
     * (curation-on-ingest; StreamsSpec proves parity with the batch query). */
-  private[graft] def mixtureFilter(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def mixtureFilter(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.Md5Prefix.register(docs.sparkSession)
     docs
+      // md5_prefix(x, 12) IS cast(conv(substring(md5(x),1,12),16,10) as
+      // bigint) read off the digest bytes (Md5Prefix scaladoc + spec) —
+      // same value, minus the hex render + substring + base-16 re-parse
       .withColumn("bucket", expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint) % 100"))
+        "md5_prefix(cast(doc_id as string), 12) % 100"))
       .filter(expr(
         "bucket < CASE lang WHEN 'en' THEN 60 WHEN 'fr' THEN 30 ELSE 10 END"))
+  }
 
   /** t7: benchmark decontamination — flag corpus documents that share any
     * 8-word n-gram with a benchmark ("eval") set, the standard
@@ -633,12 +665,12 @@ object TextOps {
     * weights BROADCASTS (5 rows); the explode emits copy rows map-side.
     * Downstream, [[sequencePack]] consumes exactly this manifest shape. */
   def mixtureApply: Q = (s, d) => {
+    graft.functions.Md5Prefix.register(s)
     val weights = mixtureWeights(s, d).select(col("lang"), col("weight"))
     documents(s, d).select(col("doc_id"), col("lang"))
       .join(broadcast(weights), Seq("lang"))
       .withColumn("bucket", expr(
-        "cast(conv(substring(md5(concat('mix:', cast(doc_id as string))), " +
-          "1, 12), 16, 10) as bigint) % 1000"))
+        "md5_prefix(concat('mix:', cast(doc_id as string)), 12) % 1000"))
       .withColumn("n_copies",
         (floor(col("weight")) +
           when(col("bucket") <
@@ -708,13 +740,14 @@ object TextOps {
     withSplit(documents(s, d)).select("doc_id", "lang", "bucket", "split")
 
   /** The t12 bucket + split columns over any frame with a doc_id. */
-  private[graft] def withSplit(df: DataFrame): DataFrame =
+  private[graft] def withSplit(df: DataFrame): DataFrame = {
+    graft.functions.Md5Prefix.register(df.sparkSession)
     df.withColumn("bucket", expr(
-        "cast(conv(substring(md5(concat('split:', cast(doc_id as string))), " +
-          "1, 12), 16, 10) as bigint) % 1000"))
+        "md5_prefix(concat('split:', cast(doc_id as string)), 12) % 1000"))
       .withColumn("split",
         when(col("bucket") < 980, "train")
           .when(col("bucket") < 990, "val").otherwise("test"))
+  }
 
   /** t15: reproducible global shuffle + shard manifest — the step between
     * curation and the data loader. Training wants the corpus in a
@@ -755,14 +788,16 @@ object TextOps {
     shuffleShardOver(df, OperatingPoint.shuffleShards(n))
   }
 
-  private[graft] def shuffleShardOver(df: DataFrame, shards: Int): DataFrame =
+  private[graft] def shuffleShardOver(df: DataFrame, shards: Int): DataFrame = {
+    graft.functions.Md5Prefix.register(df.sparkSession)
     df.select(col("doc_id"),
-        expr("cast(conv(substring(md5(concat('shuffle42:', " +
-          "cast(doc_id as string))), 1, 12), 16, 10) as bigint)").as("skey"))
+        expr("md5_prefix(concat('shuffle42:', " +
+          "cast(doc_id as string)), 12)").as("skey"))
       .withColumn("shard", pmod(col("skey"), lit(shards.toLong)).cast("int"))
       .withColumn("pos", row_number().over(
         Window.partitionBy("shard").orderBy("skey", "doc_id")))
       .select("doc_id", "shard", "pos")
+  }
 
   /** c7: the corpus DATA CARD — the per-(lang, split) reporting rollup
     * every curation pipeline publishes beside the corpus (doc counts,
@@ -785,11 +820,11 @@ object TextOps {
     withSplit(documents(s, d))
       .select(col("lang"), col("split"),
         length(col("text")).as("n_chars_doc"),
-        split(col("text"), " ").as("words"))
+        wordStats(col("text")).as("ws"))
       .select(col("lang"), col("split"), col("n_chars_doc"),
-        size(col("words")).as("n_words"),
-        qualityScoreCol(size(col("words")), uniqRatio(col("words")),
-          stopRatio(col("words"))).as("q"))
+        col("ws.n_words").as("n_words"),
+        qualityScoreCol(col("ws.n_words"), uniqRatioOf(col("ws")),
+          stopRatioOf(col("ws"))).as("q"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words").cast("long")).as("n_tokens"),
@@ -813,11 +848,11 @@ object TextOps {
     documents(s, d)
       .select(col("source"), col("lang"),
         length(col("text")).as("n_chars_doc"),
-        split(col("text"), " ").as("words"))
+        wordStats(col("text")).as("ws"))
       .select(col("source"), col("lang"), col("n_chars_doc"),
-        size(col("words")).as("n_words"),
-        qualityScoreCol(size(col("words")), uniqRatio(col("words")),
-          stopRatio(col("words"))).as("q"))
+        col("ws.n_words").as("n_words"),
+        qualityScoreCol(col("ws.n_words"), uniqRatioOf(col("ws")),
+          stopRatioOf(col("ws"))).as("q"))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words").cast("long")).as("n_tokens"),
@@ -991,12 +1026,12 @@ object TextOps {
     extracted
       .select(col("doc_id"), col("n_kept"), col("clean_len"),
         col("clean_text"),
-        expr("split(replace(clean_text, chr(10), ' '), ' ')").as("words"))
+        wordStats(expr("replace(clean_text, chr(10), ' ')")).as("ws"))
       .select(col("doc_id"), col("n_kept"), col("clean_len"),
         col("clean_text"),
-        size(col("words")).as("n_words"),
-        uniqRatio(col("words")).as("uniq_ratio"),
-        stopRatio(col("words")).as("stop_ratio"))
+        col("ws.n_words").as("n_words"),
+        uniqRatioOf(col("ws")).as("uniq_ratio"),
+        stopRatioOf(col("ws")).as("stop_ratio"))
       .withColumn("quality_score", qualityScoreCol(col("n_words"),
         col("uniq_ratio"), col("stop_ratio")))
       .withColumn("keep", col("quality_score") >= 0.5)
@@ -1017,18 +1052,18 @@ object TextOps {
     * copy in either would silently drift from the other's oracle. */
   private[graft] def qualityFeaturesOf(docsDf: DataFrame): DataFrame =
     docsDf
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("text"), wordStats(col("text")).as("ws"))
       .select(col("doc_id"),
-        least(size(col("words")).cast("double") / 100.0, lit(1.0))
+        least(col("ws.n_words").cast("double") / 100.0, lit(1.0))
           .as("f_len"),
-        uniqRatio(col("words")).as("f_uniq"),
-        least(stopRatio(col("words")) * 5.0, lit(1.0)).as("f_stop"),
-        round(length(regexp_replace(col("text"), " ", "")) /
-          size(col("words")).cast("double"), 6).as("f_awl"),
+        uniqRatioOf(col("ws")).as("f_uniq"),
+        least(stopRatioOf(col("ws")) * 5.0, lit(1.0)).as("f_stop"),
+        round(strippedLenOf(col("text"), col("ws")) /
+          col("ws.n_words").cast("double"), 6).as("f_awl"),
         // c9's teacher label: the t3 score's own keep decision, composed
         // from the SAME raw pieces in the same projection (c3 drops it)
-        (qualityScoreCol(size(col("words")), uniqRatio(col("words")),
-          stopRatio(col("words"))) >= 0.5).cast("double").as("y"))
+        (qualityScoreCol(col("ws.n_words"), uniqRatioOf(col("ws")),
+          stopRatioOf(col("ws"))) >= 0.5).cast("double").as("y"))
 
   private[graft] def qualityLrOf(docsDf: DataFrame): DataFrame =
     qualityFeaturesOf(docsDf)
@@ -1188,9 +1223,10 @@ object TextOps {
         // keep ~cutoff docs: bucket into 1e6 and keep the head fraction —
         // deterministic, append-stable, independent of partitioning
         val keep = math.max(1L, (cutoff.toDouble / n.toDouble * 1e6).toLong)
+        graft.functions.Md5Prefix.register(corpus.sparkSession)
         corpus.filter(expr(
-          "cast(conv(substring(md5(concat('ppl:', cast(doc_id as string))), " +
-            s"1, 12), 16, 10) as bigint) % 1000000 < $keep"))
+          "md5_prefix(concat('ppl:', cast(doc_id as string)), 12) " +
+            s"% 1000000 < $keep"))
       }
     val (model, oov) = unigramModel(modelCorpus)
     // the keep ceiling is corpus-DERIVED here (round 14): the pinned 7.0

@@ -56,7 +56,8 @@ class CodegenCompileSpec extends SparkSpec {
           expr("minhash_sigs(shingle_hashes(words))").as("mh"),
           element_at(graft.functions.TopCells.top(col("v"), 1,
             Array((0, Array(0.1, 0.2, 0.3, 0.4)),
-              (1, Array(-0.5, 0.1, 0.0, 0.2)))), 1).as("tc"))
+              (1, Array(-0.5, 0.1, 0.0, 0.2)))), 1).as("tc"),
+          graft.operators.TextOps.wordStats(col("text")).as("wst"))
         .collect()
     }
     assert(out.length == 3)
