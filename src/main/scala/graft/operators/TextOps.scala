@@ -1304,10 +1304,55 @@ object TextOps {
     OperatingPoint.surprisalKeepMicro(med)
   }
 
-  /** The exact-integer half of the scoring: (doc_id, n_words, n_oov,
-    * sum_lp) — kept separate so c5's roll-up can aggregate the UNROUNDED
-    * bigint sums across docs and stay order-independent. */
+  /** Vocab-row ceiling for the driver-hosted scoring arm: the model is
+    * ALREADY broadcast-joined (vocab-sized by construction — the c ≥ 2
+    * floor bounds it), so hosting it as an expression map is the same
+    * memory class; ~1M entries ≈ the low-hundreds-MB a broadcast hash
+    * relation of the same table would cost. Beyond it the join arm below
+    * remains the honest plan. head(N+1) makes the probe itself bounded —
+    * the driver never materializes an over-ceiling vocab. */
+  private[graft] val SurprisalMaxVocab: Int = 1 << 20
+
+  /** The exact-integer half of the scoring: (doc_id, n_words, sum_lp,
+    * n_oov) — kept separate so c5's roll-up can aggregate the UNROUNDED
+    * bigint sums across docs and stay order-independent.
+    *
+    * Scoring is the fused map-only reduction
+    * ([[graft.functions.SurprisalSum]] — no token explosion, no join, no
+    * exchange; §2.3 applied to the token stream) when the vocab fits
+    * [[SurprisalMaxVocab]]; the explode + broadcast-join + groupBy form
+    * ([[surprisalAggJoin]]) remains beyond it and as the spec's equality
+    * oracle (SurprisalSumSpec). Null-text docs are dropped in both arms
+    * (explode(null) emits no rows; the fused arm filters them).
+    * Precondition (both arms, unchanged from the composed form): doc_id
+    * identifies one document — the join arm GROUPS on (doc_id, n_words),
+    * so duplicate ids with equal word counts would merge there while the
+    * fused arm scores per input row; every caller passes the unique-keyed
+    * documents/corpus frames. */
   private[graft] def surprisalAgg(docs: DataFrame, model: DataFrame,
+      oov: DataFrame): DataFrame = {
+    val rows = model.select(col("w"), col("lp")).head(SurprisalMaxVocab + 1)
+    if (rows.length > SurprisalMaxVocab) surprisalAggJoin(docs, model, oov)
+    else {
+      val oovLp = oov.head().getLong(0)
+      val vocab = new java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+        math.max(16, rows.length * 2))
+      rows.foreach(r => vocab.put(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        java.lang.Long.valueOf(r.getLong(1))))
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.SurprisalSum.score(col("text"), vocab, oovLp)
+            .as("sp"))
+        .select(col("doc_id"), col("sp.n_words").as("n_words"),
+          col("sp.sum_lp").as("sum_lp"), col("sp.n_oov").as("n_oov"))
+    }
+  }
+
+  /** The composed scoring arm SurprisalSum replaced — the beyond-ceiling
+    * plan and the spec's equality oracle. */
+  private[graft] def surprisalAggJoin(docs: DataFrame, model: DataFrame,
       oov: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         size(split(col("text"), " ")).as("n_words"),

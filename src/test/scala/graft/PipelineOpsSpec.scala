@@ -426,10 +426,13 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("t13 perplexity: broadcast model, exact integer reduce, classes split") {
     val out = TextOps.perplexityFilter(spark, sf)
-    // the token-stream scoring join must broadcast the vocab-sized model,
-    // never shuffle the token stream against it
+    // scoring is the fused map-only surprisal_sum pass against the
+    // driver-hosted model (round 17) — no token explosion, no join, no
+    // exchange; the retained join arm's broadcast shape is pinned by
+    // SurprisalSumSpec
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"model join not broadcast:\n$plan")
+    assert(plan.contains("surprisal_sum"), s"fused scoring missing:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"unexpected join:\n$plan")
     val rows = out.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>

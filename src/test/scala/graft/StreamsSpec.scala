@@ -248,10 +248,15 @@ class StreamsSpec extends SparkSpec {
     val ms = MemoryStream[(Long, String)]
     ms.addData(corpus.select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().toSeq)
+    // the fused scoring pass (round 17) is map-only — no stateful
+    // aggregation — so the stream runs in Append mode (the old
+    // explode+join+groupBy plan needed Complete); curation-on-ingest
+    // got strictly MORE streaming-friendly
     Streams.runToMemory(spark,
       graft.operators.TextOps.surprisalScored(
         ms.toDF().toDF("doc_id", "text"), model, oov),
-      "surprisal_parity")
+      "surprisal_parity",
+      org.apache.spark.sql.streaming.OutputMode.Append())
     val got = spark.sql("SELECT * FROM surprisal_parity")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
         r.getDouble(3), r.getBoolean(4))).toSet
