@@ -79,12 +79,46 @@ case class TopCells(child: Expression, k: Int, cids: Array[Int],
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  // case-class equality falls back to ARRAY REFERENCE identity on
+  // cids/cents, so two semantically identical top_cells calls never
+  // compared equal and Catalyst canonicalization / common-subexpression
+  // reuse could not dedup them — compare contents instead
+  override def equals(o: Any): Boolean = o match {
+    case t: TopCells => t.k == k && t.child == child &&
+      java.util.Arrays.equals(t.cids, cids) &&
+      t.cents.length == cents.length &&
+      cents.indices.forall(i => java.util.Arrays.equals(t.cents(i), cents(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(k),
+      Integer.valueOf(java.util.Arrays.hashCode(cids)),
+      Integer.valueOf(cents.length))
 }
 
 object TopCells {
   private[functions] val entryType = StructType(Seq(
     StructField("csim", DoubleType, nullable = false),
     StructField("cid", IntegerType, nullable = false)))
+
+  /** round6(cosine) of an ArrayData row vector against one centroid —
+    * the shared rank kernel: the same accumulation loop as
+    * [[CosineSimilarity]] (left-to-right doubles, min-length, zero-norm
+    * → 0.0), then [[Round6.round6]]. Shared by [[topk]] and
+    * [[HierTopCells]] so the flat and hierarchical ranks cannot drift. */
+  def cosRound6(v: ArrayData, c: Array[Double]): Double = {
+    val n = math.min(v.numElements(), c.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = v.getDouble(i); val y = c(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val raw = if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    Round6.round6(raw)
+  }
 
   /** The kernel (shared by interpreted eval and codegen): K fused
     * cosine+round6 evaluations, k-bounded insertion, best-first output. */
@@ -97,17 +131,7 @@ object TopCells {
     var filled = 0
     var j = 0
     while (j < cents.length) {
-      val c = cents(j)
-      val n = math.min(v.numElements(), c.length)
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < n) {
-        val x = v.getDouble(i); val y = c(i)
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      val raw = if (na == 0.0 || nb == 0.0) 0.0
-        else dot / (math.sqrt(na) * math.sqrt(nb))
-      val csim = Round6.round6(raw)
+      val csim = cosRound6(v, cents(j))
       val cid = cids(j)
       // rank order: csim DESC (Double.compare — Spark's double ordering),
       // cid ASC; insert iff it beats the current worst or there is room
@@ -131,7 +155,7 @@ object TopCells {
     new GenericArrayData(out)
   }
 
-  private def beats(sim: Double, cid: Int, sim2: Double, cid2: Int): Boolean = {
+  private[functions] def beats(sim: Double, cid: Int, sim2: Double, cid2: Int): Boolean = {
     val c = java.lang.Double.compare(sim, sim2)
     c > 0 || (c == 0 && cid < cid2)
   }

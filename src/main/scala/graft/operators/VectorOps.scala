@@ -167,8 +167,23 @@ object VectorOps {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
 
-  private def centSize(cents: Array[(Int, Array[Double])]): Long =
-    cents.iterator.map(_._2.length.toLong).sum
+  /** Fit probe for the fused arm, WITHOUT materializing the matrix: one
+    * count×max(dim) aggregate job whose result is a single row, so the
+    * beyond-guard case (the one the distributed arm exists for) never
+    * pays a driver collect at all — the former order (collect, THEN
+    * check) made the guard itself the 100 TB-scale OOM. Under the guard
+    * the centroid plan is evaluated twice (probe + collect); these frames
+    * are vocab-sized by contract, and the former code evaluated twice in
+    * the fallback case anyway (collect + broadcast). k = 0 reports
+    * not-fitting so empty centroid sets route to the distributed arm,
+    * which yields ZERO rows like the join form always did — the fused
+    * arm's element_at(_, 1) would throw INVALID_ARRAY_INDEX per row
+    * under ANSI (Spark 4's default) on an empty TopCells array. */
+  private[graft] def centMatrixFits(centroids: DataFrame): Boolean = {
+    val r = centroids.agg(count(lit(1)), max(size(col("c")))).head()
+    val k = r.getLong(0)
+    k > 0 && k * r.getInt(1).toLong <= TopCellsMaxDoubles
+  }
 
   /** One cosine-argmax assignment pass against DRIVER-HOSTED centroids
     * (the MLlib shape: centroids live on the driver between Lloyd passes;
@@ -182,7 +197,10 @@ object VectorOps {
     e.select(col("vec_id"), col("v"),
         element_at(graft.functions.TopCells.top(col("v"), 1, cents), 1)
           .as("best"))
-      // empty centroid set ⇒ empty assignment, like the join form
+      // requires non-empty cents: under ANSI, element_at(_, 1) on the
+      // empty TopCells array throws — [[centMatrixFits]] routes the
+      // empty set to the distributed arm (zero rows, the join form's
+      // behavior), so this path never sees it
       .filter(col("best").isNotNull)
       .select(col("vec_id"), col("v"),
         col("best.cid").as("cid"), col("best.csim").as("sim"))
@@ -203,11 +221,10 @@ object VectorOps {
     * filled the disk. The heap agg is ObjectHashAggregate with ≤1 tiny
     * row per group — same winner by the same (sim desc, cid asc) policy. */
   private[graft] def kmeansAssign(e: DataFrame,
-      centroids: DataFrame): DataFrame = {
-    val cents = collectCentroids(centroids)
-    if (centSize(cents) <= TopCellsMaxDoubles) kmeansAssignLocal(e, cents)
+      centroids: DataFrame): DataFrame =
+    if (centMatrixFits(centroids))
+      kmeansAssignLocal(e, collectCentroids(centroids))
     else kmeansAssignDistributed(e, centroids)
-  }
 
   private[graft] def kmeansAssignDistributed(e: DataFrame,
       centroids: DataFrame): DataFrame = {
@@ -276,42 +293,62 @@ object VectorOps {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // per-partition (cid → integer component sums + count), merged on
-      // the driver: Long adds are order-free, so the totals are exactly
-      // the former hash-aggregate's, and the two final IEEE divisions run
-      // on identical operands — centroid VALUES are bit-identical
+      // (cid → integer component sums + count) via treeAggregate: Long
+      // adds are order-free, so the totals are exactly the former
+      // hash-aggregate's regardless of merge topology, and the two final
+      // IEEE divisions run on identical operands — centroid VALUES are
+      // bit-identical. depth=2 merges the per-partition maps on ~√P
+      // executor-side combine tasks, so the driver receives O(√P) maps of
+      // K·dim longs instead of P of them — the former flat collect() made
+      // driver memory (and maxResultSize) LINEAR in partition count at
+      // the ×1000 blocking grain (guide §5: bound what returns to the
+      // driver). UNIFORM-DIM precondition asserted per cid: a ragged
+      // corpus now fails loudly instead of corrupting sums (the
+      // distributed posexplode arm, which averages ragged components
+      // per-index, remains the honest plan for such data).
       def means(assign: (Long, Array[Double]) => Int)
           : Array[(Int, Array[Double])] = {
-        val partials = rdd.mapPartitions { it =>
-          val acc = new java.util.HashMap[Int, (Array[Long], Array[Long])]()
+        type Acc = java.util.HashMap[Int, (Array[Long], Array[Long])]
+        val seqOp = (acc: Acc, row: (Long, Array[Double])) => {
+          val (id, v) = row
+          val cid = assign(id, v)
+          var slot = acc.get(cid)
+          if (slot == null) {
+            slot = (new Array[Long](v.length), new Array[Long](1))
+            acc.put(cid, slot)
+          } else require(slot._1.length == v.length,
+            s"ragged vectors in cell $cid: ${slot._1.length} vs ${v.length}")
+          var i = 0
+          while (i < v.length) {
+            slot._1(i) += graft.functions.Round6.microLong(v(i))
+            i += 1
+          }
+          slot._2(0) += 1
+          acc
+        }
+        val combOp = (a: Acc, b: Acc) => {
+          val it = b.entrySet().iterator()
           while (it.hasNext) {
-            val (id, v) = it.next()
-            val cid = assign(id, v)
-            var slot = acc.get(cid)
-            if (slot == null) {
-              slot = (new Array[Long](v.length), new Array[Long](1))
-              acc.put(cid, slot)
+            val en = it.next()
+            val slot = a.get(en.getKey)
+            if (slot == null) a.put(en.getKey, en.getValue)
+            else {
+              val s = en.getValue._1
+              require(slot._1.length == s.length,
+                s"ragged vectors in cell ${en.getKey}")
+              var i = 0
+              while (i < s.length) { slot._1(i) += s(i); i += 1 }
+              slot._2(0) += en.getValue._2(0)
             }
-            var i = 0
-            while (i < v.length) {
-              slot._1(i) += graft.functions.Round6.microLong(v(i))
-              i += 1
-            }
-            slot._2(0) += 1
           }
-          import scala.jdk.CollectionConverters._
-          acc.entrySet().iterator().asScala
-            .map(en => (en.getKey, en.getValue._1, en.getValue._2(0)))
-        }.collect()
-        partials.groupBy(_._1).map { case (cid, parts) =>
-          val dim = parts.head._2.length
-          val sums = new Array[Long](dim); var cnt = 0L
-          parts.foreach { case (_, s, c) =>
-            var i = 0
-            while (i < dim) { sums(i) += s(i); i += 1 }
-            cnt += c
-          }
-          (cid, sums.map(s => s.toDouble / cnt.toDouble / 1e8))
+          a
+        }
+        val totals = rdd.treeAggregate(new Acc)(seqOp, combOp, depth = 2)
+        import scala.jdk.CollectionConverters._
+        totals.entrySet().iterator().asScala.map { en =>
+          val cnt = en.getValue._2(0)
+          (en.getKey,
+            en.getValue._1.map(s => s.toDouble / cnt.toDouble / 1e8))
         }.toArray.sortBy(_._1)
       }
       var cents: Array[(Int, Array[Double])] =
@@ -1160,15 +1197,13 @@ object VectorOps {
     * exchange) when the matrix fits [[TopCellsMaxDoubles]]; the broadcast
     * crossJoin + bounded TopKRows heap beyond it. (csim DESC, cid ASC)
     * mirrors the oracle's row_number in both arms. */
-  private[graft] def cellMembers(e: DataFrame, cent: DataFrame): DataFrame = {
-    val cents = collectCentroids(cent)
-    if (centSize(cents) <= TopCellsMaxDoubles)
+  private[graft] def cellMembers(e: DataFrame, cent: DataFrame): DataFrame =
+    if (centMatrixFits(cent))
       e.select(col("vec_id"), col("v"),
-          explode(graft.functions.TopCells.top(col("v"), 2, cents))
-            .as("cell"))
+          explode(graft.functions.TopCells.top(col("v"), 2,
+            collectCentroids(cent))).as("cell"))
         .select(col("vec_id"), col("v"), col("cell.cid").as("cid"))
     else cellMembersDistributed(e, cent)
-  }
 
   private[graft] def cellMembersDistributed(e: DataFrame,
       cent: DataFrame): DataFrame =
@@ -1297,7 +1332,163 @@ object VectorOps {
     * the coarse probe ([[hierCellMembers]] phase D). */
   private[graft] val SuperProbes = 4
 
+  /** Size guard for the fused two-level membership: (K₁ + K)·dim doubles
+    * ride the task binary inside [[graft.functions.HierTopCells]] — the
+    * SAME bytes the composed form's per-iteration `broadcast(loc)`
+    * shipped to every executor, so this is not a new memory class, and
+    * the ceiling can sit above the flat path's [[TopCellsMaxDoubles]]:
+    * 2^24 doubles = 128 MB covers the ×1000×384 blocking grain
+    * (K = 16.5k × dim 384 ≈ 6.4M doubles ≈ 51 MB). Beyond it the
+    * composed broadcast-join form ([[hierCellMembersJoin]]) remains the
+    * honest plan — at a grain where even THAT broadcast fails, neither
+    * arm fits and assignment must become a shuffle, which no current
+    * operating point reaches. */
+  private[graft] val HierTopCellsMaxDoubles: Long = 1L << 24
+
   private[graft] def hierCellMembers(e: DataFrame, k: Int,
+      iters: Int): DataFrame =
+    hierCellMembersGuarded(e, k, iters, HierTopCellsMaxDoubles)
+
+  /** Guarded dispatch (maxDoubles is a parameter so the spec can force
+    * the join route on fixture-sized frames): the dim probe reads ONE
+    * row — never the corpus — and an empty corpus routes to the join
+    * form, whose plan yields zero rows without a driver dependency on
+    * first(). */
+  private[graft] def hierCellMembersGuarded(e: DataFrame, k: Int,
+      iters: Int, maxDoubles: Long): DataFrame = {
+    val k1 = math.max(2, math.ceil(math.sqrt(2.0 * k)).toInt)
+    val dim = e.select(size(col("v"))).take(1)
+    if (dim.isEmpty || (k.toLong + k1) * dim(0).getInt(0) > maxDoubles)
+      hierCellMembersJoin(e, k, iters)
+    else hierCellMembersLocal(e, k, iters)
+  }
+
+  /** Two-level training + membership with DRIVER-HOSTED centroids — the
+    * [[kmeansCentroidsLocal]] treatment applied to the hierarchy (guide
+    * §2.3/§4; VERDICT r16's top item — the composed form's phase C paid
+    * an n·Kl broadcast-join expansion + a posexplode double-groupBy PER
+    * LLOYD ITERATION, and phase D two more expansions):
+    *  - phase A: supers via the RDD Lloyd loop (unchanged);
+    *  - phase B: home super per vector via [[graft.functions.TopCells]].argmax
+    *    — map-only on a persisted RDD, no crossJoin, no heap aggregate;
+    *  - phase C: local Lloyd vectorized across supers on the SAME RDD —
+    *    per pass one treeAggregate job of composite-keyed integer sums
+    *    (the exact localMeans discipline: per-(sup,lc,i)
+    *    sum(round(x·1e8)::bigint)::double / count::double / 1e8), no
+    *    per-iteration Catalyst plan at all;
+    *  - phase D: ONE map-only select with the fused
+    *    [[graft.functions.HierTopCells]] rank (super probe + composite
+    *    top-2 in a single codegen loop).
+    * Every stage replays the composed arm's exact comparator
+    * ((csim DESC, id ASC) on round6 cosines) and integer-sum means, so
+    * membership is BIT-EQUAL (HierCellsSpec exceptAll-gates both
+    * directions; the ×N digests pin it at scale). */
+  private[graft] def hierCellMembersLocal(e: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    val k1 = math.max(2, math.ceil(math.sqrt(2.0 * k)).toInt)
+    val kl = math.max(1, math.ceil(k.toDouble / k1).toInt)
+    // phase A: supers over the corpus (mod-K1 partition-mean init)
+    val sup = kmeansCentroidsLocal(e, iters, k1, modInit = true)
+    val supCids = sup.map(_._1); val supCents = sup.map(_._2)
+    // phase B: home super per vector — argmax against the driver-hosted
+    // super matrix, fused into the RDD load (one pass, then persisted
+    // for the iters+1 phase-C aggregations)
+    val rdd = e.select(col("vec_id"), col("v")).rdd
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        (r.getLong(0), v, graft.functions.TopCells.argmax(v, supCids, supCents))
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // phase C: composite-keyed integer-sum means (cid = sup·kl + lc).
+      // assign returns Int.MinValue to DROP a vector from the pass —
+      // mirroring the composed form's inner join on sup, which
+      // contributed nothing for a super absent from loc.
+      type Acc = java.util.HashMap[Int, (Array[Long], Array[Long])]
+      def localMeans(assign: (Long, Array[Double], Int) => Int)
+          : (Array[Array[Int]], Array[Array[Array[Double]]]) = {
+        val seqOp = (acc: Acc, row: (Long, Array[Double], Int)) => {
+          val cid = assign(row._1, row._2, row._3)
+          if (cid != Int.MinValue) {
+            val v = row._2
+            var slot = acc.get(cid)
+            if (slot == null) {
+              slot = (new Array[Long](v.length), new Array[Long](1))
+              acc.put(cid, slot)
+            } else require(slot._1.length == v.length,
+              s"ragged vectors in cell $cid")
+            var i = 0
+            while (i < v.length) {
+              slot._1(i) += graft.functions.Round6.microLong(v(i))
+              i += 1
+            }
+            slot._2(0) += 1
+          }
+          acc
+        }
+        val combOp = (a: Acc, b: Acc) => {
+          val it = b.entrySet().iterator()
+          while (it.hasNext) {
+            val en = it.next()
+            val slot = a.get(en.getKey)
+            if (slot == null) a.put(en.getKey, en.getValue)
+            else {
+              val s2 = en.getValue._1
+              require(slot._1.length == s2.length,
+                s"ragged vectors in cell ${en.getKey}")
+              var i = 0
+              while (i < s2.length) { slot._1(i) += s2(i); i += 1 }
+              slot._2(0) += en.getValue._2(0)
+            }
+          }
+          a
+        }
+        val totals = rdd.treeAggregate(new Acc)(seqOp, combOp, depth = 2)
+        // decompose composite keys into per-super arrays PARALLEL to
+        // supCids (lc ∈ [0, kl) by construction, so cid/kl is the super)
+        import scala.jdk.CollectionConverters._
+        val bySup = totals.entrySet().iterator().asScala.map { en =>
+          val cnt = en.getValue._2(0)
+          (en.getKey / kl, en.getKey % kl,
+            en.getValue._1.map(s => s.toDouble / cnt.toDouble / 1e8))
+        }.toArray.groupBy(_._1)
+        val lcids = new Array[Array[Int]](supCids.length)
+        val lcents = new Array[Array[Array[Double]]](supCids.length)
+        var j = 0
+        while (j < supCids.length) {
+          val cells = bySup.getOrElse(supCids(j),
+            Array.empty[(Int, Int, Array[Double])]).sortBy(_._2)
+          lcids(j) = cells.map(_._2)
+          lcents(j) = cells.map(_._3)
+          j += 1
+        }
+        (lcids, lcents)
+      }
+      // init: lc = pmod(vec_id, kl), every homed vector contributes
+      var (lcids, lcents) = localMeans((id, _, supCid) =>
+        supCid * kl + java.lang.Math.floorMod(id, kl.toLong).toInt)
+      for (_ <- 1 to iters) {
+        val (lc0, lv0) = (lcids, lcents)
+        val assigned = localMeans { (_, v, supCid) =>
+          val idx = java.util.Arrays.binarySearch(supCids, supCid)
+          if (idx < 0 || lc0(idx).length == 0) Int.MinValue
+          else supCid * kl +
+            graft.functions.TopCells.argmax(v, lc0(idx), lv0(idx))
+        }
+        lcids = assigned._1; lcents = assigned._2
+      }
+      // phase D: fused membership — super probe + composite top-2 in one
+      // map-only codegen loop; no expansion, no join, no exchange
+      e.select(col("vec_id"), col("v"),
+          explode(graft.functions.HierTopCells.top(col("v"), SuperProbes,
+            2, kl, sup, lcids.zip(lcents))).as("cell"))
+        .select(col("vec_id"), col("v"), col("cell.cid").as("cid"))
+    } finally rdd.unpersist(blocking = false)
+  }
+
+  /** The composed two-level form [[hierCellMembersLocal]] replaced — the
+    * beyond-guard plan and HierCellsSpec's equality oracle. */
+  private[graft] def hierCellMembersJoin(e: DataFrame, k: Int,
       iters: Int): DataFrame = {
     val s = e.sparkSession
     CosineSimilarity.register(s)

@@ -57,7 +57,20 @@ class CodegenCompileSpec extends SparkSpec {
           element_at(graft.functions.TopCells.top(col("v"), 1,
             Array((0, Array(0.1, 0.2, 0.3, 0.4)),
               (1, Array(-0.5, 0.1, 0.0, 0.2)))), 1).as("tc"),
-          graft.operators.TextOps.wordStats(col("text")).as("wst"))
+          graft.functions.HierTopCells.top(col("v"), 2, 2, 3,
+            Array((0, Array(0.1, 0.2, 0.3, 0.4)),
+              (1, Array(-0.5, 0.1, 0.0, 0.2))),
+            Array((Array(0, 1), Array(Array(0.3, 0.1, 0.0, 0.2),
+                Array(-0.1, 0.4, 0.2, 0.0))),
+              (Array(0), Array(Array(0.2, -0.2, 0.5, 0.1))))).as("htc"),
+          graft.operators.TextOps.wordStats(col("text")).as("wst"),
+          graft.functions.SurprisalSum.score(col("text"), {
+            val m = new java.util.HashMap[
+              org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+            m.put(org.apache.spark.unsafe.types.UTF8String.fromString("the"),
+              java.lang.Long.valueOf(-100L))
+            m
+          }, -999L).as("sps"))
         .collect()
     }
     assert(out.length == 3)

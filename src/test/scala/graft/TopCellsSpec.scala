@@ -77,6 +77,26 @@ class TopCellsSpec extends SparkSpec {
     }
   }
 
+  test("fit probe: beyond-guard and empty centroid sets route WITHOUT a driver collect") {
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.TopKRows.register(spark)
+    // beyond-guard: 2^22 doubles is the ceiling; 5M rows × dim 2 exceeds
+    // it — built lazily from range(), so a collect() here would blow the
+    // test JVM's heap long before the assert; the probe must answer from
+    // the one-row aggregate alone
+    val big = spark.range(5000000L)
+      .select(col("id").cast("int").as("cid"),
+        array(col("id").cast("double"), lit(1.0)).as("c"))
+    assert(!VectorOps.centMatrixFits(big))
+    // empty: routes to the distributed arm => ZERO rows (the join form's
+    // semantics), never the fused arm's ANSI element_at throw
+    val e = (0L until 5L).map(id => (id, randVec(4).toSeq)).toDF("vec_id", "v")
+    val none = VectorOps.toCentFrame(spark, Array.empty)
+    assert(!VectorOps.centMatrixFits(none))
+    assert(VectorOps.kmeansAssign(e, none).count() == 0L)
+    assert(VectorOps.cellMembers(e, none).count() == 0L)
+  }
+
   test("Lloyd centroids from the RDD loop == one distributed means+assign step ahead (both inits)") {
     graft.functions.CosineSimilarity.register(spark)
     val e = (0L until 400L).map(id => (id, randVec(32).toSeq))
