@@ -532,9 +532,22 @@ object DedupOps {
     s"CASE WHEN ($wh & ${1L << b}) != 0 THEN 1 ELSE -1 END"
 
   /** SimHash core over any (doc_id, text) frame: `bits`-wide fingerprint
-    * from word-hash bit votes (weighted by word frequency); `whSql` maps the
-    * hex word hash `h` to the integer whose low `bits` are voted on. */
-  private def simhashOf(df: DataFrame, bits: Int, digits: Int): DataFrame = {
+    * from unweighted word-hash bit votes — ONE map-only byte scan per
+    * document ([[graft.functions.SimHashText]]; §2.3/§4, the SurprisalSum
+    * treatment: no token explosion, no groupBy exchange). The composed
+    * explode + per-bit-sums form stays as [[simhashOfComposed]], the
+    * SimHashTextSpec equality oracle. Null-text docs are dropped in both
+    * arms (explode(null) emits no rows; the fused arm filters them). */
+  private def simhashOf(df: DataFrame, bits: Int, digits: Int): DataFrame =
+    df.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.SimHashText.of(col("text"), digits, bits, null)
+          .as("simhash"))
+
+  /** The composed form [[simhashOf]] replaced — the spec's equality
+    * oracle. */
+  private[graft] def simhashOfComposed(df: DataFrame, bits: Int,
+      digits: Int): DataFrame = {
     graft.functions.Md5Prefix.register(df.sparkSession)
     val sums = (0 until bits).map(b =>
       sum(expr(contribExpr("wh", b))).as(s"s_$b"))
@@ -562,7 +575,66 @@ object DedupOps {
     * sums associativity-free, so Spark and DuckDB agree bit-for-bit.
     * At 100 TB the df table is the corpus vocabulary (small; broadcast) —
     * or a fixed common-word list, removing the df pass entirely. */
+  /** Vocab-row ceiling for the driver-hosted weight map (the
+    * SurprisalSum argument: the df table is ALREADY broadcast-joined in
+    * the composed form, so expression hosting is the same memory class;
+    * head(N+1) bounds the probe itself). */
+  private[graft] val SimHashMaxVocab: Int = 1 << 20
+
   private def weightedSimhash48(s: SparkSession, df: DataFrame,
+      bits: Int = 48): DataFrame = {
+    // word-hash width follows the fingerprint: ceil(bits/4) hex digits of
+    // md5, capped at 15 (60 bits — the BIGINT-safe fold); the pinned 48-bit
+    // oracle query keeps its 12 digits exactly.
+    val digits = math.min(15, (bits + 3) / 4)
+    // corpus size and document frequency without countDistinct: every doc
+    // has >= 1 word, and df(word) = row count over per-doc-distinct words.
+    val n = df.agg(count(lit(1)).as("nd"))
+    val dfreq = df
+      .select(explode(array_distinct(split(col("text"), " "))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("df_"))
+    // vote pass: ONE map-only byte scan per document against the
+    // driver-hosted (word → IDF-bucket weight) map
+    // ([[graft.functions.SimHashText]]; §2.3/§4 — the composed form
+    // probed the broadcast df table once per TOKEN and re-aggregated
+    // through a hash exchange). The weight TABLE build stays the honest
+    // distributed groupBy above; only vocab-sized rows reach the driver,
+    // guarded by [[SimHashMaxVocab]] with [[weightedSimhashJoin]] beyond
+    // it and as SimHashTextSpec's equality oracle.
+    val wrows = dfreq.crossJoin(broadcast(n))
+      .select(col("word"),
+        expr("CASE WHEN df_ * 20 <= nd THEN 4L WHEN df_ * 5 <= nd THEN 2L ELSE 1L END")
+          .as("w"))
+      .head(SimHashMaxVocab + 1)
+    if (wrows.length > SimHashMaxVocab) weightedSimhashJoin(s, df, bits)
+    else {
+      val weights = new java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+        math.max(16, wrows.length * 2))
+      wrows.foreach(r => weights.put(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        java.lang.Long.valueOf(r.getLong(1))))
+      df.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.SimHashText.of(col("text"), digits, bits, weights)
+            .as("simhash"))
+        // a doc with NO in-vocab token yields null — the composed groupBy
+        // emitted no row for it (impossible when the df table is built
+        // from the same corpus, as here, but the arms must agree)
+        .filter(col("simhash").isNotNull)
+    }
+  }
+
+  /** Spec seams for the private fused arms (SimHashTextSpec compares
+    * them against the composed oracles). */
+  private[graft] def simhashFusedForSpec(df: DataFrame, bits: Int,
+      digits: Int): DataFrame = simhashOf(df, bits, digits)
+  private[graft] def weightedSimhashFusedForSpec(df: DataFrame,
+      bits: Int): DataFrame = weightedSimhash48(df.sparkSession, df, bits)
+
+  /** The composed weighted form [[weightedSimhash48]] replaced — the
+    * beyond-ceiling plan and the spec's equality oracle. */
+  private[graft] def weightedSimhashJoin(s: SparkSession, df: DataFrame,
       bits: Int = 48): DataFrame = {
     // the whole vote pass is ONE custom aggregate (48-long buffer, tight
     // update loop, order-free integer merges) instead of 48 sum(CASE...)
@@ -570,14 +642,9 @@ object DedupOps {
     // the DuckDB oracle's per-bit sums + fold.
     graft.functions.SimHashAgg.register(s, bits)
     graft.functions.Md5Prefix.register(s)
-    // word-hash width follows the fingerprint: ceil(bits/4) hex digits of
-    // md5, capped at 15 (60 bits — the BIGINT-safe fold); the pinned 48-bit
-    // oracle query keeps its 12 digits exactly.
     val digits = math.min(15, (bits + 3) / 4)
     val words = df
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    // corpus size and document frequency without countDistinct: every doc
-    // has >= 1 word, and df(word) = row count over per-doc-distinct words.
     val n = df.agg(count(lit(1)).as("nd"))
     val dfreq = df
       .select(explode(array_distinct(split(col("text"), " "))).as("word"))

@@ -64,6 +64,15 @@ class CodegenCompileSpec extends SparkSpec {
                 Array(-0.1, 0.4, 0.2, 0.0))),
               (Array(0), Array(Array(0.2, -0.2, 0.5, 0.1))))).as("htc"),
           graft.operators.TextOps.wordStats(col("text")).as("wst"),
+          graft.functions.SimHashText.of(col("text"), 12, 48, null)
+            .as("sht"),
+          graft.functions.SimHashText.of(col("text"), 12, 48, {
+            val m = new java.util.HashMap[
+              org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+            m.put(org.apache.spark.unsafe.types.UTF8String.fromString("the"),
+              java.lang.Long.valueOf(4L))
+            m
+          }).as("shtw"),
           graft.functions.SurprisalSum.score(col("text"), {
             val m = new java.util.HashMap[
               org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
