@@ -139,6 +139,40 @@ object Bench {
     if (root.exists()) walk(root)
   }
 
+  /** ×10 SCALE ROWS (round 17): the sf0.1 suite's sub-2 s queries measure
+    * per-query fixed costs (planning, codegen, job launch), so the
+    * driver's 8-core arm reads ≈1.00× of its 32-core arm and carries NO
+    * parallelism signal (r16 verdict). These three rows time the
+    * heaviest MAP-SIDE kernels (WordStats quality features, the
+    * ShingleHashes+MinHash index front, SurprisalSum perplexity scoring)
+    * over a ×10 in-plan expansion of the documents table — computed from
+    * the parquet inputs inside the timed region every run (a crossJoin
+    * with range(10) and block-offset ids, ScaleProbe's id scheme), never
+    * persisted. Compute-bound by construction, so their 8c/32c ratio is
+    * the scaling signal. They are timed in the DEFAULT arm only and are
+    * EXCLUDED from "value"/"q_ms"/"n_queries" — the headline metric keeps
+    * its historical meaning; the rows ride only the named maps (additive,
+    * per the bench contract). Pair-emitting operators are deliberately
+    * absent: ×10 copies of identical texts would go quadratic in PAIRS,
+    * measuring blowup, not parallelism. */
+  private def x10docs(s: SparkSession, d: String):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+      .crossJoin(s.range(10).select(col("id").as("copy")))
+      .select((col("doc_id") + col("copy") * 10000000L).as("doc_id"),
+        col("text"))
+  }
+
+  private val scaleNamed: Seq[(String, (SparkSession, String) =>
+      org.apache.spark.sql.DataFrame)] = Seq(
+    "x10_c3_quality_lr" ->
+      ((s, d) => graft.operators.TextOps.qualityLrOf(x10docs(s, d))),
+    "x10_dd2_minhash_index" ->
+      ((s, d) => graft.operators.DedupOps.lshDocsOf(x10docs(s, d))),
+    "x10_t13_perplexity" ->
+      ((s, d) => graft.operators.TextOps.perplexityAuto(x10docs(s, d))))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -148,8 +182,10 @@ object Bench {
     val defSpark = session(cpus, shufflePartitions = cpus,
       broadcastThreshold = None)
     val defResults = timeAll(defSpark, sfDir, named)
+    val scaleResults = timeAll(defSpark, sfDir, scaleNamed)
     defSpark.stop()
     val (qs, spreads, failed, total) = jsonRow(defResults)
+    val (sqs, _, sfailed, _) = jsonRow(scaleResults)
 
     val cluSpark = session(cpus, shufflePartitions = "200",
       broadcastThreshold = Some("-1"))
@@ -159,6 +195,7 @@ object Bench {
 
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$TimedRuns,"errors":$failed,""" +
+      s""""scale10_queries":$sqs,"scale10_errors":$sfailed,""" +
       s""""cluster_config":{"autoBroadcastJoinThreshold":-1,"adaptive_autoBroadcastJoinThreshold":"10m","shuffle_partitions":200},""" +
       s""""cluster_total":$ctotal,"cluster_queries":$cqs,"cluster_spread":$cspreads,"cluster_errors":$cfailed,"sf":"$sfDir"}"""
     // Two bare JSON lines (no prefix — build.sbt's StdoutOutput passes the
@@ -198,8 +235,43 @@ object Bench {
       s""""cluster_total":${r2(ctotal)},"cluster_errors":$cfailed,"n_queries":${named.length},""" +
       s""""q_ms":$qMs,"cluster_q_ms":$cMs,""" +
       s""""q_order":"queries sorted by name; named map in target/bench.json","sf":"$sfDir"}"""
-    // ~1.2 KB for 108 queries — whole line sits inside a 2 KB tail
+    // r16's positional line, kept one-before-last so the old numbers stay
+    // on the console in the old shape
     println(slim)
+    // FINAL line (round 17): the driver keys per-query medians BY NAME
+    // from the last JSON line inside its ~2 KB tail-capture window, and
+    // r16's positional q_ms left PERF's per_query/geomean/scaling EMPTY
+    // for two rounds (verdict item 2). The full 112-name map is 2.6 KB —
+    // mathematically over the window (names alone are 1,666 chars) — so
+    // this line carries the GREEDY COST-DESC PREFIX of the named map
+    // (seconds, 2 decimals; the ×10 scale rows compete by the same rule):
+    // as many of the most expensive queries as fit a hard 1,900-char
+    // budget (~76 of 112, ~88% of total seconds — computed, not hoped).
+    // "q_named" counts what made it; the full map is in target/bench.json
+    // and the positional line above. A regression in a sub-10 ms query
+    // can hide below the cut; one in anything that MATTERS cannot.
+    val entries = (defResults ++ scaleResults)
+      .sortBy { case (k, v, _, _) => (-v, k) }
+    val base =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","runs":$TimedRuns,"errors":$failed,""" +
+      s""""cluster_total":${r2(ctotal)},"cluster_errors":$cfailed,"n_queries":${named.length},"""
+    val close = s""""sf":"$sfDir"}"""
+    val mapKeys = """"q_named":000,"queries":{},"""
+    val sb = new StringBuilder
+    var nNamed = 0
+    var room = true // STOP at the first non-fit: the map stays a clean
+                    // cost-desc prefix, never a cherry-pick of short names
+    entries.foreach { case (k, v, _, _) =>
+      val e = "\"" + k + "\":" + r2(v)
+      val sep = if (nNamed > 0) 1 else 0
+      if (room && base.length + mapKeys.length + sb.length + sep +
+          e.length + close.length <= 1900) {
+        if (nNamed > 0) sb.append(',')
+        sb.append(e)
+        nNamed += 1
+      } else room = false
+    }
+    println(base + s""""q_named":$nNamed,"queries":{$sb},""" + close)
     // also land the line as a FILE: scraping a JSON line out of sbt/log4j
     // console interleaving is lossy (the driver's per-query map parse has
     // failed on wrapped lines), a file read is not
