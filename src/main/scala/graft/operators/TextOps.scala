@@ -272,6 +272,118 @@ object TextOps {
     * (PipelineOpsSpec pins a Chinese fixture). */
   def bpeTrainTokens(docsDf: DataFrame, rounds: Int,
       tokenGate: Option[String] = None): DataFrame = {
+    // the corpus-bound half is ONE distributed pass (token gate + word
+    // counts); everything after operates on the VOCAB-sized word table,
+    // so the K merge rounds run on the driver (guide §1.2 — the c9/kmeans
+    // treatment): the composed form re-planned explode → groupBy →
+    // TakeOrdered → crossJoin-rewrite TWICE PER ROUND with a
+    // localCheckpoint between, all to fold a table that fits in hand.
+    // Guarded at 2^20 vocab rows via a bounded head(N+1) probe;
+    // [[bpeTrainTokensComposed]] remains beyond the guard and as
+    // BpeTrainSpec's equality oracle. Merge policy replayed exactly:
+    // argmax by (cnt DESC, left ASC, right ASC) under UTF8String BYTE
+    // order (Spark's string ordering — java.lang.String order differs on
+    // supplementary planes), left-to-right non-overlapping pair rewrite
+    // (what replace() on the sentinel-wrapped form did), empty rounds
+    // stop the emission (the composed crossJoin against an empty best
+    // emptied the table for good).
+    val toks = docsDf.select(explode(split(col("text"), " ")).as("w"))
+    val counts = tokenGate.fold(toks.filter(length(col("w")) > 0))(g =>
+      toks.filter(col("w").rlike(g)))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val rows = counts.head(BpeMaxVocab + 1)
+    if (rows.length > BpeMaxVocab)
+      return bpeTrainTokensComposed(docsDf, rounds, tokenGate)
+    val words = rows.map { r =>
+      val cs = r.getString(0)
+      val syms = new Array[String](cs.codePointCount(0, cs.length) + 1)
+      var i = 0; var p = 0
+      while (i < cs.length) {
+        val cp = cs.codePointAt(i)
+        syms(p) = new String(Character.toChars(cp)); p += 1
+        i += Character.charCount(cp)
+      }
+      syms(p) = "</w>"
+      (syms, r.getLong(1))
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var table: Array[(Array[String], Long)] = words
+    var r = 1
+    var live = true
+    while (r <= rounds && live) {
+      val cnt = new java.util.HashMap[(String, String), Array[Long]]()
+      table.foreach { case (syms, freq) =>
+        var i = 1
+        while (i < syms.length) {
+          val k = (syms(i - 1), syms(i))
+          val slot = cnt.get(k)
+          if (slot == null) cnt.put(k, Array(freq)) else slot(0) += freq
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) live = false
+      else {
+        import org.apache.spark.unsafe.types.UTF8String
+        var bl: String = null; var br: String = null; var bc = Long.MinValue
+        val it = cnt.entrySet().iterator()
+        while (it.hasNext) {
+          val en = it.next()
+          val c = en.getValue()(0)
+          val (l, rr) = en.getKey
+          val better = c > bc || (c == bc && {
+            val cl = UTF8String.fromString(l).compareTo(UTF8String.fromString(bl))
+            cl < 0 || (cl == 0 &&
+              UTF8String.fromString(rr).compareTo(UTF8String.fromString(br)) < 0)
+          })
+          if (better) { bl = l; br = rr; bc = c }
+        }
+        out += ((r, bl, br, bl + br, bc))
+        if (r < rounds) {
+          val merged = bl + br
+          table = table.map { case (syms, freq) =>
+            if (syms.length < 2) (syms, freq)
+            else {
+              val b = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+              var i = 0
+              while (i < syms.length) {
+                if (i < syms.length - 1 && syms(i) == bl && syms(i + 1) == br) {
+                  b += merged; i += 2
+                } else { b += syms(i); i += 1 }
+              }
+              (b.toArray, freq)
+            }
+          }
+        }
+      }
+      r += 1
+    }
+    val s = docsDf.sparkSession
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      out.map { case (rk, l, rr, m, c) =>
+        org.apache.spark.sql.Row(rk, l, rr, m, c) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("pair_left",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("pair_right",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("merged",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+  }
+
+  /** Vocab-row ceiling for the driver-hosted BPE trainer (the gated word
+    * table; the same 2^20 class as the other driver-hosted maps). */
+  private[graft] val BpeMaxVocab: Int = 1 << 20
+
+  /** The composed per-round Catalyst loop [[bpeTrainTokens]] replaced —
+    * the beyond-guard plan and BpeTrainSpec's equality oracle. */
+  private[graft] def bpeTrainTokensComposed(docsDf: DataFrame, rounds: Int,
+      tokenGate: Option[String] = None): DataFrame = {
     val toks = docsDf.select(explode(split(col("text"), " ")).as("w"))
     var words = tokenGate.fold(toks.filter(length(col("w")) > 0))(g =>
       toks.filter(col("w").rlike(g)))
