@@ -139,39 +139,62 @@ object Bench {
     if (root.exists()) walk(root)
   }
 
-  /** ×10 SCALE ROWS (round 17): the sf0.1 suite's sub-2 s queries measure
-    * per-query fixed costs (planning, codegen, job launch), so the
-    * driver's 8-core arm reads ≈1.00× of its 32-core arm and carries NO
-    * parallelism signal (r16 verdict). These three rows time the
+  /** ×300 SCALE ROWS (round 17): the sf0.1 suite's sub-2 s queries
+    * measure per-query fixed costs (planning, codegen, job launch), so
+    * the driver's 8-core arm reads ≈1.00× of its 32-core arm and carries
+    * NO parallelism signal (r16 verdict). These three rows time the
     * heaviest MAP-SIDE kernels (WordStats quality features, the
-    * ShingleHashes+MinHash index front, SurprisalSum perplexity scoring)
-    * over a ×10 in-plan expansion of the documents table — computed from
-    * the parquet inputs inside the timed region every run (a crossJoin
-    * with range(10) and block-offset ids, ScaleProbe's id scheme), never
-    * persisted. Compute-bound by construction, so their 8c/32c ratio is
-    * the scaling signal. They are timed in the DEFAULT arm only and are
-    * EXCLUDED from "value"/"q_ms"/"n_queries" — the headline metric keeps
-    * its historical meaning; the rows ride only the named maps (additive,
+    * ShingleHashes+MinHash index front, SurprisalSum scoring) over a
+    * ×300 in-plan expansion of the documents table (≈1.5M docs at
+    * sf0.1) — computed from the parquet inputs inside the timed region
+    * every run (block-offset ids, ScaleProbe's id scheme), never
+    * persisted. Timed in the DEFAULT arm only and EXCLUDED from
+    * "value"/"q_ms"/"n_queries" — the headline metric keeps its
+    * historical meaning; the rows ride only the named maps (additive,
     * per the bench contract). Pair-emitting operators are deliberately
-    * absent: ×10 copies of identical texts would go quadratic in PAIRS,
-    * measuring blowup, not parallelism. */
-  private def x10docs(s: SparkSession, d: String):
+    * absent: ×N copies of identical texts would go quadratic in PAIRS,
+    * measuring blowup, not parallelism. Measured isolated (5-run
+    * medians, back-to-back): x300_dd2 2.87 s @32c vs 6.04 s @8c (2.10×),
+    * x300_c3 0.91 vs 1.77 (1.94×), x300_t13_score 1.13 vs 1.56 (1.38×).
+    *
+    * ×n expansion with the RANGE side streaming: s.range carries
+    * defaultParallelism partitions (= the core count), so the expansion
+    * runs one task per core against the BROADCAST base corpus — the
+    * first cut streamed the parquet side and the whole ×n job ran in the
+    * scan's 2 input splits on either core count (then paid a 500 MB
+    * repartition shuffle to undo it); this form is map-only AND
+    * parallel, which is what lets the 8c/32c ratio carry signal. */
+  private def xNdocs(s: SparkSession, d: String, n: Int):
       org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
-      .crossJoin(s.range(10).select(col("id").as("copy")))
+    s.range(n.toLong).select(col("id").as("copy"))
+      .crossJoin(broadcast(
+        Tables.load(s, d, "documents").select(col("doc_id"), col("text"))))
       .select((col("doc_id") + col("copy") * 10000000L).as("doc_id"),
         col("text"))
   }
 
-  private val scaleNamed: Seq[(String, (SparkSession, String) =>
+  // private[graft]: QueryProbe exposes these for isolated A/B pricing.
+  // Factor 300 (≈1.5M docs at sf0.1): measured at ×30 the kernels carry
+  // only ~1-3 CORE-seconds of compute against ~0.7 s of fixed job-chain
+  // latency, so 8c/32c still read ≈1.0 — the ratio needs compute ≫
+  // fixed. The t13 row is the SCORING half only (model trained on the
+  // base corpus, one SurprisalSum map over the expansion): the full
+  // auto operator chains ~6 sequential jobs whose launch latency
+  // swamps the signal at any factor.
+  private[graft] val scaleNamed: Seq[(String, (SparkSession, String) =>
       org.apache.spark.sql.DataFrame)] = Seq(
-    "x10_c3_quality_lr" ->
-      ((s, d) => graft.operators.TextOps.qualityLrOf(x10docs(s, d))),
-    "x10_dd2_minhash_index" ->
-      ((s, d) => graft.operators.DedupOps.lshDocsOf(x10docs(s, d))),
-    "x10_t13_perplexity" ->
-      ((s, d) => graft.operators.TextOps.perplexityAuto(x10docs(s, d))))
+    "x300_c3_quality_lr" ->
+      ((s, d) => graft.operators.TextOps.qualityLrOf(xNdocs(s, d, 300))),
+    "x300_dd2_minhash_index" ->
+      ((s, d) => graft.operators.DedupOps.lshDocsOf(xNdocs(s, d, 300))),
+    "x300_t13_score" -> ((s, d) => {
+      val base = Tables.load(s, d, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      val (model, oov) = graft.operators.TextOps.unigramModel(base)
+      graft.operators.TextOps.surprisalScored(xNdocs(s, d, 300), model, oov)
+    }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

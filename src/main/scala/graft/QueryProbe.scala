@@ -12,7 +12,8 @@ object QueryProbe {
   /** Probe-only names: AUTO/library forms that are not gated queries but
     * need isolated pricing (the BASELINE cost rows). */
   private val extras: Map[String, Q.Q] = Map(
-    "t13_perplexity_auto" -> graft.operators.TextOps.perplexityAutoQ)
+    "t13_perplexity_auto" -> graft.operators.TextOps.perplexityAutoQ) ++
+    Bench.scaleNamed.toMap // the ×30 scale rows, for isolated 8c/32c A/Bs
 
   def main(args: Array[String]): Unit = {
     val name = args(0)
